@@ -1,13 +1,236 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{MRJobs, Relational, TextAnalysis}
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.multimodal.Multimodal
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q3Topk(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 reference-derived MapReduce surface
+    "mr_wordcount" -> (MRJobs.wordcount _),
+    "mr_numbersort" -> (MRJobs.numbersort _),
+    "mr_grep" -> (MRJobs.grep _),
+    "mr_inverted_index" -> (MRJobs.invertedIndex _),
+    "mr_histogram" -> (MRJobs.histogram _),
+    // §2.2 relational battery
+    "q1_agg" -> (Relational.q1Agg _),
+    "q3_topk" -> (Relational.q3Topk _),
+    "q5_multijoin" -> (Relational.q5Multijoin _),
+    "q_broadcast_join" -> (Relational.qBroadcastJoin _),
+    "q_semijoin" -> (Relational.qSemijoin _),
+    "q_antijoin" -> (Relational.qAntijoin _),
+    "q_distinct" -> (Relational.qDistinct _),
+    "q_setops" -> (Relational.qSetops _),
+    "q_window_rank" -> (Relational.qWindowRank _),
+    "q_topk_per_group" -> (Relational.qTopkPerGroup _),
+    "q_rollup" -> (Relational.qRollup _),
+    "q_pivot" -> (Relational.qPivot _),
+    "q_scalar_subquery" -> (Relational.qScalarSubquery _),
+    "q_percentile" -> (Relational.qPercentile _),
+    "q_string_funcs" -> (Relational.qStringFuncs _),
+    "q_date_funcs" -> (Relational.qDateFuncs _),
+    "q_json_extract" -> (Relational.qJsonExtract _),
+    "q_sessionize" -> (Relational.qSessionize _),
+    "q_window_tumbling" -> (Relational.qWindowTumbling _),
+    "q_skew_agg" -> (Relational.qSkewAgg _),
+    // §2.3 dedup
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
+    "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingDups(s, d)),
+    // §2.4 similarity search
+    "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteforceTopK(s, d)),
+    "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
+    "knn_join" -> ((s: SparkSession, d: String) => Ann.knnJoin(s, d)),
+    // §2.5 text analysis
+    "text_stats" -> (TextAnalysis.textStats _),
+    "text_token_count" -> (TextAnalysis.tokenCount _),
+    "text_langid" -> (TextAnalysis.langid _),
+    "text_fingerprint" -> (TextAnalysis.fingerprintDocs _),
+    // §2.6 multimodal plumbing
+    "multimodal_stats" -> (Multimodal.mediaStats _)
+  )
+
+  /** DuckDB-dialect oracle per query (same semantics, independent
+    * implementation). Money sums use the same exact-DECIMAL-then-
+    * DOUBLE chain as the Spark side (see graft.operators.sumMoney) so
+    * results are bit-identical. Omitted keys (minhash/simhash/LSH/
+    * embedding/fingerprint/langid/multimodal) are engine-hash-specific
+    * or float-order-sensitive → rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "mr_wordcount" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS word
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
+        |) w WHERE word <> '' GROUP BY word""".stripMargin,
+    "mr_numbersort" ->
+      "SELECT l_extendedprice FROM lineitem ORDER BY l_extendedprice",
+    "mr_grep" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE text LIKE '%spark%'",
+    "mr_inverted_index" ->
+      """SELECT word, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences FROM (
+        |  SELECT doc_id, lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS word
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u
+        |) w WHERE word <> '' GROUP BY word""".stripMargin,
+    "mr_histogram" ->
+      "SELECT CAST(floor(l_extendedprice/10000.0) AS BIGINT) AS bucket, count(*) AS n FROM lineitem GROUP BY 1",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/count(*) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1,2""".stripMargin,
+    "q3_topk" ->
+      """SELECT o_orderkey,
+        | CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey JOIN customer ON o_custkey=c_custkey
+        |WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        | JOIN customer ON o_custkey=c_custkey
+        | JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey
+        | JOIN nation ON s_nationkey=n_nationkey
+        | JOIN region ON n_regionkey=r_regionkey
+        |WHERE r_name='ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q_broadcast_join" ->
+      """SELECT p_brand, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey=p_partkey GROUP BY p_brand""".stripMargin,
+    "q_semijoin" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+        |FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey=c.c_custkey)
+        |GROUP BY 1""".stripMargin,
+    "q_antijoin" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey=c.c_custkey AND o.o_totalprice > 150000.0)""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_setops" ->
+      """SELECT 'both' AS tag, c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'
+        |  INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0)
+        |UNION ALL
+        |SELECT 'only_cust' AS tag, c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'
+        |  EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0)""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) r WHERE rnk <= 3""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT n_name, c_custkey, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) c JOIN nation ON c_nationkey=n_nationkey WHERE rn=1""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CAST(CASE WHEN o_orderstatus='F' THEN o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS total_f,
+        | CAST(sum(CAST(CASE WHEN o_orderstatus='O' THEN o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS total_o,
+        | CAST(sum(CAST(CASE WHEN o_orderstatus='P' THEN o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS total_p,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)/count(*) FROM orders)
+        |GROUP BY 1""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50,
+        | quantile_cont(l_extendedprice, 0.9) AS p90, count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper, substring(p_type,1,5) AS type_prefix,
+        | CAST(length(p_name) AS BIGINT) AS name_len, concat_ws('-', p_brand, p_type) AS brand_type,
+        | CAST(length(regexp_replace(lower(p_name), '[^aeiou]', '', 'g')) AS BIGINT) AS n_vowels
+        |FROM part""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        | count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1,2""".stripMargin,
+    "q_json_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_sessionize" ->
+      """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+        |  SELECT user_id, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS new_sess FROM (
+        |    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |      lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_s
+        |    FROM events) x) y GROUP BY user_id""".stripMargin,
+    "q_window_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1,2""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        | count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY 1""".stripMargin,
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS canonical_id, count(*) AS copies FROM documents GROUP BY text",
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(list_transform(string_split(text, ' '),
+        |    t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))), w -> w <> '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ts[CAST(i AS BIGINT)] || ' ' || ts[CAST(i AS BIGINT)+1] || ' ' || ts[CAST(i AS BIGINT)+2] AS shingle
+        |  FROM toks, unnest(range(1, len(ts)-1)) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id GROUP BY 1,2)
+        |SELECT id_a, id_b,
+        |  CAST(common AS DOUBLE)/(sa.n_shingles + sb.n_shingles - common) AS jaccard
+        |FROM pairs JOIN sizes sa ON id_a=sa.doc_id JOIN sizes sb ON id_b=sb.doc_id
+        |WHERE CAST(common AS DOUBLE)/(sa.n_shingles + sb.n_shingles - common) >= 0.55""".stripMargin,
+    "text_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ts
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(len(ts) AS BIGINT) AS n_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars_actual,
+        | CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+        | CAST(len(list_filter(ts, w -> list_contains(['the','a','an','of','to','and','in','is','it','for','on','with'], w))) AS BIGINT) AS n_stopwords,
+        | CAST(list_sum(list_transform(ts, w -> length(w))) AS BIGINT) AS sum_token_len,
+        | CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio,
+        | CAST(len(list_filter(ts, w -> list_contains(['the','a','an','of','to','and','in','is','it','for','on','with'], w))) AS DOUBLE)/len(ts) AS stopword_ratio,
+        | CAST(list_sum(list_transform(ts, w -> length(w))) AS DOUBLE)/len(ts) AS avg_token_len
+        |FROM toks""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]')) AS BIGINT) AS bpeish_tokens
+        |FROM documents""".stripMargin
+  )
 }

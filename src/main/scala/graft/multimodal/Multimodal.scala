@@ -1,0 +1,86 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2.6).
+  *
+  * Media payloads are opaque `binary` columns plus a typed metadata
+  * struct; decode/feature-extract runs batched per partition so a real
+  * decoder (libjpeg/ffmpeg on the cluster image) drops in without
+  * changing the plan shape. In this container the codec itself is a
+  * deterministic fake ([[FakeCodec]]) — the Spark-side schema,
+  * batching, and partitioning are the real thing under test.
+  */
+object Multimodal {
+
+  case class MediaMeta(format: String, width: Int, height: Int)
+  case class MediaRow(media_id: Long, meta: MediaMeta, payload: Array[Byte])
+  case class MediaFeatures(media_id: Long, format: String, n_bytes: Long,
+      mean_byte: Double, checksum: Long)
+
+  /** Deterministic stand-in for an image/audio decoder: payload bytes
+    * are a pure function of (media_id), "decoding" reduces them to
+    * summary features. Swap for a real codec at deploy time.
+    */
+  object FakeCodec {
+    def encode(id: Long, n: Int = 256): Array[Byte] = {
+      val bytes = new Array[Byte](n)
+      var x = id * 6364136223846793005L + 1442695040888963407L
+      var i = 0
+      while (i < n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        bytes(i) = (x >>> 56).toByte
+        i += 1
+      }
+      bytes
+    }
+
+    def features(row: MediaRow): MediaFeatures = {
+      var sum = 0L; var ck = 1469598103934665603L
+      row.payload.foreach { b =>
+        sum += (b & 0xff)
+        ck = (ck ^ (b & 0xff)) * 1099511628211L
+      }
+      MediaFeatures(row.media_id, row.meta.format, row.payload.length.toLong,
+        sum.toDouble / row.payload.length, ck)
+    }
+  }
+
+  /** Synthesize a media table keyed off documents (each doc gets one
+    * fake image payload). In production this column arrives from the
+    * lakehouse; partitioning/batching below is unchanged.
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val enc = udf((id: Long) => FakeCodec.encode(id))
+    graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"))
+      .withColumn("meta", struct(lit("fake/rgb8").as("format"),
+        lit(16).as("width"), lit(16).as("height")))
+      .withColumn("payload", enc(col("media_id")))
+      .as[MediaRow]
+  }
+
+  /** Batched per-partition feature extraction — the mapInPandas-shaped
+    * path: rows are processed in fixed-size batches per partition (the
+    * batch is where a vectorized decoder would amortize setup).
+    */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // batch boundary = decoder-context reuse boundary
+        batch.map(FakeCodec.features)
+      }
+    }
+  }
+
+  /** End-to-end: synthesize → batch-decode → per-format stats. */
+  def mediaStats(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaTable(spark, dir)).toDF()
+      .groupBy("format")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("n_bytes").cast("long").as("total_bytes"),
+        min("checksum").as("min_checksum"))
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the documents table (SURVEY.md §2.5). */
+object TextAnalysis {
+
+  /** Per-document quality stats: token/char counts, alpha ratio,
+    * stopword ratio, average token length. Integer counts are exact;
+    * ratios are single double divisions of exact longs, so they are
+    * bit-identical across engines and partitionings.
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("n_alpha"),
+        stopwordCount(toks).as("n_stopwords"),
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("sum_token_len"))
+      .withColumn("alpha_ratio", col("n_alpha").cast("double") / col("n_chars_actual"))
+      .withColumn("stopword_ratio", col("n_stopwords").cast("double") / col("n_tokens"))
+      .withColumn("avg_token_len", col("sum_token_len").cast("double") / col("n_tokens"))
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish pre-tokenizer count. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(wsTokens(col("text"))).cast("long").as("ws_tokens"),
+        bpeishTokenCount(col("text")).as("bpeish_tokens"))
+
+  /** Heuristic stopword-profile language ID (rows-only check — the
+    * CASE-ladder is not worth forcing into the oracle dialect).
+    */
+  def langid(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        langId(wsTokens(lower(col("text")))).as("predicted_lang"))
+
+  /** Rolling-hash document fingerprint (rows-only check). */
+  def fingerprintDocs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+}

@@ -1,0 +1,87 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the embeddings table (SURVEY.md §2.4).
+  *
+  * Scale shape: the query set is always the small side → broadcast;
+  * the corpus is scanned once, never shuffled, for the brute-force
+  * path. The LSH path buckets the corpus a single time (a reusable
+  * partitioning at 100 TB) and probes buckets only.
+  */
+object Ann {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), normalized(col("embedding")).as("v"))
+
+  /** Exact brute-force cosine top-k: broadcast the query rows against
+    * the corpus scan, window-rank per query. Baseline + recall oracle
+    * for the ANN paths.
+    */
+  def bruteforceTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val corpus = emb(spark, dir)
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), dot(col("v"), col("qv")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
+  val Planes = 5
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dim d): xxhash64 → [-1, 1). No RNG state, so the "model" is
+    * reproducible across runs/executors by construction.
+    */
+  private def planeComponent(p: Int, d: org.apache.spark.sql.Column) =
+    (pmod(xxhash64(lit(p), d), lit(100000L)).cast("double") / 50000.0) - 1.0
+
+  /** Random-hyperplane (SRP) LSH bucket id for a vector column. */
+  def srpBucket(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until Planes).map { p =>
+      val proj = aggregate(
+        transform(v, (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce[org.apache.spark.sql.Column](_.bitwiseOR(_))
+
+  /** SRP-LSH approximate top-k: corpus bucketed once; queries probe
+    * only their own bucket. Trades recall for a corpus-scan-free probe
+    * — the 100 TB path where brute force is off the table.
+    */
+  def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val corpus = emb(spark, dir).withColumn("bucket", srpBucket(col("v")))
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("q_bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    corpus.join(broadcast(queries),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), dot(col("v"), col("qv")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
+  /** Batch k-NN join: one query set × corpus, k nearest per query —
+    * the shape used for dataset-vs-dataset contamination checks.
+    */
+  def knnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val corpus = emb(spark, dir).filter(col("label") =!= 0)
+    val queries = emb(spark, dir).filter(col("label") === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    corpus.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"), dot(col("v"), col("qv")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+}

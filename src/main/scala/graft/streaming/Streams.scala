@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines (SURVEY.md §2.8). The batch twin of
+  * the windowed aggregation is Relational.qWindowTumbling, which is
+  * what the oracle checks; these run in specs against MemoryStream.
+  */
+object Streams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Event-time tumbling window + watermark aggregation. Works on any
+    * streaming Dataset[Event] (MemoryStream in tests, Kafka/file in
+    * production — source choice doesn't alter the plan).
+    */
+  def windowedCounts(events: Dataset[Event]): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
+  case class SessionOut(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
+
+  /** Stateful gap-based sessionization via flatMapGroupsWithState —
+    * emits a session row when the 30-min gap timeout fires. Custom
+    * state is the piece Structured Streaming's built-in windows can't
+    * express; everything else stays declarative.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.start, s.lastSeen, s.nEvents))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val ts = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if ts - s.lastSeen <= gapSeconds =>
+                  cur = Some(s.copy(lastSeen = ts, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.start, s.lastSeen, s.nEvents)
+                  cur = Some(SessionState(ts, ts, 1))
+                case None =>
+                  cur = Some(SessionState(ts, ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapSeconds * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: read Verify output
+parquet, run each oracle SQL in DuckDB over the testdata tables, and
+compare (columns sorted by name, rows sorted, exact value equality with
+a tiny float report). Usage: check.py <sfdir> <verify_outdir>
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in idx))
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)), [cols[i] for i in idx]
+
+def eq(a, b):
+    if a is None and b is None: return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b): return True
+        return a == b
+    return a == b
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(outdir) if os.path.isdir(f"{outdir}/{d}"))
+    n_pass = n_fail = 0
+    for name in names:
+        try:
+            got = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+            grows, gcols = got.fetchall(), [d[0] for d in got.description]
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}"); n_fail += 1; continue
+        if name not in oracle:
+            print(f"rows-only {name}: {len(grows)} rows"); continue
+        try:
+            want = con.execute(oracle[name])
+            wrows, wcols = want.fetchall(), [d[0] for d in want.description]
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        g, gc = canon(grows, gcols)
+        w, wc = canon(wrows, wcols)
+        if gc != wc:
+            print(f"FAIL {name}: columns {gc} vs {wc}"); n_fail += 1; continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: {len(g)} rows vs {len(w)}"); n_fail += 1; continue
+        bad = None
+        maxdiff = 0.0
+        for i, (gr, wr) in enumerate(zip(g, w)):
+            for j, (a, b) in enumerate(zip(gr, wr)):
+                if not eq(a, b):
+                    if isinstance(a, float) and isinstance(b, float):
+                        maxdiff = max(maxdiff, abs(a - b))
+                    if bad is None:
+                        bad = (i, gc[j], a, b)
+        if bad:
+            print(f"FAIL {name}: first diff row {bad[0]} col {bad[1]}: {bad[2]!r} vs {bad[3]!r} (max float diff {maxdiff:g})")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(g)} rows")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {len(names) - n_pass - n_fail} rows-only")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
