@@ -42,6 +42,7 @@ object SparkEntry {
     "q_sessionize" -> (Relational.qSessionize _),
     "q_window_tumbling" -> (Relational.qWindowTumbling _),
     "q_skew_agg" -> (Relational.qSkewAgg _),
+    "q_asof_join" -> (operators.AsofJoin.qAsofJoin _),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -123,7 +124,7 @@ object SparkEntry {
     "q_antijoin" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
-        |                  WHERE o.o_custkey=c.c_custkey AND o.o_totalprice > 150000.0)""".stripMargin,
+        |                  WHERE o.o_custkey=c.c_custkey AND o.o_totalprice > 400000.0)""".stripMargin,
     "q_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q_setops" ->
@@ -193,6 +194,12 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
         | count(DISTINCT event_type) AS n_types
         |FROM events GROUP BY 1""".stripMargin,
+    "q_asof_join" ->
+      """SELECT event_id, o_orderkey, o_orderstatus FROM (
+        |  SELECT e.event_id, o.o_orderkey, o.o_orderstatus,
+        |    row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o ON e.user_id=o.o_custkey AND o.o_orderdate <= e.ts) x
+        |WHERE rn=1""".stripMargin,
     "dedup_exact" ->
       "SELECT min(doc_id) AS canonical_id, count(*) AS copies FROM documents GROUP BY text",
     "dedup_ngram_jaccard" ->

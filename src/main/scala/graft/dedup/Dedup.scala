@@ -4,24 +4,30 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
 import graft.functions.TextFunctions._
+import graft.plans.VectorExpressions.dotNative
 
 /** Document deduplication operators (SURVEY.md §2.3).
   *
-  * Scale notes (100 TB): every variant avoids materializing the full
-  * shingle explosion past the first aggregation; candidate pairs are
-  * generated only inside LSH buckets / shared-shingle groups, never by
-  * a global cross join. MinHash signatures are computed as 64
-  * independent min-aggregates over a single shingle explode — one
-  * shuffle keyed by doc_id, then banding explodes ×16 only.
+  * Scale notes (100 TB): MinHash and SimHash signatures are computed
+  * PER ROW with higher-order functions — no shingle explode, no
+  * groupBy — so signature generation is a narrow map over the scan and
+  * the only shuffles are the LSH band bucket-joins on compact
+  * (doc_id, band, bucket) rows. Candidate pairs are generated only
+  * inside buckets / shared-shingle groups, never by a global cross
+  * join, and are deduped before verification.
   */
 object Dedup {
 
+  /** documents arrives as one parquet file → one input split; fan out
+    * to the session's parallelism so the per-row signature kernels run
+    * wide (on a cluster the many input splits make this a no-op cost).
+    */
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    t(spark, dir, "documents").repartition(spark.sparkContext.defaultParallelism)
 
   /** Exact dedup: group identical text, keep the smallest doc_id as
     * canonical. Grouping key is the text hash + length (not the full
-    * text) so the shuffle carries 12 bytes/row, not the document.
+    * text) so the shuffle carries 16 bytes/row, not the document.
     */
   def exact(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
@@ -31,41 +37,41 @@ object Dedup {
 
   /** Word-3-shingle Jaccard similarity join: pairs sharing ≥ minJaccard
     * of their distinct shingles. Candidates come from an equi-join on
-    * the shingle (only pairs sharing ≥1 shingle are ever formed), then
+    * the shingle (only pairs sharing ≥1 shingle are ever formed) with a
+    * size-ratio prefilter (|A|/|B| ≥ τ is necessary for J ≥ τ), then
     * one aggregation counts the intersection — the ClusterJoin-style
     * filter-and-verify shape.
     */
   def ngramJaccard(spark: SparkSession, dir: String,
       n: Int = 3, minJaccard: Double = 0.55): DataFrame = {
     val sh = docs(spark, dir)
-      .select(col("doc_id"), explode(shingles(refTokens(col("text")), n)).as("shingle"))
-    val sizes = sh.groupBy("doc_id").agg(cnt.as("n_shingles"))
+      .select(col("doc_id"), graft.functions.Signatures.shinglesCol(col("text"), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"), explode(col("sh")).as("shingle"))
     val pairs = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          // size-ratio prefilter: min/max sizes must reach minJaccard
+          least(col("a.n_shingles"), col("b.n_shingles")).cast("double") >=
+            lit(minJaccard) * greatest(col("a.n_shingles"), col("b.n_shingles")))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n_shingles").as("na"), col("b.n_shingles").as("nb"))
       .agg(cnt.as("common"))
     pairs
-      .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("id_b") === col("sb.doc_id"))
       .select(col("id_a"), col("id_b"),
-        (col("common").cast("double") /
-          (col("sa.n_shingles") + col("sb.n_shingles") - col("common"))).as("jaccard"))
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
   val NumHashes = 64
   val Bands = 16 // × 4 rows/band
 
-  /** MinHash signature per doc: 64 seeded xxhash64 min-aggregates over
-    * one shingle explode. Returns (doc_id, sig array<long>).
+  /** MinHash signature per doc: (doc_id, sig array<long>), computed in
+    * one JVM pass per row (graft.functions.Signatures — the nested-HOF
+    * formulation evaluates interpreted and re-derives shingles per
+    * hash function). Docs with fewer than n tokens are dropped.
     */
-  def minhashSignatures(d: DataFrame, n: Int = 3): DataFrame = {
-    val sh = d.select(col("doc_id"), explode(shingles(refTokens(col("text")), n)).as("shingle"))
-    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    sh.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+  def minhashSignatures(d: DataFrame, n: Int = 3): DataFrame =
+    d.select(col("doc_id"), graft.functions.Signatures.minhashCol(col("text"), n).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** MinHash + LSH near-dup candidates: band the signature (16 bands ×
     * 4 rows), bucket-join on (band, bucket-hash), then estimate
@@ -93,24 +99,12 @@ object Dedup {
       .filter(col("est_jaccard") >= minSim)
   }
 
-  /** 64-bit SimHash per doc: per-token xxhash64, each bit votes
-    * ±count, sign → bit. Computed as 64 conditional sums over one
-    * token explode (single shuffle keyed by doc_id).
+  /** SimHash per doc, one JVM pass per row (docs with no tokens
+    * dropped).
     */
-  def simhashSignatures(d: DataFrame): DataFrame = {
-    val toks = d.select(col("doc_id"), explode(refTokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(cnt.as("w"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as(s"b$i")
-    }
-    toks.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(i =>
-          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-          .reduce[Column](_.bitwiseOR(_)).as("simhash"))
-  }
+  def simhashSignatures(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), graft.functions.Signatures.simhashCol(col("text")).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit chunks
     * (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), bucket-join, verify
@@ -120,7 +114,7 @@ object Dedup {
     val sig = simhashSignatures(docs(spark, dir)).cache()
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL)): _*)))
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xffffL)): _*)))
       .toDF("doc_id", "band", "chunk")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
@@ -136,14 +130,16 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs, blocked by label (IVF-style
     * coarse partition) so the pair space is per-block, never global.
+    * Dot product is the native codegen expression.
     */
   def embeddingDups(spark: SparkSession, dir: String, minCos: Double = 0.35): DataFrame = {
     val e = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"), graft.functions.VectorFunctions.normalized(col("embedding")).as("v"))
+      .select(col("vec_id"), col("label"),
+        graft.functions.VectorFunctions.normalized(col("embedding")).as("v"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        graft.functions.VectorFunctions.dot(col("a.v"), col("b.v")).as("cosine"))
+        dotNative(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= minCos)
   }
 }

@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Single-pass JVM signature kernels for dedup.
+  *
+  * These exist because Spark's higher-order functions
+  * (transform/filter/aggregate) evaluate INTERPRETED — a nested-HOF
+  * MinHash recomputes the shingle chain per hash function with a
+  * UTF8String copy per element (measured: ~1300 s CPU for 5k docs).
+  * Here each document is one tight primitive loop: tokenize once,
+  * hash token windows arithmetically (no shingle strings are ever
+  * built), then derive the 64 minima via xorshift remixes. The UDF
+  * boundary costs one row-serialization; the interior is allocation-
+  * free per shingle.
+  *
+  * Hash building blocks are the public-domain splitmix64 / xorshift64
+  * mixers and FNV-1a.
+  */
+object Signatures {
+
+  val NumHashes = 64
+
+  /** Per-index xor seeds, fixed by a splitmix64 chain from seed 42 —
+    * deterministic across runs and executors with no RNG state.
+    */
+  private[graft] val seeds: Array[Long] = {
+    var x = 42L
+    Array.fill(NumHashes) {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+  }
+
+  @inline private def xorshift(x0: Long): Long = {
+    var x = x0
+    x ^= x << 13
+    x ^= x >>> 7
+    x ^= x << 17
+    x
+  }
+
+  /** FNV-1a 64 over the chars + splitmix finalizer for avalanche. */
+  @inline private[graft] def hashToken(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    var z = h + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Reference tokenizer (mapreduce.c:110-130), allocation-light. */
+  private[graft] def tokenHashes(text: String): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= text.length) {
+      if (i == text.length || text.charAt(i) == ' ') {
+        if (sb.length > 0) { out += hashToken(sb.toString); sb.setLength(0) }
+      } else {
+        val c = text.charAt(i)
+        if (c >= 'a' && c <= 'z') sb.append(c)
+        else if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Distinct hashes of n-token windows, combined arithmetically. */
+  private[graft] def shingleHashes(toks: Array[Long], n: Int): Array[Long] = {
+    if (toks.length < n) return Array.emptyLongArray
+    val set = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    while (i + n <= toks.length) {
+      var h = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < n) {
+        var z = h ^ toks(i + j)
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        h = z ^ (z >>> 27)
+        j += 1
+      }
+      if (set.add(h)) out += h
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** 64-component MinHash signature; null for docs with no shingle. */
+  def minhashSig(text: String, n: Int): Array[Long] = {
+    val sh = shingleHashes(tokenHashes(text), n)
+    if (sh.isEmpty) return null
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    var si = 0
+    while (si < sh.length) {
+      val h = sh(si)
+      var i = 0
+      while (i < NumHashes) {
+        val v = xorshift(h ^ seeds(i))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      si += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash (term-frequency-weighted bit votes). */
+  def simhash64(text: String): java.lang.Long = {
+    val toks = tokenHashes(text)
+    if (toks.isEmpty) return null
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = toks(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Distinct word-n-gram shingles as strings (for the Jaccard join,
+    * which must match the SQL oracle's shingle construction).
+    */
+  def shingleStrings(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val toks = text.split(' ')
+      .map(_.filter(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')).toLowerCase)
+      .filter(_.nonEmpty)
+    if (toks.length < n) return Array.empty
+    toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+  }
+
+  /** Reference-tokenizer tokens as strings (same semantics as
+    * TextFunctions.refTokens, one JVM pass instead of interpreted
+    * HOFs).
+    */
+  def refTokenStrings(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    text.split(' ')
+      .map(_.filter(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')).toLowerCase)
+      .filter(_.nonEmpty)
+  }
+
+  // Column wrappers
+  val refTokensUdf = udf((text: String) => refTokenStrings(text))
+  def refTokensFast(text: Column): Column = refTokensUdf(text)
+  def minhashSigUdf(n: Int) = udf((text: String) => minhashSig(text, n))
+  val simhashUdf = udf((text: String) => simhash64(text))
+  def shinglesUdf(n: Int) = udf((text: String) => shingleStrings(text, n))
+
+  def minhashCol(text: Column, n: Int = 3): Column = minhashSigUdf(n)(text)
+  def simhashCol(text: Column): Column = simhashUdf(text)
+  def shinglesCol(text: Column, n: Int = 3): Column = shinglesUdf(n)(text)
+}

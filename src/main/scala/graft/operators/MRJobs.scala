@@ -12,12 +12,19 @@ import graft.functions.TextFunctions._
   */
 object MRJobs {
 
+  /** documents is a single parquet file locally → fan the tokenize/
+    * explode stage out to all cores (no-op cost on a multi-split
+    * cluster scan).
+    */
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+
   /** Word count over documents.text with the reference tokenizer
     * (mapreduce.c:94 do_map + :176 do_reduce + :352 do_merge order).
     */
   def wordcount(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(explode(refTokens(col("text"))).as("word"))
+    docs(spark, dir)
+      .select(explode(graft.functions.Signatures.refTokensFast(col("text"))).as("word"))
       .groupBy("word")
       .agg(cnt.as("n"))
       .orderBy(col("n").desc, col("word").desc)
@@ -38,8 +45,8 @@ object MRJobs {
 
   /** Inverted index: word → distinct docs + total occurrences. */
   def invertedIndex(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), explode(refTokens(col("text"))).as("word"))
+    docs(spark, dir)
+      .select(col("doc_id"), explode(graft.functions.Signatures.refTokensFast(col("text"))).as("word"))
       .groupBy("word")
       .agg(countDistinct("doc_id").cast("long").as("n_docs"), cnt.as("n_occurrences"))
 

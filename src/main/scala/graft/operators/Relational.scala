@@ -90,7 +90,7 @@ object Relational {
   /** Left-anti join (NOT EXISTS): customers with no high-value order. */
   def qAntijoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "customer")
-      .join(t(spark, dir, "orders").filter(col("o_totalprice") > 150000.0),
+      .join(t(spark, dir, "orders").filter(col("o_totalprice") > 400000.0),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators._
 import graft.functions.VectorFunctions._
+import graft.plans.VectorExpressions.dotNative
 
 /** Similarity search over the embeddings table (SURVEY.md §2.4).
   *
@@ -17,6 +18,7 @@ object Ann {
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism) // single-file table → fan out
       .select(col("vec_id"), col("label"), normalized(col("embedding")).as("v"))
 
   /** Exact brute-force cosine top-k: broadcast the query rows against
@@ -29,7 +31,7 @@ object Ann {
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
     corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), dot(col("v"), col("qv")).as("cosine"))
+      .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
@@ -38,20 +40,34 @@ object Ann {
   val Planes = 5
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
-    * dim d): xxhash64 → [-1, 1). No RNG state, so the "model" is
+    * dim d): splitmix64 → [-1, 1). No RNG state, so the "model" is
     * reproducible across runs/executors by construction.
     */
-  private def planeComponent(p: Int, d: org.apache.spark.sql.Column) =
-    (pmod(xxhash64(lit(p), d), lit(100000L)).cast("double") / 50000.0) - 1.0
+  private[similarity] def planeComponent(p: Int, d: Int): Double = {
+    var z = (p.toLong * 131L + d.toLong) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= (z >>> 31)
+    (java.lang.Math.floorMod(z, 100000L).toDouble / 50000.0) - 1.0
+  }
 
-  /** Random-hyperplane (SRP) LSH bucket id for a vector column. */
-  def srpBucket(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until Planes).map { p =>
-      val proj = aggregate(
-        transform(v, (x, i) => x * planeComponent(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce[org.apache.spark.sql.Column](_.bitwiseOR(_))
+  /** Random-hyperplane (SRP) LSH bucket id — one JVM pass per vector
+    * (HOF evaluation is interpreted; a tight loop is ~100× cheaper).
+    */
+  private val srpUdf = udf { (v: Seq[Double]) =>
+    var bucket = 0L
+    var p = 0
+    while (p < Planes) {
+      var proj = 0.0
+      var d = 0
+      while (d < v.length) { proj += v(d) * planeComponent(p, d); d += 1 }
+      if (proj >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  def srpBucket(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = srpUdf(v)
 
   /** SRP-LSH approximate top-k: corpus bucketed once; queries probe
     * only their own bucket. Trades recall for a corpus-scan-free probe
@@ -64,7 +80,7 @@ object Ann {
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
     corpus.join(broadcast(queries),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), dot(col("v"), col("qv")).as("cosine"))
+      .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
@@ -79,7 +95,7 @@ object Ann {
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
     corpus.crossJoin(broadcast(queries))
-      .select(col("q_id"), col("vec_id"), dot(col("v"), col("qv")).as("cosine"))
+      .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), col("cosine"))

@@ -28,17 +28,22 @@ object Streams {
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
   case class SessionOut(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
 
-  /** Stateful gap-based sessionization via flatMapGroupsWithState —
-    * emits a session row when the 30-min gap timeout fires. Custom
-    * state is the piece Structured Streaming's built-in windows can't
-    * express; everything else stays declarative.
+  /** Stateful gap-based sessionization via flatMapGroupsWithState with
+    * EVENT-time timeouts: a session closes either when a later event
+    * for the same user arrives past the gap, or when the watermark
+    * passes lastSeen+gap. Event-time (not processing-time) timeouts
+    * keep the operator deterministic and replayable — no wall-clock in
+    * the state machine. Custom state is the piece Structured
+    * Streaming's built-in windows can't express; everything else stays
+    * declarative.
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800L): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", "10 seconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -62,7 +67,7 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapSeconds * 1000)
+              state.setTimeoutTimestamp((s.lastSeen + gapSeconds) * 1000)
             }
             closed.result().iterator
           }

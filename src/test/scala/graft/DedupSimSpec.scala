@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.Ann
+
+class DedupSimSpec extends SparkSpec {
+
+  test("exact dedup: canonical ids unique, copies sum to table size") {
+    val df = Dedup.exact(spark, sf).cache()
+    val n = core.Tables.load(spark, sf, "documents").count()
+    assert(df.agg(sum("copies")).head.getLong(0) === n)
+    assert(df.select("canonical_id").distinct().count() === df.count())
+  }
+
+  test("minhash signature has 64 components; est_jaccard in [0,1]") {
+    val sig = Dedup.minhashSignatures(core.Tables.load(spark, sf, "documents"))
+    assert(sig.select(size(col("sig"))).distinct().head.getInt(0) === 64)
+    val pairs = Dedup.minhashLsh(spark, sf, minSim = 0.0)
+    assert(pairs.filter(col("est_jaccard") < 0 || col("est_jaccard") > 1).count() === 0)
+  }
+
+  test("minhash est_jaccard tracks true jaccard on near-dup docs") {
+    import TestSpark.spark.implicits._
+    // refTokens strips non-letters (reference C tokenizer), so token
+    // ids must be alphabetic
+    val toks = for (a <- 'a' to 'h'; b <- 'a' to 'h') yield s"t$a$b"
+    val base = toks.take(60).mkString(" ")
+    val nearDup = toks.take(57).mkString(" ") + " xq yq zq"
+    val other = toks.take(60).map(_.toUpperCase.reverse + "w").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, other)).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs).collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Long, b: Long) =
+      sig(a).zip(sig(b)).count { case (x, y) => x == y } / 64.0
+    assert(est(0L, 1L) > 0.5, s"near-dups should agree: ${est(0L, 1L)}")
+    assert(est(0L, 2L) < 0.2, s"unrelated docs should not: ${est(0L, 2L)}")
+  }
+
+  test("simhash: hamming distance is symmetric-bounded and self is 0") {
+    import TestSpark.spark.implicits._
+    val docs = Seq((0L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"),
+      (2L, "completely different words here")).toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) === sigs(1L)) // identical docs → identical simhash
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) > 0)
+  }
+
+  test("ngram jaccard: pairs are ordered, jaccard in (0,1]") {
+    val df = Dedup.ngramJaccard(spark, sf, minJaccard = 0.0)
+    assert(df.filter(col("id_a") >= col("id_b")).count() === 0)
+    assert(df.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() === 0)
+  }
+
+  test("ann bruteforce: k per query, ordered by cosine desc") {
+    val df = Ann.bruteforceTopK(spark, sf, nQueries = 5, k = 3).cache()
+    val perQuery = df.groupBy("q_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) === 3))
+    df.collect().groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(byRank.sameElements(byRank.sortBy(-(_: Double))))
+    }
+  }
+
+  test("ann lsh results are a subset of bruteforce candidate space") {
+    val lsh = Ann.lshTopK(spark, sf, nQueries = 5, k = 3)
+    assert(lsh.filter(col("q_id") === col("neighbor_id")).count() === 0)
+    assert(lsh.groupBy("q_id", "neighbor_id").count()
+      .filter(col("count") > 1).count() === 0)
+  }
+
+  test("knn join returns exactly k neighbors per query") {
+    val df = Ann.knnJoin(spark, sf, k = 3)
+    assert(df.groupBy("q_id").count().filter(col("count") =!= 3).count() === 0)
+  }
+}

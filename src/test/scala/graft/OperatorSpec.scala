@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sanity/invariant checks per operator family at sf0.001. Value-level
+  * correctness is enforced by the DuckDB oracle gate (tools/check.py);
+  * these specs pin schemas, determinism, and structural invariants.
+  */
+class OperatorSpec extends SparkSpec {
+
+  test("every SparkEntry query runs and yields a stable schema + rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      withClue(s"$name: ") {
+        assert(df.schema.nonEmpty)
+        // dedup/similarity queries may legitimately be empty at tiny SF,
+        // everything else must produce rows
+        if (!name.startsWith("dedup_") && !name.startsWith("ann_"))
+          assert(n > 0, s"returned $n rows")
+      }
+    }
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracle for unknown queries: $unknown")
+  }
+
+  test("q1 money aggregates are identical under different partitioning") {
+    val a = operators.Relational.q1Agg(spark, sf).orderBy("l_returnflag", "l_linestatus").collect()
+    val b = operators.Relational.q1Agg(spark, sf).repartition(7).orderBy("l_returnflag", "l_linestatus").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("q3_topk is deterministically ordered and bounded") {
+    val rows = operators.Relational.q3Topk(spark, sf).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.sameElements(revs.sortBy(-(_: Double))))
+  }
+
+  test("window rank never exceeds 3 and covers every priority") {
+    val df = operators.Relational.qWindowRank(spark, sf)
+    assert(df.agg(max("rnk")).head.getLong(0) <= 3)
+    assert(df.select("o_orderpriority").distinct().count() === 5)
+  }
+
+  test("rollup has the grand-total row") {
+    val df = operators.Relational.qRollup(spark, sf)
+    val total = df.filter(col("l_returnflag").isNull && col("l_linestatus").isNull)
+    assert(total.count() === 1)
+    val n = total.head.getAs[Long]("n")
+    assert(n === core.Tables.load(spark, sf, "lineitem").count())
+  }
+
+  test("semijoin + antijoin partition the customer set") {
+    val semi = operators.Relational.qSemijoin(spark, sf)
+      .agg(sum("n_customers")).head.getLong(0)
+    val anti = operators.Relational.qAntijoin(spark, sf).count()
+    val withBig = core.Tables.load(spark, sf, "customer")
+      .join(core.Tables.load(spark, sf, "orders").filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(anti + withBig === core.Tables.load(spark, sf, "customer").count())
+    assert(semi <= core.Tables.load(spark, sf, "customer").count())
+  }
+
+  test("sessionize: session and event counts are consistent") {
+    val df = operators.Relational.qSessionize(spark, sf)
+    assert(df.filter(col("n_sessions") > col("n_events")).count() === 0)
+    assert(df.filter(col("n_sessions") < 1).count() === 0)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val events = Seq(
+    Event(1, ts(5), 10, "click", 1.0),
+    Event(2, ts(10), 10, "click", 2.0),
+    Event(3, ts(65), 11, "view", 3.0),
+    Event(4, ts(70), 10, "click", 4.0),
+    Event(5, ts(125), 11, "view", 5.0))
+
+  test("streaming windowed counts equal the batch equivalent") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(events)
+    val q = Streams.windowedCounts(stream.toDS())
+      .writeStream.format("memory").queryName("win").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("win")
+      .select(col("hour").cast("string"), col("event_type"), col("n"), col("total_value"))
+      .collect().map(_.toSeq).toSet
+
+    val batch = events.toDS()
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("hour").cast("string"), col("event_type"), col("n"), col("total_value"))
+      .collect().map(_.toSeq).toSet
+    assert(got === batch)
+  }
+
+  test("stateful sessionize closes sessions across >30min gaps") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(events)
+    val q = Streams.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sess").as[Streams.SessionOut].collect()
+    // user 10: events at :05,:10 then :70 → first session closed in-batch
+    val u10 = closed.filter(_.user_id === 10)
+    assert(u10.exists(s => s.n_events === 2))
+    // user 11: :65 then 2:05 → gap 60min closes first session
+    val u11 = closed.filter(_.user_id === 11)
+    assert(u11.exists(s => s.n_events === 1))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.MapReduce
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+
+class TextMultimodalSpec extends SparkSpec {
+
+  test("refTokens Column matches the Scala reference tokenizer") {
+    import TestSpark.spark.implicits._
+    val samples = Seq("Hello,  World don't 42x end.", "", "   ", "UPPER lower",
+      "a-b c_d 1 2 3", "tabs\tstay in token")
+    val viaColumn = samples.toDF("text")
+      .select(TextFunctions.refTokens(col("text")).as("toks"))
+      .collect().map(_.getSeq[String](0).toList)
+    val viaScala = samples.map(MapReduce.referenceTokens(_).toList)
+    assert(viaColumn.toSeq === viaScala)
+  }
+
+  test("langId picks the profile with most stopword hits") {
+    import TestSpark.spark.implicits._
+    val df = Seq(
+      ("the cat and the dog is in that house", "en"),
+      ("der hund und die katze ist nicht hier", "de"),
+      ("el perro es un animal que vive", "es"),
+      ("le chien est dans les maisons que nous avons", "fr"),
+      ("zzz qqq xxx", "und")).toDF("text", "want")
+    val got = df.select(
+        TextFunctions.langId(TextFunctions.wsTokens(lower(col("text")))).as("got"),
+        col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1), r.toString))
+  }
+
+  test("fingerprint is deterministic and content-sensitive") {
+    import TestSpark.spark.implicits._
+    val df = Seq("abc", "abc", "abd").toDF("text")
+      .select(TextFunctions.fingerprint(col("text")).as("fp")).collect().map(_.getLong(0))
+    assert(df(0) === df(1))
+    assert(df(0) !== df(2))
+  }
+
+  test("shingles builds exactly n-token windows") {
+    import TestSpark.spark.implicits._
+    val got = Seq("a b c d").toDF("text")
+      .select(TextFunctions.shingles(TextFunctions.wsTokens(col("text")), 3).as("sh"))
+      .head.getSeq[String](0)
+    assert(got.toSet === Set("a b c", "b c d"))
+  }
+
+  test("multimodal: features are deterministic and batch-shaped") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media, batchSize = 7).collect().sortBy(_.media_id)
+    assert(f1.toSeq === f2.toSeq) // batch size must not change results
+    assert(f1.forall(_.n_bytes === 256L))
+    assert(f1.forall(f => f.mean_byte >= 0 && f.mean_byte <= 255))
+    // payloads differ per id → checksums (near-)unique
+    assert(f1.map(_.checksum).distinct.length === f1.length)
+  }
+
+  test("multimodal stats aggregates over the fake decoder output") {
+    val row = Multimodal.mediaStats(spark, sf).head
+    assert(row.getAs[String]("format") === "fake/rgb8")
+    assert(row.getAs[Long]("n") === 500L)
+  }
+}
