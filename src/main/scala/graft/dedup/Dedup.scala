@@ -111,21 +111,21 @@ object Dedup {
     * with bit_count(xor).
     */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSignatures(docs(spark, dir)).cache()
-    val banded = sig.select(col("doc_id"),
+    val sig = simhashSignatures(docs(spark, dir))
+    // carry the 8-byte simhash into the banded rows: hamming verifies
+    // inside the bucket join itself, so no candidate→signature joins
+    // and bad pairs die before the distinct
+    val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xffffL)): _*)))
-      .toDF("doc_id", "band", "chunk")
+      .toDF("doc_id", "simhash", "band", "chunk")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-      .join(sig.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("id_b") === col("sb.doc_id"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sa.simhash").bitwiseXOR(col("sb.simhash"))).cast("long").as("hamming"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding-cosine near-dup pairs, blocked by label (IVF-style

@@ -1,0 +1,32 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension wiring (SURVEY.md §3): makes graft's native
+  * expressions available from SQL. Activate with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` or
+  * `builder.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}
+
+/** UDF-kernel registration through the public session API — callable
+  * on any existing session (no extension config needed).
+  */
+object GraftFunctions {
+  def registerAll(spark: SparkSession): Unit = {
+    import graft.functions.Signatures
+    spark.udf.register("graft_minhash", (text: String) => Signatures.minhashSig(text, 3))
+    spark.udf.register("graft_simhash", (text: String) => Signatures.simhash64(text))
+    spark.udf.register("graft_shingles", (text: String) => Signatures.shingleStrings(text, 3))
+    spark.udf.register("graft_ref_tokens", (text: String) => Signatures.refTokenStrings(text))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.{MapReduce, Tables}
+
+/** Source/sink coverage (SURVEY.md §2.7): csv/json/text round-trips
+  * and the reference-style single-file merged sink.
+  */
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString + "/out"
+
+  test("csv round-trip preserves rows and schema-by-header") {
+    val src = Tables.load(spark, sf, "customer")
+    val path = tmp("csv")
+    src.write.option("header", "true").csv(path)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    assert(back.count() === src.count())
+    assert(back.columns.toSeq === src.columns.toSeq)
+    assert(back.agg(sum("c_custkey")).head.getLong(0) ===
+      src.agg(sum("c_custkey")).head.getLong(0))
+  }
+
+  test("json round-trip preserves rows and values") {
+    val src = Tables.load(spark, sf, "part")
+    val path = tmp("json")
+    src.write.json(path)
+    val back = spark.read.json(path)
+    assert(back.count() === src.count())
+    assert(math.abs(back.agg(sum("p_retailprice")).head.getDouble(0) -
+      src.agg(sum("p_retailprice")).head.getDouble(0)) < 1e-6)
+  }
+
+  test("text source reads the reference corpus lines") {
+    val ds = spark.read.textFile("/root/reference/inputdir")
+    assert(ds.count() > 10000) // three Gutenberg books
+  }
+
+  test("single-file merged sink writes exactly one part file") {
+    val path = tmp("merge")
+    MapReduce.mergeToSingleFile(
+      Tables.load(spark, sf, "region").orderBy("r_regionkey"), path)
+    val parts = new java.io.File(path).listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.length === 1)
+    val back = spark.read.option("header", "true").csv(path)
+    assert(back.count() === 5)
+  }
+
+  test("partitioned parquet write round-trips with partition pruning") {
+    val src = Tables.load(spark, sf, "orders")
+    val path = tmp("part-parquet")
+    src.withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").parquet(path)
+    val back = spark.read.parquet(path)
+    assert(back.count() === src.count())
+    // partition pruning: a filtered read touches only matching dirs
+    val pruned = back.filter(col("o_year") === 1996)
+    val expected = src.filter(year(col("o_orderdate")) === 1996).count()
+    assert(pruned.count() === expected)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || expected == 0)
+  }
+}
