@@ -43,6 +43,15 @@ object SparkEntry {
     "q_window_tumbling" -> (Relational.qWindowTumbling _),
     "q_skew_agg" -> (Relational.qSkewAgg _),
     "q_asof_join" -> (operators.AsofJoin.qAsofJoin _),
+    "q_moving_avg" -> (operators.Relational2.qMovingAvg _),
+    "q_ntile" -> (operators.Relational2.qNtile _),
+    "q_correlated_subquery" -> (operators.Relational2.qCorrelatedSubquery _),
+    "q_array_agg" -> (operators.Relational2.qArrayAgg _),
+    "q_null_funcs" -> (operators.Relational2.qNullFuncs _),
+    "q_cross_join" -> (operators.Relational2.qCrossJoin _),
+    "q_cube" -> (operators.Relational2.qCube _),
+    "q_sample" -> (operators.Relational2.qSample _),
+    "q_approx_distinct" -> (operators.Relational2.qApproxDistinct _),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -200,6 +209,46 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e JOIN orders o ON e.user_id=o.o_custkey AND o.o_orderdate <= e.ts) x
         |WHERE rn=1""".stripMargin,
+    "q_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1)
+        |SELECT d, total,
+        |  CAST(sum(CAST(total AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS ma7
+        |FROM daily WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_ntile" ->
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank
+        |FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+    "q_correlated_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)/count(*)
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY 1""".stripMargin,
+    "q_array_agg" ->
+      """SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines, count(*) AS n_lines
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_null_funcs" ->
+      """SELECT c_custkey,
+        | coalesce(nullif(c_mktsegment, 'BUILDING'), 'IS_BUILDING') AS seg2,
+        | CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS pos_bal,
+        | CAST(c_acctbal IS NULL AS BIGINT) AS bal_is_null
+        |FROM customer""".stripMargin,
+    "q_cross_join" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_sample" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE (l_orderkey*31 + l_linenumber) % 20 = 0
+        |GROUP BY 1""".stripMargin,
     "dedup_exact" ->
       "SELECT min(doc_id) AS canonical_id, count(*) AS copies FROM documents GROUP BY text",
     "dedup_ngram_jaccard" ->

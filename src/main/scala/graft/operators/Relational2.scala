@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Second relational battery (SURVEY.md §2.2 continued): window
+  * frames, decorrelated subqueries, array aggregation, grouping sets,
+  * null semantics, sampling.
+  */
+object Relational2 {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+
+  /** 7-row moving average over the daily order-total series. Window
+    * sums go through DECIMAL so the sliding aggregation is exact and
+    * engine-independent (segment-tree vs running-sum implementations
+    * differ in float rounding). Note: the final series is one window
+    * partition — at 100 TB you'd process the (tiny) daily aggregate on
+    * one node anyway, the heavy groupBy below is what distributes.
+    */
+  def qMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sumMoney(col("o_totalprice")).as("total"))
+    val w = Window.orderBy("d").rowsBetween(-6, 0)
+    daily.withColumn("ma7",
+      sum(dec(col("total"))).over(w).cast("double") / count(lit(1)).over(w))
+  }
+
+  /** ntile + percent_rank over a deterministic total order. */
+  def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("pct_rank"))
+  }
+
+  /** Correlated aggregate subquery (orders above their own customer's
+    * average), decorrelated to a window computation — one shuffle on
+    * o_custkey instead of a per-row subquery.
+    */
+  def qCorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    t(spark, dir, "orders")
+      .withColumn("cavg",
+        sum(dec(col("o_totalprice"))).over(w).cast("double") / count(lit(1)).over(w))
+      .filter(col("o_totalprice") > col("cavg"))
+      .groupBy("o_orderpriority")
+      .agg(cnt.as("n"))
+  }
+
+  /** Array aggregation: per-order sorted line numbers. sort_array makes
+    * collect_list deterministic under any partitioning.
+    */
+  def qArrayAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"), cnt.as("n_lines"))
+
+  /** NULL-semantics battery: nullif/coalesce/conditional null. */
+  def qNullFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(
+      col("c_custkey"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("IS_BUILDING")).as("seg2"),
+      when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")).as("pos_bal"),
+      col("c_acctbal").isNull.cast("long").as("bal_is_null"))
+
+  /** Small-dims cross join (BroadcastNestedLoop by construction). */
+  def qCrossJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "region").crossJoin(broadcast(t(spark, dir, "nation")))
+      .select("r_name", "n_name")
+
+  /** CUBE grouping sets over two dimensions. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(cnt.as("n"), sumMoney(col("o_totalprice")).as("total"))
+
+  /** Sketch aggregation: HyperLogLog++ distinct counts next to exact
+    * ones (rows-only check — sketch estimates are engine-specific; the
+    * spec bounds the error instead).
+    */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).cast("long").as("approx_parts"),
+        countDistinct(col("l_partkey")).cast("long").as("exact_parts"),
+        cnt.as("n"))
+
+  /** Deterministic systematic sample (hash-free modulus on the key —
+    * reproducible across engines, unlike TABLESAMPLE randomness).
+    */
+  def qSample(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(20)) === 0)
+      .groupBy("l_returnflag")
+      .agg(cnt.as("n"), sumMoney(col("l_extendedprice")).as("sum_price"))
+}

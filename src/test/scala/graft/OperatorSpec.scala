@@ -69,6 +69,14 @@ class OperatorSpec extends SparkSpec {
     assert(semi <= core.Tables.load(spark, sf, "customer").count())
   }
 
+  test("approx_count_distinct within 5% of exact") {
+    operators.Relational2.qApproxDistinct(spark, sf).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05, s"$approx vs $exact")
+    }
+  }
+
   test("sessionize: session and event counts are consistent") {
     val df = operators.Relational.qSessionize(spark, sf)
     assert(df.filter(col("n_sessions") > col("n_events")).count() === 0)

@@ -39,6 +39,20 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(events ++ events.take(3)) // replay 3 duplicates
+    val q = stream.toDS()
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup").count() === events.length)
+  }
+
   test("stateful sessionize closes sessions across >30min gaps") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
