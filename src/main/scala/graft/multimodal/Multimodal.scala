@@ -36,6 +36,18 @@ object Multimodal {
       bytes
     }
 
+    /** "Resize": deterministic 4:1 downsample of the payload (stride
+      * sampling). A real image resize drops in here; the plan shape
+      * (narrow map, payload shrinks 4×) is what matters at scale.
+      */
+    def resize(row: MediaRow): MediaRow = {
+      val out = new Array[Byte]((row.payload.length + 3) / 4)
+      var i = 0
+      while (i < out.length) { out(i) = row.payload(i * 4); i += 1 }
+      row.copy(payload = out,
+        meta = row.meta.copy(width = row.meta.width / 2, height = row.meta.height / 2))
+    }
+
     def features(row: MediaRow): MediaFeatures = {
       var sum = 0L; var ck = 1469598103934665603L
       row.payload.foreach { b =>
@@ -74,6 +86,12 @@ object Multimodal {
         batch.map(FakeCodec.features)
       }
     }
+  }
+
+  /** Batched resize stage (narrow map; payload shrinks 4×). */
+  def resizeAll(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.map(FakeCodec.resize)))
   }
 
   /** End-to-end: synthesize → batch-decode → per-format stats. */

@@ -60,6 +60,17 @@ class TextMultimodalSpec extends SparkSpec {
     assert(f1.map(_.checksum).distinct.length === f1.length)
   }
 
+  test("multimodal resize shrinks payloads 4x and halves dimensions") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val resized = Multimodal.resizeAll(media).collect()
+    assert(resized.forall(_.payload.length === 64))
+    assert(resized.forall(r => r.meta.width === 8 && r.meta.height === 8))
+    // deterministic: same input → same resized bytes
+    val again = Multimodal.resizeAll(media).collect().sortBy(_.media_id)
+    assert(resized.sortBy(_.media_id).map(_.payload.toSeq).toSeq ===
+      again.map(_.payload.toSeq).toSeq)
+  }
+
   test("multimodal stats aggregates over the fake decoder output") {
     val row = Multimodal.mediaStats(spark, sf).head
     assert(row.getAs[String]("format") === "fake/rgb8")
