@@ -52,12 +52,14 @@ object SparkEntry {
     "q_cube" -> (operators.Relational2.qCube _),
     "q_sample" -> (operators.Relational2.qSample _),
     "q_approx_distinct" -> (operators.Relational2.qApproxDistinct _),
+    "q_salted_join" -> (operators.SkewJoin.qSaltedJoin _),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingDups(s, d)),
+    "dedup_clusters" -> (Dedup.clusters _),
     // §2.4 similarity search
     "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteforceTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
@@ -67,6 +69,7 @@ object SparkEntry {
     "text_token_count" -> (TextAnalysis.tokenCount _),
     "text_langid" -> (TextAnalysis.langid _),
     "text_fingerprint" -> (TextAnalysis.fingerprintDocs _),
+    "text_tfidf" -> (TextAnalysis.tfidf _),
     // §2.6 multimodal plumbing
     "multimodal_stats" -> (Multimodal.mediaStats _)
   )
@@ -268,6 +271,45 @@ object SparkEntry {
         |  CAST(common AS DOUBLE)/(sa.n_shingles + sb.n_shingles - common) AS jaccard
         |FROM pairs JOIN sizes sa ON id_a=sa.doc_id JOIN sizes sb ON id_b=sb.doc_id
         |WHERE CAST(common AS DOUBLE)/(sa.n_shingles + sb.n_shingles - common) >= 0.55""".stripMargin,
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(list_transform(string_split(text, ' '),
+        |    t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))), w -> w <> '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ts[CAST(i AS BIGINT)] || ' ' || ts[CAST(i AS BIGINT)+1] || ' ' || ts[CAST(i AS BIGINT)+2] AS shingle
+        |  FROM toks, unnest(range(1, len(ts)-1)) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id GROUP BY 1,2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sizes sa ON id_a=sa.doc_id JOIN sizes sb ON id_b=sb.doc_id
+        |  WHERE CAST(common AS DOUBLE)/(sa.n_shingles + sb.n_shingles - common) >= 0.55),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.dst FROM reach, edges WHERE reach.r = edges.src)
+        |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS term
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1,2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df,
+        |  round(tf * ln(CAST(n_docs AS DOUBLE)/df), 6) AS score
+        |FROM tf JOIN dfreq USING(term) CROSS JOIN n""".stripMargin,
     "text_stats" ->
       """WITH toks AS (
         |  SELECT doc_id, text,

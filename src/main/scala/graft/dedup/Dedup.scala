@@ -128,6 +128,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Cluster near-dup candidate pairs into canonical groups:
+    * iterative min-label propagation — the standard Spark connected-
+    * components loop (cf. GraphFrames), O(log n) rounds on the
+    * small-diameter graphs near-dup pairs form. The driver loop only
+    * schedules rounds; all data movement is joins/aggregations.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("nid")).agg(min("label").as("nlabel"))
+      val updated = labels.join(neighborMin, col("id") === col("nid"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
+      changed = updated.filter(col("next") < col("label")).count()
+      labels = updated.select(col("id"), col("next").as("label")).localCheckpoint()
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** Oracle-checked clustering entry: connected components over the
+    * word-shingle Jaccard pairs.
+    */
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    dupClusters(ngramJaccard(spark, dir)).orderBy("id")
+
   /** Embedding-cosine near-dup pairs, blocked by label (IVF-style
     * coarse partition) so the pair space is per-block, never global.
     * Dot product is the native codegen expression.

@@ -43,6 +43,26 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         langId(wsTokens(lower(col("text")))).as("predicted_lang"))
 
+  /** TF-IDF: term frequency per doc × inverse document frequency.
+    * df and the doc count are broadcast (tiny relative to the token
+    * stream); the heavy tf aggregation shuffles once on (doc, term).
+    * Score is rounded to 6 decimals — ln() may differ in the last ulp
+    * across math libraries.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val toks = docs.select(col("doc_id"),
+      explode(graft.functions.Signatures.refTokensFast(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(cnt.as("tf"))
+    val dfreq = tf.groupBy("term").agg(cnt.as("df"))
+    val nDocs = docs.agg(cnt.as("n_docs"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("score"))
+  }
+
   /** Rolling-hash document fingerprint (rows-only check). */
   def fingerprintDocs(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")

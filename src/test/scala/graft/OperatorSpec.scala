@@ -69,6 +69,28 @@ class OperatorSpec extends SparkSpec {
     assert(semi <= core.Tables.load(spark, sf, "customer").count())
   }
 
+  test("salted join equals the plain join") {
+    val salted = operators.SkewJoin.qSaltedJoin(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val events = core.Tables.load(spark, sf, "events")
+    val customer = core.Tables.load(spark, sf, "customer")
+    val plain = events.join(customer, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(operators.cnt.as("n"), operators.sumMoney(col("value")).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("dup clusters: pair endpoints land in the same cluster, label is min member") {
+    val pairs = dedup.Dedup.ngramJaccard(spark, sf).collect()
+    val clusters = dedup.Dedup.clusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { p =>
+      assert(clusters(p.getLong(0)) === clusters(p.getLong(1)), p.toString)
+    }
+    clusters.foreach { case (id, label) => assert(label <= id) }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     operators.Relational2.qApproxDistinct(spark, sf).collect().foreach { r =>
       val approx = r.getAs[Long]("approx_parts").toDouble
