@@ -53,6 +53,7 @@ object SparkEntry {
     "q_sample" -> (operators.Relational2.qSample _),
     "q_approx_distinct" -> (operators.Relational2.qApproxDistinct _),
     "q_salted_join" -> (operators.SkewJoin.qSaltedJoin _),
+    "q_topk_native" -> (operators.Relational2.qTopkNative _),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -271,6 +272,12 @@ object SparkEntry {
         |  CAST(common AS DOUBLE)/(sa.n_shingles + sb.n_shingles - common) AS jaccard
         |FROM pairs JOIN sizes sa ON id_a=sa.doc_id JOIN sizes sb ON id_b=sb.doc_id
         |WHERE CAST(common AS DOUBLE)/(sa.n_shingles + sb.n_shingles - common) >= 0.55""".stripMargin,
+    "q_topk_native" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) r WHERE rn <= 3""".stripMargin,
     "q_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value

@@ -91,6 +91,16 @@ object Relational2 {
         countDistinct(col("l_partkey")).cast("long").as("exact_parts"),
         cnt.as("n"))
 
+  /** Native top-k-per-group through the custom logical/physical
+    * operator (graft.plans.TopKPerGroup): bounded heaps, no window
+    * sort. Same semantics as row_number()<=k, oracle-checked.
+    */
+  def qTopkNative(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.topKPerGroup(
+      t(spark, dir, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice"),
+      Seq("o_orderpriority"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+
   /** Deterministic systematic sample (hash-free modulus on the key —
     * reproducible across engines, unlike TABLESAMPLE randomness).
     */

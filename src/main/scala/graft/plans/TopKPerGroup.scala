@@ -1,0 +1,103 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Whole-operator custom plan (SURVEY.md §3, preference (c)): top-k
+  * rows per group in a given sort order — `row_number() OVER
+  * (PARTITION BY g ORDER BY o) <= k` without materializing a full
+  * per-partition sort. Each task keeps one bounded k-heap per group:
+  * O(n log k) work, O(groups·k) memory, and rows beyond the heap are
+  * dropped at the scan, not carried through a sort. At 100 TB this is
+  * the difference between shuffling everything into a window sort and
+  * shuffling only survivors.
+  */
+case class TopKPerGroupLogical(
+    group: Seq[Expression], order: Seq[SortOrder], k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+case class TopKPerGroupExec(
+    group: Seq[Expression], order: Seq[SortOrder], k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  /** Co-locate each group; the planner inserts the single exchange. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(group) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val groupExprs = group
+    val sortOrder = order
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+      val ordering = new LazilyGeneratedOrdering(sortOrder, childOutput)
+      // PriorityQueue dequeues the greatest per `ordering`, i.e. the
+      // worst currently-kept row — exactly the eviction candidate.
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      it.foreach { row =>
+        val key = keyProj(row)
+        val heap = heaps.getOrElseUpdate(key.copy(),
+          mutable.PriorityQueue.empty[InternalRow](ordering))
+        if (heap.size < limit) heap.enqueue(row.copy())
+        else if (ordering.compare(row, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(row.copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupLogical(g, o, k, child) =>
+      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopK {
+
+  /** Public API: rows of `df` ranked ≤ k per group under `orderCols`
+    * (name → ascending?; row_number semantics, so make the order total
+    * for determinism). Attributes are resolved against the analyzed
+    * child directly — custom nodes don't get the analyzer's column
+    * resolution. Registers the planner strategy idempotently.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    val plan = Bridge.analyzed(df)
+    def attr(n: String) = plan.output.find(_.name.equalsIgnoreCase(n))
+      .getOrElse(sys.error(s"topKPerGroup: no column '$n' in ${plan.output.map(_.name)}"))
+    val sortOrders = orderCols.map { case (n, asc) =>
+      SortOrder(attr(n),
+        if (asc) org.apache.spark.sql.catalyst.expressions.Ascending
+        else org.apache.spark.sql.catalyst.expressions.Descending)
+    }
+    Bridge.ofRows(spark, TopKPerGroupLogical(groupCols.map(attr), sortOrders, k, plan))
+  }
+}
