@@ -54,6 +54,8 @@ object SparkEntry {
     "q_approx_distinct" -> (operators.Relational2.qApproxDistinct _),
     "q_salted_join" -> (operators.SkewJoin.qSaltedJoin _),
     "q_topk_native" -> (operators.Relational2.qTopkNative _),
+    "q_having" -> (operators.Relational2.qHaving _),
+    "q_outer_join" -> (operators.Relational2.qOuterJoin _),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -272,6 +274,19 @@ object SparkEntry {
         |  CAST(common AS DOUBLE)/(sa.n_shingles + sb.n_shingles - common) AS jaccard
         |FROM pairs JOIN sizes sa ON id_a=sa.doc_id JOIN sizes sb ON id_b=sb.doc_id
         |WHERE CAST(common AS DOUBLE)/(sa.n_shingles + sb.n_shingles - common) >= 0.55""".stripMargin,
+    "q_having" ->
+      """SELECT l_partkey,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1
+        |HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 500.0""".stripMargin,
+    "q_outer_join" ->
+      """WITH ue AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
+        |SELECT CASE WHEN ue.user_id IS NULL THEN 'cust_only'
+        |            WHEN c.c_custkey IS NULL THEN 'event_only'
+        |            ELSE 'both' END AS side, count(*) AS n
+        |FROM ue FULL OUTER JOIN customer c ON ue.user_id = c.c_custkey
+        |GROUP BY 1""".stripMargin,
     "q_topk_native" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -128,11 +128,21 @@ object Relational {
       .select("n_name", "c_custkey", "c_acctbal")
   }
 
-  /** ROLLUP grouping sets. */
-  def qRollup(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .rollup("l_returnflag", "l_linestatus")
-      .agg(cnt.as("n"), sumMoney(col("l_quantity")).as("sum_qty"))
+  /** ROLLUP grouping sets — pre-aggregated: the base groupBy collapses
+    * the fact table to its 6 (flag,status) groups FIRST, and only that
+    * tiny intermediate goes through the ×3 Expand. Rolling up the raw
+    * table would triple-scan every fact row through Expand; at 100 TB
+    * that's the whole job. Summing exact DECIMAL partials re-aggregates
+    * losslessly.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val pre = t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(cnt.as("pn"),
+        sum(col("l_quantity").cast(DecimalType(18, 4))).as("pq"))
+    pre.rollup("l_returnflag", "l_linestatus")
+      .agg(sum("pn").cast("long").as("n"), sum("pq").cast("double").as("sum_qty"))
+  }
 
   /** Pivot via conditional aggregation (shuffle once, no per-status
     * scans).

@@ -91,6 +91,28 @@ object Relational2 {
         countDistinct(col("l_partkey")).cast("long").as("exact_parts"),
         cnt.as("n"))
 
+  /** HAVING: post-aggregation filter on the aggregate value. */
+  def qHaving(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sumMoney(col("l_quantity")).as("total_qty"), cnt.as("n"))
+      .filter(col("total_qty") > 500.0)
+
+  /** FULL OUTER join between per-user event aggregates and the
+    * customer dimension — classifies rows into both/left-only/
+    * right-only sides.
+    */
+  def qOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ue = t(spark, dir, "events").groupBy("user_id").agg(cnt.as("n_events"))
+    val c = t(spark, dir, "customer").select(col("c_custkey"))
+    ue.join(c, col("user_id") === col("c_custkey"), "full_outer")
+      .select(
+        when(col("user_id").isNull, lit("cust_only"))
+          .when(col("c_custkey").isNull, lit("event_only"))
+          .otherwise(lit("both")).as("side"))
+      .groupBy("side").agg(cnt.as("n"))
+  }
+
   /** Native top-k-per-group through the custom logical/physical
     * operator (graft.plans.TopKPerGroup): bounded heaps, no window
     * sort. Same semantics as row_number()<=k, oracle-checked.
