@@ -69,18 +69,27 @@ object Ann {
 
   def srpBucket(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = srpUdf(v)
 
-  /** SRP-LSH approximate top-k: corpus bucketed once; queries probe
-    * only their own bucket. Trades recall for a corpus-scan-free probe
-    * — the 100 TB path where brute force is off the table.
+  /** SRP-LSH approximate top-k with multi-probe: each query probes its
+    * own bucket plus every bucket at hamming distance 1 (one flipped
+    * hyperplane), via an EXPLODE of probe buckets so the join stays an
+    * equi-join — never a nested-loop hamming scan. (Planes+1)× probe
+    * cost for a large recall gain; the corpus is bucketed once and
+    * never re-shuffled — the 100 TB path where brute force is off the
+    * table.
     */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val corpus = emb(spark, dir).withColumn("bucket", srpBucket(col("v")))
+    val probes = array((lit(0L) +: (0 until Planes).map(p => lit(1L << p))).map(
+      flip => col("q_bucket0").bitwiseXOR(flip)): _*)
     val queries = corpus.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("q_bucket"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("q_bucket0"))
+      .withColumn("q_bucket", explode(probes))
+      .drop("q_bucket0")
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
     corpus.join(broadcast(queries),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
+      .dropDuplicates("q_id", "vec_id")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), col("cosine"))

@@ -53,6 +53,21 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").count() === events.length)
   }
 
+  test("file-source streaming: new parquet files flow through the windowed agg") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    events.take(3).toDS().write.parquet(s"$dir/batch1")
+    // file streaming source reads a directory of files with a fixed schema
+    val src = spark.readStream.schema(events.toDS().schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch1")
+    val q = Streams.windowedCounts(src.as[Event])
+      .writeStream.format("memory").queryName("filewin").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val total = spark.table("filewin").agg(sum("n")).head.getLong(0)
+    assert(total === 3L)
+  }
+
   test("stateful sessionize closes sessions across >30min gaps") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
