@@ -55,6 +55,8 @@ object SparkEntry {
     "q_salted_join" -> (operators.SkewJoin.qSaltedJoin _),
     "q_topk_native" -> (operators.Relational2.qTopkNative _),
     "q_having" -> (operators.Relational2.qHaving _),
+    "q_stats_agg" -> (operators.Relational2.qStatsAgg _),
+    "q_arg_max" -> (operators.Relational2.qArgMax _),
     "q_outer_join" -> (operators.Relational2.qOuterJoin _),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.exact _),
@@ -274,6 +276,33 @@ object SparkEntry {
         |  CAST(common AS DOUBLE)/(sa.n_shingles + sb.n_shingles - common) AS jaccard
         |FROM pairs JOIN sizes sa ON id_a=sa.doc_id JOIN sizes sb ON id_b=sb.doc_id
         |WHERE CAST(common AS DOUBLE)/(sa.n_shingles + sb.n_shingles - common) >= 0.55""".stripMargin,
+    "q_stats_agg" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice*100) AS DECIMAL(18,0)) AS cx,
+        |    CAST(round(l_quantity) AS DECIMAL(18,0)) AS qy
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(cx) AS DOUBLE)/100.0 AS sum_x,
+        |    CAST(sum(cx*cx) AS DOUBLE)/10000.0 AS sum_xx,
+        |    CAST(sum(cx*qy) AS DOUBLE)/100.0 AS sum_xy,
+        |    CAST(sum(qy) AS DOUBLE) AS sum_y,
+        |    CAST(sum(qy*qy) AS DOUBLE) AS sum_yy
+        |  FROM c GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  sum_x/n AS mean_x,
+        |  (sum_xx - sum_x*sum_x/n)/(n-1) AS var_x,
+        |  sqrt((sum_xx - sum_x*sum_x/n)/(n-1)) AS stddev_x,
+        |  (sum_xy - sum_x*sum_y/n) /
+        |    (sqrt(sum_xx - sum_x*sum_x/n) * sqrt(sum_yy - sum_y*sum_y/n)) AS corr_xy
+        |FROM s""".stripMargin,
+    "q_arg_max" ->
+      """SELECT o_orderpriority,
+        | arg_max(o_orderkey, CAST(o_totalprice AS DECIMAL(18,4))*100000000 + o_orderkey) AS top_order,
+        | arg_min(o_orderkey, CAST(o_totalprice AS DECIMAL(18,4))*100000000 + o_orderkey) AS bottom_order,
+        | count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_having" ->
       """SELECT l_partkey,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,

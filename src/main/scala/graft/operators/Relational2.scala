@@ -91,6 +91,52 @@ object Relational2 {
         countDistinct(col("l_partkey")).cast("long").as("exact_parts"),
         cnt.as("n"))
 
+  /** Statistical aggregates — variance/stddev/correlation computed
+    * from exact DECIMAL power sums, then combined in double arithmetic
+    * with an identical op sequence on both engines. The built-in
+    * stddev/corr use streaming (Welford/merge) updates whose float
+    * rounding depends on partition order — unreproducible at scale.
+    */
+  def qStatsAgg(spark: SparkSession, dir: String): DataFrame = {
+    // exact integer cents/units (prices are money at 2dp, quantities
+    // integral) — power sums stay exact DECIMAL, no mid-chain decimal
+    // rounding whose HALF_UP/HALF_EVEN mode differs across engines
+    val cx = round(col("l_extendedprice") * 100).cast(DecimalType(18, 0))
+    val qy = round(col("l_quantity")).cast(DecimalType(18, 0))
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        cnt.as("n"),
+        (sum(cx).cast("double") / 100.0).as("sum_x"),
+        (sum(cx * cx).cast("double") / 10000.0).as("sum_xx"),
+        (sum(cx * qy).cast("double") / 100.0).as("sum_xy"),
+        sum(qy).cast("double").as("sum_y"),
+        sum(qy * qy).cast("double").as("sum_yy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        (col("sum_x") / col("n")).as("mean_x"),
+        ((col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1)).as("var_x"),
+        sqrt((col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1)).as("stddev_x"),
+        ((col("sum_xy") - col("sum_x") * col("sum_y") / col("n")) /
+          (sqrt(col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) *
+            sqrt(col("sum_yy") - col("sum_y") * col("sum_y") / col("n")))).as("corr_xy"))
+  }
+
+  /** arg_max/arg_min with a composite (value, key) comparator so ties
+    * resolve deterministically.
+    */
+  def qArgMax(spark: SparkSession, dir: String): DataFrame = {
+    // exact decimal composite (price·1e8 + orderkey) — deterministic
+    // tie-break without struct comparators (DuckDB arg_max lacks them)
+    val composite = col("o_totalprice").cast(DecimalType(18, 4)) * 100000000L + col("o_orderkey")
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        max_by(col("o_orderkey"), composite).as("top_order"),
+        min_by(col("o_orderkey"), composite).as("bottom_order"),
+        cnt.as("n"))
+  }
+
   /** HAVING: post-aggregation filter on the aggregate value. */
   def qHaving(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
