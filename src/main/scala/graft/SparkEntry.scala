@@ -292,15 +292,15 @@ object SparkEntry {
         |  FROM c GROUP BY 1)
         |SELECT l_returnflag, n,
         |  sum_x/n AS mean_x,
-        |  (sum_xx - sum_x*sum_x/n)/(n-1) AS var_x,
-        |  sqrt((sum_xx - sum_x*sum_x/n)/(n-1)) AS stddev_x,
+        |  (sum_xx - sum_x*sum_x/n)/nullif(CAST(n-1 AS DOUBLE), 0.0) AS var_x,
+        |  sqrt((sum_xx - sum_x*sum_x/n)/nullif(CAST(n-1 AS DOUBLE), 0.0)) AS stddev_x,
         |  (sum_xy - sum_x*sum_y/n) /
-        |    (sqrt(sum_xx - sum_x*sum_x/n) * sqrt(sum_yy - sum_y*sum_y/n)) AS corr_xy
+        |    nullif(sqrt(sum_xx - sum_x*sum_x/n) * sqrt(sum_yy - sum_y*sum_y/n), 0.0) AS corr_xy
         |FROM s""".stripMargin,
     "q_arg_max" ->
       """SELECT o_orderpriority,
-        | arg_max(o_orderkey, CAST(o_totalprice AS DECIMAL(18,4))*100000000 + o_orderkey) AS top_order,
-        | arg_min(o_orderkey, CAST(o_totalprice AS DECIMAL(18,4))*100000000 + o_orderkey) AS bottom_order,
+        | arg_max(o_orderkey, CAST(round(o_totalprice*10000) AS DECIMAL(38,0))*10000000000000 + o_orderkey) AS top_order,
+        | arg_min(o_orderkey, CAST(round(o_totalprice*10000) AS DECIMAL(38,0))*10000000000000 + o_orderkey) AS bottom_order,
         | count(*) AS n
         |FROM orders GROUP BY 1""".stripMargin,
     "q_having" ->

@@ -98,9 +98,11 @@ object Relational2 {
     * rounding depends on partition order — unreproducible at scale.
     */
   def qStatsAgg(spark: SparkSession, dir: String): DataFrame = {
-    // exact integer cents/units (prices are money at 2dp, quantities
-    // integral) — power sums stay exact DECIMAL, no mid-chain decimal
-    // rounding whose HALF_UP/HALF_EVEN mode differs across engines
+    // Quantize to integer cents/units first (NOTE: the shipped prices
+    // carry sub-cent noise, so the statistics are of the cent-quantized
+    // series — both engines quantize identically, which is the point).
+    // Power sums then stay exact DECIMAL: no mid-chain decimal rounding
+    // whose HALF_UP/HALF_EVEN mode differs across engines.
     val cx = round(col("l_extendedprice") * 100).cast(DecimalType(18, 0))
     val qy = round(col("l_quantity")).cast(DecimalType(18, 0))
     t(spark, dir, "lineitem")
@@ -115,20 +117,28 @@ object Relational2 {
       .select(
         col("l_returnflag"), col("n"),
         (col("sum_x") / col("n")).as("mean_x"),
-        ((col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1)).as("var_x"),
-        sqrt((col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1)).as("stddev_x"),
+        // NULLIF guards: n=1 groups and zero-variance denominators must
+        // yield NULL (as the oracle does), not an ANSI DIVIDE_BY_ZERO
+        ((col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) /
+          nullif((col("n") - 1).cast("double"), lit(0.0))).as("var_x"),
+        sqrt((col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) /
+          nullif((col("n") - 1).cast("double"), lit(0.0))).as("stddev_x"),
         ((col("sum_xy") - col("sum_x") * col("sum_y") / col("n")) /
-          (sqrt(col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) *
-            sqrt(col("sum_yy") - col("sum_y") * col("sum_y") / col("n")))).as("corr_xy"))
+          nullif(sqrt(col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) *
+            sqrt(col("sum_yy") - col("sum_y") * col("sum_y") / col("n")), lit(0.0))).as("corr_xy"))
   }
 
   /** arg_max/arg_min with a composite (value, key) comparator so ties
     * resolve deterministically.
     */
   def qArgMax(spark: SparkSession, dir: String): DataFrame = {
-    // exact decimal composite (price·1e8 + orderkey) — deterministic
-    // tie-break without struct comparators (DuckDB arg_max lacks them)
-    val composite = col("o_totalprice").cast(DecimalType(18, 4)) * 100000000L + col("o_orderkey")
+    // Deterministic (price, key) comparator without struct support in
+    // DuckDB's arg_max: price quantized to EXACT 1e-4 units via round()
+    // (a bare double→DECIMAL cast rounds HALF_UP in Spark but by binary
+    // value in DuckDB), then shifted left by 1e13 — far above any key —
+    // so the key term can never outweigh a real price difference.
+    val composite = round(col("o_totalprice") * 10000).cast(DecimalType(38, 0)) *
+      lit(10000000000000L) + col("o_orderkey")
     t(spark, dir, "orders")
       .groupBy("o_orderpriority")
       .agg(

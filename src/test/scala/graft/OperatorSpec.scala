@@ -91,6 +91,17 @@ class OperatorSpec extends SparkSpec {
     clusters.foreach { case (id, label) => assert(label <= id) }
   }
 
+  test("stats aggregates yield NULL (not ANSI divide-by-zero) on degenerate groups") {
+    // single-row table → n=1 → var/stddev/corr must be NULL
+    val tmp = java.nio.file.Files.createTempDirectory("graft-degenerate").toString
+    core.Tables.load(spark, sf, "lineitem").limit(1)
+      .write.parquet(s"$tmp/lineitem.parquet")
+    val row = operators.Relational2.qStatsAgg(spark, tmp).collect()
+    assert(row.length === 1)
+    assert(row(0).isNullAt(row(0).fieldIndex("var_x")))
+    assert(row(0).isNullAt(row(0).fieldIndex("corr_xy")))
+  }
+
   test("approx_count_distinct within 5% of exact") {
     operators.Relational2.qApproxDistinct(spark, sf).collect().foreach { r =>
       val approx = r.getAs[Long]("approx_parts").toDouble
