@@ -372,9 +372,9 @@ object SparkEntry {
         | CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
         | CAST(len(list_filter(ts, w -> list_contains(['the','a','an','of','to','and','in','is','it','for','on','with'], w))) AS BIGINT) AS n_stopwords,
         | CAST(list_sum(list_transform(ts, w -> length(w))) AS BIGINT) AS sum_token_len,
-        | CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha_ratio,
-        | CAST(len(list_filter(ts, w -> list_contains(['the','a','an','of','to','and','in','is','it','for','on','with'], w))) AS DOUBLE)/len(ts) AS stopword_ratio,
-        | CAST(list_sum(list_transform(ts, w -> length(w))) AS DOUBLE)/len(ts) AS avg_token_len
+        | CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)/nullif(CAST(length(text) AS DOUBLE), 0.0) AS alpha_ratio,
+        | CAST(len(list_filter(ts, w -> list_contains(['the','a','an','of','to','and','in','is','it','for','on','with'], w))) AS DOUBLE)/nullif(CAST(len(ts) AS DOUBLE), 0.0) AS stopword_ratio,
+        | CAST(list_sum(list_transform(ts, w -> length(w))) AS DOUBLE)/nullif(CAST(len(ts) AS DOUBLE), 0.0) AS avg_token_len
         |FROM toks""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,

@@ -37,8 +37,8 @@ object MapReduce {
     * (do_sort_reduce, :220) + in-order concat (do_sort_merge, :405).
     */
   def totalSort[T](input: Dataset[T], ascending: Boolean = true): Dataset[T] = {
-    val c = if (ascending) col("value").asc else col("value").desc
-    input.orderBy(c)
+    val first = col(input.columns.head) // primitive Datasets: "value"
+    input.orderBy(if (ascending) first.asc else first.desc)
   }
 
   /** The reference merge stage writes ONE consolidated output file
@@ -54,7 +54,7 @@ object MapReduce {
     */
   def referenceTokens(line: String): Seq[String] =
     line.split(' ').toIndexedSeq
-      .map(_.filter(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')).toLowerCase)
+      .map(_.filter(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')).toLowerCase(java.util.Locale.ROOT))
       .filter(_.nonEmpty)
 
   /** End-to-end reference word-count job over a directory of text

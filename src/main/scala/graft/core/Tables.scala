@@ -21,6 +21,11 @@ object Tables {
       // the same conversion DuckDB applies (ns → its µs timestamp), so
       // oracle comparisons agree. Integer DIV keeps full precision
       // (ns-since-epoch overflows double's 53-bit mantissa).
+      // CAVEAT: nanosAsLong is session-global and must stay set while
+      // the (lazy) scan executes, so it cannot be restored here. It
+      // only changes how TIMESTAMP(NANOS) columns parse, and events is
+      // the only such table in this schema; a multi-tenant session
+      // would need a dedicated reader session instead.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

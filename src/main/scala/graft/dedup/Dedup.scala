@@ -78,7 +78,11 @@ object Dedup {
     * similarity as matching signature positions / 64.
     */
   def minhashLsh(spark: SparkSession, dir: String, minSim: Double = 0.5): DataFrame = {
-    val sig = minhashSignatures(docs(spark, dir)).cache()
+    // no .cache(): the signature kernel is a cheap narrow pass, and a
+    // returned-lazy DataFrame can't unpersist it — a session-lifetime
+    // storage leak costs more than the 3 recomputes (persist explicitly
+    // with a lifecycle if signatures are reused across jobs)
+    val sig = minhashSignatures(docs(spark, dir))
     val banded = sig.select(
       col("doc_id"),
       posexplode(array((0 until Bands).map(b =>
@@ -111,6 +115,10 @@ object Dedup {
     * with bit_count(xor).
     */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    // 4 chunks guarantee a shared chunk only for hamming <= 3
+    // (pigeonhole); a larger radius would silently lose recall
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming unsupported: 4x16-bit banding covers radius <= 3")
     val sig = simhashSignatures(docs(spark, dir))
     // carry the 8-byte simhash into the banded rows: hamming verifies
     // inside the bucket join itself, so no candidate→signature joins
@@ -143,6 +151,8 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // (convergence checked after the loop — silent truncation would
+      // split one true component into several clusters)
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("nid")).agg(min("label").as("nlabel"))
       val updated = labels.join(neighborMin, col("id") === col("nid"), "left")
@@ -152,6 +162,10 @@ object Dedup {
       labels = updated.select(col("id"), col("next").as("label")).localCheckpoint()
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIter rounds ($changed labels still changing) — " +
+          "raise maxIter (component diameter exceeds it)")
     labels.select(col("id"), col("label").as("cluster"))
   }
 

@@ -141,7 +141,7 @@ object Signatures {
   def shingleStrings(text: String, n: Int): Array[String] = {
     if (text == null) return Array.empty
     val toks = text.split(' ')
-      .map(_.filter(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')).toLowerCase)
+      .map(_.filter(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')).toLowerCase(java.util.Locale.ROOT))
       .filter(_.nonEmpty)
     if (toks.length < n) return Array.empty
     toks.sliding(n).map(_.mkString(" ")).toArray.distinct
@@ -154,7 +154,7 @@ object Signatures {
   def refTokenStrings(text: String): Array[String] = {
     if (text == null) return Array.empty
     text.split(' ')
-      .map(_.filter(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')).toLowerCase)
+      .map(_.filter(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')).toLowerCase(java.util.Locale.ROOT))
       .filter(_.nonEmpty)
   }
 

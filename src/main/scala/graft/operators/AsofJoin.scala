@@ -27,12 +27,17 @@ object AsofJoin {
       rightTiebreak: Column,
       rightPayload: Seq[(String, Column)]): DataFrame = {
     val payload = struct(rightPayload.map { case (n, c) => c.as(n) }: _*)
-    val r0 = right.select(rightKey.as("_k"), rightTime.as("_t"), lit(0).as("_side"),
-      rightTiebreak.cast("long").as("_tb"), payload.as("_p"))
-    val l = left.select(leftKey.as("_k"), leftTime.as("_t"), lit(1).as("_side"),
-      lit(null).cast("long").as("_tb"),
-      lit(null).cast(r0.schema("_p").dataType).as("_p"),
-      struct(col("*")).as("_row"))
+    // NULL keys never match in an equi-join; drop them up front —
+    // the window would otherwise co-partition all NULL keys together
+    // and fabricate matches
+    val r0 = right.filter(rightKey.isNotNull)
+      .select(rightKey.as("_k"), rightTime.as("_t"), lit(0).as("_side"),
+        rightTiebreak.cast("long").as("_tb"), payload.as("_p"))
+    val l = left.filter(leftKey.isNotNull)
+      .select(leftKey.as("_k"), leftTime.as("_t"), lit(1).as("_side"),
+        lit(null).cast("long").as("_tb"),
+        lit(null).cast(r0.schema("_p").dataType).as("_p"),
+        struct(col("*")).as("_row"))
     val r = r0.withColumn("_row", lit(null).cast(l.schema("_row").dataType))
     // events sort before the left rows at equal time (side 0 < 1), so
     // "time <= left time" is inclusive; among equal times the largest

@@ -29,6 +29,7 @@ object SkewJoin {
         salted("_salt") === replicated("_salt") &&
           salted(key) === replicated(key))
       .drop("_salt")
+      .drop(replicated(key)) // keep one unambiguous key column
   }
 
   /** events⋈customer on the (zipf-skewed) user key, salted; same

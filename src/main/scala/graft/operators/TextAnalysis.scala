@@ -22,9 +22,15 @@ object TextAnalysis {
         length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("n_alpha"),
         stopwordCount(toks).as("n_stopwords"),
         aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("sum_token_len"))
-      .withColumn("alpha_ratio", col("n_alpha").cast("double") / col("n_chars_actual"))
-      .withColumn("stopword_ratio", col("n_stopwords").cast("double") / col("n_tokens"))
-      .withColumn("avg_token_len", col("sum_token_len").cast("double") / col("n_tokens"))
+      // NULLIF guards: empty/whitespace-only docs have 0 tokens/chars;
+      // both sides must yield NULL (ANSI Spark would throw, DuckDB
+      // would produce nan/inf — neither compares equal)
+      .withColumn("alpha_ratio",
+        col("n_alpha").cast("double") / nullif(col("n_chars_actual").cast("double"), lit(0.0)))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / nullif(col("n_tokens").cast("double"), lit(0.0)))
+      .withColumn("avg_token_len",
+        col("sum_token_len").cast("double") / nullif(col("n_tokens").cast("double"), lit(0.0)))
   }
 
   /** Token counting: whitespace tokens + BPE-ish pre-tokenizer count. */

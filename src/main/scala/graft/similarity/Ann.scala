@@ -88,8 +88,9 @@ object Ann {
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
     corpus.join(broadcast(queries),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      // no dedup needed: the 6 probe buckets are distinct values and a
+      // corpus row has exactly one bucket → at most one match per pair
       .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
-      .dropDuplicates("q_id", "vec_id")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
