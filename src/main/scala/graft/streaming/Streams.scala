@@ -25,6 +25,20 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** Stream-stream inner join: for each left event, right events of
+    * the same user within the following hour. Watermarks bound the
+    * join state on both sides (without them state grows forever).
+    */
+  def streamStreamJoin(a: Dataset[Event], b: Dataset[Event]): DataFrame =
+    a.withWatermark("ts", "2 hours").alias("a")
+      .join(
+        b.withWatermark("ts", "2 hours").alias("b"),
+        expr("""a.user_id = b.user_id
+                AND a.event_id <> b.event_id
+                AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR"""))
+      .select(col("a.event_id").as("left_id"), col("b.event_id").as("right_id"),
+        col("a.user_id").as("user_id"))
+
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
   case class SessionOut(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
 

@@ -53,6 +53,26 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").count() === events.length)
   }
 
+  test("stream-stream join matches the batch join within the time bound") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sa = MemoryStream[Event]; val sb = MemoryStream[Event]
+    sa.addData(events); sb.addData(events)
+    val q = Streams.streamStreamJoin(sa.toDS(), sb.toDS())
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = events.toDS().alias("a")
+      .join(events.toDS().alias("b"),
+        expr("""a.user_id = b.user_id AND a.event_id <> b.event_id
+                AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR"""))
+      .select(col("a.event_id"), col("b.event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === batch)
+    assert(got.nonEmpty) // events data must actually produce pairs
+  }
+
   test("file-source streaming: new parquet files flow through the windowed agg") {
     import TestSpark.spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
