@@ -56,6 +56,9 @@ object SparkEntry {
     "q_topk_native" -> (operators.Relational2.qTopkNative _),
     "q_having" -> (operators.Relational2.qHaving _),
     "q_stats_agg" -> (operators.Relational2.qStatsAgg _),
+    "q_window_nav" -> (operators.Relational2.qWindowNav _),
+    "q_string_agg" -> (operators.Relational2.qStringAgg _),
+    "q_regex" -> (operators.Relational2.qRegex _),
     "q_arg_max" -> (operators.Relational2.qArgMax _),
     "q_outer_join" -> (operators.Relational2.qOuterJoin _),
     // §2.3 dedup
@@ -276,6 +279,24 @@ object SparkEntry {
         |  CAST(common AS DOUBLE)/(sa.n_shingles + sb.n_shingles - common) AS jaccard
         |FROM pairs JOIN sizes sa ON id_a=sa.doc_id JOIN sizes sb ON id_b=sb.doc_id
         |WHERE CAST(common AS DOUBLE)/(sa.n_shingles + sb.n_shingles - common) >= 0.55""".stripMargin,
+    "q_window_nav" ->
+      """SELECT event_id, user_id,
+        | lag(value, 1) OVER w AS prev_value,
+        | lead(value, 1) OVER w AS next_value,
+        | first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_value,
+        | last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_value
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY 1""".stripMargin,
+    "q_regex" ->
+      """SELECT p_partkey,
+        | regexp_matches(p_type, '^ECONOMY|PROMO') AS is_cheap_line,
+        | regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word,
+        | CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS vowel_runs
+        |FROM part""".stripMargin,
     "q_stats_agg" ->
       """WITH c AS (
         |  SELECT l_returnflag,

@@ -147,6 +147,37 @@ object Relational2 {
         cnt.as("n"))
   }
 
+  /** Window navigation battery: lag/lead/first/last over a total
+    * per-user event order.
+    */
+  def qWindowNav(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "events").select(
+      col("event_id"),
+      col("user_id"),
+      lag("value", 1).over(w).as("prev_value"),
+      lead("value", 1).over(w).as("next_value"),
+      first("value").over(full).as("first_value"),
+      last("value").over(full).as("last_value"))
+  }
+
+  /** Ordered string aggregation (LISTAGG/string_agg shape). */
+  def qStringAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+        cnt.as("n_nations"))
+
+  /** Regex battery: rlike + extract + count. */
+  def qRegex(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part").select(
+      col("p_partkey"),
+      col("p_type").rlike("^ECONOMY|PROMO").cast("boolean").as("is_cheap_line"),
+      regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("last_word"),
+      size(regexp_extract_all(col("p_name"), lit("[aeiou]+"), lit(0))).cast("long").as("vowel_runs"))
+
   /** HAVING: post-aggregation filter on the aggregate value. */
   def qHaving(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
