@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.Bridge
 
@@ -36,9 +36,12 @@ case class TopKPerGroupExec(
 
   override def output: Seq[Attribute] = child.output
 
-  /** Co-locate each group; the planner inserts the single exchange. */
+  /** Co-locate each group; the planner inserts the single exchange.
+    * An empty group is a global top-k — all rows to one partition
+    * (ClusteredDistribution rejects an empty clustering).
+    */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(group) :: Nil
+    (if (group.isEmpty) AllTuples else ClusteredDistribution(group)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val groupExprs = group
@@ -53,8 +56,14 @@ case class TopKPerGroupExec(
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       it.foreach { row =>
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          mutable.PriorityQueue.empty[InternalRow](ordering))
+        // probe with the reused projection row; copy the key only on
+        // the miss path — getOrElseUpdate's key arg is strict and
+        // would allocate per input row
+        var heap = heaps.getOrElse(key, null)
+        if (heap == null) {
+          heap = mutable.PriorityQueue.empty[InternalRow](ordering)
+          heaps.put(key.copy(), heap)
+        }
         if (heap.size < limit) heap.enqueue(row.copy())
         else if (ordering.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())
@@ -91,8 +100,12 @@ object TopK {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
     val plan = Bridge.analyzed(df)
-    def attr(n: String) = plan.output.find(_.name.equalsIgnoreCase(n))
-      .getOrElse(sys.error(s"topKPerGroup: no column '$n' in ${plan.output.map(_.name)}"))
+    val resolve = Bridge.resolver(spark)
+    def attr(n: String) = plan.output.filter(a => resolve(a.name, n)) match {
+      case Seq(one) => one
+      case Seq() => sys.error(s"topKPerGroup: no column '$n' in ${plan.output.map(_.name)}")
+      case many => sys.error(s"topKPerGroup: ambiguous column '$n' matches ${many.map(_.name)}")
+    }
     val sortOrders = orderCols.map { case (n, asc) =>
       SortOrder(attr(n),
         if (asc) org.apache.spark.sql.catalyst.expressions.Ascending

@@ -18,7 +18,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * The rewrite only fires when the rank column itself is projected
   * away — if the query keeps rn, the window computes it and we leave
-  * the plan alone.
+  * the plan alone. PARTITION BY must be non-empty (a global top-k is
+  * TakeOrdered's job, and ClusteredDistribution(Nil) is rejected).
   */
 object TopKRewriteRule extends Rule[LogicalPlan] {
 
@@ -30,26 +31,24 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList,
-        Filter(cond, w @ Window(Seq(winExpr: NamedExpression), partitionSpec, orderSpec, child, _)))
-        if {
-          winExpr.toAttribute != null &&
-          !projectList.exists(_.references.contains(winExpr.toAttribute)) &&
-          (winExpr match {
-            case Alias(WindowExpression(RowNumber(), _), _) => true
-            case _ => false
-          }) &&
-          rankLimit(cond, winExpr.exprId).exists(_ > 0) &&
+        Filter(cond, Window(
+          Seq(winExpr @ Alias(WindowExpression(RowNumber(), _), _)),
+          partitionSpec, orderSpec, child, _)))
+        if partitionSpec.nonEmpty &&
           partitionSpec.forall(_.isInstanceOf[AttributeReference]) &&
-          orderSpec.forall(_.child.isInstanceOf[AttributeReference])
-        } =>
-      val k = rankLimit(cond, winExpr.exprId).get
-      // Spark's own InferWindowGroupLimit may already have inserted a
-      // WindowGroupLimit below the Window; it is redundant under the
-      // heap operator (and carries two sorts) — strip it.
-      val realChild = child match {
-        case wgl: WindowGroupLimit => wgl.child
-        case c => c
+          orderSpec.forall(_.child.isInstanceOf[AttributeReference]) &&
+          !projectList.exists(_.references.contains(winExpr.toAttribute)) =>
+      rankLimit(cond, winExpr.exprId) match {
+        case Some(k) if k > 0 =>
+          // Spark's own InferWindowGroupLimit may already have inserted
+          // a WindowGroupLimit below the Window; it is redundant under
+          // the heap operator (and carries two sorts) — strip it.
+          val realChild = child match {
+            case wgl: WindowGroupLimit => wgl.child
+            case c => c
+          }
+          Project(projectList, TopKPerGroupLogical(partitionSpec, orderSpec, k, realChild))
+        case _ => p
       }
-      Project(projectList, TopKPerGroupLogical(partitionSpec, orderSpec, k, realChild))
   }
 }

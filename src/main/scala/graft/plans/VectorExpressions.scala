@@ -1,23 +1,29 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.graftbridge.{ArrayDoubleBinaryExpression, Bridge}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Native Catalyst expression for the ANN/dedup hot path: dot product
   * of two array<double> columns without materializing the intermediate
   * array that zip_with + aggregate would allocate per row. Generated
   * code is a tight primitive loop inside whole-stage codegen.
+  *
+  * Declares array<double> input types (via ImplicitCastInputTypes), so
+  * SQL-registered calls get analysis-time coercion — array<float> is
+  * cast, strings fail analysis — instead of reading garbage at
+  * runtime. A NULL element in either array nulls the result, matching
+  * the zip_with + aggregate SQL this replaces.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
-
-  // inputs are guaranteed array<double> by the dotNative wrapper cast
+    extends ArrayDoubleBinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
 
   override def prettyName: String = "graft_dot"
 
@@ -27,7 +33,11 @@ case class DotProduct(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -40,6 +50,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $s;

@@ -22,4 +22,21 @@ object Bridge {
   /** The analyzed logical plan behind a DataFrame. */
   def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** The session's name resolver (honors spark.sql.caseSensitive). */
+  def resolver(spark: org.apache.spark.sql.SparkSession): (String, String) => Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.conf.resolver
+}
+
+/** Base for graft expressions that need the private[sql] input-type
+  * coercion machinery: declares array<double>,array<double> inputs so
+  * SQL-registered calls get analysis-time casts/checks instead of
+  * runtime garbage.
+  */
+abstract class ArrayDoubleBinaryExpression
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
 }
