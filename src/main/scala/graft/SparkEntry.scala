@@ -61,6 +61,10 @@ object SparkEntry {
     "q_regex" -> (operators.Relational2.qRegex _),
     "q_arg_max" -> (operators.Relational2.qArgMax _),
     "q_outer_join" -> (operators.Relational2.qOuterJoin _),
+    "q_range_join" -> (operators.RangeJoin.qRangeJoin _),
+    "q_grouping_sets" -> (operators.Relational2.qGroupingSets _),
+    "q_unpivot" -> (operators.Relational2.qUnpivot _),
+    "q_explode" -> (operators.Relational2.qExplode _),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -71,6 +75,7 @@ object SparkEntry {
     // §2.4 similarity search
     "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteforceTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
+    "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
     "knn_join" -> ((s: SparkSession, d: String) => Ann.knnJoin(s, d)),
     // §2.5 text analysis
     "text_stats" -> (TextAnalysis.textStats _),
@@ -330,6 +335,33 @@ object SparkEntry {
         | count(*) AS n
         |FROM lineitem GROUP BY 1
         |HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 500.0""".stripMargin,
+    "q_range_join" ->
+      """WITH win AS (
+        |  SELECT event_id AS win_id,
+        |    ts - INTERVAL 15 MINUTE AS ws, ts + INTERVAL 15 MINUTE AS we
+        |  FROM events WHERE event_type='purchase' AND value > 200.0)
+        |SELECT win_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM win JOIN events e ON e.ts >= ws AND e.ts < we
+        |GROUP BY 1""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""".stripMargin,
+    "q_explode" ->
+      """SELECT p_partkey,
+        | CAST(generate_subscripts(string_split(p_name, ' '), 1) AS BIGINT) AS pos,
+        | unnest(string_split(p_name, ' ')) AS word
+        |FROM part""".stripMargin,
     "q_outer_join" ->
       """WITH ue AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
         |SELECT CASE WHEN ue.user_id IS NULL THEN 'cust_only'

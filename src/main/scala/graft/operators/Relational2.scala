@@ -218,4 +218,36 @@ object Relational2 {
       .filter(pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(20)) === 0)
       .groupBy("l_returnflag")
       .agg(cnt.as("n"), sumMoney(col("l_extendedprice")).as("sum_price"))
+
+  /** Explicit GROUPING SETS (beyond cube/rollup): each-dimension-alone
+    * plus the grand total, with grouping_id disambiguating aggregation
+    * NULLs from data NULLs. One Expand + one shuffle, not a union of
+    * separate aggregations.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"), cnt.as("n"),
+        sumMoney(col("o_totalprice")).as("total"))
+
+  /** Unpivot/melt: wide measure columns to (measure, value) rows —
+    * a narrow per-row transform, no shuffle.
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+
+  /** Lateral explode with position (LATERAL VIEW posexplode shape):
+    * one output row per array element, 1-based position.
+    */
+  def qExplode(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+      .select(col("p_partkey"), (col("pos") + 1).cast("long").as("pos"), col("col").as("word"))
 }

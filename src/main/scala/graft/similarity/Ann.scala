@@ -96,6 +96,85 @@ object Ann {
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path next to
+    * LSH: a small coarse quantizer (spherical k-means centroids)
+    * partitions the corpus into K inverted lists; a query scans only
+    * the `nProbe` lists whose centroids are nearest.
+    *
+    * Scale shape: centroids are tiny (K·dim doubles) and live
+    * broadcast; corpus assignment is one narrow pass (reusable — at
+    * 100 TB you'd persist `cid` as a partition column); the query
+    * probe is an equi-join on `cid`, never a nested loop. Lloyd
+    * iterations aggregate per-dim DECIMAL sums of quantized values, so
+    * the centroids — and therefore every downstream assignment — are
+    * bit-identical under any partitioning (avg(double) would drift
+    * with partition order).
+    */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      kCentroids: Int = 16, lloydIters: Int = 2, nProbe: Int = 4): DataFrame = {
+    val dim = 64
+    val corpus = emb(spark, dir)
+
+    // deterministic seeds: evenly spaced vec_ids
+    val n = corpus.count()
+    val stride = math.max(1L, n / kCentroids)
+    var centroids: Array[Array[Double]] = corpus
+      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id").limit(kCentroids)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+
+    def nearestUdf(cs: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < cs.length) {
+        var s = 0.0; var i = 0
+        val cv = cs(c)
+        while (i < v.length) { s += v(i) * cv(i); i += 1 }
+        if (s > bestDot) { bestDot = s; best = c } // first index wins ties
+        c += 1
+      }
+      best
+    }
+
+    for (_ <- 1 to lloydIters) {
+      // exact per-dim sums: quantize to 1e-9 grid, sum as DECIMAL
+      val sums = (0 until dim).map(i =>
+        sum(round(col("v").getItem(i) * 1e9).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double").as(s"s$i"))
+      val means = corpus.withColumn("cid", nearestUdf(centroids)(col("v")))
+        .groupBy("cid").agg(sums.head, sums.tail: _*)
+        .collect()
+        .map { r =>
+          val cid = r.getInt(0)
+          val vec = (0 until dim).map(i => r.getDouble(i + 1) / 1e9).toArray
+          val norm = math.sqrt(vec.map(x => x * x).sum)
+          cid -> vec.map(_ / math.max(norm, 1e-12)) // spherical: re-normalize
+        }.toMap
+      // clusters that lost every vector keep their previous centroid
+      centroids = centroids.indices.map(c => means.getOrElse(c, centroids(c))).toArray
+    }
+
+    val assigned = corpus.withColumn("cid", nearestUdf(centroids)(col("v")))
+    val probesUdf = udf { (v: Seq[Double]) =>
+      centroids.indices.map { c =>
+        var s = 0.0; var i = 0
+        val cv = centroids(c)
+        while (i < v.length) { s += v(i) * cv(i); i += 1 }
+        (-s, c) // sort by descending dot, index tiebreak
+      }.sorted.take(nProbe).map(_._2)
+    }
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(probesUdf(col("v"))).as("q_cid"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    assigned.join(broadcast(queries),
+        col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
   /** Batch k-NN join: one query set × corpus, k nearest per query —
     * the shape used for dataset-vs-dataset contamination checks.
     */
