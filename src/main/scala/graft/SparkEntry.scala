@@ -64,6 +64,7 @@ object SparkEntry {
     "q_range_join" -> (operators.RangeJoin.qRangeJoin _),
     "q_grouping_sets" -> (operators.Relational2.qGroupingSets _),
     "q_unpivot" -> (operators.Relational2.qUnpivot _),
+    "q_range_frame" -> (operators.Relational2.qRangeFrame _),
     "q_explode" -> (operators.Relational2.qExplode _),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.exact _),
@@ -351,6 +352,12 @@ object SparkEntry {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+        |   RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_90d
+        |FROM orders""".stripMargin,
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
         |UNION ALL

@@ -155,11 +155,15 @@ object Dedup {
       // split one true component into several clusters)
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("nid")).agg(min("label").as("nlabel"))
+      // checkpoint FIRST, then count the delta from the materialized
+      // result — counting the un-checkpointed frame would evaluate the
+      // whole join a second time when the (eager) checkpoint runs
       val updated = labels.join(neighborMin, col("id") === col("nid"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
+        .localCheckpoint()
       changed = updated.filter(col("next") < col("label")).count()
-      labels = updated.select(col("id"), col("next").as("label")).localCheckpoint()
+      labels = updated.select(col("id"), col("next").as("label"))
       iter += 1
     }
     if (changed > 0)

@@ -243,6 +243,20 @@ object Relational2 {
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
         "measure", "val")
 
+  /** RANGE window frame: trailing-90-day spend per customer at each
+    * order. Peers at the same instant all enter the frame — semantics
+    * a ROWS frame can't express. Ordered by exact epoch seconds so the
+    * frame bound arithmetic is integral on both engines.
+    */
+  def qRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("ts_s"))
+      .rangeBetween(-90L * 86400L, 0L)
+    t(spark, dir, "orders")
+      .withColumn("ts_s", unix_timestamp(col("o_orderdate")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("trailing_90d"))
+  }
+
   /** Lateral explode with position (LATERAL VIEW posexplode shape):
     * one output row per array element, 1-based position.
     */

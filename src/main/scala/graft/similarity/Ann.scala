@@ -113,7 +113,11 @@ object Ann {
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       kCentroids: Int = 16, lloydIters: Int = 2, nProbe: Int = 4): DataFrame = {
     val dim = 64
-    val corpus = emb(spark, dir)
+    // the quantizer makes several passes (seeds, Lloyd, final assign) —
+    // cache the normalized corpus so each is a memory scan, not a
+    // re-read+renormalize. At 100 TB the analog is persisting the
+    // assigned `cid` as a partition column of the index table.
+    val corpus = emb(spark, dir).cache()
 
     // deterministic seeds: evenly spaced vec_ids
     val n = corpus.count()

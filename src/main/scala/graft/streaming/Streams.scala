@@ -39,6 +39,16 @@ object Streams {
       .select(col("a.event_id").as("left_id"), col("b.event_id").as("right_id"),
         col("a.user_id").as("user_id"))
 
+  /** Stream-static join: enrich the stream with a broadcast dimension
+    * table. The static side is planned per micro-batch as an ordinary
+    * broadcast hash join — no streaming state at all, which is why
+    * this is the right shape for slowly-changing dims at scale.
+    */
+  def streamStaticEnrich(events: Dataset[Event], dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"),
+        col("c_mktsegment").as("segment"), col("value"))
+
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
   case class SessionOut(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
 

@@ -33,6 +33,17 @@ class SourcesSpec extends SparkSpec {
       src.agg(sum("p_retailprice")).head.getDouble(0)) < 1e-6)
   }
 
+  test("orc round-trip preserves rows and values") {
+    val src = Tables.load(spark, sf, "supplier")
+    val path = tmp("orc")
+    src.write.orc(path)
+    val back = spark.read.orc(path)
+    assert(back.count() === src.count())
+    assert(back.columns.toSeq === src.columns.toSeq)
+    assert(back.agg(sum("s_suppkey")).head.getLong(0) ===
+      src.agg(sum("s_suppkey")).head.getLong(0))
+  }
+
   test("text source reads the reference corpus lines") {
     val ds = spark.read.textFile("/root/reference/inputdir")
     assert(ds.count() > 10000) // three Gutenberg books

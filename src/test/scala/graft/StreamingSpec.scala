@@ -53,6 +53,27 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").count() === events.length)
   }
 
+  test("stream-static join enriches events with the broadcast dim") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = core.Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_mktsegment")
+    val stream = MemoryStream[Event]
+    stream.addData(events)
+    val q = Streams.streamStaticEnrich(stream.toDS(), dim)
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich")
+      .select("event_id", "segment").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val batch = Streams.streamStaticEnrich(events.toDS(), dim)
+      .select("event_id", "segment").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got === batch)
+    assert(got.size === events.length) // left join keeps every event
+  }
+
   test("stream-stream join matches the batch join within the time bound") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
