@@ -65,6 +65,10 @@ object SparkEntry {
     "q_grouping_sets" -> (operators.Relational2.qGroupingSets _),
     "q_unpivot" -> (operators.Relational2.qUnpivot _),
     "q_range_frame" -> (operators.Relational2.qRangeFrame _),
+    "q_setops_all" -> (operators.Relational2.qSetopsAll _),
+    "q_cond_agg" -> (operators.Relational2.qCondAgg _),
+    "q_bit_agg" -> (operators.Relational2.qBitAgg _),
+    "q_median" -> (operators.Relational2.qMedian _),
     "q_explode" -> (operators.Relational2.qExplode _),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.exact _),
@@ -84,6 +88,7 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.langid _),
     "text_fingerprint" -> (TextAnalysis.fingerprintDocs _),
     "text_tfidf" -> (TextAnalysis.tfidf _),
+    "text_scrub" -> (TextAnalysis.scrub _),
     // §2.6 multimodal plumbing
     "multimodal_stats" -> (Multimodal.mediaStats _)
   )
@@ -358,6 +363,40 @@ object SparkEntry {
         |   PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
         |   RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_90d
         |FROM orders""".stripMargin,
+    "q_setops_all" ->
+      """WITH building AS (
+        |  SELECT o_custkey FROM orders JOIN customer ON o_custkey=c_custkey
+        |  WHERE c_mktsegment='BUILDING'),
+        |big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0),
+        |tagged AS (
+        |  SELECT 'both_all' AS tag, o_custkey FROM (
+        |    SELECT * FROM building INTERSECT ALL SELECT * FROM big)
+        |  UNION ALL
+        |  SELECT 'only_building_all' AS tag, o_custkey FROM (
+        |    SELECT * FROM building EXCEPT ALL SELECT * FROM big))
+        |SELECT tag, o_custkey, count(*) AS n FROM tagged GROUP BY 1,2""".stripMargin,
+    "q_cond_agg" ->
+      """SELECT l_returnflag,
+        | count_if(l_quantity > 25.0) AS n_bulk,
+        | bool_and(l_discount <= 0.1) AS all_low_disc,
+        | bool_or(l_tax > 0.07) AS any_high_tax,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_bit_agg" ->
+      """SELECT l_returnflag,
+        | CAST(bit_and(l_linenumber) AS BIGINT) AS band,
+        | CAST(bit_or(l_linenumber) AS BIGINT) AS bor,
+        | CAST(bit_xor(l_linenumber) AS BIGINT) AS bxor,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_median" ->
+      """SELECT o_orderpriority, median(o_totalprice) AS median_price, count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "text_scrub" ->
+      """SELECT event_id,
+        | regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed,
+        | CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_masked
+        |FROM events""".stripMargin,
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
         |UNION ALL

@@ -264,4 +264,44 @@ object Relational2 {
     t(spark, dir, "part")
       .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
       .select(col("p_partkey"), (col("pos") + 1).cast("long").as("pos"), col("col").as("word"))
+
+  /** Bag-semantics set operations: INTERSECT ALL / EXCEPT ALL keep
+    * duplicate multiplicity (the plain variants dedup).
+    */
+  def qSetopsAll(spark: SparkSession, dir: String): DataFrame = {
+    val building = t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === "BUILDING").select("o_custkey")
+    val big = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 150000.0).select(col("o_custkey"))
+    building.intersectAll(big).withColumn("tag", lit("both_all"))
+      .unionByName(building.exceptAll(big).withColumn("tag", lit("only_building_all")))
+      .groupBy("tag", "o_custkey").agg(cnt.as("n"))
+  }
+
+  /** Conditional/boolean aggregates: count_if, bool_and, bool_or. */
+  def qCondAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count_if(col("l_quantity") > 25.0).cast("long").as("n_bulk"),
+        bool_and(col("l_discount") <= 0.1).as("all_low_disc"),
+        bool_or(col("l_tax") > 0.07).as("any_high_tax"),
+        cnt.as("n"))
+
+  /** Bitwise aggregates over integer keys. */
+  def qBitAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        bit_and(col("l_linenumber")).cast("long").as("band"),
+        bit_or(col("l_linenumber")).cast("long").as("bor"),
+        bit_xor(col("l_linenumber")).cast("long").as("bxor"),
+        cnt.as("n"))
+
+  /** Exact median per group (interpolated, = quantile_cont 0.5). */
+  def qMedian(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(median(col("o_totalprice")).as("median_price"), cnt.as("n"))
 }

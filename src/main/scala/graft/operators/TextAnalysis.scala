@@ -73,4 +73,15 @@ object TextAnalysis {
   def fingerprintDocs(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** Scrubbing/masking stage (the PII-redaction shape every training
+    * pipeline needs): mask digit runs in the raw payload, report how
+    * much was masked. Pure per-row codegen expressions — no shuffle.
+    */
+  def scrub(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("scrubbed"),
+        size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0))).cast("long").as("n_masked"))
 }
