@@ -94,6 +94,28 @@ object Multimodal {
     media.mapPartitions(_.grouped(batchSize).flatMap(_.map(FakeCodec.resize)))
   }
 
+  case class FrameRow(media_id: Long, frame_no: Int, frame: Array[Byte])
+
+  /** Frame sampling (the video shape): treat the payload as
+    * fixed-size frames and keep every `stride`-th one, one output row
+    * per kept frame. flatMap = narrow, no shuffle; output rows carry
+    * (media_id, frame_no) so downstream per-frame feature extraction
+    * can re-group or window without re-decoding. A real container
+    * demuxer (ffmpeg) drops in at the frame-slicing line.
+    */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int = 64,
+      stride: Int = 4): Dataset[FrameRow] = {
+    require(frameBytes > 0 && stride > 0)
+    import media.sparkSession.implicits._
+    media.flatMap { row =>
+      val nFrames = row.payload.length / frameBytes
+      (0 until nFrames by stride).map { f =>
+        FrameRow(row.media_id, f,
+          java.util.Arrays.copyOfRange(row.payload, f * frameBytes, (f + 1) * frameBytes))
+      }
+    }
+  }
+
   /** End-to-end: synthesize → batch-decode → per-format stats. */
   def mediaStats(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(spark, dir)).toDF()

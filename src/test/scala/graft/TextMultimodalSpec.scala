@@ -76,4 +76,19 @@ class TextMultimodalSpec extends SparkSpec {
     assert(row.getAs[String]("format") === "fake/rgb8")
     assert(row.getAs[Long]("n") === 500L)
   }
+
+  test("multimodal frame-sample keeps every stride-th fixed-size frame") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 4).collect()
+    // 256-byte payload / 64-byte frames = 4 frames, stride 4 → frame 0 only
+    assert(frames.length === 500)
+    assert(frames.forall(f => f.frame_no === 0 && f.frame.length === 64))
+    val dense = Multimodal.frameSample(media, frameBytes = 64, stride = 1).collect()
+    assert(dense.length === 2000)
+    assert(dense.map(_.frame_no).distinct.sorted.toSeq === Seq(0, 1, 2, 3))
+    // sampled frame bytes are the exact payload slice
+    val one = dense.find(f => f.media_id === 1L && f.frame_no === 2).get
+    val payload = media.filter(_.media_id == 1L).head().payload
+    assert(one.frame.toSeq === payload.slice(128, 192).toSeq)
+  }
 }
