@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * explode into the fixed-width bins they overlap, probes map to their
   * single bin, the join keys on the bin, and the exact range predicate
   * runs as a post-join filter inside the same stage. Cost is one
-  * shuffle of |P| + |I|·(span/bin) rows, partitioned by bin — uniform
-  * in time, so no skew. Pick `binSeconds` ≈ the typical interval width
-  * (each interval then lands in ≤ 2–3 bins).
+  * shuffle of |P| + |I|·(span/bin) rows, partitioned by bin. Partition
+  * load tracks ROW DENSITY per bin, not wall-clock: a burst that packs
+  * much of |P| into one bin still makes a hot partition — salt the bin
+  * key (bin, hash(row)%S) for bursty probes. Pick `binSeconds` ≈ the
+  * typical interval width (each interval then lands in ≤ 2–3 bins).
   */
 object RangeJoin {
 
@@ -27,16 +29,27 @@ object RangeJoin {
     */
   def rangeJoin(intervals: DataFrame, intervalId: Column, start: Column, end: Column,
       probe: DataFrame, probeTime: Column, probePayload: Seq[(String, Column)],
-      binSeconds: Long): DataFrame = {
+      binSeconds: Long, maxBinsPerInterval: Int = 4096): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
     def binOf(c: Column) = floor(unix_timestamp(c) / binSeconds.toDouble).cast("long")
     // unix_timestamp floors to the second, so a probe inside [s, e) can
     // share e's bin even though t < e — the end bin is inclusive here
     // and the exact predicate below culls the overshoot.
+    // fail fast on dirty bounds: ONE interval parsed as year 9999
+    // would otherwise explode into ~10^8 bin rows inside one task.
+    // The guard lives inside the sequence bound so column pruning
+    // can't eliminate it.
+    val startBin = binOf(col("_s"))
+    val endBin = binOf(col("_e"))
+    val guardedEnd = when(endBin - startBin >= maxBinsPerInterval.toLong,
+      raise_error(concat(
+        lit(s"rangeJoin: interval spans more than $maxBinsPerInterval bins of ${binSeconds}s (id="),
+        col("_id").cast("string"),
+        lit(") — widen binSeconds or clean the bounds")))).otherwise(endBin)
     val iv = intervals
       .select(intervalId.as("_id"), start.as("_s"), end.as("_e"))
       .filter(col("_s").isNotNull && col("_e").isNotNull && col("_s") < col("_e"))
-      .withColumn("_bin", explode(sequence(binOf(col("_s")), binOf(col("_e")))))
+      .withColumn("_bin", explode(sequence(startBin, guardedEnd.cast("long"))))
     val p = probe
       .select((probeTime.as("_t") +: probePayload.map { case (n, c) => c.as(n) }): _*)
       .filter(col("_t").isNotNull)

@@ -15,8 +15,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Declares array<double> input types (via ImplicitCastInputTypes), so
   * SQL-registered calls get analysis-time coercion — array<float> is
   * cast, strings fail analysis — instead of reading garbage at
-  * runtime. A NULL element in either array nulls the result, matching
-  * the zip_with + aggregate SQL this replaces.
+  * runtime. A NULL element in either array, or a length mismatch,
+  * nulls the result — matching the zip_with + aggregate SQL this
+  * replaces (zip_with pads the shorter array with NULLs), so a
+  * truncated embedding surfaces as NULL instead of a plausible
+  * partial-sum score.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends ArrayDoubleBinaryExpression {
@@ -30,7 +33,8 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -47,11 +51,14 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin
