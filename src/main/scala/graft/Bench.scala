@@ -22,7 +22,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // this sandbox shows up to ~2× CPU-noise between identical runs
+    // (and the slow queries differ per run) — report the per-query
+    // MEDIAN of N runs so one throttle burst can't fake a regression
+    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
+
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -30,6 +35,12 @@ object Bench {
         return -1.0
       }
       (System.nanoTime() - t0) / 1e9
+    }
+
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val times = (1 to benchN).map(_ => runOnce(name, fn))
+      if (times.exists(_ < 0)) -1.0
+      else times.sorted.apply(times.length / 2)
     }
 
     // JVM/codegen warmup on the flagship query (not timed)

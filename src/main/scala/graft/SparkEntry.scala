@@ -252,7 +252,8 @@ object SparkEntry {
         |  FROM orders i WHERE i.o_custkey = o.o_custkey)
         |GROUP BY 1""".stripMargin,
     "q_array_agg" ->
-      """SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines, count(*) AS n_lines
+      """SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+        | count(*) AS n_lines
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q_null_funcs" ->
       """SELECT c_custkey,
@@ -377,7 +378,7 @@ object SparkEntry {
         |SELECT tag, o_custkey, count(*) AS n FROM tagged GROUP BY 1,2""".stripMargin,
     "q_cond_agg" ->
       """SELECT l_returnflag,
-        | count_if(l_quantity > 25.0) AS n_bulk,
+        | CAST(count_if(l_quantity > 25.0) AS BIGINT) AS n_bulk,
         | bool_and(l_discount <= 0.1) AS all_low_disc,
         | bool_or(l_tax > 0.07) AS any_high_tax,
         | count(*) AS n
@@ -475,6 +476,75 @@ object SparkEntry {
         | CAST(len(list_filter(ts, w -> list_contains(['the','a','an','of','to','and','in','is','it','for','on','with'], w))) AS DOUBLE)/nullif(CAST(len(ts) AS DOUBLE), 0.0) AS stopword_ratio,
         | CAST(list_sum(list_transform(ts, w -> length(w))) AS DOUBLE)/nullif(CAST(len(ts) AS DOUBLE), 0.0) AS avg_token_len
         |FROM toks""".stripMargin,
+    // rolling fingerprint is plain modular arithmetic over UTF-8 bytes:
+    // reproduced in DuckDB with HUGEINT (int128) + hex-decoded bytes
+    "text_fingerprint" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(range(1, length(hx)//2 + 1),
+        |        i -> CAST((strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
+        |             + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1) AS HUGEINT))),
+        |    (acc, x) -> (acc * 257 + x) % CAST(2305843009213693951 AS HUGEINT)) AS BIGINT) AS fp
+        |FROM h""".stripMargin,
+    // langid argmax = max (hits, lang) struct — reproduced with a
+    // DESC/DESC row_number over the per-profile hit counts
+    "text_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ts
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id, labeled_lang, p.lang,
+        |    len(list_filter(ts, w -> list_contains(p.words, w))) AS hits
+        |  FROM toks CROSS JOIN (VALUES
+        |    ('en', ['the','and','of','to','is','in','that','it']),
+        |    ('de', ['der','die','das','und','ist','nicht','ein','zu']),
+        |    ('es', ['el','la','los','las','es','un','una','que']),
+        |    ('fr', ['le','la','les','est','une','des','que','dans'])) AS p(lang, words)),
+        |best AS (
+        |  SELECT doc_id, labeled_lang, lang, hits,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+        |  FROM scores)
+        |SELECT doc_id, labeled_lang,
+        |  CASE WHEN hits > 0 THEN lang ELSE 'und' END AS predicted_lang
+        |FROM best WHERE rn = 1""".stripMargin,
+    // exact vector paths: deterministic (fixed normalize order, exact
+    // dots, vec_id tie-breaks) → oracle-checkable; cosine rounded to 6
+    // on both sides (last-ulp instruction-order differences)
+    "ann_bruteforce" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q_id, e.vec_id, list_dot_product(e.v, qv) AS cos
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT q_id, rk, vec_id AS neighbor_id, round(cos, 6) AS cosine
+        |FROM ranked WHERE rk <= 5""".stripMargin,
+    "knn_join" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE label = 0),
+        |scored AS (
+        |  SELECT q_id, e.vec_id, list_dot_product(e.v, qv) AS cos
+        |  FROM e CROSS JOIN q WHERE e.label <> 0),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT q_id, rk, vec_id AS neighbor_id, round(cos, 6) AS cosine
+        |FROM ranked WHERE rk <= 3""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         | CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS BIGINT) AS ws_tokens,

@@ -179,18 +179,43 @@ object Dedup {
   def clusters(spark: SparkSession, dir: String): DataFrame =
     dupClusters(ngramJaccard(spark, dir)).orderBy("id")
 
-  /** Embedding-cosine near-dup pairs, blocked by label (IVF-style
-    * coarse partition) so the pair space is per-block, never global.
-    * Dot product is the native codegen expression.
+  val EmbTables = 10
+  val EmbBits = 4
+
+  /** Embedding-cosine near-dup pairs, blocked on SRP-LSH buckets
+    * derived from the vectors themselves — never on a data-supplied
+    * label column (one big label block would degenerate to a global
+    * all-pairs join). Same multi-table OR-construction as
+    * [[graft.similarity.Ann.lshTopK]]: 10 independent 4-plane tables,
+    * hamming-1 probes on one join side, candidate pairs deduped as
+    * compact (id_a, id_b) rows BEFORE the vectors are re-attached for
+    * the exact-cosine verify (native codegen dot product). At the
+    * default parameters the blocking recovers every pair ≥ minCos on
+    * the test corpus (spec-pinned vs the brute-force all-pairs
+    * reference); at larger N, scale `bits` ~ log2(N / bucket-size) —
+    * candidate volume per table is ~N²(1+bits)/2^bits.
     */
-  def embeddingDups(spark: SparkSession, dir: String, minCos: Double = 0.35): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        graft.functions.VectorFunctions.normalized(col("embedding")).as("v"))
-    e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        dotNative(col("a.v"), col("b.v")).as("cosine"))
+  def embeddingDups(spark: SparkSession, dir: String, minCos: Double = 0.35,
+      nTables: Int = EmbTables, bits: Int = EmbBits): DataFrame = {
+    import graft.similarity.Ann
+    val e = Ann.emb(spark, dir)
+      .select(col("vec_id"), col("v"), Ann.srpBuckets(col("v"), nTables, bits).as("buckets"))
+    val banded = e.select(col("vec_id"), posexplode(col("buckets")))
+      .toDF("vec_id", "tbl", "bucket")
+    // hamming-1 probing on side a only: for a pair within radius 1,
+    // a's probe set contains b's exact bucket
+    val probed = banded
+      .select(col("vec_id"), col("tbl"),
+        explode(Ann.hamming1Probes(col("bucket"), bits)).as("bucket"))
+    val cand = probed.as("a").join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), dotNative(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= minCos)
   }
 }

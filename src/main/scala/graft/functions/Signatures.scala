@@ -158,6 +158,42 @@ object Signatures {
       .filter(_.nonEmpty)
   }
 
+  /** 2^61-1 (Mersenne prime) — modulus of the rolling fingerprint. */
+  val FpMod: Long = (1L << 61) - 1
+
+  /** (a*b) mod 2^61-1 without BigInt: 128-bit product via
+    * Math.multiplyHigh, then the Mersenne fold 2^64 ≡ 8 (mod 2^61-1).
+    * Valid for 0 <= a,b < 2^61 (so hi < 2^58 and no step overflows a
+    * signed long).
+    */
+  @inline private def mulmod61(a: Long, b: Long): Long = {
+    val hi = java.lang.Math.multiplyHigh(a, b)
+    val lo = a * b
+    // x = hi*2^64 + lo ≡ (x >> 61) + (x & M): hi<<3 has clear low bits,
+    // so OR-ing in lo's top 3 bits reassembles x>>61 exactly
+    var r = ((hi << 3) | (lo >>> 61)) + (lo & FpMod)
+    if (r >= FpMod) r -= FpMod
+    if (r >= FpMod) r -= FpMod // sum can reach 2*M after one fold
+    r
+  }
+
+  /** Polynomial rolling hash (Rabin–Karp, base 257) over the UTF-8
+    * bytes, mod 2^61-1 — bit-identical to the BigInt formulation it
+    * replaced ((h*257 + byte) % m per byte), one allocation-free pass.
+    */
+  def fingerprint64(s: String): Long = {
+    if (s == null) return 0L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = mulmod61(h, 257L) + (bytes(i) & 0xff)
+      if (h >= FpMod) h -= FpMod
+      i += 1
+    }
+    h
+  }
+
   // Column wrappers
   val refTokensUdf = udf((text: String) => refTokenStrings(text))
   def refTokensFast(text: Column): Column = refTokensUdf(text)
@@ -165,7 +201,10 @@ object Signatures {
   val simhashUdf = udf((text: String) => simhash64(text))
   def shinglesUdf(n: Int) = udf((text: String) => shingleStrings(text, n))
 
+  val fingerprintUdf = udf((text: String) => fingerprint64(text))
+
   def minhashCol(text: Column, n: Int = 3): Column = minhashSigUdf(n)(text)
   def simhashCol(text: Column): Column = simhashUdf(text)
   def shinglesCol(text: Column, n: Int = 3): Column = shinglesUdf(n)(text)
+  def fingerprintCol(text: Column): Column = fingerprintUdf(text)
 }

@@ -65,18 +65,10 @@ object TextFunctions {
   }
 
   /** Polynomial rolling hash (Rabin–Karp style) over the UTF-8 bytes,
-    * mod 2^61-1 — a deterministic whole-document fingerprint.
+    * mod 2^61-1 — a deterministic whole-document fingerprint. The
+    * per-byte arithmetic is the long-only mulmod kernel in
+    * [[Signatures.fingerprint64]] (the original BigInt formulation
+    * allocated two BigInts per byte).
     */
-  def fingerprint(text: Column): Column = {
-    val mod = BigInt("2305843009213693951") // 2^61-1
-    val udfFp = udf { (s: String) =>
-      if (s == null) 0L
-      else {
-        var h = BigInt(0)
-        s.getBytes("UTF-8").foreach { b => h = (h * 257 + (b & 0xff)) % mod }
-        h.toLong
-      }
-    }
-    udfFp(text)
-  }
+  def fingerprint(text: Column): Column = Signatures.fingerprintCol(text)
 }

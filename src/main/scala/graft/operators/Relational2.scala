@@ -53,12 +53,15 @@ object Relational2 {
   }
 
   /** Array aggregation: per-order sorted line numbers. sort_array makes
-    * collect_list deterministic under any partitioning.
+    * collect_list deterministic under any partitioning; the array is
+    * emitted as a comma-joined string so the result is hashable by the
+    * oracle harness (pandas cannot sort raw array cells).
     */
   def qArrayAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy("l_orderkey")
-      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"), cnt.as("n_lines"))
+      .agg(concat_ws(",", sort_array(collect_list(col("l_linenumber")))).as("lines"),
+        cnt.as("n_lines"))
 
   /** NULL-semantics battery: nullif/coalesce/conditional null. */
   def qNullFuncs(spark: SparkSession, dir: String): DataFrame =

@@ -26,6 +26,10 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
   private def rankLimit(cond: Expression, rn: ExprId): Option[Int] = cond match {
     case LessThanOrEqual(a: AttributeReference, Literal(k: Int, _)) if a.exprId == rn => Some(k)
     case LessThan(a: AttributeReference, Literal(k: Int, _)) if a.exprId == rn => Some(k - 1)
+    // rn = 1 is top-1 (rn = k for k > 1 selects a middle rank — not a
+    // top-k shape, and row_number() >= 1 always, so only 1 qualifies)
+    case EqualTo(a: AttributeReference, Literal(1, _)) if a.exprId == rn => Some(1)
+    case EqualTo(Literal(1, _), a: AttributeReference) if a.exprId == rn => Some(1)
     case _ => None
   }
 

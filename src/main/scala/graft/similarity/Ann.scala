@@ -1,11 +1,10 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators._
-import graft.functions.VectorFunctions._
-import graft.plans.VectorExpressions.dotNative
+import graft.plans.VectorExpressions.{dotNative, normalizeNative}
 
 /** Similarity search over the embeddings table (SURVEY.md §2.4).
   *
@@ -16,14 +15,17 @@ import graft.plans.VectorExpressions.dotNative
   */
 object Ann {
 
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def emb(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
       .repartition(spark.sparkContext.defaultParallelism) // single-file table → fan out
-      .select(col("vec_id"), col("label"), normalized(col("embedding")).as("v"))
+      .select(col("vec_id"), col("label"), normalizeNative(col("embedding")).as("v"))
 
   /** Exact brute-force cosine top-k: broadcast the query rows against
     * the corpus scan, window-rank per query. Baseline + recall oracle
-    * for the ANN paths.
+    * for the ANN paths. Cosine is rounded to 6 decimals in the OUTPUT
+    * only (ranking uses full precision) so the result is hash-
+    * comparable against a DuckDB oracle computing the same dot
+    * products in a different instruction order.
     */
   def bruteforceTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val corpus = emb(spark, dir)
@@ -34,16 +36,15 @@ object Ann {
       .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
   }
-
-  val Planes = 5
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dim d): splitmix64 → [-1, 1). No RNG state, so the "model" is
     * reproducible across runs/executors by construction.
     */
-  private[similarity] def planeComponent(p: Int, d: Int): Double = {
+  private[graft] def planeComponent(p: Int, d: Int): Double = {
     var z = (p.toLong * 131L + d.toLong) + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -51,45 +52,90 @@ object Ann {
     (java.lang.Math.floorMod(z, 100000L).toDouble / 50000.0) - 1.0
   }
 
-  /** Random-hyperplane (SRP) LSH bucket id — one JVM pass per vector
-    * (HOF evaluation is interpreted; a tight loop is ~100× cheaper).
+  // safely-published (dim → plane matrix) cache so executors build the
+  // deterministic hyperplanes once, not once per row
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private[graft] def planesFor(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((nPlanes, dim), { case (np, d) =>
+      Array.tabulate(np, d)(planeComponent)
+    })
+
+  /** Multi-table SRP bucket ids — `nTables` independent `bits`-plane
+    * hash tables (planes are globally indexed t*bits+b, so tables are
+    * independent by construction), computed in one JVM pass per vector.
+    * OR-construction over tables is the standard LSH amplification: a
+    * close pair is found if it collides in ANY table.
     */
-  private val srpUdf = udf { (v: Seq[Double]) =>
-    var bucket = 0L
-    var p = 0
-    while (p < Planes) {
-      var proj = 0.0
-      var d = 0
-      while (d < v.length) { proj += v(d) * planeComponent(p, d); d += 1 }
-      if (proj >= 0) bucket |= (1L << p)
-      p += 1
+  private[graft] def srpBucketsUdf(nTables: Int, bits: Int) = udf { (v: Seq[Double]) =>
+    val planes = planesFor(nTables * bits, v.length)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val plane = planes(t * bits + b)
+        var proj = 0.0
+        var d = 0
+        while (d < v.length) { proj += v(d) * plane(d); d += 1 }
+        if (proj >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
     }
-    bucket
+    out
   }
 
-  def srpBucket(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = srpUdf(v)
+  def srpBuckets(v: Column, nTables: Int, bits: Int): Column = srpBucketsUdf(nTables, bits)(v)
 
-  /** SRP-LSH approximate top-k with multi-probe: each query probes its
-    * own bucket plus every bucket at hamming distance 1 (one flipped
-    * hyperplane), via an EXPLODE of probe buckets so the join stays an
-    * equi-join — never a nested-loop hamming scan. (Planes+1)× probe
-    * cost for a large recall gain; the corpus is bucketed once and
-    * never re-shuffled — the 100 TB path where brute force is off the
-    * table.
+  /** `bucket XOR {0, each single bit}` — the hamming-radius-1 probe set
+    * as an explodable array, keeping every probe an equi-join key.
     */
-  def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val corpus = emb(spark, dir).withColumn("bucket", srpBucket(col("v")))
-    val probes = array((lit(0L) +: (0 until Planes).map(p => lit(1L << p))).map(
-      flip => col("q_bucket0").bitwiseXOR(flip)): _*)
+  private[graft] def hamming1Probes(bucket: Column, bits: Int): Column =
+    array((lit(0L) +: (0 until bits).map(b => lit(1L << b))).map(
+      flip => bucket.bitwiseXOR(flip)): _*)
+
+  val LshTables = 8
+  val LshBits = 5
+
+  /** SRP-LSH approximate top-k: `LshTables` independent hash tables
+    * (OR-construction) × hamming-1 multi-probe per table. A single
+    * table caps recall at the AND-probability of its planes (measured
+    * 0.30–0.42 @ top-5 on the test corpus); 8 tables × 5 bits with
+    * 1-bit probes measures 0.98–1.00 across the test SFs. Probing is an EXPLODE over
+    * (table, probe-bucket) so the candidate step stays an equi-join —
+    * never a nested-loop hamming scan. The corpus is bucketed once
+    * (narrow map) and candidates are deduped as bare (q_id, vec_id)
+    * pairs BEFORE vectors are re-attached, so the wide rows never ride
+    * the shuffle — the 100 TB path where brute force is off the table.
+    * At larger corpus sizes, scale `bits` ~ log2(N / bucket-size): the
+    * per-table bucket count is 2^bits and candidate volume per table is
+    * ~N²(1+bits)/2^bits.
+    */
+  def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nTables: Int = LshTables, bits: Int = LshBits): DataFrame = {
+    val corpus = emb(spark, dir)
+      .select(col("vec_id"), col("v"), srpBuckets(col("v"), nTables, bits).as("buckets"))
+    val banded = corpus
+      .select(col("vec_id"), posexplode(col("buckets")))
+      .toDF("vec_id", "tbl", "bucket")
+    val qprobes = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), posexplode(col("buckets")))
+      .toDF("q_id", "tbl", "bucket0")
+      .select(col("q_id"), col("tbl"), explode(hamming1Probes(col("bucket0"), bits)).as("bucket"))
+    // a pair can collide in several (table, probe) cells → dedup the
+    // compact id pairs, then join vectors back (minhashLsh's shape)
+    val cand = banded.join(broadcast(qprobes), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
     val queries = corpus.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("q_bucket0"))
-      .withColumn("q_bucket", explode(probes))
-      .drop("q_bucket0")
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
-    corpus.join(broadcast(queries),
-        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-      // no dedup needed: the 6 probe buckets are distinct values and a
-      // corpus row has exactly one bucket → at most one match per pair
+    cand.join(corpus.select(col("vec_id"), col("v")), "vec_id")
+      .join(broadcast(queries), "q_id")
       .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -158,7 +204,13 @@ object Ann {
       centroids = centroids.indices.map(c => means.getOrElse(c, centroids(c))).toArray
     }
 
+    // materialize the final assignment (eager localCheckpoint), then
+    // drop the corpus cache — otherwise the cached RDD outlives the
+    // query for the whole session. The checkpoint blocks are owned by
+    // the returned DataFrame's RDD lineage and are GC-cleaned with it.
     val assigned = corpus.withColumn("cid", nearestUdf(centroids)(col("v")))
+      .localCheckpoint()
+    corpus.unpersist()
     val probesUdf = udf { (v: Seq[Double]) =>
       centroids.indices.map { c =>
         var s = 0.0; var i = 0
@@ -181,6 +233,8 @@ object Ann {
 
   /** Batch k-NN join: one query set × corpus, k nearest per query —
     * the shape used for dataset-vs-dataset contamination checks.
+    * Cosine rounded to 6 decimals in the output only (ranking at full
+    * precision) for oracle hash-comparability, as in bruteforceTopK.
     */
   def knnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val corpus = emb(spark, dir).filter(col("label") =!= 0)
@@ -191,6 +245,7 @@ object Ann {
       .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
   }
 }

@@ -40,3 +40,13 @@ abstract class ArrayDoubleBinaryExpression
     Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
 }
+
+/** Unary sibling of [[ArrayDoubleBinaryExpression]]: one array<double>
+  * input with analysis-time coercion.
+  */
+abstract class ArrayDoubleUnaryExpression
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+}

@@ -44,6 +44,27 @@ class TopKRewriteSpec extends SparkSpec {
     assert(got === native)
   }
 
+  test("rn === 1 (dedup-per-key idiom) is rewritten to TopKPerGroup k=1") {
+    ensureRegistered()
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val df = core.Tables.load(spark, sf, "orders")
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan.take(2000))
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window ["),
+      "window machinery should be rewritten away:\n" + plan.take(2000))
+    val native = plans.TopK.topKPerGroup(
+      core.Tables.load(spark, sf, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+      Seq("o_orderpriority"), Seq("o_totalprice" -> false, "o_orderkey" -> true), 1)
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet === native)
+  }
+
   test("queries that keep the rank column are NOT rewritten") {
     ensureRegistered()
     val df = windowTopK // rn stays in the output

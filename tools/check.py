@@ -47,6 +47,17 @@ def main(sfdir, outdir):
         w, wc = canon(wrows, wcols)
         if gc != wc:
             print(f"FAIL {name}: columns {gc} vs {wc}"); n_fail += 1; continue
+        # dtype check mirrors the driver's pandas-hash: a value-equal but
+        # dtype-different column (e.g. DuckDB HUGEINT -> float64 vs Spark
+        # int64) hash-mismatches even when every value compares equal
+        gdt = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+        wdt = con.execute(oracle[name]).df()
+        gtypes = {c: str(t) for c, t in gdt.dtypes.items()}
+        wtypes = {c: str(t) for c, t in wdt.dtypes.items()}
+        if gtypes != wtypes:
+            diff = {c: (gtypes.get(c), wtypes.get(c))
+                    for c in set(gtypes) | set(wtypes) if gtypes.get(c) != wtypes.get(c)}
+            print(f"FAIL {name}: dtype mismatch {diff}"); n_fail += 1; continue
         if len(g) != len(w):
             print(f"FAIL {name}: {len(g)} rows vs {len(w)}"); n_fail += 1; continue
         bad = None
