@@ -77,6 +77,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingDups(s, d)),
     "dedup_clusters" -> (Dedup.clusters _),
+    "dedup_cross" -> (Dedup.crossDedup _),
     // §2.4 similarity search
     "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteforceTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
@@ -89,6 +90,8 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprintDocs _),
     "text_tfidf" -> (TextAnalysis.tfidf _),
     "text_scrub" -> (TextAnalysis.scrub _),
+    "text_repetition" -> (TextAnalysis.repetition _),
+    "text_domain_mix" -> (TextAnalysis.domainMix _),
     // §2.6 multimodal plumbing
     "multimodal_stats" -> (Multimodal.mediaStats _)
   )
@@ -476,6 +479,36 @@ object SparkEntry {
         | CAST(len(list_filter(ts, w -> list_contains(['the','a','an','of','to','and','in','is','it','for','on','with'], w))) AS DOUBLE)/nullif(CAST(len(ts) AS DOUBLE), 0.0) AS stopword_ratio,
         | CAST(list_sum(list_transform(ts, w -> length(w))) AS DOUBLE)/nullif(CAST(len(ts) AS DOUBLE), 0.0) AS avg_token_len
         |FROM toks""".stripMargin,
+    "dedup_cross" ->
+      """SELECT n.doc_id FROM documents n
+        |WHERE n.doc_id % 10 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.doc_id % 10 <> 0 AND c.text = n.text)""".stripMargin,
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(list_transform(string_split(text, ' '),
+        |    t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))), w -> w <> '') AS ts
+        |  FROM documents),
+        |counts AS (
+        |  SELECT doc_id,
+        |    CAST(greatest(len(ts)-2, 0) AS BIGINT) AS n_shingles,
+        |    CAST(CASE WHEN len(ts) >= 3 THEN len(list_distinct(
+        |      list_transform(range(1, len(ts)-1), i ->
+        |        ts[CAST(i AS BIGINT)] || ' ' || ts[CAST(i AS BIGINT)+1] || ' ' || ts[CAST(i AS BIGINT)+2])))
+        |    ELSE 0 END AS BIGINT) AS n_distinct
+        |  FROM toks)
+        |SELECT doc_id, n_shingles, n_distinct,
+        |  CAST(n_shingles - n_distinct AS DOUBLE) /
+        |    nullif(CAST(n_shingles AS DOUBLE), 0.0) AS dup_ratio
+        |FROM counts""".stripMargin,
+    "text_domain_mix" ->
+      """WITH per AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1)
+        |SELECT lang, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM per) AS token_share
+        |FROM per""".stripMargin,
     // rolling fingerprint is plain modular arithmetic over UTF-8 bytes:
     // reproduced in DuckDB with HUGEINT (int128) + hex-decoded bytes
     "text_fingerprint" ->

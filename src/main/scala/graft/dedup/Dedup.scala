@@ -136,6 +136,26 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental (cross-corpus) exact dedup: which documents of a new
+    * batch are unseen against the existing corpus — the shape every
+    * continuously-ingesting pipeline runs per batch. Anti-join on
+    * (content-hash, length): the shuffle carries 16-byte keys, never
+    * the documents, and the corpus side is pre-deduped so the join
+    * input is its distinct hash set (at 100 TB that set is the
+    * persisted dedup index, not a rescan). Batch membership here is
+    * the deterministic doc_id % 10 == 0 slice.
+    */
+  def crossDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val corpus = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select(xxhash64(col("text")).as("h"), length(col("text")).as("len"))
+      .distinct()
+    d.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), xxhash64(col("text")).as("h"), length(col("text")).as("len"))
+      .join(corpus, Seq("h", "len"), "left_anti")
+      .select("doc_id")
+  }
+
   /** Cluster near-dup candidate pairs into canonical groups:
     * iterative min-label propagation — the standard Spark connected-
     * components loop (cf. GraphFrames), O(log n) rounds on the

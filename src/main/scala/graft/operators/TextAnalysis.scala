@@ -74,6 +74,39 @@ object TextAnalysis {
     t(spark, dir, "documents")
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Repetition ratio (Gopher-style quality signal): the fraction of
+    * word-3-gram occurrences that repeat an earlier shingle of the same
+    * document. High ratios flag boilerplate/spam for filtering. One
+    * narrow pass — total windows from the token count, distinct
+    * windows from the single-pass shingle kernel; no shuffle.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        greatest(size(graft.functions.Signatures.refTokensFast(col("text"))) - 2, lit(0))
+          .cast("long").as("n_shingles"),
+        size(graft.functions.Signatures.shinglesCol(col("text"), 3)).cast("long").as("n_distinct"))
+      .withColumn("dup_ratio",
+        (col("n_shingles") - col("n_distinct")).cast("double") /
+          nullif(col("n_shingles").cast("double"), lit(0.0)))
+
+  /** Corpus-composition report: per-language document counts, token
+    * mass, and share of total tokens — the mixture summary a pipeline
+    * produces before sampling a training blend. The per-language
+    * aggregate shuffles once; the one-row total is a broadcast.
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "documents")
+      .select(col("lang"), size(wsTokens(col("text"))).cast("long").as("ntok"))
+      .groupBy("lang")
+      .agg(cnt.as("n_docs"), sum("ntok").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tot").cast("double")).as("token_share"))
+  }
+
   /** Scrubbing/masking stage (the PII-redaction shape every training
     * pipeline needs): mask digit runs in the raw payload, report how
     * much was masked. Pure per-row codegen expressions — no shuffle.

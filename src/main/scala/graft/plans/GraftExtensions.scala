@@ -19,6 +19,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_dot expects 2 arguments, got ${children.size}")
         DotProduct(children(0), children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[L2Normalize].getName, "graft_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_normalize expects 1 argument, got ${children.size}")
+        L2Normalize(children.head)
+      }))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => TopKRewriteRule)
   }
@@ -34,5 +42,6 @@ object GraftFunctions {
     spark.udf.register("graft_simhash", (text: String) => Signatures.simhash64(text))
     spark.udf.register("graft_shingles", (text: String) => Signatures.shingleStrings(text, 3))
     spark.udf.register("graft_ref_tokens", (text: String) => Signatures.refTokenStrings(text))
+    spark.udf.register("graft_fingerprint", (text: String) => Signatures.fingerprint64(text))
   }
 }

@@ -117,6 +117,34 @@ class DedupSimSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("cross dedup: output is the batch minus corpus-text matches") {
+    import graft.operators.TextAnalysis
+    val out = Dedup.crossDedup(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(out.forall(_ % 10 == 0))
+    // sanity vs a direct text-equality computation
+    val d = core.Tables.load(spark, sf, "documents")
+    val batch = d.filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text"))
+    val corpusTexts = d.filter(col("doc_id") % 10 =!= 0)
+      .select(col("text")).distinct()
+    val want = batch.join(corpusTexts, Seq("text"), "left_anti")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out === want)
+  }
+
+  test("repetition: dup_ratio in [0,1] or NULL; distinct <= total") {
+    import graft.operators.TextAnalysis
+    val df = TextAnalysis.repetition(spark, sf).cache()
+    assert(df.filter(col("n_distinct") > col("n_shingles")).count() === 0)
+    assert(df.filter(col("dup_ratio") < 0 || col("dup_ratio") > 1).count() === 0)
+  }
+
+  test("domain mix: token shares sum to 1") {
+    import graft.operators.TextAnalysis
+    val total = TextAnalysis.domainMix(spark, sf)
+      .agg(sum("token_share")).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9, s"shares sum to $total")
+  }
+
   test("fingerprint64 long kernel matches the BigInt reference formulation") {
     val mod = BigInt("2305843009213693951")
     def ref(s: String): Long = {

@@ -16,6 +16,9 @@ class ExtensionsSpec extends SparkSpec {
       val got = s.sql("SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
         .head.getDouble(0)
       assert(got === 32.0)
+      val norm = s.sql("SELECT graft_normalize(array(3.0d, 4.0d)) AS v")
+        .head.getSeq[Double](0)
+      assert(norm === Seq(0.6, 0.8))
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
