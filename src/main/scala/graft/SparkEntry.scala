@@ -92,6 +92,7 @@ object SparkEntry {
     "text_scrub" -> (TextAnalysis.scrub _),
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
+    "text_stratified_sample" -> (TextAnalysis.stratifiedSample _),
     // §2.6 multimodal plumbing
     "multimodal_stats" -> (Multimodal.mediaStats _)
   )
@@ -509,6 +510,14 @@ object SparkEntry {
         |SELECT lang, n_docs, n_tokens,
         |  CAST(n_tokens AS DOUBLE) / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM per) AS token_share
         |FROM per""".stripMargin,
+    "text_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled,
+        | CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE (doc_id*31 + 7) % 100 < (CASE lang
+        |  WHEN 'en' THEN 80 WHEN 'de' THEN 50 WHEN 'es' THEN 50
+        |  WHEN 'fr' THEN 25 ELSE 10 END)
+        |GROUP BY 1""".stripMargin,
     // rolling fingerprint is plain modular arithmetic over UTF-8 bytes:
     // reproduced in DuckDB with HUGEINT (int128) + hex-decoded bytes
     "text_fingerprint" ->

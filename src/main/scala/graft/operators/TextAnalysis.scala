@@ -107,6 +107,24 @@ object TextAnalysis {
         (col("n_tokens").cast("double") / col("tot").cast("double")).as("token_share"))
   }
 
+  /** Deterministic stratified sample — the "mix a training blend"
+    * stage: per-language keep-rates (percent) applied with a hash-free
+    * modulus on the key, so the sample is reproducible across engines
+    * and runs (TABLESAMPLE randomness is not). A narrow filter pass;
+    * the per-language summary shuffles only the survivors.
+    */
+  val BlendRates: Map[String, Int] = Map("en" -> 80, "de" -> 50, "es" -> 50, "fr" -> 25)
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = BlendRates.foldLeft(lit(10)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    t(spark, dir, "documents")
+      .filter(pmod(col("doc_id") * 31 + 7, lit(100)) < rate)
+      .groupBy("lang")
+      .agg(cnt.as("n_sampled"), sum(length(col("text")).cast("long")).as("n_chars"))
+  }
+
   /** Scrubbing/masking stage (the PII-redaction shape every training
     * pipeline needs): mask digit runs in the raw payload, report how
     * much was masked. Pure per-row codegen expressions — no shuffle.

@@ -165,12 +165,13 @@ object Ann {
     // assigned `cid` as a partition column of the index table.
     val corpus = emb(spark, dir).cache()
 
-    // deterministic seeds: evenly spaced vec_ids
-    val n = corpus.count()
-    val stride = math.max(1L, n / kCentroids)
+    // deterministic seeds: the K smallest xxhash64(vec_id) rows — a
+    // uniform pseudo-random draw with no RNG state, in ONE TakeOrdered
+    // pass (the previous evenly-spaced-id scheme needed a full count()
+    // pass first to compute the stride — a whole extra corpus scan at
+    // 100 TB)
     var centroids: Array[Array[Double]] = corpus
-      .filter(pmod(col("vec_id"), lit(stride)) === 0)
-      .orderBy("vec_id").limit(kCentroids)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(kCentroids)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
 
     def nearestUdf(cs: Array[Array[Double]]) = udf { (v: Seq[Double]) =>

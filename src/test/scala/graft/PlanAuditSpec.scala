@@ -45,6 +45,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p.take(1500))
   }
 
+  test("vector scan paths use the native normalize, not interpreted HOFs") {
+    val p = plan(similarity.Ann.bruteforceTopK(spark, sf))
+    assert(p.contains("graft_normalize"), p.take(1500))
+    assert(!p.contains("zip_with"), "interpreted HOF normalize crept back:\n" + p.take(1500))
+  }
+
   test("string funcs stay inside whole-stage codegen") {
     val p = Relational.qStringFuncs(spark, sf).queryExecution.executedPlan.toString
     // "*(n)" prefixes mark whole-stage-codegen stages in toString form
