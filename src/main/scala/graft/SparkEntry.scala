@@ -94,7 +94,8 @@ object SparkEntry {
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     "text_stratified_sample" -> (TextAnalysis.stratifiedSample _),
     // §2.6 multimodal plumbing
-    "multimodal_stats" -> (Multimodal.mediaStats _)
+    "multimodal_stats" -> (Multimodal.mediaStats _),
+    "multimodal_topk" -> ((s: SparkSession, d: String) => Multimodal.mediaTopK(s, d))
   )
 
   /** DuckDB-dialect oracle per query (same semantics, independent

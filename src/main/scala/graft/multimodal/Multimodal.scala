@@ -123,4 +123,45 @@ object Multimodal {
       .agg(count(lit(1)).cast("long").as("n"),
         sum("n_bytes").cast("long").as("total_bytes"),
         min("checksum").as("min_checksum"))
+
+  case class MediaEmbedding(media_id: Long, embedding: Array[Double])
+
+  /** "Embed" each payload into a dim-vector: byte-histogram buckets as
+    * a deterministic stand-in for a vision/audio encoder (the real
+    * model drops into the same batched narrow map). Output schema
+    * matches the embeddings table so every similarity operator
+    * (bruteforce / LSH / IVF / threshold dedup) composes directly.
+    */
+  def embedMedia(media: Dataset[MediaRow], dim: Int = 16,
+      batchSize: Int = 64): Dataset[MediaEmbedding] = {
+    require(dim > 0 && 256 % dim == 0, s"dim $dim must divide 256")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.map { row =>
+      val v = new Array[Double](dim)
+      row.payload.foreach { b => v((b & 0xff) / (256 / dim)) += 1.0 }
+      MediaEmbedding(row.media_id, v)
+    }))
+  }
+
+  /** Media → embedding → cosine top-k, the full multimodal similarity
+    * pipeline: batched fake encoder, native graft_normalize +
+    * graft_dot scoring, broadcast query side — the same plan shape as
+    * Ann.bruteforceTopK over the embeddings table.
+    */
+  def mediaTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = embedMedia(mediaTable(spark, dir)).toDF()
+      .select(col("media_id"),
+        graft.plans.VectorExpressions.normalizeNative(col("embedding")).as("v"))
+    val queries = corpus.filter(col("media_id") < nQueries)
+      .select(col("media_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("media_id").asc)
+    corpus.join(broadcast(queries), col("media_id") =!= col("q_id"))
+      .select(col("q_id"), col("media_id"),
+        graft.plans.VectorExpressions.dotNative(col("v"), col("qv")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"),
+        col("media_id").as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
 }

@@ -77,6 +77,20 @@ class TextMultimodalSpec extends SparkSpec {
     assert(row.getAs[Long]("n") === 500L)
   }
 
+  test("multimodal embed + topk: k neighbors per query, cosine descending") {
+    val df = Multimodal.mediaTopK(spark, sf).cache()
+    val perQuery = df.groupBy("q_id").count().collect()
+    assert(perQuery.length === 5)
+    assert(perQuery.forall(_.getLong(1) === 3))
+    df.collect().groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cosine"))
+      assert(byRank.sameElements(byRank.sortBy(-(_: Double))))
+    }
+    // embeddings are deterministic (fake codec is a pure function)
+    val again = Multimodal.mediaTopK(spark, sf).collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet === again)
+  }
+
   test("multimodal frame-sample keeps every stride-th fixed-size frame") {
     val media = Multimodal.mediaTable(spark, sf)
     val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 4).collect()
