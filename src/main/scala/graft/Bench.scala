@@ -38,7 +38,12 @@ object Bench {
     }
 
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val times = (1 to benchN).map(_ => runOnce(name, fn))
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var i = 0
+      while (i < benchN && !times.lastOption.exists(_ < 0)) { // stop at first failure
+        times += runOnce(name, fn)
+        i += 1
+      }
       if (times.exists(_ < 0)) -1.0
       else times.sorted.apply(times.length / 2)
     }

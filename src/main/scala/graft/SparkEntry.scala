@@ -101,9 +101,9 @@ object SparkEntry {
   /** DuckDB-dialect oracle per query (same semantics, independent
     * implementation). Money sums use the same exact-DECIMAL-then-
     * DOUBLE chain as the Spark side (see graft.operators.sumMoney) so
-    * results are bit-identical. Omitted keys (minhash/simhash/LSH/
-    * embedding/fingerprint/langid/multimodal) are engine-hash-specific
-    * or float-order-sensitive → rows-only check.
+    * results are bit-identical. Omitted keys (minhash/simhash/LSH
+    * candidates/approx sketches/multimodal) are engine-hash-specific
+    * or approximate by nature → rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
     "mr_wordcount" ->

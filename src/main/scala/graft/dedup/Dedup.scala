@@ -142,8 +142,11 @@ object Dedup {
     * (content-hash, length): the shuffle carries 16-byte keys, never
     * the documents, and the corpus side is pre-deduped so the join
     * input is its distinct hash set (at 100 TB that set is the
-    * persisted dedup index, not a rescan). Batch membership here is
-    * the deterministic doc_id % 10 == 0 slice.
+    * persisted dedup index, not a rescan). "Exact" up to a ~2^-64
+    * per-pair xxhash64+length collision — the standard dedup-index
+    * trade; confirm on text (or a second hash) if that is not
+    * acceptable. Batch membership here is the deterministic
+    * doc_id % 10 == 0 slice.
     */
   def crossDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)

@@ -41,8 +41,9 @@ object TextAnalysis {
         size(wsTokens(col("text"))).cast("long").as("ws_tokens"),
         bpeishTokenCount(col("text")).as("bpeish_tokens"))
 
-  /** Heuristic stopword-profile language ID (rows-only check — the
-    * CASE-ladder is not worth forcing into the oracle dialect).
+  /** Heuristic stopword-profile language ID. Oracle-checked: the
+    * argmax over (hits, lang) structs is reproduced in DuckDB as a
+    * hits DESC, lang DESC row_number — tie-breaks must stay aligned.
     */
   def langid(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -69,7 +70,10 @@ object TextAnalysis {
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("score"))
   }
 
-  /** Rolling-hash document fingerprint (rows-only check). */
+  /** Rolling-hash document fingerprint. Oracle-checked: DuckDB
+    * reproduces the same modular recurrence with HUGEINT arithmetic
+    * over hex-decoded UTF-8 bytes.
+    */
   def fingerprintDocs(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))

@@ -117,6 +117,7 @@ case class L2Normalize(child: Expression) extends ArrayDoubleUnaryExpression {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
       val vals = ctx.freshName("vals")
       val norm = ctx.freshName("norm")
       s"""
@@ -125,9 +126,9 @@ case class L2Normalize(child: Expression) extends ArrayDoubleUnaryExpression {
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  double x = $a.getDouble($i);
-         |  $vals[$i] = x;
-         |  $s += x * x;
+         |  double $x = $a.getDouble($i);
+         |  $vals[$i] = $x;
+         |  $s += $x * $x;
          |}
          |if (!${ev.isNull}) {
          |  double $norm = java.lang.Math.sqrt($s);

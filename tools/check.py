@@ -31,16 +31,23 @@ def main(sfdir, outdir):
     names = sorted(d for d in os.listdir(outdir) if os.path.isdir(f"{outdir}/{d}"))
     n_pass = n_fail = 0
     for name in names:
+        # fetch each side ONCE as a pandas frame (the driver hashes via
+        # pandas, so both the values and the dtypes come from the same
+        # representation it sees); rows are derived from the frame, NULL
+        # floats arrive as NaN on both sides symmetrically
+        def frame(sql):
+            df = con.execute(sql).df()
+            rows = [tuple(None if v is None else v
+                          for v in r) for r in df.itertuples(index=False, name=None)]
+            return rows, list(df.columns), {c: str(t) for c, t in df.dtypes.items()}
         try:
-            got = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-            grows, gcols = got.fetchall(), [d[0] for d in got.description]
+            grows, gcols, gtypes = frame(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
         except Exception as e:
             print(f"FAIL {name}: cannot read spark output: {e}"); n_fail += 1; continue
         if name not in oracle:
             print(f"rows-only {name}: {len(grows)} rows"); continue
         try:
-            want = con.execute(oracle[name])
-            wrows, wcols = want.fetchall(), [d[0] for d in want.description]
+            wrows, wcols, wtypes = frame(oracle[name])
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
         g, gc = canon(grows, gcols)
@@ -50,10 +57,6 @@ def main(sfdir, outdir):
         # dtype check mirrors the driver's pandas-hash: a value-equal but
         # dtype-different column (e.g. DuckDB HUGEINT -> float64 vs Spark
         # int64) hash-mismatches even when every value compares equal
-        gdt = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
-        wdt = con.execute(oracle[name]).df()
-        gtypes = {c: str(t) for c, t in gdt.dtypes.items()}
-        wtypes = {c: str(t) for c, t in wdt.dtypes.items()}
         if gtypes != wtypes:
             diff = {c: (gtypes.get(c), wtypes.get(c))
                     for c in set(gtypes) | set(wtypes) if gtypes.get(c) != wtypes.get(c)}
