@@ -91,6 +91,26 @@ class OperatorSpec extends SparkSpec {
     clusters.foreach { case (id, label) => assert(label <= id) }
   }
 
+  test("alternating-star CC equals min-label propagation on the real pair graph") {
+    val pairs = dedup.Dedup.ngramJaccard(spark, sf)
+    val stars = dedup.Dedup.dupClustersStars(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prop = dedup.Dedup.dupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stars === prop)
+  }
+
+  test("alternating-star CC handles a diameter-40 chain in O(log^2 n) rounds") {
+    import TestSpark.spark.implicits._
+    // a 41-node chain: diameter 40 — min-label propagation would need
+    // 40 rounds (and throws past its default maxIter), the star
+    // algorithm converges within its default 25
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = dedup.Dedup.dupClustersStars(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === (0L to 40L).map(i => (i, 0L)).toSet)
+  }
+
   test("stats aggregates yield NULL (not ANSI divide-by-zero) on degenerate groups") {
     // single-row table → n=1 → var/stddev/corr must be NULL
     val tmp = java.nio.file.Files.createTempDirectory("graft-degenerate").toString
