@@ -93,6 +93,7 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     "text_stratified_sample" -> (TextAnalysis.stratifiedSample _),
+    "pipeline_corpus" -> (operators.Pipeline.corpusBuild _),
     // §2.6 multimodal plumbing
     "multimodal_stats" -> (Multimodal.mediaStats _),
     "multimodal_topk" -> ((s: SparkSession, d: String) => Multimodal.mediaTopK(s, d))
@@ -511,6 +512,22 @@ object SparkEntry {
         |SELECT lang, n_docs, n_tokens,
         |  CAST(n_tokens AS DOUBLE) / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM per) AS token_share
         |FROM per""".stripMargin,
+    "pipeline_corpus" ->
+      """WITH stats AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+        |      nullif(CAST(length(text) AS DOUBLE), 0.0) AS alpha_ratio
+        |  FROM documents),
+        |kept AS (
+        |  SELECT * FROM stats
+        |  WHERE n_tokens BETWEEN 20 AND 5000 AND alpha_ratio > 0.815),
+        |canon AS (
+        |  SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+        |    arg_min(n_tokens, doc_id) AS n_tokens
+        |  FROM kept GROUP BY text)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM canon GROUP BY 1""".stripMargin,
     "text_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled,
         | CAST(sum(length(text)) AS BIGINT) AS n_chars

@@ -238,7 +238,10 @@ object Dedup {
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
         .distinct()
         .localCheckpoint()
-      converged = small.exceptAll(edges).isEmpty && edges.exceptAll(small).isEmpty
+      // one-pass symmetric difference: both sets are internally
+      // distinct, so an edge in only one of them groups to count 1
+      converged = small.unionAll(edges).groupBy("u", "v").agg(cnt.as("c"))
+        .filter(col("c") === 1).isEmpty
       edges = small
       iter += 1
     }

@@ -118,7 +118,6 @@ class DedupSimSpec extends SparkSpec {
   }
 
   test("cross dedup: output is the batch minus corpus-text matches") {
-    import graft.operators.TextAnalysis
     val out = Dedup.crossDedup(spark, sf).collect().map(_.getLong(0)).toSet
     assert(out.forall(_ % 10 == 0))
     // sanity vs a direct text-equality computation
