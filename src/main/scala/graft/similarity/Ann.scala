@@ -156,37 +156,41 @@ object Ann {
     * bit-identical under any partitioning (avg(double) would drift
     * with partition order).
     */
-  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-      kCentroids: Int = 16, lloydIters: Int = 2, nProbe: Int = 4): DataFrame = {
-    val dim = 64
-    // the quantizer makes several passes (seeds, Lloyd, final assign) —
-    // cache the normalized corpus so each is a memory scan, not a
-    // re-read+renormalize. At 100 TB the analog is persisting the
-    // assigned `cid` as a partition column of the index table.
-    val corpus = emb(spark, dir).cache()
+  private[similarity] def nearestUdf(cs: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.length) {
+      var s = 0.0; var i = 0
+      val cv = cs(c)
+      while (i < v.length) { s += v(i) * cv(i); i += 1 }
+      if (s > bestDot) { bestDot = s; best = c } // first index wins ties
+      c += 1
+    }
+    best
+  }
 
-    // deterministic seeds: the K smallest xxhash64(vec_id) rows — a
-    // uniform pseudo-random draw with no RNG state, in ONE TakeOrdered
-    // pass (the previous evenly-spaced-id scheme needed a full count()
-    // pass first to compute the stride — a whole extra corpus scan at
-    // 100 TB)
-    var centroids: Array[Array[Double]] = corpus
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(kCentroids)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
-
-    def nearestUdf(cs: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
-      var best = 0; var bestDot = Double.NegativeInfinity
-      var c = 0
-      while (c < cs.length) {
+  private[similarity] def probesUdf(cs: Array[Array[Double]], nProbe: Int) =
+    udf { (v: Seq[Double]) =>
+      cs.indices.map { c =>
         var s = 0.0; var i = 0
         val cv = cs(c)
         while (i < v.length) { s += v(i) * cv(i); i += 1 }
-        if (s > bestDot) { bestDot = s; best = c } // first index wins ties
-        c += 1
-      }
-      best
+        (-s, c) // sort by descending dot, index tiebreak
+      }.sorted.take(nProbe).map(_._2)
     }
 
+  /** Train the spherical-k-means coarse quantizer over a (cached)
+    * normalized corpus. Deterministic end to end: seeds are the K
+    * smallest xxhash64(vec_id) rows (a uniform no-RNG draw, one
+    * TakeOrdered pass — no count() scan); Lloyd iterations aggregate
+    * per-dim DECIMAL sums of 1e-9-quantized values, so centroids are
+    * bit-identical under any partitioning.
+    */
+  private[similarity] def trainQuantizer(corpus: DataFrame, kCentroids: Int,
+      lloydIters: Int, dim: Int = 64): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = corpus
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(kCentroids)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
     for (_ <- 1 to lloydIters) {
       // exact per-dim sums: quantize to 1e-9 grid, sum as DECIMAL
       val sums = (0 until dim).map(i =>
@@ -204,7 +208,34 @@ object Ann {
       // clusters that lost every vector keep their previous centroid
       centroids = centroids.indices.map(c => means.getOrElse(c, centroids(c))).toArray
     }
+    centroids
+  }
 
+  /** Probe + rank: join queries (exploded over their nProbe list ids)
+    * against the assigned lists, score with the native dot, window-rank.
+    */
+  private def topKOverLists(assigned: DataFrame, centroids: Array[Array[Double]],
+      nQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(probesUdf(centroids, nProbe)(col("v"))).as("q_cid"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    assigned.join(broadcast(queries),
+        col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      kCentroids: Int = 16, lloydIters: Int = 2, nProbe: Int = 4): DataFrame = {
+    // the quantizer makes several passes (seeds, Lloyd, final assign) —
+    // cache the normalized corpus so each is a memory scan, not a
+    // re-read+renormalize. For the persisted-index analog see
+    // buildIvfIndex/ivfTopKIndexed.
+    val corpus = emb(spark, dir).cache()
+    val centroids = trainQuantizer(corpus, kCentroids, lloydIters)
     // materialize the final assignment (eager localCheckpoint), then
     // drop the corpus cache — otherwise the cached RDD outlives the
     // query for the whole session. The checkpoint blocks are owned by
@@ -212,20 +243,52 @@ object Ann {
     val assigned = corpus.withColumn("cid", nearestUdf(centroids)(col("v")))
       .localCheckpoint()
     corpus.unpersist()
-    val probesUdf = udf { (v: Seq[Double]) =>
-      centroids.indices.map { c =>
-        var s = 0.0; var i = 0
-        val cv = centroids(c)
-        while (i < v.length) { s += v(i) * cv(i); i += 1 }
-        (-s, c) // sort by descending dot, index tiebreak
-      }.sorted.take(nProbe).map(_._2)
-    }
-    val queries = assigned.filter(col("vec_id") < nQueries)
+    topKOverLists(assigned, centroids, nQueries, k, nProbe)
+  }
+
+  /** Offline IVF index build — the 100 TB serving shape: the assigned
+    * corpus is WRITTEN PARTITIONED BY LIST ID, so a probe later reads
+    * only its nProbe lists via partition pruning instead of scanning
+    * the corpus; centroids persist alongside. Index build is a batch
+    * job; queries against it never retrain or rescan.
+    */
+  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String,
+      kCentroids: Int = 16, lloydIters: Int = 2): Unit = {
+    import spark.implicits._
+    val corpus = emb(spark, dir).cache()
+    val centroids = trainQuantizer(corpus, kCentroids, lloydIters)
+    corpus.withColumn("cid", nearestUdf(centroids)(col("v")))
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$indexPath/lists")
+    corpus.unpersist()
+    centroids.zipWithIndex.map { case (v, cid) => (cid, v.toSeq) }.toSeq
+      .toDF("cid", "v")
+      .write.mode("overwrite").parquet(s"$indexPath/centroids")
+  }
+
+  /** Query a persisted IVF index: the probed list ids (bounded by
+    * nQueries × nProbe) prune the partitioned read — the physical plan
+    * carries `PartitionFilters: [cid IN (...)]` and the non-probed
+    * lists are never opened. Results are identical to the in-session
+    * ivfTopK at the same parameters (spec-pinned).
+    */
+  def ivfTopKIndexed(spark: SparkSession, indexPath: String, nQueries: Int = 10,
+      k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cid").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("v")).toArray)
+    val lists = spark.read.parquet(s"$indexPath/lists")
+    // no .cache() on queries: it is nQueries×nProbe rows off a
+    // stats-pruned scan, and a returned-lazy DataFrame cannot
+    // unpersist it (same session-leak class ivfTopK avoids)
+    val queries = lists.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        explode(probesUdf(col("v"))).as("q_cid"))
+        explode(probesUdf(centroids, nProbe)(col("v"))).as("q_cid"))
+    // the probed lists, as a driver-side set (≤ nQueries×nProbe ids) —
+    // applied as a scan filter so partition pruning fires
+    val probedCids = queries.select("q_cid").distinct().collect().map(_.getInt(0)).toSeq
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
-    assigned.join(broadcast(queries),
-        col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
+    lists.filter(col("cid").isin(probedCids: _*))
+      .join(broadcast(queries), col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

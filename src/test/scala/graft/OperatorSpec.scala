@@ -177,6 +177,17 @@ class OperatorSpec extends SparkSpec {
     assert(out(0).getAs[Long]("_id") === 1L && out(0).getAs[Long]("pid") === 10L)
   }
 
+  test("persisted IVF index: identical results, probe reads only its partitions") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    similarity.Ann.buildIvfIndex(spark, sf, idx)
+    val indexed = similarity.Ann.ivfTopKIndexed(spark, idx)
+    val inSession = similarity.Ann.ivfTopK(spark, sf)
+    assert(indexed.collect().map(_.toSeq).toSet === inSession.collect().map(_.toSeq).toSet)
+    // the probed cid set must prune the partitioned scan
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"), plan.take(2000))
+  }
+
   test("ann_ivf: deterministic and recall comparable to probing 1/4 of the lists") {
     val brute = similarity.Ann.bruteforceTopK(spark, sf)
       .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
