@@ -49,6 +49,31 @@ object Streams {
       .select(col("event_id"), col("user_id"),
         col("c_mktsegment").as("segment"), col("value"))
 
+  case class Doc(doc_id: Long, ts: Timestamp, lang: String, text: String)
+
+  /** Streaming corpus ingest — the streaming twin of
+    * [[graft.operators.Pipeline.corpusBuild]]'s filter+dedup stages:
+    * per-document quality gates (pure narrow expressions), then exact
+    * dedup on the 8-byte content hash with state BOUNDED BY THE
+    * WATERMARK (dropDuplicatesWithinWatermark — a plain dropDuplicates
+    * would grow state forever on a long-running ingest). Emits the
+    * surviving documents in append mode; downstream aggregation /
+    * sinks compose per micro-batch.
+    */
+  def corpusIngest(docs: Dataset[Doc], minTokens: Int = 3,
+      minAlpha: Double = 0.5): DataFrame =
+    docs
+      .withWatermark("ts", "1 hour")
+      .withColumn("n_tokens",
+        size(graft.functions.TextFunctions.wsTokens(col("text"))).cast("long"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+          nullif(length(col("text")).cast("double"), lit(0.0)))
+      .filter(col("n_tokens") >= minTokens && col("alpha_ratio") > minAlpha)
+      .withColumn("h", xxhash64(col("text")))
+      .dropDuplicatesWithinWatermark("h")
+      .select("doc_id", "ts", "lang", "text", "n_tokens")
+
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
   case class SessionOut(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
 

@@ -109,6 +109,36 @@ class StreamingSpec extends SparkSpec {
     assert(total === 3L)
   }
 
+  test("streaming corpus ingest: quality-filters then dedups within watermark") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      Streams.Doc(1, ts(5), "en", "the quick brown fox jumps"),
+      Streams.Doc(2, ts(6), "en", "the quick brown fox jumps"), // exact dup of 1
+      Streams.Doc(3, ts(7), "de", "der schnelle braune fuchs springt"),
+      Streams.Doc(4, ts(8), "en", "1234 5678 9012"),            // fails alpha gate
+      Streams.Doc(5, ts(9), "en", "too short"),                  // fails token gate
+      Streams.Doc(6, ts(10), "en", "a completely different document text"))
+    val stream = MemoryStream[Streams.Doc]
+    stream.addData(docs)
+    val q = Streams.corpusIngest(stream.toDS())
+      .writeStream.format("memory").queryName("ingest").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ingest")
+    // dup collapsed, low-quality rows gone
+    assert(got.count() === 3)
+    assert(got.select("text").distinct().count() === 3)
+    val batch = docs.toDS()
+      .withColumn("n_tokens", size(split(col("text"), "\\s+")).cast("long"))
+      .filter(col("n_tokens") >= 3 &&
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+          length(col("text")).cast("double") > 0.5)
+      .dropDuplicates("text")
+    assert(got.select("text").collect().map(_.getString(0)).toSet ===
+      batch.select("text").collect().map(_.getString(0)).toSet)
+  }
+
   test("stateful sessionize closes sessions across >30min gaps") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
