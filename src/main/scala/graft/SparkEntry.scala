@@ -70,6 +70,9 @@ object SparkEntry {
     "q_bit_agg" -> (operators.Relational2.qBitAgg _),
     "q_median" -> (operators.Relational2.qMedian _),
     "q_explode" -> (operators.Relational2.qExplode _),
+    "q_json_typed" -> (operators.ComplexTypes.qJsonTyped _),
+    "q_array_funcs" -> (operators.ComplexTypes.qArrayFuncs _),
+    "q_map_ops" -> (operators.ComplexTypes.qMapOps _),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -482,6 +485,23 @@ object SparkEntry {
         | CAST(len(list_filter(ts, w -> list_contains(['the','a','an','of','to','and','in','is','it','for','on','with'], w))) AS DOUBLE)/nullif(CAST(len(ts) AS DOUBLE), 0.0) AS stopword_ratio,
         | CAST(list_sum(list_transform(ts, w -> length(w))) AS DOUBLE)/nullif(CAST(len(ts) AS DOUBLE), 0.0) AS avg_token_len
         |FROM toks""".stripMargin,
+    "q_json_typed" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        | count(*) AS n,
+        | min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT p_partkey,
+        | CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+        | array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_words,
+        | list_contains(string_split(p_name, ' '), 'green') AS has_green,
+        | array_to_string(list_slice(string_split(p_name, ' '), 1, 2), ',') AS first_two,
+        | CAST(len(list_distinct(string_split(p_name, ' '))) AS BIGINT) AS n_distinct_words
+        |FROM part""".stripMargin,
+    "q_map_ops" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |FROM orders GROUP BY 1, 2""".stripMargin,
     "dedup_cross" ->
       """SELECT n.doc_id FROM documents n
         |WHERE n.doc_id % 10 = 0 AND NOT EXISTS (
