@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 table: deterministic synthetic documents generated
+  * IN PARALLEL on the executors — no files, no driver-side data. The
+  * kind of source a 100 TB load test or a pipeline cold-start uses:
+  * `spark.read.format("graft.sources.SyntheticDocsSource")
+  *   .option("rows", N).option("partitions", P).load()`.
+  *
+  * Exercises the public connector API end to end: TableProvider →
+  * Table → ScanBuilder (with COLUMN PRUNING pushdown — a projection
+  * of doc_id never materializes text strings) → Batch →
+  * PartitionReaderFactory → per-partition readers. Content is a pure
+  * function of doc_id (splitmix-seeded token picks), so any two scans
+  * — any partitioning — produce identical rows.
+  */
+class SyntheticDocsSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyntheticDocsSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SyntheticDocsTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("partitions", "4").toInt)
+}
+
+object SyntheticDocsSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  private val Langs = Array("en", "de", "es", "fr")
+  private val Vocab = Array(
+    "data", "spark", "query", "plan", "shuffle", "join", "scan", "merge",
+    "the", "and", "of", "to", "is", "in", "stream", "batch", "vector",
+    "token", "model", "train", "sample", "filter", "group", "sort")
+
+  private def mix(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def langOf(id: Long): String = Langs((mix(id) & 0x7fffffff).toInt % Langs.length)
+
+  def textOf(id: Long): String = {
+    val n = 5 + (mix(id * 31 + 1) & 0x7fffffff).toInt % 20
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append(Vocab((mix(id * 131 + i) & 0x7fffffff).toInt % Vocab.length))
+      i += 1
+    }
+    sb.toString
+  }
+}
+
+class SyntheticDocsTable(rows: Long, partitions: Int) extends Table with SupportsRead {
+  override def name(): String = s"synthetic_docs($rows)"
+  override def schema(): StructType = SyntheticDocsSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SyntheticDocsScanBuilder(rows, partitions)
+}
+
+class SyntheticDocsScanBuilder(rows: Long, partitions: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = SyntheticDocsSource.Schema
+
+  // column pruning pushdown: a doc_id-only projection never builds text
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] = {
+      val per = math.max(1L, (rows + partitions - 1) / partitions)
+      (0L until rows by per).map(start =>
+        DocsRange(start, math.min(start + per, rows)): InputPartition).toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new DocsReaderFactory(required)
+  }
+}
+
+case class DocsRange(start: Long, end: Long) extends InputPartition
+
+class DocsReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val range = partition.asInstanceOf[DocsRange]
+    // resolve the projected columns once per partition, not per row
+    val fields: Array[Long => Any] = required.fields.map(_.name match {
+      case "doc_id" => (id: Long) => id
+      case "lang" => (id: Long) => UTF8String.fromString(SyntheticDocsSource.langOf(id))
+      case "text" => (id: Long) => UTF8String.fromString(SyntheticDocsSource.textOf(id))
+    })
+    new PartitionReader[InternalRow] {
+      private var cur = range.start - 1
+      override def next(): Boolean = { cur += 1; cur < range.end }
+      override def get(): InternalRow = InternalRow.fromSeq(fields.map(_(cur)).toSeq)
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -73,4 +73,27 @@ class SourcesSpec extends SparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") || expected == 0)
   }
+
+  test("DSv2 synthetic source: parallel deterministic generation, requested row count") {
+    val df = spark.read.format("graft.sources.SyntheticDocsSource")
+      .option("rows", "1000").option("partitions", "8").load()
+    assert(df.count() === 1000)
+    assert(df.rdd.getNumPartitions === 8)
+    // pure function of doc_id → identical across scans/partitionings
+    val a = df.collect().map(_.toSeq).toSet
+    val b = spark.read.format("graft.sources.SyntheticDocsSource")
+      .option("rows", "1000").option("partitions", "3").load()
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+    assert(df.select("lang").distinct().count() === 4)
+  }
+
+  test("DSv2 synthetic source: column pruning reaches the reader") {
+    val df = spark.read.format("graft.sources.SyntheticDocsSource")
+      .option("rows", "100").load().select("doc_id")
+    // the scan's read schema must carry only the projected column
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("doc_id") && !plan.contains("text"), plan.take(1000))
+    assert(df.collect().map(_.getLong(0)).toSet === (0L until 100L).toSet)
+  }
 }
