@@ -502,6 +502,19 @@ object SparkEntry {
     "q_map_ops" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n
         |FROM orders GROUP BY 1, 2""".stripMargin,
+    // the SRP blocking recovers every >=threshold pair on this corpus
+    // (spec-pinned vs brute force), so the LSH output is oracle-
+    // comparable against the exact all-pairs threshold join
+    "dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) >= 0.35""".stripMargin,
     "dedup_cross" ->
       """SELECT n.doc_id FROM documents n
         |WHERE n.doc_id % 10 = 0 AND NOT EXISTS (

@@ -300,5 +300,8 @@ object Dedup {
       .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"), dotNative(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= minCos)
+      // threshold at full precision, round the OUTPUT for oracle
+      // hash-comparability (instruction-order last-ulp differences)
+      .withColumn("cosine", round(col("cosine"), 6))
   }
 }
