@@ -109,6 +109,17 @@ object SparkEntry {
     * candidates/approx sketches/multimodal) are engine-hash-specific
     * or approximate by nature → rows-only check.
     */
+  /** The deterministic SRP hyperplanes inlined as DuckDB literals, so
+    * the LSH oracle reproduces the exact bucketing (the planes are a
+    * pure function — same splitmix chain both sides; Double.toString
+    * round-trips the value).
+    */
+  private def srpPlanesSql(nTables: Int, bits: Int, dim: Int): String =
+    (0 until nTables * bits).map { p =>
+      val vec = (0 until dim).map(d => similarity.Ann.planeComponent(p, d)).mkString(", ")
+      s"($p, [$vec])"
+    }.mkString(",\n")
+
   def oracleSql: Map[String, String] = Map(
     "mr_wordcount" ->
       """SELECT word, count(*) AS n FROM (
@@ -502,6 +513,38 @@ object SparkEntry {
     "q_map_ops" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n
         |FROM orders GROUP BY 1, 2""".stripMargin,
+    // full SRP-LSH reproduction: inlined plane literals → per-table
+    // buckets → hamming<=1 candidate join → exact-cosine ranking;
+    // proven bit-identical to the Spark pipeline (even unrounded
+    // cosines matched; rounding kept for safety)
+    "ann_lsh" ->
+      s"""WITH planes(pid, pv) AS (VALUES ${srpPlanesSql(similarity.Ann.LshTables, similarity.Ann.LshBits, 64)}),
+         |e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS v
+         |  FROM embeddings),
+         |proj AS (
+         |  SELECT vec_id, pid // ${similarity.Ann.LshBits} AS tbl,
+         |    CASE WHEN list_dot_product(v, pv) >= 0 THEN 1 << (pid % ${similarity.Ann.LshBits}) ELSE 0 END AS bit
+         |  FROM e CROSS JOIN planes),
+         |buckets AS (
+         |  SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket FROM proj GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id
+         |  FROM buckets q JOIN buckets c ON q.tbl = c.tbl
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |    AND bit_count(xor(q.bucket, c.bucket)) <= 1
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT q_id, cand.vec_id, list_dot_product(eq.v, ec.v) AS cos
+         |  FROM cand JOIN e eq ON q_id = eq.vec_id JOIN e ec ON cand.vec_id = ec.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, vec_id AS neighbor_id, round(cos, 6) AS cosine
+         |FROM ranked WHERE rk <= 5""".stripMargin,
     // the SRP blocking recovers every >=threshold pair on this corpus
     // (spec-pinned vs brute force), so the LSH output is oracle-
     // comparable against the exact all-pairs threshold join

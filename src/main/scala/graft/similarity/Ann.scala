@@ -139,7 +139,8 @@ object Ann {
       .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
   }
 
   /** IVF (inverted-file) ANN — the other classic scale path next to
