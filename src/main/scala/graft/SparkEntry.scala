@@ -120,6 +120,60 @@ object SparkEntry {
       s"($p, [$vec])"
     }.mkString(",\n")
 
+  /** Unsigned-64-bit arithmetic over DuckDB HUGEINT (state kept in
+    * [0, 2^64)): the pieces needed to reproduce the JVM hash kernels
+    * (FNV-1a, splitmix, xorshift) bit-for-bit in oracle SQL. Multiply
+    * splits the left operand at 2^32 so no intermediate exceeds 2^97.
+    */
+  private object SqlU64 {
+    val M64 = "CAST(18446744073709551616 AS HUGEINT)"
+    val P32 = "CAST(4294967296 AS HUGEINT)"
+    def lit(k: BigInt): String = s"CAST($k AS HUGEINT)"
+    def u(k: Long): BigInt = BigInt(java.lang.Long.toUnsignedString(k))
+    def mulmod64(a: String, k: BigInt): String =
+      if (k >= (BigInt(1) << 32))
+        s"((($a) % $P32) * ${lit(k)} + ((($a) // $P32) * ${lit(k)} % $P32) * $P32) % $M64"
+      else s"(($a) * ${lit(k)}) % $M64"
+    def xor64(a: String, b: String): String =
+      s"(xor(CAST(($a) // $P32 AS BIGINT), CAST(($b) // $P32 AS BIGINT))::HUGEINT * $P32" +
+        s" + xor(CAST(($a) % $P32 AS BIGINT), CAST(($b) % $P32 AS BIGINT))::HUGEINT)"
+    def shr(a: String, n: Int): String = s"(($a) // ${lit(BigInt(1) << n)})"
+    def shlmod(a: String, n: Int): String = mulmod64(a, BigInt(1) << n)
+    def mix(a: String, s: Int, k: Long): String = mulmod64(xor64(a, shr(a, s)), u(k))
+  }
+
+  /** The reference-tokenizer token stream as a DuckDB CTE body
+    * (doc_id, tok_idx, tok) — shared by the hash-kernel oracles.
+    */
+  private val TokStreamSql =
+    """SELECT doc_id, tok, tok_idx FROM (
+      |    SELECT doc_id, unnest(toklist) AS tok,
+      |           generate_subscripts(toklist, 1) AS tok_idx
+      |    FROM (SELECT doc_id,
+      |            list_filter(list_transform(string_split(text, ' '),
+      |              t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))), w -> w <> '') AS toklist
+      |          FROM documents))""".stripMargin
+
+  /** FNV-1a-64 over token chars + splitmix finalizer, as recursive
+    * SQL — yields CTEs `fnv` … `thash(doc_id, tok_idx, h)` matching
+    * graft.functions.Signatures.hashToken bit-for-bit.
+    */
+  private def tokenHashSql: String = {
+    import SqlU64._
+    s"""fnv(doc_id, tok_idx, tok, pos, h) AS (
+       |  SELECT doc_id, tok_idx, tok, 0, ${lit(u(0xcbf29ce484222325L))} FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, tok_idx, tok, pos + 1,
+       |    ${mulmod64(s"(${xor64("h", "unicode(substring(tok, pos + 1, 1))::HUGEINT")})", BigInt(0x100000001b3L))}
+       |  FROM fnv WHERE pos < length(tok)),
+       |fin0 AS (
+       |  SELECT doc_id, tok_idx, (h + ${lit(u(0x9e3779b97f4a7c15L))}) % $M64 AS z
+       |  FROM fnv WHERE pos = length(tok)),
+       |fin1 AS (SELECT doc_id, tok_idx, ${mix("z", 30, 0xbf58476d1ce4e5b9L)} AS z FROM fin0),
+       |fin2 AS (SELECT doc_id, tok_idx, ${mix("z", 27, 0x94d049bb133111ebL)} AS z FROM fin1),
+       |thash AS (SELECT doc_id, tok_idx, ${xor64("z", shr("z", 31))} AS h FROM fin2)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "mr_wordcount" ->
       """SELECT word, count(*) AS n FROM (
@@ -513,6 +567,36 @@ object SparkEntry {
     "q_map_ops" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n
         |FROM orders GROUP BY 1, 2""".stripMargin,
+    // full SimHash reproduction in SQL: FNV-1a + splitmix token hashes
+    // (recursive CTE over chars, unsigned-64 state in HUGEINT),
+    // TF-weighted bit votes, 4x16-bit pigeonhole banding, hamming
+    // verify — proven bit-identical to the JVM kernel
+    "dedup_simhash" -> {
+      import SqlU64._
+      s"""WITH RECURSIVE toks AS (
+         |  $TokStreamSql),
+         |$tokenHashSql,
+         |votes AS (
+         |  SELECT doc_id, b.bit,
+         |    sum(CASE WHEN (h // power(2::HUGEINT, b.bit)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM thash CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+         |  GROUP BY 1, 2),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN v > 0 THEN power(2::HUGEINT, bit)::HUGEINT ELSE 0::HUGEINT END) AS sh
+         |  FROM votes GROUP BY 1),
+         |banded AS (
+         |  SELECT doc_id, sh, b.band,
+         |    CAST((sh // power(2::HUGEINT, b.band * 16)::HUGEINT) % 65536 AS BIGINT) AS chunk
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS band) b),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    bit_count(xor(CAST(a.sh // $P32 AS BIGINT), CAST(b.sh // $P32 AS BIGINT)))
+         |      + bit_count(xor(CAST(a.sh % $P32 AS BIGINT), CAST(b.sh % $P32 AS BIGINT))) AS hamming
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM pairs WHERE hamming <= 3""".stripMargin
+    },
     // full SRP-LSH reproduction: inlined plane literals → per-table
     // buckets → hamming<=1 candidate join → exact-cosine ranking;
     // proven bit-identical to the Spark pipeline (even unrounded
