@@ -174,7 +174,70 @@ object SparkEntry {
        |thash AS (SELECT doc_id, tok_idx, ${xor64("z", shr("z", 31))} AS h FROM fin2)""".stripMargin
   }
 
+  /** Full MinHash+LSH reproduction in SQL: token hashes (shared
+    * recursive FNV/splitmix CTEs), 3-token shingle combine (staged
+    * CTE unroll of the mix chain), 64 xorshift remixes against the
+    * inlined seed literals, SIGNED-long minima (the JVM kernel
+    * compares signed), 16×4 banding joined on the raw 4-tuples
+    * (equivalent to the xxhash64 bucket join absent collisions), and
+    * the matching-positions/64 estimate.
+    */
+  private def minhashOracleSql: String = {
+    import SqlU64._
+    val seeds = functions.Signatures.seeds.zipWithIndex
+      .map { case (s, k) => s"($k, ${lit(u(s))})" }.mkString(", ")
+    val C1 = 0xbf58476d1ce4e5b9L
+    val magic = lit(u(0x9e3779b97f4a7c15L))
+    val xshl17 = xor64("x", shlmod("x", 17))
+    s"""WITH RECURSIVE toks AS (
+       |  $TokStreamSql),
+       |$tokenHashSql,
+       |wins AS (
+       |  SELECT a.doc_id, a.tok_idx AS i, a.h AS t0, b.h AS t1, c.h AS t2
+       |  FROM thash a
+       |  JOIN thash b ON a.doc_id = b.doc_id AND b.tok_idx = a.tok_idx + 1
+       |  JOIN thash c ON a.doc_id = c.doc_id AND c.tok_idx = a.tok_idx + 2),
+       |s0x AS (SELECT doc_id, i, t1, t2, ${xor64(magic, "t0")} AS zx FROM wins),
+       |s0m AS (SELECT doc_id, i, t1, t2, ${mix("zx", 30, C1)} AS zm FROM s0x),
+       |s0 AS  (SELECT doc_id, i, t1, t2, ${xor64("zm", shr("zm", 27))} AS h FROM s0m),
+       |s1x AS (SELECT doc_id, i, t2, ${xor64("h", "t1")} AS zx FROM s0),
+       |s1m AS (SELECT doc_id, i, t2, ${mix("zx", 30, C1)} AS zm FROM s1x),
+       |s1 AS  (SELECT doc_id, i, t2, ${xor64("zm", shr("zm", 27))} AS h FROM s1m),
+       |s2x AS (SELECT doc_id, i, ${xor64("h", "t2")} AS zx FROM s1),
+       |s2m AS (SELECT doc_id, i, ${mix("zx", 30, C1)} AS zm FROM s2x),
+       |s2 AS  (SELECT doc_id, i, ${xor64("zm", shr("zm", 27))} AS h FROM s2m),
+       |sh AS (SELECT DISTINCT doc_id, h FROM s2),
+       |seeds(k, s) AS (VALUES $seeds),
+       |r0 AS (SELECT doc_id, k, ${xor64("h", "s")} AS x FROM sh CROSS JOIN seeds),
+       |r1 AS (SELECT doc_id, k, ${xor64("x", shlmod("x", 13))} AS x FROM r0),
+       |r2 AS (SELECT doc_id, k, ${xor64("x", shr("x", 7))} AS x FROM r1),
+       |r3 AS (SELECT doc_id, k,
+       |  CAST(CASE WHEN $xshl17 >= ${lit(BigInt(1) << 63)}
+       |       THEN $xshl17 - $M64 ELSE $xshl17 END AS BIGINT) AS x
+       |  FROM r2),
+       |sig AS (SELECT doc_id, k, min(x) AS v FROM r3 GROUP BY 1, 2),
+       |bandvals AS (
+       |  SELECT doc_id, k // 4 AS band,
+       |    max(CASE WHEN k % 4 = 0 THEN v END) AS v0,
+       |    max(CASE WHEN k % 4 = 1 THEN v END) AS v1,
+       |    max(CASE WHEN k % 4 = 2 THEN v END) AS v2,
+       |    max(CASE WHEN k % 4 = 3 THEN v END) AS v3
+       |  FROM sig GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bandvals a JOIN bandvals b
+       |    ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.v3 = b.v3
+       |   AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT id_a, id_b,
+       |    CAST(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE) / 64.0 AS est_jaccard
+       |  FROM cand JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id AND sa.k = sb.k
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> minhashOracleSql,
     "mr_wordcount" ->
       """SELECT word, count(*) AS n FROM (
         |  SELECT lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS word
