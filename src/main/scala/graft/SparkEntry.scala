@@ -236,8 +236,40 @@ object SparkEntry {
        |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
   }
 
+  /** multimodal_stats oracle: the fake codec's LCG byte stream
+    * (x' = x*A + C mod 2^64, byte = x' >> 56) and the FNV-style
+    * checksum replayed in a recursive CTE — 256 steps per media row.
+    * "new x" is recomputed inside the checksum update because a
+    * recursive CTE step cannot reference its own output columns.
+    */
+  private def multimodalStatsOracleSql: String = {
+    import SqlU64._
+    val A = u(6364136223846793005L)
+    val C = u(1442695040888963407L)
+    def newX(x: String) = s"(${mulmod64(x, A)} + ${lit(C)}) % $M64"
+    val byteOfNewX = s"(${newX("x")}) // ${lit(BigInt(1) << 56)}"
+    s"""WITH RECURSIVE media AS (
+       |  SELECT doc_id AS media_id FROM documents),
+       |gen(media_id, i, x, ck) AS (
+       |  SELECT media_id, 0, ${newX("media_id::HUGEINT")}, ${lit(BigInt(1469598103934665603L))}
+       |  FROM media
+       |  UNION ALL
+       |  SELECT media_id, i + 1, ${newX("x")},
+       |    ${mulmod64(s"(${xor64("ck", byteOfNewX)})", BigInt(1099511628211L))}
+       |  FROM gen WHERE i < 256),
+       |final AS (
+       |  SELECT media_id,
+       |    CAST(CASE WHEN ck >= ${lit(BigInt(1) << 63)} THEN ck - $M64 ELSE ck END AS BIGINT) AS checksum
+       |  FROM gen WHERE i = 256)
+       |SELECT 'fake/rgb8' AS format, count(*) AS n,
+       |  CAST(count(*) * 256 AS BIGINT) AS total_bytes,
+       |  min(checksum) AS min_checksum
+       |FROM final""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashOracleSql,
+    "multimodal_stats" -> multimodalStatsOracleSql,
     "mr_wordcount" ->
       """SELECT word, count(*) AS n FROM (
         |  SELECT lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS word
