@@ -267,9 +267,51 @@ object SparkEntry {
        |FROM final""".stripMargin
   }
 
+  /** multimodal_topk oracle: histogram embeddings rebuilt from the
+    * replayed LCG byte stream (16-bucket spine keeps the zero counts
+    * the array form carries), normalized and cosine-ranked like the
+    * ann oracles.
+    */
+  private def multimodalTopKOracleSql: String = {
+    import SqlU64._
+    val A = u(6364136223846793005L)
+    val C = u(1442695040888963407L)
+    def newX(x: String) = s"(${mulmod64(x, A)} + ${lit(C)}) % $M64"
+    s"""WITH RECURSIVE media AS (SELECT doc_id AS media_id FROM documents),
+       |gen(media_id, i, x) AS (
+       |  SELECT media_id, 0, ${newX("media_id::HUGEINT")} FROM media
+       |  UNION ALL
+       |  SELECT media_id, i + 1, ${newX("x")} FROM gen WHERE i < 256),
+       |bytes AS (
+       |  SELECT media_id, CAST(x // ${lit(BigInt(1) << 56)} AS BIGINT) AS b FROM gen WHERE i >= 1),
+       |hist AS (
+       |  SELECT media_id, b // 16 AS bucket, count(*) AS c FROM bytes GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT media_id, s.bucket FROM media CROSS JOIN (SELECT unnest(range(16)) AS bucket) s),
+       |vecs AS (
+       |  SELECT spine.media_id, list(CAST(coalesce(c, 0) AS DOUBLE) ORDER BY spine.bucket) AS raw
+       |  FROM spine LEFT JOIN hist ON spine.media_id = hist.media_id AND spine.bucket = hist.bucket
+       |  GROUP BY 1),
+       |e AS (
+       |  SELECT media_id,
+       |    list_transform(raw, x -> x / sqrt(list_sum(list_transform(raw, y -> y*y)))) AS v
+       |  FROM vecs),
+       |q AS (SELECT media_id AS q_id, v AS qv FROM e WHERE media_id < 5),
+       |scored AS (
+       |  SELECT q_id, e.media_id, list_dot_product(e.v, qv) AS cos
+       |  FROM e CROSS JOIN q WHERE e.media_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, media_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, media_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, media_id AS neighbor_id, round(cos, 6) AS cosine
+       |FROM ranked WHERE rk <= 3""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashOracleSql,
     "multimodal_stats" -> multimodalStatsOracleSql,
+    "multimodal_topk" -> multimodalTopKOracleSql,
     "mr_wordcount" ->
       """SELECT word, count(*) AS n FROM (
         |  SELECT lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS word
