@@ -308,10 +308,94 @@ object SparkEntry {
        |FROM ranked WHERE rk <= 3""".stripMargin
   }
 
+  /** ann_ivf oracle: the ENTIRE quantizer replayed in SQL — XXH64 of
+    * the vec_id (Spark's xxhash64 seed-selection, 8-byte block with
+    * seed 42), two unrolled DECIMAL-exact Lloyd rounds (argmax-dot
+    * assignment with first-index tie-break, per-dim integer-quantized
+    * sums, spherical renormalize, lost-cluster fallback), nProbe=4
+    * probes and cosine ranking.
+    */
+  private def ivfOracleSql: String = {
+    import SqlU64._
+    def rotl(a: String, r: Int): String = s"(${shlmod(a, r)} + ${shr(a, 64 - r)})"
+    val P1 = BigInt("9E3779B185EBCA87", 16)
+    val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
+    val P3 = BigInt("165667B19E3779F9", 16)
+    val P4 = BigInt("85EBCA77C2B2AE63", 16)
+    val P5 = BigInt("27D4EB2F165667C5", 16)
+    val acc0 = (BigInt(42) + P5 + 8) & ((BigInt(1) << 64) - 1)
+    def lloyd(cin: String, cout: String): String =
+      s"""a_$cout AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN $cin c) WHERE rn = 1),
+         |sums_$cout AS (
+         |  SELECT a.cid, ex.d, CAST(sum(CAST(round(ex.val * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS m
+         |  FROM a_$cout a JOIN ex ON a.vec_id = ex.vec_id
+         |  GROUP BY 1, 2),
+         |ml_$cout AS (
+         |  SELECT cid, list(m ORDER BY d) AS ml FROM sums_$cout GROUP BY 1),
+         |$cout AS (
+         |  SELECT p.cid,
+         |    CASE WHEN ml.cid IS NULL THEN p.cv
+         |         ELSE list_transform(ml.ml, x -> x / greatest(
+         |           sqrt(list_sum(list_transform(ml.ml, y -> y*y))), 1e-12))
+         |    END AS cv
+         |  FROM $cin p LEFT JOIN ml_$cout ml ON p.cid = ml.cid)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS v
+       |  FROM embeddings),
+       |ex AS (
+       |  SELECT vec_id, generate_subscripts(v, 1) AS d, unnest(v) AS val FROM e),
+       |x1 AS (SELECT vec_id, v, ${mulmod64("vec_id::HUGEINT", P2)} AS k FROM e),
+       |x2 AS (SELECT vec_id, v, ${rotl("k", 31)} AS k FROM x1),
+       |x3 AS (SELECT vec_id, v, ${xor64(lit(acc0), mulmod64("k", P1))} AS acc FROM x2),
+       |x4 AS (SELECT vec_id, v, (${mulmod64(rotl("acc", 27), P1)} + ${lit(P4)}) % $M64 AS acc FROM x3),
+       |x5 AS (SELECT vec_id, v, ${xor64("acc", shr("acc", 33))} AS acc FROM x4),
+       |x6 AS (SELECT vec_id, v, ${mulmod64("acc", P2)} AS acc FROM x5),
+       |x7 AS (SELECT vec_id, v, ${xor64("acc", shr("acc", 29))} AS acc FROM x6),
+       |x8 AS (SELECT vec_id, v, ${mulmod64("acc", P3)} AS acc FROM x7),
+       |xx AS (SELECT vec_id, v,
+       |  CAST(CASE WHEN ${xor64("acc", shr("acc", 32))} >= ${lit(BigInt(1) << 63)}
+       |       THEN ${xor64("acc", shr("acc", 32))} - $M64
+       |       ELSE ${xor64("acc", shr("acc", 32))} END AS BIGINT) AS h FROM x8),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v AS cv
+       |  FROM xx ORDER BY h, vec_id LIMIT 16),
+       |${lloyd("c0", "c1")},
+       |${lloyd("c1", "c2")},
+       |af AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN c2 c) WHERE rn = 1),
+       |qprobes AS (
+       |  SELECT q_id, qv, cid AS q_cid FROM (
+       |    SELECT a.vec_id AS q_id, a.v AS qv, c.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |                         ORDER BY list_dot_product(a.v, c.cv) DESC, c.cid) AS rn
+       |    FROM af a CROSS JOIN c2 c WHERE a.vec_id < 10) WHERE rn <= 4),
+       |scored AS (
+       |  SELECT q.q_id, a.vec_id, list_dot_product(a.v, q.qv) AS cos
+       |  FROM af a JOIN qprobes q ON a.cid = q.q_cid AND a.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, vec_id AS neighbor_id, round(cos, 6) AS cosine
+       |FROM ranked WHERE rk <= 5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashOracleSql,
     "multimodal_stats" -> multimodalStatsOracleSql,
     "multimodal_topk" -> multimodalTopKOracleSql,
+    "ann_ivf" -> ivfOracleSql,
     "mr_wordcount" ->
       """SELECT word, count(*) AS n FROM (
         |  SELECT lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS word

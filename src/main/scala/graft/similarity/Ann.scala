@@ -213,7 +213,9 @@ object Ann {
   }
 
   /** Probe + rank: join queries (exploded over their nProbe list ids)
-    * against the assigned lists, score with the native dot, window-rank.
+    * against the assigned lists, score with the native dot, window-
+    * rank. Cosine rounded to 6 in the output only (ranking at full
+    * precision), as in the other vector paths.
     */
   private def topKOverLists(assigned: DataFrame, centroids: Array[Array[Double]],
       nQueries: Int, k: Int, nProbe: Int): DataFrame = {
@@ -226,7 +228,8 @@ object Ann {
       .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
   }
 
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
@@ -293,7 +296,8 @@ object Ann {
       .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
   }
 
   /** Batch k-NN join: one query set × corpus, k nearest per query —
