@@ -396,6 +396,15 @@ object SparkEntry {
     "multimodal_stats" -> multimodalStatsOracleSql,
     "multimodal_topk" -> multimodalTopKOracleSql,
     "ann_ivf" -> ivfOracleSql,
+    // contract oracle: the raw HLL estimate is Spark-internal, but its
+    // accuracy contract (within 5% of exact) is engine-independent —
+    // the gate fails if the sketch ever degrades
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS exact_parts,
+        | count(*) AS n,
+        | TRUE AS sketch_within_5pct
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "mr_wordcount" ->
       """SELECT word, count(*) AS n FROM (
         |  SELECT lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS word

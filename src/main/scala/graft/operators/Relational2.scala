@@ -83,8 +83,11 @@ object Relational2 {
       .agg(cnt.as("n"), sumMoney(col("o_totalprice")).as("total"))
 
   /** Sketch aggregation: HyperLogLog++ distinct counts next to exact
-    * ones (rows-only check — sketch estimates are engine-specific; the
-    * spec bounds the error instead).
+    * ones. The raw estimate is engine-specific (no cross-engine value
+    * to compare), so the output carries the sketch's ACCURACY CONTRACT
+    * — |approx−exact|/exact < 5% — as a checked boolean: the oracle
+    * asserts the contract holds per group, which gate-fails if the
+    * sketch ever degrades, while the spec still bounds the raw error.
     */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -93,6 +96,9 @@ object Relational2 {
         approx_count_distinct(col("l_partkey")).cast("long").as("approx_parts"),
         countDistinct(col("l_partkey")).cast("long").as("exact_parts"),
         cnt.as("n"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts").cast("double") < 0.05).as("sketch_within_5pct"))
 
   /** Statistical aggregates — variance/stddev/correlation computed
     * from exact DECIMAL power sums, then combined in double arithmetic

@@ -123,11 +123,18 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("approx_count_distinct within 5% of exact") {
-    operators.Relational2.qApproxDistinct(spark, sf).collect().foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.05, s"$approx vs $exact")
-    }
+    // raw sketch error bound (the operator's output carries the
+    // contract boolean; here the raw values are checked directly)
+    core.Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).cast("long").as("approx"),
+        countDistinct(col("l_partkey")).cast("long").as("exact"))
+      .collect().foreach { r =>
+        val (approx, exact) = (r.getAs[Long]("approx").toDouble, r.getAs[Long]("exact").toDouble)
+        assert(math.abs(approx - exact) / exact < 0.05, s"$approx vs $exact")
+      }
+    assert(operators.Relational2.qApproxDistinct(spark, sf)
+      .filter(!col("sketch_within_5pct")).count() === 0)
   }
 
   test("sessionize: session and event counts are consistent") {
