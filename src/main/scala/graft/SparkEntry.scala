@@ -73,6 +73,8 @@ object SparkEntry {
     "q_json_typed" -> (operators.ComplexTypes.qJsonTyped _),
     "q_array_funcs" -> (operators.ComplexTypes.qArrayFuncs _),
     "q_map_ops" -> (operators.ComplexTypes.qMapOps _),
+    "q_resample" -> (operators.ComplexTypes.qResample _),
+    "q_funnel" -> (operators.ComplexTypes.qFunnel _),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -797,6 +799,33 @@ object SparkEntry {
     "q_map_ops" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n
         |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_resample" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT min(d) FROM daily), (SELECT max(d) FROM daily), INTERVAL 1 DAY))::DATE AS d),
+        |j AS (SELECT spine.d, daily.total FROM spine LEFT JOIN daily ON spine.d = daily.d)
+        |SELECT d, total IS NOT NULL AS observed,
+        |  last_value(total IGNORE NULLS) OVER (
+        |    ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_ffill
+        |FROM j""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type='view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN v ON e.user_id=v.user_id
+        |  WHERE e.event_type='click' AND e.ts > v.t_view
+        |    AND e.ts <= v.t_view + INTERVAL 1 DAY GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN c ON e.user_id=c.user_id
+        |  WHERE e.event_type='purchase' AND e.ts > c.t_click
+        |    AND e.ts <= c.t_click + INTERVAL 1 DAY GROUP BY 1)
+        |SELECT count(*) AS n_view, count(c.t_click) AS n_view_click,
+        |  count(p.t_purchase) AS n_view_click_purchase
+        |FROM v LEFT JOIN c ON v.user_id=c.user_id LEFT JOIN p ON v.user_id=p.user_id""".stripMargin,
     // full SimHash reproduction in SQL: FNV-1a + splitmix token hashes
     // (recursive CTE over chars, unsigned-64 state in HUGEINT),
     // TF-weighted bit votes, 4x16-bit pigeonhole banding, hamming

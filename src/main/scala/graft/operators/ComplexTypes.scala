@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Complex-type battery (SURVEY.md §2.2 continued): native JSON
@@ -34,6 +35,56 @@ object ComplexTypes {
       array_contains(words, "green").as("has_green"),
       concat_ws(",", slice(words, 1, 2)).as("first_two"),
       size(array_distinct(words)).cast("long").as("n_distinct_words"))
+  }
+
+  /** Time-series resample with forward-fill: the daily order-total
+    * series re-gridded onto a complete date spine (sequence() explode
+    * — no driver-side date loop), missing days carrying the last
+    * observed value forward via last_value IGNORE NULLS. The spine is
+    * derived from the data's own min/max (one tiny aggregate,
+    * broadcast by construction); the fill is one window pass.
+    */
+  def qResample(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sumMoney(col("o_totalprice")).as("total"))
+    val spine = daily.agg(min("d").as("lo"), max("d").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("d"), "left")
+      .select(col("d"), col("total").isNotNull.as("observed"),
+        last("total", ignoreNulls = true).over(w).as("total_ffill"))
+  }
+
+  /** Funnel analysis: per-user ordered-sequence conversion through
+    * view → click → purchase, each stage within 1 day of the previous
+    * stage's earliest qualifying event. Stage times come from
+    * per-stage aggregations chained by equi-joins on user_id (each a
+    * single shuffle of the already-filtered stage events), then one
+    * tiny stage rollup — the standard product-analytics funnel
+    * without windowed self-joins.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val evs = t(spark, dir, "events")
+    val views = evs.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val clicks = evs.filter(col("event_type") === "click")
+      .join(views, "user_id")
+      .filter(col("ts") > col("t_view") &&
+        col("ts") <= col("t_view") + expr("INTERVAL 1 DAY"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val purchases = evs.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id")
+      .filter(col("ts") > col("t_click") &&
+        col("ts") <= col("t_click") + expr("INTERVAL 1 DAY"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    views
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .agg(
+        cnt.as("n_view"),
+        count(col("t_click")).as("n_view_click"),
+        count(col("t_purchase")).as("n_view_click_purchase"))
   }
 
   /** Map construction + explosion round-trip: per-priority status
