@@ -210,6 +210,9 @@ object Dedup {
     * Fixpoint = every edge is (node, component-min).
     */
   def dupClustersStars(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // every endpoint must appear in the output even if its only edges
+    // are self-pairs (which carry no connectivity and are dropped)
+    val nodes = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     var edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
@@ -227,13 +230,14 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-      // small-star on (center=larger, leaf=smaller) orientation
+      // small-star on (center=larger, leaf=smaller) orientation; join
+      // once, project both (leaf, m) and (center, m) from the result
+      // so the large-star subtree is not embedded twice in the plan
       val mins2 = large.groupBy("u").agg(min("v").as("mn"))
         .select(col("u").as("cu"), col("mn").as("m")) // leaves < center ⇒ min leaf = min(closure)
-      val small = large.join(mins2, col("u") === col("cu"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionAll(large.select(col("u"), col("v")).join(mins2, col("u") === col("cu"))
-          .select(col("u"), col("m").as("v")))
+      val joined = large.join(mins2, col("u") === col("cu"))
+      val small = joined.select(col("v").as("u"), col("m").as("v"))
+        .unionAll(joined.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
         .distinct()
@@ -248,11 +252,14 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"dupClustersStars did not converge in $maxIter rounds")
-    // fixpoint edges are (node, root); roots label themselves
-    edges.select(col("u").as("id"), col("v").as("cluster"))
+    // fixpoint edges are (node, root); roots label themselves, and
+    // nodes with no surviving edge (self-pairs only) are singletons
+    val starLabels = edges.select(col("u").as("id"), col("v").as("cluster"))
       .unionAll(edges.select(col("v")).distinct()
         .select(col("v").as("id"), col("v").as("cluster")))
       .distinct()
+    nodes.join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** Oracle-checked clustering entry: connected components over the

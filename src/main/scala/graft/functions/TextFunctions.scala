@@ -31,6 +31,16 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeishPattern), lit(0))).cast("long")
 
+  /** Quality-gate columns shared by the batch (Pipeline.corpusBuild)
+    * and streaming (Streams.corpusIngest) corpus builds — one source
+    * of truth so the twins cannot drift.
+    */
+  def nTokens(text: Column): Column = size(wsTokens(lower(text))).cast("long")
+
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      nullif(length(text).cast("double"), lit(0.0))
+
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "for", "on", "with")
 

@@ -21,12 +21,10 @@ object Pipeline {
   val MinAlphaRatio = 0.815
 
   def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
-    val toks = wsTokens(lower(col("text")))
     val stats = t(spark, dir, "documents").select(
       col("doc_id"), col("lang"), col("text"),
-      size(toks).cast("long").as("n_tokens"),
-      (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
-        nullif(length(col("text")).cast("double"), lit(0.0))).as("alpha_ratio"))
+      nTokens(col("text")).as("n_tokens"),
+      alphaRatio(col("text")).as("alpha_ratio"))
     val kept = stats.filter(
       col("n_tokens") >= MinTokens && col("n_tokens") <= MaxTokens &&
         col("alpha_ratio") > MinAlphaRatio)

@@ -281,12 +281,15 @@ object Ann {
       .orderBy("cid").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("v")).toArray)
     val lists = spark.read.parquet(s"$indexPath/lists")
-    // no .cache() on queries: it is nQueries×nProbe rows off a
-    // stats-pruned scan, and a returned-lazy DataFrame cannot
-    // unpersist it (same session-leak class ivfTopK avoids)
+    // localCheckpoint (eager) materializes the tiny query-probe set
+    // ONCE: both the driver-side cid collect and the final join's
+    // broadcast side read the checkpoint, so the un-pruned vec_id scan
+    // and the probe UDF never run twice (and no session-lifetime cache
+    // is left behind — the blocks die with the returned plan's RDD)
     val queries = lists.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         explode(probesUdf(centroids, nProbe)(col("v"))).as("q_cid"))
+      .localCheckpoint()
     // the probed lists, as a driver-side set (≤ nQueries×nProbe ids) —
     // applied as a scan filter so partition pruning fires
     val probedCids = queries.select("q_cid").distinct().collect().map(_.getInt(0)).toSeq

@@ -27,10 +27,13 @@ class SyntheticDocsSource extends TableProvider {
     SyntheticDocsSource.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new SyntheticDocsTable(
-      properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "4").toInt)
+      properties: util.Map[String, String]): Table = {
+    // DSv2 options are conventionally case-insensitive
+    val opts = new CaseInsensitiveStringMap(properties)
+    val partitions = opts.getOrDefault("partitions", "4").toInt
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    new SyntheticDocsTable(opts.getOrDefault("rows", "1000").toLong, partitions)
+  }
 }
 
 object SyntheticDocsSource {
@@ -89,9 +92,11 @@ class SyntheticDocsScanBuilder(rows: Long, partitions: Int)
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] = {
-      val per = math.max(1L, (rows + partitions - 1) / partitions)
-      (0L until rows by per).map(start =>
-        DocsRange(start, math.min(start + per, rows)): InputPartition).toArray
+      // balanced split that always yields exactly `partitions` ranges
+      // (possibly empty when rows < partitions)
+      (0 until partitions).map { p =>
+        DocsRange(rows * p / partitions, rows * (p + 1) / partitions): InputPartition
+      }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new DocsReaderFactory(required)

@@ -64,14 +64,16 @@ object Streams {
       minAlpha: Double = 0.5): DataFrame =
     docs
       .withWatermark("ts", "1 hour")
-      .withColumn("n_tokens",
-        size(graft.functions.TextFunctions.wsTokens(col("text"))).cast("long"))
-      .withColumn("alpha_ratio",
-        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
-          nullif(length(col("text")).cast("double"), lit(0.0)))
+      // gates come from the shared helpers so the streaming twin
+      // cannot drift from Pipeline.corpusBuild
+      .withColumn("n_tokens", graft.functions.TextFunctions.nTokens(col("text")))
+      .withColumn("alpha_ratio", graft.functions.TextFunctions.alphaRatio(col("text")))
       .filter(col("n_tokens") >= minTokens && col("alpha_ratio") > minAlpha)
+      // same (hash, length) dedup key the batch dedups use — hash
+      // alone widens the collision surface the 16-byte key narrows
       .withColumn("h", xxhash64(col("text")))
-      .dropDuplicatesWithinWatermark("h")
+      .withColumn("len", length(col("text")))
+      .dropDuplicatesWithinWatermark("h", "len")
       .select("doc_id", "ts", "lang", "text", "n_tokens")
 
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long)

@@ -100,6 +100,14 @@ class OperatorSpec extends SparkSpec {
     assert(stars === prop)
   }
 
+  test("alternating-star CC keeps self-pair-only nodes as singletons") {
+    import TestSpark.spark.implicits._
+    val pairs = Seq((7L, 7L), (1L, 2L)).toDF("id_a", "id_b")
+    val got = dedup.Dedup.dupClustersStars(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((7L, 7L), (1L, 1L), (2L, 1L)))
+  }
+
   test("alternating-star CC handles a diameter-40 chain in O(log^2 n) rounds") {
     import TestSpark.spark.implicits._
     // a 41-node chain: diameter 40 — min-label propagation would need
