@@ -75,6 +75,9 @@ object SparkEntry {
     "q_map_ops" -> (operators.ComplexTypes.qMapOps _),
     "q_resample" -> (operators.ComplexTypes.qResample _),
     "q_funnel" -> (operators.ComplexTypes.qFunnel _),
+    "q7_volume" -> ((s: SparkSession, d: String) => operators.TpchExtra.q7Volume(s, d)),
+    "q10_returns" -> (operators.TpchExtra.q10Returns _),
+    "q18_big_orders" -> ((s: SparkSession, d: String) => operators.TpchExtra.q18BigOrders(s, d)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -799,6 +802,41 @@ object SparkEntry {
     "q_map_ops" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n
         |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey=o_orderkey
+        |JOIN supplier ON l_suppkey=s_suppkey
+        |JOIN customer ON o_custkey=c_custkey
+        |JOIN nation n1 ON s_nationkey=n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey=n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name='NATION_1' AND n2.n_name='NATION_2')
+        |    OR (n1.n_name='NATION_2' AND n2.n_name='NATION_1'))
+        |GROUP BY 1,2,3""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey=o_orderkey
+        |JOIN customer ON o_custkey=c_custkey
+        |JOIN nation ON c_nationkey=n_nationkey
+        |WHERE l_returnflag='R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY 1,2,3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250.0)
+        |SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        | o_totalprice, total_qty
+        |FROM big JOIN orders ON l_orderkey=o_orderkey
+        |JOIN customer ON o_custkey=c_custkey""".stripMargin,
     "q_resample" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Additional classic TPC-H query shapes over the available star
+  * schema (no partsupp table ships with the test data, so q2/q9/q11
+  * shapes are out of scope): cross-nation volume shipping, returned-
+  * item revenue ranking, and large-quantity order filtering. Plans:
+  * dims broadcast, one fact shuffle per aggregation, TopK as
+  * TakeOrderedAndProject.
+  */
+object TpchExtra {
+
+  /** TPC-H Q7 shape (volume shipping): revenue flowing between a
+    * nation pair in either direction, by ship year. Supplier and
+    * customer sides resolve their nations through broadcast dims; the
+    * only big shuffle is the fact join on orderkey.
+    */
+  def q7Volume(spark: SparkSession, dir: String,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val n1 = t(spark, dir, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = t(spark, dir, "nation").select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "customer").select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(
+        (col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+          (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  /** TPC-H Q10 shape (returned items): top 20 customers by revenue
+    * lost to returns in a quarter; the final top-k is a
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-07-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+
+  /** TPC-H Q18 shape (large-quantity orders): orders whose line
+    * quantities sum past a threshold, with their customers. The
+    * qualifying-orderkey set comes from one fact aggregation (partial
+    * map-side combine), then rejoins the facts.
+    */
+  def q18BigOrders(spark: SparkSession, dir: String, minQty: Double = 250.0): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sumMoney(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    big.join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+  }
+}
