@@ -75,7 +75,7 @@ object SparkEntry {
     "q_map_ops" -> (operators.ComplexTypes.qMapOps _),
     "q_resample" -> (operators.ComplexTypes.qResample _),
     "q_funnel" -> (operators.ComplexTypes.qFunnel _),
-    "q7_volume" -> ((s: SparkSession, d: String) => operators.TpchExtra.q7Volume(s, d)),
+    "q7_volume" -> (operators.TpchExtra.q7Volume _),
     "q10_returns" -> (operators.TpchExtra.q10Returns _),
     "q18_big_orders" -> ((s: SparkSession, d: String) => operators.TpchExtra.q18BigOrders(s, d)),
     // §2.3 dedup
@@ -813,8 +813,7 @@ object SparkEntry {
         |JOIN nation n1 ON s_nationkey=n1.n_nationkey
         |JOIN nation n2 ON c_nationkey=n2.n_nationkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-        |  AND ((n1.n_name='NATION_1' AND n2.n_name='NATION_2')
-        |    OR (n1.n_name='NATION_2' AND n2.n_name='NATION_1'))
+        |  AND n1.n_name <> n2.n_name
         |GROUP BY 1,2,3""".stripMargin,
     "q10_returns" ->
       """SELECT c_custkey, c_name, n_name,

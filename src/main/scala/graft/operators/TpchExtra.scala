@@ -12,13 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object TpchExtra {
 
-  /** TPC-H Q7 shape (volume shipping): revenue flowing between a
-    * nation pair in either direction, by ship year. Supplier and
-    * customer sides resolve their nations through broadcast dims; the
-    * only big shuffle is the fact join on orderkey.
+  /** TPC-H Q7 shape (volume shipping): revenue flowing between every
+    * DISTINCT nation pair, by ship year (the classic query pins one
+    * pair; the all-pairs form is scale-factor-independent and the
+    * same plan shape). Supplier and customer sides resolve their
+    * nations through broadcast dims; the only big shuffle is the fact
+    * join on orderkey.
     */
-  def q7Volume(spark: SparkSession, dir: String,
-      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
     val n1 = t(spark, dir, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
     val n2 = t(spark, dir, "nation").select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
     t(spark, dir, "lineitem")
@@ -29,9 +30,7 @@ object TpchExtra {
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
-      .filter(
-        (col("supp_nation") === nationA && col("cust_nation") === nationB) ||
-          (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
       .agg(sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
