@@ -42,7 +42,10 @@ object ComplexTypes {
     * — no driver-side date loop), missing days carrying the last
     * observed value forward via last_value IGNORE NULLS. The spine is
     * derived from the data's own min/max (one tiny aggregate,
-    * broadcast by construction); the fill is one window pass.
+    * broadcast by construction); the fill is one window pass over the
+    * DAILY series — a single partition by design, like qMovingAvg:
+    * at 100 TB the heavy groupBy upstream is what distributes, and
+    * the daily aggregate it emits is tiny.
     */
   def qResample(spark: SparkSession, dir: String): DataFrame = {
     val daily = t(spark, dir, "orders")

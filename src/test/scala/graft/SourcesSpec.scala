@@ -88,6 +88,17 @@ class SourcesSpec extends SparkSpec {
     assert(df.select("lang").distinct().count() === 4)
   }
 
+  test("DSv2 synthetic source: rows < partitions still yields the requested split") {
+    val df = spark.read.format("graft.sources.SyntheticDocsSource")
+      .option("rows", "3").option("partitions", "8").load()
+    assert(df.rdd.getNumPartitions === 8)
+    assert(df.count() === 3)
+    // case-insensitive options
+    val df2 = spark.read.format("graft.sources.SyntheticDocsSource")
+      .option("ROWS", "7").load()
+    assert(df2.count() === 7)
+  }
+
   test("DSv2 synthetic source: column pruning reaches the reader") {
     val df = spark.read.format("graft.sources.SyntheticDocsSource")
       .option("rows", "100").load().select("doc_id")
