@@ -52,6 +52,7 @@ object SparkEntry {
     "q_cube" -> (operators.Relational2.qCube _),
     "q_sample" -> (operators.Relational2.qSample _),
     "q_approx_distinct" -> (operators.Relational2.qApproxDistinct _),
+    "q_approx_percentile" -> (operators.Relational2.qApproxPercentile _),
     "q_salted_join" -> (operators.SkewJoin.qSaltedJoin _),
     "q_topk_native" -> (operators.Relational2.qTopkNative _),
     "q_having" -> (operators.Relational2.qHaving _),
@@ -409,6 +410,14 @@ object SparkEntry {
         | count(DISTINCT l_partkey) AS exact_parts,
         | count(*) AS n,
         | TRUE AS sketch_within_5pct
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // contract oracle: the KLL sketch value is Spark-internal, but its
+    // rank-error contract (value between the exact quantiles at q∓0.01
+    // for default accuracy 10000) is engine-independent
+    "q_approx_percentile" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | TRUE AS p50_in_rank_eps,
+        | TRUE AS p90_in_rank_eps
         |FROM lineitem GROUP BY 1""".stripMargin,
     "mr_wordcount" ->
       """SELECT word, count(*) AS n FROM (

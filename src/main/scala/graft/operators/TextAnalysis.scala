@@ -51,10 +51,13 @@ object TextAnalysis {
         langId(wsTokens(lower(col("text")))).as("predicted_lang"))
 
   /** TF-IDF: term frequency per doc × inverse document frequency.
-    * df and the doc count are broadcast (tiny relative to the token
-    * stream); the heavy tf aggregation shuffles once on (doc, term).
-    * Score is rounded to 6 decimals — ln() may differ in the last ulp
-    * across math libraries.
+    * The per-term document-frequency table has one row per DISTINCT
+    * term — it grows with the corpus (heavy-tailed vocabulary), so it
+    * is NEVER broadcast: tf⋈dfreq is a shuffle join on term, and the
+    * dfreq side arrives already hash-partitioned by term from its own
+    * groupBy, so only the tf side exchanges. The one-row doc count is
+    * the only broadcast. Score is rounded to 6 decimals — ln() may
+    * differ in the last ulp across math libraries.
     */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
@@ -64,7 +67,7 @@ object TextAnalysis {
     val tf = toks.groupBy("doc_id", "term").agg(cnt.as("tf"))
     val dfreq = tf.groupBy("term").agg(cnt.as("df"))
     val nDocs = docs.agg(cnt.as("n_docs"))
-    tf.join(broadcast(dfreq), "term")
+    tf.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("score"))

@@ -6,18 +6,25 @@ import org.apache.spark.sql.functions._
 /** Additional classic TPC-H query shapes over the available star
   * schema (no partsupp table ships with the test data, so q2/q9/q11
   * shapes are out of scope): cross-nation volume shipping, returned-
-  * item revenue ranking, and large-quantity order filtering. Plans:
-  * dims broadcast, one fact shuffle per aggregation, TopK as
-  * TakeOrderedAndProject.
+  * item revenue ranking, and large-quantity order filtering.
+  *
+  * Join-strategy policy: only FIXED-cardinality dims (nation = 25,
+  * region = 5 rows at ANY scale factor) carry an explicit
+  * `broadcast()` hint. customer/supplier/part grow linearly with SF —
+  * a forced hint on them bypasses AQE's size check and OOMs the build
+  * side at large SF, so their joins are left to AQE, which still
+  * picks BroadcastHashJoin at small SF (spec-pinned in PlanAuditSpec)
+  * and falls back to shuffle joins when the table outgrows the
+  * threshold.
   */
 object TpchExtra {
 
   /** TPC-H Q7 shape (volume shipping): revenue flowing between every
     * DISTINCT nation pair, by ship year (the classic query pins one
     * pair; the all-pairs form is scale-factor-independent and the
-    * same plan shape). Supplier and customer sides resolve their
-    * nations through broadcast dims; the only big shuffle is the fact
-    * join on orderkey.
+    * same plan shape). The nation dims broadcast (25 rows at any SF);
+    * supplier/customer join strategy is AQE's call — they scale with
+    * the data.
     */
   def q7Volume(spark: SparkSession, dir: String): DataFrame = {
     val n1 = t(spark, dir, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
@@ -25,8 +32,8 @@ object TpchExtra {
     t(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(t(spark, dir, "customer").select("c_custkey", "c_nationkey")),
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "customer").select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
@@ -46,7 +53,7 @@ object TpchExtra {
       .join(t(spark, dir, "orders")
           .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-07-01")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
       .agg(sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
@@ -64,7 +71,7 @@ object TpchExtra {
       .agg(sumMoney(col("l_quantity")).as("total_qty"))
       .filter(col("total_qty") > minQty)
     big.join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate").cast("date").as("o_orderdate"),
         col("o_totalprice"), col("total_qty"))

@@ -114,6 +114,12 @@ object Ann {
     * At larger corpus sizes, scale `bits` ~ log2(N / bucket-size): the
     * per-table bucket count is 2^bits and candidate volume per table is
     * ~N²(1+bits)/2^bits.
+    *
+    * No bucket-size cap here, deliberately: unlike the dedup SELF-joins
+    * (see [[graft.dedup.Dedup]]), candidates are bounded by
+    * nQueries × bucket — linear in N per query, never quadratic — so a
+    * mass-duplicate bucket costs proportionally, not catastrophically;
+    * `bits` is the knob that controls bucket size.
     */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nTables: Int = LshTables, bits: Int = LshBits): DataFrame = {

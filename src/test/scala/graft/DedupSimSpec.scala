@@ -164,4 +164,83 @@ class DedupSimSpec extends SparkSpec {
     val df = Ann.knnJoin(spark, sf, k = 3)
     assert(df.groupBy("q_id").count().filter(col("count") =!= 3).count() === 0)
   }
+
+  // --- quadratic-blowup guards (hot shingles / mass-duplicate buckets) ---
+
+  /** A boilerplate-heavy corpus: 100 byte-identical copies (every
+    * shingle/bucket hot), one near-dup pair overlapping only on RARE
+    * shingles, and unrelated filler.
+    */
+  private def boilerplateCorpus(): String = {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-capspec").toString
+    // tokens must be purely alphabetic: the reference tokenizer strips
+    // non-letters, so "tok1"/"tok2" would all collapse to "tok"
+    val copyText = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val toks = ('a' to 'l').map(c => s"tok$c$c")
+    val base = toks.mkString(" ")
+    val nearDup = (toks.take(11) :+ "tokzz").mkString(" ")
+    def alpha(n: Long) = n.toString.map(c => ('a' + (c - '0')).toChar).mkString
+    val docs =
+      (0L until 100L).map(i => (i, copyText)) ++
+        Seq((200L, base), (201L, nearDup)) ++
+        (300L until 340L).map(i => (i, (1 to 10).map(j => s"f${alpha(i)}x${alpha(j)}").mkString(" ")))
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("shingle df cap: 100-copy boilerplate makes no candidates, rare-shingle pair survives") {
+    val dir = boilerplateCorpus()
+    val capped = Dedup.ngramJaccard(spark, dir, maxShingleDf = 5).collect()
+    // every shingle of the copy block has df=100 > 5 → its C(100,2)
+    // pairs are never generated (exact dedup's job, by contract) …
+    assert(!capped.exists(r => r.getLong(0) < 100L), "copy-block pair leaked through the cap")
+    // … while the near-dup pair rides its df=2 shingles, with EXACT
+    // jaccard (9 of 11 distinct shingles shared)
+    val pair = capped.find(r => r.getLong(0) == 200L && r.getLong(1) == 201L)
+    assert(pair.isDefined, s"rare-shingle near-dup lost: ${capped.mkString(",")}")
+    assert(math.abs(pair.get.getDouble(2) - 9.0 / 11.0) < 1e-12)
+    // sanity: the cap (not some other change) is what bounds the block
+    val uncapped = Dedup.ngramJaccard(spark, dir, maxShingleDf = Int.MaxValue)
+    assert(uncapped.filter(col("id_a") < 100).count() === 100L * 99 / 2)
+  }
+
+  test("minhash LSH bucket cap: 100-copy document does not explode candidates") {
+    val dir = boilerplateCorpus()
+    val capped = Dedup.minhashLsh(spark, dir, maxBucketSize = 10).collect()
+    assert(!capped.exists(r => r.getLong(0) < 100L), "mega-bucket pair leaked through the cap")
+    assert(capped.exists(r => r.getLong(0) == 200L && r.getLong(1) == 201L),
+      "near-dup pair lost to the cap")
+    val uncapped = Dedup.minhashLsh(spark, dir, maxBucketSize = 1000)
+    assert(uncapped.filter(col("id_a") < 100).count() === 100L * 99 / 2)
+  }
+
+  test("embedding SRP bucket cap: mass-duplicate cluster bounded by maxBucketFactor") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-capspec-emb").toString
+    val dim = 8
+    val copy = Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.05)
+    val base = Array.tabulate(dim)(j => if (j == 3) 1.0 else -0.07)
+    val dup = base.clone(); dup(1) += 0.02
+    def spread(i: Int) = Array.tabulate(dim)(j => math.sin(i * (j + 1) * 0.7) + 0.01)
+    val rows =
+      (0L until 100L).map(i => (i, 1L, copy.toSeq)) ++
+        Seq((200L, 1L, base.toSeq), (201L, 1L, dup.toSeq)) ++
+        (300L until 700L).map(i => (i, 1L, spread(i.toInt).toSeq))
+    rows.toDF("vec_id", "label", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // factor=1 → cap = max(64, N/16): the identical-copy cell (≥100
+    // members in EVERY table) is dropped everywhere; the near-dup pair
+    // lives in ordinary cells and survives
+    val capped = Dedup.embeddingDups(spark, dir, maxBucketFactor = 1).collect()
+    assert(!capped.exists(r => r.getLong(0) < 100L), "mass-dup cluster leaked through the cap")
+    assert(capped.exists(r => r.getLong(0) == 200L && r.getLong(1) == 201L),
+      "near-dup embedding pair lost to the cap")
+    // default factor (16×): cap never binds at this scale → the
+    // cluster's pairs are all present, proving the factor is the knob
+    // (copy×spread cosine-matches exist too, so count copy-copy only)
+    val uncapped = Dedup.embeddingDups(spark, dir)
+    assert(uncapped.filter(col("id_a") < 100 && col("id_b") < 100).count() === 100L * 99 / 2)
+  }
 }

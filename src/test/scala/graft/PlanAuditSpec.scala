@@ -56,4 +56,71 @@ class PlanAuditSpec extends SparkSpec {
     // "*(n)" prefixes mark whole-stage-codegen stages in toString form
     assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p.take(1500))
   }
+
+  // --- join-strategy honesty: forced broadcast() only on fixed-size inputs ---
+
+  /** Run a thunk with the auto-broadcast threshold disabled: any
+    * BroadcastHashJoin that survives can only come from a forced hint.
+    */
+  private def withNoAutoBroadcast[T](f: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try f finally spark.conf.set(key, prev)
+  }
+
+  test("SF-scaling tables are never hint-broadcast (threshold=-1 ⇒ no BHJ on them)") {
+    withNoAutoBroadcast {
+      // q3/q18/q_broadcast_join/tfidf join ONLY scaling tables → zero BHJ
+      for ((name, df) <- Seq(
+          "q3" -> Relational.q3Topk(spark, sf),
+          "q18" -> operators.TpchExtra.q18BigOrders(spark, sf),
+          "q_broadcast_join" -> Relational.qBroadcastJoin(spark, sf),
+          "tfidf" -> operators.TextAnalysis.tfidf(spark, sf))) {
+        val p = plan(df)
+        assert(!p.contains("BroadcastHashJoin"),
+          s"$name still hint-broadcasts a scaling table:\n${p.take(2000)}")
+      }
+      // q5/q7/q10 keep hints ONLY on nation/region: exactly those BHJs remain
+      assert("BroadcastHashJoin".r.findAllIn(plan(Relational.q5Multijoin(spark, sf))).size == 2,
+        "q5 must broadcast exactly nation+region under threshold=-1")
+      assert("BroadcastHashJoin".r.findAllIn(plan(operators.TpchExtra.q7Volume(spark, sf))).size == 2,
+        "q7 must broadcast exactly its two nation dims under threshold=-1")
+      assert("BroadcastHashJoin".r.findAllIn(plan(operators.TpchExtra.q10Returns(spark, sf))).size == 1,
+        "q10 must broadcast exactly nation under threshold=-1")
+    }
+  }
+
+  test("at small SF the size-checked planner still broadcasts the scaling dims (plans unchanged)") {
+    // same queries, default threshold: AQE/size estimates pick BHJ for
+    // customer/part — the sf0.1 plans did not regress by dropping hints
+    assert(plan(Relational.q3Topk(spark, sf)).contains("BroadcastHashJoin"), "q3 customer")
+    assert(plan(Relational.qBroadcastJoin(spark, sf)).contains("BroadcastHashJoin"), "part")
+    assert(plan(operators.TpchExtra.q18BigOrders(spark, sf)).contains("BroadcastHashJoin"), "q18 customer")
+  }
+
+  test("tfidf: the term join shuffles; only the one-row doc count is broadcast") {
+    val p = withNoAutoBroadcast(plan(operators.TextAnalysis.tfidf(spark, sf)))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "tf⋈dfreq must be a shuffle join:\n" + p.take(2000))
+  }
+
+  test("no operator source carries broadcast() on an SF-scaling table (source audit)") {
+    import scala.jdk.CollectionConverters._
+    val roots = Seq("src/main/scala/graft/operators", "src/main/scala/graft/dedup",
+      "src/main/scala/graft/similarity", "src/main/scala/graft/streaming")
+    val scaling = Seq("customer", "supplier", "part\"", "dfreq")
+    val offenders = roots.flatMap { r =>
+      java.nio.file.Files.walk(java.nio.file.Paths.get(r)).iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { f =>
+          java.nio.file.Files.readAllLines(f).asScala.zipWithIndex.collect {
+            case (line, i) if !line.trim.startsWith("*") && !line.trim.startsWith("//") &&
+              line.contains("broadcast(") &&
+              scaling.exists(line.contains(_)) => s"$f:${i + 1}: ${line.trim}"
+          }
+        }
+    }
+    assert(offenders.isEmpty, "forced broadcast on scaling tables:\n" + offenders.mkString("\n"))
+  }
 }
