@@ -81,22 +81,61 @@ class SyntheticDocsTable(rows: Long, partitions: Int) extends Table with Support
 }
 
 class SyntheticDocsScanBuilder(rows: Long, partitions: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = SyntheticDocsSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+  // [lo, hi): the doc_id range the scan must generate after pushdown
+  private var lo: Long = 0L
+  private var hi: Long = rows
 
   // column pruning pushdown: a doc_id-only projection never builds text
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Filter pushdown — the partition-pruning twin of the column
+    * pruning above: doc_id range predicates narrow the generated
+    * [lo, hi) span, so whole input partitions outside the range are
+    * never planned (the DSv2 analog of parquet row-group/partition
+    * skipping). Range application is exact, so accepted conjuncts are
+    * NOT returned as residuals; anything else (lang/text predicates)
+    * stays a residual for Spark to evaluate post-scan.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def accept(f: Filter): Boolean = f match {
+      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v); true
+      case LessThan("doc_id", v: Long) => hi = math.min(hi, v); true
+      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1); true
+      case EqualTo("doc_id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case IsNotNull("doc_id") => true // column is non-nullable
+      case _ => false
+    }
+    pushed = filters.filter(accept)
+    filters.diff(pushed)
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] = {
       // balanced split that always yields exactly `partitions` ranges
-      // (possibly empty when rows < partitions)
-      (0 until partitions).map { p =>
-        DocsRange(rows * p / partitions, rows * (p + 1) / partitions): InputPartition
-      }.toArray
+      // (possibly empty when rows < partitions); when a pushed doc_id
+      // range narrowed the scan, ranges are clamped to it and emptied
+      // partitions are SKIPPED (never scheduled)
+      val ranges = (0 until partitions).map { p =>
+        DocsRange(rows * p / partitions, rows * (p + 1) / partitions)
+      }
+      val planned =
+        if (lo > 0L || hi < rows)
+          ranges.map(r => DocsRange(math.max(r.start, lo), math.min(r.end, hi)))
+            .filter(r => r.end > r.start)
+        else ranges
+      planned.map(r => r: InputPartition).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new DocsReaderFactory(required)

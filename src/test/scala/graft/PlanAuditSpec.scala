@@ -59,15 +59,21 @@ class PlanAuditSpec extends SparkSpec {
 
   // --- join-strategy honesty: forced broadcast() only on fixed-size inputs ---
 
-  /** Run a thunk with the auto-broadcast threshold disabled: any
-    * BroadcastHashJoin that survives can only come from a forced hint.
-    */
-  private def withNoAutoBroadcast[T](f: => T): T = {
-    val key = "spark.sql.autoBroadcastJoinThreshold"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "-1")
-    try f finally spark.conf.set(key, prev)
+  /** Run a thunk with session confs overridden, restoring them after. */
+  private def withConfs[T](kv: (String, String)*)(f: => T): T = {
+    val prev = kv.map { case (k, _) => k -> util.Try(spark.conf.get(k)).toOption }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
+
+  /** With the auto-broadcast threshold disabled, any BroadcastHashJoin
+    * that survives can only come from a forced hint.
+    */
+  private def withNoAutoBroadcast[T](f: => T): T =
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1")(f)
 
   test("SF-scaling tables are never hint-broadcast (threshold=-1 ⇒ no BHJ on them)") {
     withNoAutoBroadcast {
@@ -103,6 +109,42 @@ class PlanAuditSpec extends SparkSpec {
     val p = withNoAutoBroadcast(plan(operators.TextAnalysis.tfidf(spark, sf)))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
       "tf⋈dfreq must be a shuffle join:\n" + p.take(2000))
+  }
+
+  test("runtime bloom filter injects into the fact side of fact⋈filtered-dim joins") {
+    // the rule is ON by default (Spark 4 ships
+    // spark.sql.optimizer.runtime.bloomFilter.enabled=true) but gated
+    // by a 10 GB application-side scan threshold — exactly the 100 TB
+    // regime. Zeroing the gate at test SF proves the plan SHAPE is
+    // injectable: a selective dim filter becomes a bloom_filter_agg
+    // subquery and the fact scan gains a might_contain predicate,
+    // pruning fact rows before the shuffle.
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // the 100 TB join shape
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      val q10 = operators.TpchExtra.q10Returns(spark, sf).queryExecution.optimizedPlan.toString
+      assert(q10.contains("bloom_filter_agg") && q10.contains("might_contain"), q10.take(2500))
+      val q3 = Relational.q3Topk(spark, sf).queryExecution.optimizedPlan.toString
+      assert(q3.contains("might_contain"), q3.take(2500))
+    }
+  }
+
+  test("AQE splits skewed shuffle-join partitions (OptimizeSkewedJoin fires)") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, sum, when}
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0") {
+      // 90% of rows share key 0 → one shuffle partition dwarfs the rest
+      val big = spark.range(0L, 300000L)
+        .select(when(col("id") % 10 < 9, 0L).otherwise(pmod(col("id"), lit(1000))).as("k"))
+      val small = spark.range(0L, 1000L).select(col("id").as("k2"), (col("id") * 2).as("v"))
+      val j = big.join(small, col("k") === col("k2")).agg(sum("v").as("sv"))
+      j.collect() // AQE decides from runtime stats — must execute
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), "OptimizeSkewedJoin did not rewrite:\n" + p.take(2500))
+    }
   }
 
   test("no operator source carries broadcast() on an SF-scaling table (source audit)") {

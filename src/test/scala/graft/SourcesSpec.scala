@@ -99,6 +99,25 @@ class SourcesSpec extends SparkSpec {
     assert(df2.count() === 7)
   }
 
+  test("DSv2 synthetic source: doc_id range filters push down and skip partitions") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
+    // end to end: only the ranges overlapping [900, 950) are planned
+    val df = spark.read.format("graft.sources.SyntheticDocsSource")
+      .option("rows", "1000").option("partitions", "8").load()
+      .filter(col("doc_id") >= 900 && col("doc_id") < 950)
+    assert(df.rdd.getNumPartitions === 1,
+      s"expected 1 surviving partition, got ${df.rdd.getNumPartitions}")
+    val ids = df.collect().map(_.getLong(0)).toSet
+    assert(ids === (900L until 950L).toSet)
+    // builder API: accepted conjuncts reported, others residual
+    val b = new graft.sources.SyntheticDocsScanBuilder(1000L, 8)
+    val residual = b.pushFilters(Array(
+      GreaterThanOrEqual("doc_id", 900L), LessThan("doc_id", 950L), EqualTo("lang", "en")))
+    assert(residual.toSeq === Seq(EqualTo("lang", "en")))
+    assert(b.pushedFilters().length === 2)
+    assert(b.build().toBatch.planInputPartitions().length === 1)
+  }
+
   test("DSv2 synthetic source: column pruning reaches the reader") {
     val df = spark.read.format("graft.sources.SyntheticDocsSource")
       .option("rows", "100").load().select("doc_id")
