@@ -79,6 +79,10 @@ object SparkEntry {
     "q7_volume" -> (operators.TpchExtra.q7Volume _),
     "q10_returns" -> (operators.TpchExtra.q10Returns _),
     "q18_big_orders" -> ((s: SparkSession, d: String) => operators.TpchExtra.q18BigOrders(s, d)),
+    "q6_revenue" -> (operators.TpchExtra.q6Revenue _),
+    "q4_priority" -> (operators.TpchExtra.q4Priority _),
+    "q14_promo_share" -> (operators.TpchExtra.q14PromoShare _),
+    "q22_idle" -> ((s: SparkSession, d: String) => operators.TpchExtra.q22Idle(s, d)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -99,6 +103,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprintDocs _),
     "text_tfidf" -> (TextAnalysis.tfidf _),
     "text_scrub" -> (TextAnalysis.scrub _),
+    "text_chunk" -> ((s: SparkSession, d: String) => TextAnalysis.chunk(s, d)),
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     "text_stratified_sample" -> (TextAnalysis.stratifiedSample _),
@@ -845,6 +850,49 @@ object SparkEntry {
         | o_totalprice, total_qty
         |FROM big JOIN orders ON l_orderkey=o_orderkey
         |JOIN customer ON o_custkey=c_custkey""".stripMargin,
+    "q6_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+    "q14_promo_share" ->
+      """WITH agg AS (
+        |  SELECT
+        |    CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS promo_revenue,
+        |    CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey=p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01')
+        |SELECT promo_revenue, total_revenue,
+        | 100.0 * promo_revenue / NULLIF(total_revenue, 0.0) AS promo_share
+        |FROM agg""".stripMargin,
+    "q22_idle" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)/count(*)
+        |                   FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+        |GROUP BY 1""".stripMargin,
+    "text_chunk" ->
+      """SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+        | CAST(least(len(t) - start, 32) AS BIGINT) AS n_tokens,
+        | array_to_string(t[start+1 : start+32], ' ') AS chunk_text
+        |FROM (
+        |  SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 24)) AS start
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents) toks
+        |) starts""".stripMargin,
     "q_resample" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,

@@ -132,6 +132,27 @@ object TextAnalysis {
       .agg(cnt.as("n_sampled"), sum(length(col("text")).cast("long")).as("n_chars"))
   }
 
+  /** Fixed-window token chunking — the training-sequence prep stage:
+    * split each document into `chunkSize`-token windows starting every
+    * `stride` tokens (overlap = chunkSize − stride), tail windows kept.
+    * A pure narrow pass (split + sequence + explode + slice, all
+    * codegen'd built-ins — no lambda HOFs, no shuffle); the output
+    * explodes ~n/stride rows per doc, which is the point: chunks are
+    * the unit the tokenizer/packer downstream consumes.
+    */
+  def chunk(spark: SparkSession, dir: String,
+      chunkSize: Int = 32, stride: Int = 24): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), "\\s+").as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride))).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        least(col("n") - col("start"), lit(chunkSize)).cast("long").as("n_tokens"),
+        array_join(slice(col("t"), col("start") + 1, lit(chunkSize)), " ").as("chunk_text"))
+
   /** Scrubbing/masking stage (the PII-redaction shape every training
     * pipeline needs): mask digit runs in the raw payload, report how
     * much was masked. Pure per-row codegen expressions — no shuffle.

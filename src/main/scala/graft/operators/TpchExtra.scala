@@ -76,4 +76,75 @@ object TpchExtra {
         col("o_orderdate").cast("date").as("o_orderdate"),
         col("o_totalprice"), col("total_qty"))
   }
+
+  /** TPC-H Q6 shape (forecasting revenue change): one scan, every
+    * predicate pushed to parquet (date range + discount band +
+    * quantity cap all appear in PushedFilters — spec-pinned), a single
+    * partial-then-final aggregate. The canonical "is the scan doing
+    * the work" probe: at 100 TB this query is pure IO + row-group
+    * skipping.
+    */
+  def q6Revenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(sumMoney(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        cnt.as("n_items"))
+
+  /** TPC-H Q4 shape (order-priority checking): orders in a quarter
+    * with at least one returned item, counted per priority. The EXISTS
+    * plans as a left-semi join — the returned-items side is collapsed
+    * to distinct orderkeys by the semi-join itself, no pre-distinct
+    * pass.
+    */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .join(t(spark, dir, "lineitem").filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(cnt.as("n_orders"))
+
+  /** TPC-H Q14 shape (promotion effect): promo revenue share of a
+    * month's part-joined revenue. Both sums come from ONE conditional
+    * aggregation pass; the share divides two exact-DECIMAL-derived
+    * doubles, so it is bit-stable across engines and partitionings.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .join(t(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sumMoney(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))).as("promo_revenue"),
+        sumMoney(rev).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (lit(100.0) * col("promo_revenue") /
+          nullif(col("total_revenue"), lit(0.0))).as("promo_share"))
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): customers holding
+    * above-average positive balances who never placed a large order
+    * (this schema's every customer has SOME order, so the idle test is
+    * against the filtered high-value set — the same plan shape). The
+    * global average is a one-row broadcast (never a driver collect);
+    * the no-large-orders test is a left-anti join whose right side is
+    * pre-filtered at the scan.
+    */
+  def q22Idle(spark: SparkSession, dir: String, minOrder: Double = 400000.0): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val avgBal = customer.filter(col("c_acctbal") > 0.0)
+      .agg(avgMoney(col("c_acctbal")).as("avg_bal"))
+    customer
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(t(spark, dir, "orders").filter(col("o_totalprice") > minOrder),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(cnt.as("n_customers"), sumMoney(col("c_acctbal")).as("total_bal"))
+  }
 }

@@ -19,6 +19,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("l_returnflag") && !p.contains("l_orderkey"), "pruning")
   }
 
+  test("q6: date range, discount band and quantity cap all reach the parquet scan") {
+    // read the scan's own metadata — the plan toString truncates the
+    // PushedFilters list
+    val pushed = operators.TpchExtra.q6Revenue(spark, sf).queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metadata("PushedFilters")
+    }.mkString(";")
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount", "LessThan(l_quantity"))
+      assert(pushed.contains(f), s"missing pushed filter $f in: $pushed")
+  }
+
   test("q1: aggregation is partial (map-side combine) then final") {
     val p = plan(Relational.q1Agg(spark, sf))
     assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(1500))
