@@ -20,10 +20,11 @@ object Dedup {
 
   /** documents arrives as one parquet file → one input split; fan out
     * to the session's parallelism so the per-row signature kernels run
-    * wide (on a cluster the many input splits make this a no-op cost).
+    * wide. Conditional ([[graft.operators.fanOut]]): a cluster-scale
+    * scan with enough splits skips the shuffle entirely.
     */
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    fanOut(spark, t(spark, dir, "documents"))
 
   /** Exact dedup: group identical text, keep the smallest doc_id as
     * canonical. Grouping key is the text hash + length (not the full
@@ -56,35 +57,50 @@ object Dedup {
     *    hot-key funnel anywhere.
     * 2. The size-ratio prefilter (|A|/|B| ≥ τ is necessary for J ≥ τ)
     *    prunes inside the candidate join.
-    * 3. VERIFY exactly: candidates dedup to compact (id_a, id_b) pairs,
-    *    then the full distinct-shingle SETS re-attach and
-    *    array_intersect computes the true Jaccard — hot shingles still
-    *    count toward the score, the cap only gates candidate
-    *    generation.
+    * 3. VERIFY exactly, in two exact pieces: the rare-side
+    *    intersection count comes straight from the candidate join's
+    *    groupBy (no array payload on any shuffle), and the hot-side
+    *    overlap is added back from per-doc HOT-only shingle sets
+    *    (tiny by construction — empty on normal corpora) joined onto
+    *    the candidate pairs. Hot shingles still count toward the
+    *    score; the cap only gates candidate generation.
     */
   def ngramJaccard(spark: SparkSession, dir: String,
       n: Int = 3, minJaccard: Double = 0.55, maxShingleDf: Int = 1000): DataFrame = {
-    val docSh = docs(spark, dir)
+    val sh = docs(spark, dir)
       .select(col("doc_id"), graft.functions.Signatures.shinglesCol(col("text"), n).as("sh"))
-    val sh = docSh
       .select(col("doc_id"), size(col("sh")).as("n_shingles"), explode(col("sh")).as("shingle"))
-    val rareShingles = sh.groupBy("shingle").agg(cnt.as("df"))
-      .filter(col("df") <= maxShingleDf)
-      .select("shingle")
-    val rare = sh.join(rareShingles, "shingle")
-    val cand = rare.as("a").join(rare.as("b"),
+    // shingle document frequencies: map-side partial aggregate, then a
+    // join that tags each occurrence — both keyed by the same shingle
+    // hash the self-join below reuses
+    val dfreq = sh.groupBy("shingle").agg(cnt.as("df"))
+    val tagged = sh.join(dfreq, "shingle")
+    val rare = tagged.filter(col("df") <= maxShingleDf)
+    // rare-side intersection counts, exactly the pre-cap join shape
+    // (groupBy count inside the bucket join — no array payloads ride
+    // any shuffle)
+    val pairs = rare.as("a").join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
           // size-ratio prefilter: min/max sizes must reach minJaccard
           least(col("a.n_shingles"), col("b.n_shingles")).cast("double") >=
             lit(minJaccard) * greatest(col("a.n_shingles"), col("b.n_shingles")))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    cand
-      .join(docSh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
-      .join(docSh.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sha"), col("shb"))).as("common"),
-        size(col("sha")).as("na"), size(col("shb")).as("nb"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n_shingles").as("na"), col("b.n_shingles").as("nb"))
+      .agg(cnt.as("rare_common"))
+    // exact fix-up for the capped-out shingles: per-doc HOT shingle
+    // sets are tiny by construction (few distinct boilerplate shingles
+    // exist globally; EMPTY on normal corpora, so these left joins cost
+    // nothing), and only candidate pairs ever touch them — hot overlap
+    // still counts toward the score without the quadratic join
+    val hotSets = tagged.filter(col("df") > maxShingleDf)
+      .groupBy("doc_id").agg(collect_list("shingle").as("hot"))
+    pairs
+      .join(hotSets.select(col("doc_id").as("id_a"), col("hot").as("hot_a")), Seq("id_a"), "left")
+      .join(hotSets.select(col("doc_id").as("id_b"), col("hot").as("hot_b")), Seq("id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"),
+        (col("rare_common") +
+          size(array_intersect(coalesce(col("hot_a"), array()), coalesce(col("hot_b"), array())))
+        ).as("common"))
       .select(col("id_a"), col("id_b"),
         (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
@@ -354,22 +370,30 @@ object Dedup {
       nTables: Int = EmbTables, bits: Int = EmbBits,
       maxBucketFactor: Int = 16): DataFrame = {
     import graft.similarity.Ann
+    // one materialization of normalize + SRP buckets (localCheckpoint:
+    // four consumers below — banding, cap stats, two verify joins —
+    // would otherwise each re-run both UDF passes; the blocks die with
+    // the returned plan's RDD, so no session-lifetime cache leak)
     val e = Ann.emb(spark, dir)
       .select(col("vec_id"), col("v"), Ann.srpBuckets(col("v"), nTables, bits).as("buckets"))
+      .localCheckpoint()
     val banded = e.select(col("vec_id"), posexplode(col("buckets")))
       .toDF("vec_id", "tbl", "bucket")
     // quadratic guard, RELATIVE here: SRP cells legitimately hold
     // ~N/2^bits vectors (coarse sphere partition — unlike minhash
     // bands, crowding is geometry, not duplication), so the cap is
-    // maxBucketFactor × that expectation (floor 64 for tiny corpora),
-    // derived from a one-row broadcast — no driver action. A cell can
-    // only exceed 16× its geometric expectation through a mass-
-    // duplicate cluster; self-join cost stays ≤ factor² × the uniform
-    // baseline instead of m² on the hottest cluster.
-    val expected = e.agg(greatest(lit(64.0),
-      (cnt.cast("double") / (1L << bits)) * maxBucketFactor).as("cap"))
-    val ok = banded.groupBy("tbl", "bucket").agg(cnt.as("bsz"))
-      .crossJoin(broadcast(expected))
+    // maxBucketFactor × that expectation (floor 64 for tiny corpora).
+    // Both the per-cell sizes AND the global expectation come from ONE
+    // aggregate over the banded rows (sum(bsz) = N·nTables), combined
+    // via a one-row broadcast — no driver action, no second corpus
+    // scan. A cell can only exceed 16× its geometric expectation
+    // through a mass-duplicate cluster; self-join cost stays ≤
+    // factor² × the uniform baseline instead of m² on the hottest
+    // cluster.
+    val sizes = banded.groupBy("tbl", "bucket").agg(cnt.as("bsz"))
+    val capRow = sizes.agg(greatest(lit(64.0),
+      (sum("bsz").cast("double") / (nTables.toLong * (1L << bits))) * maxBucketFactor).as("cap"))
+    val ok = sizes.crossJoin(broadcast(capRow))
       .filter(col("bsz") <= col("cap"))
       .select("tbl", "bucket")
     val bounded = banded.join(ok, Seq("tbl", "bucket"))

@@ -60,8 +60,7 @@ object TextAnalysis {
     * differ in the last ulp across math libraries.
     */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
+    val docs = fanOut(spark, t(spark, dir, "documents"))
     val toks = docs.select(col("doc_id"),
       explode(graft.functions.Signatures.refTokensFast(col("text"))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(cnt.as("tf"))

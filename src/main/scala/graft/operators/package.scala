@@ -26,4 +26,18 @@ package object operators {
     (sum(c.cast(DecimalType(18, 4))).cast(DoubleType) / count(lit(1)))
 
   def cnt: Column = count(lit(1)).cast("long")
+
+  /** Fan out an under-parallel scan without paying for it at scale:
+    * repartition ONLY when the planned scan yields fewer partitions
+    * than the session parallelism (the single-file test tables → one
+    * split → per-row kernels run on one core). On a real cluster the
+    * scan already produces thousands of splits, so an unconditional
+    * repartition would shuffle the entire corpus — text payloads and
+    * all — for nothing; this guard makes it a no-op there. Inspecting
+    * `df.rdd.getNumPartitions` compiles the plan but runs no job.
+    */
+  def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -16,8 +16,7 @@ import graft.plans.VectorExpressions.{dotNative, normalizeNative}
 object Ann {
 
   private[graft] def emb(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "embeddings")
-      .repartition(spark.sparkContext.defaultParallelism) // single-file table → fan out
+    fanOut(spark, t(spark, dir, "embeddings")) // single-file table → fan out (no-op on a multi-split scan)
       .select(col("vec_id"), col("label"), normalizeNative(col("embedding")).as("v"))
 
   /** Exact brute-force cosine top-k: broadcast the query rows against
