@@ -104,6 +104,7 @@ object SparkEntry {
     "text_tfidf" -> (TextAnalysis.tfidf _),
     "text_scrub" -> (TextAnalysis.scrub _),
     "text_chunk" -> ((s: SparkSession, d: String) => TextAnalysis.chunk(s, d)),
+    "text_pack" -> ((s: SparkSession, d: String) => TextAnalysis.pack(s, d)),
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     "text_stratified_sample" -> (TextAnalysis.stratifiedSample _),
@@ -893,6 +894,22 @@ object SparkEntry {
         |  SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 24)) AS start
         |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents) toks
         |) starts""".stripMargin,
+    "text_pack" ->
+      """WITH chunks AS (
+        |  SELECT doc_id, CAST(start // 32 AS BIGINT) AS chunk_id,
+        |    CAST(least(len(t) - start, 32) AS BIGINT) AS n_tokens
+        |  FROM (
+        |    SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 32)) AS start
+        |    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents) toks
+        |  ) starts),
+        |packed AS (
+        |  SELECT doc_id, chunk_id, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 64 AS pack_id
+        |  FROM chunks)
+        |SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id, count(*) AS n_chunks,
+        | CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM packed GROUP BY 1, 2""".stripMargin,
     "q_resample" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,

@@ -152,6 +152,28 @@ object TextAnalysis {
         least(col("n") - col("start"), lit(chunkSize)).cast("long").as("n_tokens"),
         array_join(slice(col("t"), col("start") + 1, lit(chunkSize)), " ").as("chunk_text"))
 
+  /** Token-budget sequence packing over NON-overlapping chunks — the
+    * step after [[chunk]] in a training pipeline: consecutive chunks
+    * of a document accumulate into packs of ~`budget` tokens (soft
+    * target: a pack closes when the cumulative count crosses a budget
+    * boundary, the standard streaming-pack semantics). The running sum
+    * is a window PARTITIONED BY doc_id — parallel across documents,
+    * never a global single-partition window — and the pack id is pure
+    * integer arithmetic on it, so the result is deterministic and
+    * engine-independent.
+    */
+  def pack(spark: SparkSession, dir: String,
+      chunkSize: Int = 32, budget: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("chunk_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    chunk(spark, dir, chunkSize = chunkSize, stride = chunkSize)
+      .withColumn("tok_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"tok_before DIV $budget"))
+      .groupBy("doc_id", "pack_id")
+      .agg(cnt.as("n_chunks"), sum("n_tokens").cast("long").as("pack_tokens"))
+  }
+
   /** Scrubbing/masking stage (the PII-redaction shape every training
     * pipeline needs): mask digit runs in the raw payload, report how
     * much was masked. Pure per-row codegen expressions — no shuffle.

@@ -274,6 +274,24 @@ object Ann {
       .write.mode("overwrite").parquet(s"$indexPath/centroids")
   }
 
+  /** Incremental index maintenance — the serving-side append path: new
+    * vectors are normalized, assigned to the EXISTING centroids (no
+    * retrain — the standard IVF maintenance trade until drift warrants
+    * a rebuild), and appended to their partitioned lists. Queries
+    * against the index pick the new vectors up with no other change;
+    * dynamic partition overwrite is not needed because appends only
+    * add files inside cid= directories.
+    */
+  def appendToIvfIndex(spark: SparkSession, indexPath: String, newVecs: DataFrame): Unit = {
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cid").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("v")).toArray)
+    newVecs
+      .select(col("vec_id"), col("label"), normalizeNative(col("embedding")).as("v"))
+      .withColumn("cid", nearestUdf(centroids)(col("v")))
+      .write.partitionBy("cid").mode("append").parquet(s"$indexPath/lists")
+  }
+
   /** Query a persisted IVF index: the probed list ids (bounded by
     * nQueries × nProbe) prune the partitioned read — the physical plan
     * carries `PartitionFilters: [cid IN (...)]` and the non-probed

@@ -203,6 +203,28 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [cid"), plan.take(2000))
   }
 
+  test("IVF index append: new vectors assigned to existing centroids and queryable") {
+    import org.apache.spark.sql.functions.{col => c}
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    // build on vec_id >= 3, then append the held-out 0..2 batch
+    val all = core.Tables.load(spark, sf, "embeddings")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-base").toString
+    all.filter(c("vec_id") >= 3).write.parquet(s"$tmp/embeddings.parquet")
+    similarity.Ann.buildIvfIndex(spark, tmp, idx)
+    val before = spark.read.parquet(s"$idx/lists").count()
+    similarity.Ann.appendToIvfIndex(spark, idx, all.filter(c("vec_id") < 3))
+    val lists = spark.read.parquet(s"$idx/lists")
+    assert(lists.count() === before + 3)
+    // appended vectors carry valid list assignments (their nearest
+    // existing centroid) and are normalized like the rest
+    val appended = lists.filter(c("vec_id") < 3).collect()
+    assert(appended.length === 3 && appended.forall(!_.isNullAt(appended.head.fieldIndex("cid"))))
+    // queries against the appended index see the new vectors: the
+    // query set IS vec_id < nQueries, so each finds neighbors
+    val res = similarity.Ann.ivfTopKIndexed(spark, idx, nQueries = 3, k = 2)
+    assert(res.groupBy("q_id").count().count() === 3)
+  }
+
   test("ann_ivf: deterministic and recall comparable to probing 1/4 of the lists") {
     val brute = similarity.Ann.bruteforceTopK(spark, sf)
       .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
