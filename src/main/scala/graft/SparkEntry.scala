@@ -53,6 +53,7 @@ object SparkEntry {
     "q_sample" -> (operators.Relational2.qSample _),
     "q_approx_distinct" -> (operators.Relational2.qApproxDistinct _),
     "q_approx_percentile" -> (operators.Relational2.qApproxPercentile _),
+    "q_freq_items" -> ((s: SparkSession, d: String) => operators.Relational2.qFreqItems(s, d)),
     "q_salted_join" -> (operators.SkewJoin.qSaltedJoin _),
     "q_topk_native" -> (operators.Relational2.qTopkNative _),
     "q_having" -> (operators.Relational2.qHaving _),
@@ -425,6 +426,15 @@ object SparkEntry {
         | TRUE AS p50_in_rank_eps,
         | TRUE AS p90_in_rank_eps
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // contract oracle: the KSP frequent-items sketch guarantees every
+    // value with support >= s is returned — exact frequent values must
+    // all carry in_sketch=TRUE
+    "q_freq_items" ->
+      """SELECT CAST(CAST(l_quantity AS INTEGER) AS BIGINT) AS quantity,
+        | count(*) AS n, TRUE AS in_sketch
+        |FROM lineitem
+        |GROUP BY 1
+        |HAVING count(*) * 1.0 / (SELECT count(*) FROM lineitem) >= 0.015""".stripMargin,
     "mr_wordcount" ->
       """SELECT word, count(*) AS n FROM (
         |  SELECT lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS word

@@ -359,6 +359,28 @@ object Relational2 {
     * the approx value must lie between the exact interpolated
     * quantiles at q∓0.01 — an engine-independent TRUE on both sides.
     */
+  /** Heavy-hitters (frequent-items) sketch next to its exact twin —
+    * the third approx/exact pair after q_approx_distinct and
+    * q_approx_percentile. `stat.freqItems` is the one-pass
+    * Karp/Shenker/Papadimitriou counter: a single scan, mergeable,
+    * with the GUARANTEE that every value of support ≥ s is returned
+    * (false positives possible, false negatives not). The oracle
+    * checks exactly that contract: each exactly-frequent value carries
+    * in_sketch=TRUE. The sketch itself is ≤ 1/s values — the only
+    * driver-side data.
+    */
+  def qFreqItems(spark: SparkSession, dir: String, support: Double = 0.015): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_quantity").cast("int").as("q"))
+    val sketch = li.stat.freqItems(Seq("q"), support)
+      .collect()(0).getSeq[Int](0)
+    val total = li.agg(cnt.as("total"))
+    li.groupBy("q").agg(cnt.as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n").cast("double") / col("total").cast("double") >= support)
+      .select(col("q").cast("long").as("quantity"), col("n"),
+        col("q").isin(sketch: _*).as("in_sketch"))
+  }
+
   def qApproxPercentile(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy("l_returnflag")

@@ -39,13 +39,17 @@ object Streams {
       .select(col("a.event_id").as("left_id"), col("b.event_id").as("right_id"),
         col("a.user_id").as("user_id"))
 
-  /** Stream-static join: enrich the stream with a broadcast dimension
-    * table. The static side is planned per micro-batch as an ordinary
-    * broadcast hash join — no streaming state at all, which is why
-    * this is the right shape for slowly-changing dims at scale.
+  /** Stream-static join: enrich the stream with a dimension table.
+    * The static side is planned per micro-batch as an ordinary join —
+    * no streaming state at all, which is why this is the right shape
+    * for slowly-changing dims at scale. The broadcast decision is the
+    * planner's size-checked call (same policy as the batch operators:
+    * no forced hint on a caller-supplied table that may scale — a
+    * small dim still broadcasts, an outgrown one degrades to a shuffle
+    * join instead of an OOM in every micro-batch).
     */
   def streamStaticEnrich(events: Dataset[Event], dim: DataFrame): DataFrame =
-    events.join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+    events.join(dim, col("user_id") === col("c_custkey"), "left")
       .select(col("event_id"), col("user_id"),
         col("c_mktsegment").as("segment"), col("value"))
 
