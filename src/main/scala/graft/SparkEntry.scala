@@ -54,6 +54,7 @@ object SparkEntry {
     "q_approx_distinct" -> (operators.Relational2.qApproxDistinct _),
     "q_approx_percentile" -> (operators.Relational2.qApproxPercentile _),
     "q_freq_items" -> ((s: SparkSession, d: String) => operators.Relational2.qFreqItems(s, d)),
+    "q_hll_union" -> (operators.Relational2.qHllUnion _),
     "q_salted_join" -> (operators.SkewJoin.qSaltedJoin _),
     "q_topk_native" -> (operators.Relational2.qTopkNative _),
     "q_having" -> (operators.Relational2.qHaving _),
@@ -435,6 +436,14 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY 1
         |HAVING count(*) * 1.0 / (SELECT count(*) FROM lineitem) >= 0.015""".stripMargin,
+    // contract oracle: merging per-group HLL sketches must estimate the
+    // global distinct within 5% (the sketches are engine-internal, the
+    // accuracy contract is not)
+    "q_hll_union" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        | count(DISTINCT l_returnflag) AS n_groups,
+        | TRUE AS union_within_5pct
+        |FROM lineitem""".stripMargin,
     "mr_wordcount" ->
       """SELECT word, count(*) AS n FROM (
         |  SELECT lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS word

@@ -381,6 +381,29 @@ object Relational2 {
         col("q").isin(sketch: _*).as("in_sketch"))
   }
 
+  /** Mergeable-sketch RE-aggregation — the pattern that matters at
+    * 100 TB: per-group DataSketches HLL sketches are materialized once
+    * (in production: stored in a partial-aggregate table), then the
+    * global estimate comes from `hll_union_agg` over the SKETCHES —
+    * the raw fact table is never rescanned for the rollup. The oracle
+    * checks the union estimate's accuracy contract against the exact
+    * global distinct (within 5%), per the q_approx_distinct pattern.
+    */
+  def qHllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+    val unioned = per.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("est"),
+      cnt.as("n_groups"))
+    val exact = t(spark, dir, "lineitem")
+      .agg(countDistinct(col("l_partkey")).cast("long").as("exact_parts"))
+    unioned.crossJoin(broadcast(exact))
+      .select(col("exact_parts"), col("n_groups"),
+        (abs(col("est") - col("exact_parts")).cast("double") /
+          col("exact_parts").cast("double") < 0.05).as("union_within_5pct"))
+  }
+
   def qApproxPercentile(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy("l_returnflag")
