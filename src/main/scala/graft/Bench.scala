@@ -64,7 +64,11 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val top5 = byTime.reverse.take(5)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"queries":$qs,"metric":"total","unit":"sec","sf":"$sfDir","top5":$top5,"value":$total}""")
+    // failures must survive the tail truncation too: a failed query
+    // sorts to the truncated HEAD (-1.0) and is excluded from the
+    // total, so without this field a breakage would read as a speedup
+    val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(s"""{"queries":$qs,"metric":"total","unit":"sec","sf":"$sfDir","top5":$top5,"failed":$failed,"value":$total}""")
     spark.stop()
   }
 }

