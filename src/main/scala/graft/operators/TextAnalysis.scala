@@ -141,7 +141,15 @@ object TextAnalysis {
     */
   def chunk(spark: SparkSession, dir: String,
       chunkSize: Int = 32, stride: Int = 24): DataFrame =
-    t(spark, dir, "documents")
+    chunkDocs(t(spark, dir, "documents"), chunkSize, stride)
+
+  /** The chunker as a frame transform over any (doc_id, text) frame —
+    * a pure narrow expression chain, so it applies unchanged to a
+    * STREAMING Dataset (no state, no watermark needed; spec pins
+    * stream output == batch output on the same rows).
+    */
+  def chunkDocs(docs: DataFrame, chunkSize: Int = 32, stride: Int = 24): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("t"))
       .select(col("doc_id"), col("t"), size(col("t")).as("n"))
       .select(col("doc_id"), col("t"), col("n"),

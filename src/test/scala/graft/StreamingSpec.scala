@@ -109,6 +109,26 @@ class StreamingSpec extends SparkSpec {
     assert(total === 3L)
   }
 
+  test("token chunker composes with a streaming read (stream output == batch output)") {
+    import org.apache.spark.sql.functions.col
+    // the chunker is a stateless narrow expression chain, so the SAME
+    // transform runs on a streaming frame with no watermark/state
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-chunk").toString
+    val batchDocs = core.Tables.load(spark, sf, "documents").select("doc_id", "text").limit(50)
+    batchDocs.write.parquet(s"$dir/docs")
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/docs")
+    val q = operators.TextAnalysis.chunkDocs(stream)
+      .writeStream.format("memory").queryName("streamchunk").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("streamchunk").collect().map(_.toSeq).toSet
+    val batch = operators.TextAnalysis.chunkDocs(spark.read.parquet(s"$dir/docs"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch && batch.nonEmpty)
+    assert(spark.table("streamchunk").filter(col("n_tokens") > 32).isEmpty)
+  }
+
   test("streaming corpus ingest: quality-filters then dedups within watermark") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
