@@ -30,47 +30,21 @@ object Relational2 {
   }
 
   /** ntile + percent_rank over a deterministic total order — WITHOUT
-    * the single-partition global window (`Window.orderBy` with no
-    * PARTITION BY moves every row through ONE task; Spark logs the
-    * warning, and at 100 TB it simply doesn't run). Distributed shape:
-    *
-    * 1. range-partition by the sort key (the parallel total-sort
-    *    primitive — same as mr_numbersort);
-    * 2. per-partition row counts (one row per partition) cumulated
-    *    into partition OFFSETS with a tiny nPart-row window, broadcast
-    *    back;
-    * 3. per-partition `row_number` windows (parallel) + offset = the
-    *    global rank; ntile bucket and percent_rank derive
-    *    arithmetically from (rank, n).
-    *
-    * Bit-equal to the single-window formulation because the composite
-    * sort key is unique (rank == row_number, ntile is positional).
+    * the single-partition global window: [[TotalOrderRank]] computes
+    * the global rank with range partitioning + broadcast offsets +
+    * parallel per-partition windows, and the ntile bucket /
+    * percent_rank derive arithmetically from (rank, n). Bit-equal to
+    * the single-window formulation because the composite sort key is
+    * unique (rank == row_number, ntile is positional).
     */
   def qNtile(spark: SparkSession, dir: String): DataFrame = {
     val keys = Seq(col("o_totalprice").asc, col("o_orderkey").asc)
-    val sorted = t(spark, dir, "orders").select("o_orderkey", "o_totalprice")
-      .repartitionByRange(spark.sparkContext.defaultParallelism, keys: _*)
-      .withColumn("_pid", spark_partition_id())
-    val parts = sorted.groupBy("_pid").agg(cnt.as("_cnt"))
-    val wOff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = parts
-      .withColumn("_off", coalesce(sum("_cnt").over(wOff), lit(0L)))
-      .select("_pid", "_off")
-    val total = parts.agg(sum("_cnt").as("_n"))
-    val wLocal = Window.partitionBy("_pid").orderBy(keys: _*)
-    // ntile(k): first n%k buckets hold n/k+1 rows — positional arithmetic
-    val k = 4
-    val r = col("_r"); val n = col("_n")
-    val base = expr(s"_n DIV $k"); val rem = n % k
-    val cutoff = rem * (base + 1)
-    val quartile = when(r <= cutoff, expr(s"(_r - 1) DIV (_n DIV $k + 1)") + 1)
-      .otherwise(rem + expr(s"(_r - 1 - (_n % $k) * (_n DIV $k + 1)) DIV (_n DIV $k)") + 1)
-    sorted.join(broadcast(offsets), "_pid")
-      .crossJoin(broadcast(total))
-      .withColumn("_r", row_number().over(wLocal) + col("_off"))
+    TotalOrderRank.withGlobalRank(spark,
+        t(spark, dir, "orders").select("o_orderkey", "o_totalprice"),
+        keys, "_r", keepTotal = true)
       .select(col("o_orderkey"),
-        quartile.cast("long").as("quartile"),
-        ((r - 1).cast("double") / (n - 1).cast("double")).as("pct_rank"))
+        TotalOrderRank.ntileFromRank(col("_r"), col("_n"), 4).as("quartile"),
+        TotalOrderRank.percentRankFromRank(col("_r"), col("_n")).as("pct_rank"))
   }
 
   /** Correlated aggregate subquery (orders above their own customer's

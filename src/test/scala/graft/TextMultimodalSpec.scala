@@ -105,4 +105,38 @@ class TextMultimodalSpec extends SparkSpec {
     val payload = media.filter(_.media_id == 1L).head().payload
     assert(one.frame.toSeq === payload.slice(128, 192).toSeq)
   }
+
+  test("chunk/pack boundary arithmetic: coverage, sizes, and budgets at edge token counts") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    // token counts straddling every boundary: stride (24), chunk (32),
+    // their multiples, and the 1-token degenerate doc
+    val sizes = Seq(1, 2, 23, 24, 25, 31, 32, 33, 47, 48, 49, 95, 96, 97)
+    val docs = sizes.zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(j => s"w$j").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val chunks = operators.TextAnalysis.chunkDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    for ((n, i) <- sizes.zipWithIndex) {
+      val mine = chunks.filter(_._1 == i.toLong).sortBy(_._2)
+      assert(mine.length === (n - 1) / 24 + 1, s"n=$n chunk count")
+      // ids contiguous from 0; sizes in [1, 32]; text matches its count;
+      // the last chunk ends exactly at token n (full coverage, no overrun)
+      assert(mine.map(_._2).toSeq === (0L until mine.length.toLong))
+      assert(mine.forall(c => c._3 >= 1 && c._3 <= 32))
+      assert(mine.forall(c => c._4.split(" ").length == c._3))
+      val last = mine.last
+      assert(last._2 * 24 + last._3 === n.toLong, s"n=$n last chunk end")
+    }
+    // non-overlapping pack path: token mass is conserved per document
+    val tmp = java.nio.file.Files.createTempDirectory("graft-packspec").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val packs = operators.TextAnalysis.pack(TestSpark.spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for ((n, i) <- sizes.zipWithIndex) {
+      val mine = packs.filter(_._1 == i.toLong).sortBy(_._2)
+      assert(mine.map(_._4).sum === n.toLong, s"n=$n pack token mass")
+      assert(mine.map(_._2).toSeq === mine.map(_._2).toSeq.sorted)
+    }
+  }
 }
