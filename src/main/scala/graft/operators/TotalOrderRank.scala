@@ -33,21 +33,32 @@ object TotalOrderRank {
     */
   def withGlobalRank(spark: SparkSession, df: DataFrame, keys: Seq[Column],
       rankCol: String, keepTotal: Boolean = false): DataFrame = {
+    // materialize the range partitioning ONCE (eager localCheckpoint):
+    // the offsets subtree and the ranked join are two consumers of
+    // this exchange, and correctness requires they see the SAME
+    // partition placement. Exchange reuse usually guarantees that, but
+    // it is an optimization, not a contract — RangePartitioner's
+    // sampled bounds incorporate the RDD id, so two independent
+    // executions of the exchange could place a row differently and
+    // corrupt every downstream rank. The checkpoint is the barrier a
+    // consistent global rank inherently needs; its blocks die with the
+    // returned plan's RDD.
     val sorted = df
       .repartitionByRange(spark.sparkContext.defaultParallelism, keys: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val parts = sorted.groupBy("_pid").agg(cnt.as("_cnt"))
     val wOff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parts
       .withColumn("_off", coalesce(sum("_cnt").over(wOff), lit(0L)))
       .select("_pid", "_off")
-    val total = parts.agg(sum("_cnt").as("_n"))
     val wLocal = Window.partitionBy("_pid").orderBy(keys: _*)
     val ranked = sorted.join(broadcast(offsets), "_pid")
-      .crossJoin(broadcast(total))
       .withColumn(rankCol, row_number().over(wLocal).cast("long") + col("_off"))
       .drop("_pid", "_off")
-    if (keepTotal) ranked else ranked.drop("_n")
+    // the 1-row total (and its crossJoin) only exists when asked for
+    if (keepTotal) ranked.crossJoin(broadcast(parts.agg(sum("_cnt").as("_n"))))
+    else ranked
   }
 
   /** ntile bucket from a global rank: the first n % k buckets hold
@@ -68,7 +79,10 @@ object TotalOrderRank {
   /** percent_rank from a global rank over n rows (rank semantics equal
     * row_number under a unique key): (r-1)/(n-1) as double — the exact
     * arithmetic SQL engines use, so it hash-compares across engines.
+    * n=1 is 0.0 (the SQL definition), not the 0/0 NaN the raw division
+    * would produce.
     */
   def percentRankFromRank(rank: Column, n: Column): Column =
-    (rank - 1).cast("double") / (n - 1).cast("double")
+    when(n === 1, lit(0.0))
+      .otherwise((rank - 1).cast("double") / (n - 1).cast("double"))
 }

@@ -28,22 +28,18 @@ package object operators {
   def cnt: Column = count(lit(1)).cast("long")
 
   /** Fan out an under-parallel scan without paying for it at scale.
-    * Skip the repartition only when the layout genuinely parallelizes:
-    * many files, or multiple files with enough planned splits. A
-    * SINGLE file always repartitions, regardless of its byte-range
-    * split count — parquet byte splits assign rows by row-group
-    * location, so one file can plan ≥target splits while only the few
-    * row-group-holding splits produce rows (per-row kernels then run
-    * on a fraction of the cores, the measured round-1 pathology). On a
-    * real cluster the corpus is thousands of files → the shuffle is
-    * skipped entirely. `inputFiles`/`rdd.getNumPartitions` read plan
-    * metadata; no job runs.
+    * The skip signal is the FILE count, nothing else: parquet
+    * byte-range splits are row-group-blind (one file can plan ≥target
+    * splits while only its few row-group-holding splits produce rows —
+    * the measured round-1 pathology, where per-row kernels ran on a
+    * fraction of the cores), so planned-split counts cannot prove
+    * parallelism. Fewer files than cores means per-row kernel
+    * parallelism is genuinely at risk → pay the one shuffle; a real
+    * cluster corpus is thousands of files → the shuffle is skipped
+    * entirely. `inputFiles` reads plan metadata; no job runs.
     */
   def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    val files = df.inputFiles.length
-    val parallelEnough =
-      files >= target || (files > 1 && df.rdd.getNumPartitions >= target)
-    if (parallelEnough) df else df.repartition(target)
+    if (df.inputFiles.length >= target) df else df.repartition(target)
   }
 }

@@ -136,7 +136,9 @@ class TextMultimodalSpec extends SparkSpec {
     for ((n, i) <- sizes.zipWithIndex) {
       val mine = packs.filter(_._1 == i.toLong).sortBy(_._2)
       assert(mine.map(_._4).sum === n.toLong, s"n=$n pack token mass")
-      assert(mine.map(_._2).toSeq === mine.map(_._2).toSeq.sorted)
+      // contiguous ids from 0 (chunks are <= 32 tokens < the 64 budget,
+      // so the running sum can never skip a budget bucket)
+      assert(mine.map(_._2).toSeq === (0L until mine.length.toLong), s"n=$n pack ids")
     }
   }
 }
