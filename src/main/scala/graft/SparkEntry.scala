@@ -45,6 +45,7 @@ object SparkEntry {
     "q_asof_join" -> (operators.AsofJoin.qAsofJoin _),
     "q_moving_avg" -> (operators.Relational2.qMovingAvg _),
     "q_ntile" -> (operators.Relational2.qNtile _),
+    "q_cume_dist" -> (operators.Relational2.qCumeDist _),
     "q_correlated_subquery" -> (operators.Relational2.qCorrelatedSubquery _),
     "q_array_agg" -> (operators.Relational2.qArrayAgg _),
     "q_null_funcs" -> (operators.Relational2.qNullFuncs _),
@@ -588,6 +589,9 @@ object SparkEntry {
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
         |  percent_rank() OVER w AS pct_rank
         |FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+    "q_cume_dist" ->
+      """SELECT c_custkey, c_acctbal, cume_dist() OVER w AS cume
+        |FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)""".stripMargin,
     "q_correlated_subquery" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders o
         |WHERE o_totalprice > (

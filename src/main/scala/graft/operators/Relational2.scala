@@ -47,6 +47,18 @@ object Relational2 {
         TotalOrderRank.percentRankFromRank(col("_r"), col("_n")).as("pct_rank"))
   }
 
+  /** cume_dist over a deterministic total order — the second consumer
+    * of [[TotalOrderRank]] (rank/n under a unique key is exactly SQL
+    * cume_dist); distributed like q_ntile, never a single-partition
+    * window.
+    */
+  def qCumeDist(spark: SparkSession, dir: String): DataFrame =
+    TotalOrderRank.withGlobalRank(spark,
+        t(spark, dir, "customer").select("c_custkey", "c_acctbal"),
+        Seq(col("c_acctbal").asc, col("c_custkey").asc), "_r", keepTotal = true)
+      .select(col("c_custkey"), col("c_acctbal"),
+        (col("_r").cast("double") / col("_n").cast("double")).as("cume"))
+
   /** Correlated aggregate subquery (orders above their own customer's
     * average), decorrelated to a window computation — one shuffle on
     * o_custkey instead of a per-row subquery.

@@ -192,6 +192,18 @@ class OperatorSpec extends SparkSpec {
     assert(out(0).getAs[Long]("_id") === 1L && out(0).getAs[Long]("pid") === 10L)
   }
 
+  test("TotalOrderRank equals the single-window row_number on a unique key") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    val keys = Seq(col("o_totalprice").asc, col("o_orderkey").asc)
+    val orders = core.Tables.load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    val dist = operators.TotalOrderRank.withGlobalRank(spark, orders, keys, "r")
+      .select("o_orderkey", "r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy(keys: _*)
+    val single = orders.withColumn("r", row_number().over(w).cast("long"))
+      .select("o_orderkey", "r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === single)
+  }
+
   test("persisted IVF index: identical results, probe reads only its partitions") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
     similarity.Ann.buildIvfIndex(spark, sf, idx)
