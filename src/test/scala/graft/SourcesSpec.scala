@@ -99,6 +99,39 @@ class SourcesSpec extends SparkSpec {
     assert(df2.count() === 7)
   }
 
+  test("sorted parquet write: row-group stats prune the scan for range filters") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // same rows, two layouts, small row groups so the table spans many
+    // (sf0.01: sf0.001's 6k rows fit inside ONE 64 KB group and nothing
+    // could skip); a narrow date predicate must scan far fewer rows
+    // from the sorted layout (row-group min/max skipping) than from
+    // the unsorted one. The sort key is cast LTZ: NTZ predicates never
+    // convert to parquet filters (Sinks scaladoc) — this spec also
+    // guards the TIMESTAMP_MICROS session config, since INT96 output
+    // would erase the stats entirely.
+    val src = core.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate").cast("timestamp").as("l_shipdate"))
+    def scannedRows(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      df.collect() // metrics populate on execution
+      df.queryExecution.executedPlan.collectLeaves()
+        .collect { case s: FileSourceScanExec => s.metrics("numOutputRows").value }.sum
+    }
+    val base = tmp("rowgroup")
+    graft.sources.Sinks.writeSorted(src.repartition(2), s"$base/sorted",
+      Seq(col("l_shipdate")), rowGroupBytes = 64 * 1024)
+    src.repartition(2).write.option("parquet.block.size", 64 * 1024)
+      .parquet(s"$base/unsorted")
+    val (sorted, unsorted) = (scannedRows(s"$base/sorted"), scannedRows(s"$base/unsorted"))
+    // identical answers either way
+    assert(spark.read.parquet(s"$base/sorted").count() ===
+      spark.read.parquet(s"$base/unsorted").count())
+    assert(sorted * 4 <= unsorted,
+      s"sorted layout scanned $sorted rows vs $unsorted unsorted — row groups not pruned")
+  }
+
   test("DSv2 synthetic source: doc_id range filters push down and skip partitions") {
     import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
     // end to end: only the ranges overlapping [900, 950) are planned

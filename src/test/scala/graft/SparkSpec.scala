@@ -10,6 +10,10 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // INT64 µs timestamps on write: INT96 (the legacy default) carries
+    // no usable row-group statistics, so range scans over Spark-written
+    // timestamp data could never prune IO
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .getOrCreate()
   spark // initialize eagerly at first touch
 
