@@ -86,6 +86,8 @@ object SparkEntry {
     "q4_priority" -> (operators.TpchExtra.q4Priority _),
     "q14_promo_share" -> (operators.TpchExtra.q14PromoShare _),
     "q22_idle" -> ((s: SparkSession, d: String) => operators.TpchExtra.q22Idle(s, d)),
+    "q15_top_supplier" -> (operators.TpchExtra.q15TopSupplier _),
+    "q17_small_qty" -> ((s: SparkSession, d: String) => operators.TpchExtra.q17SmallQty(s, d)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -917,6 +919,25 @@ object SparkEntry {
         |  SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 24)) AS start
         |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents) toks
         |) starts""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+    "q17_small_qty" ->
+      """WITH th AS (
+        |  SELECT l_partkey AS pk,
+        |    0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/count(*)) AS qty_threshold
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)/7.0 AS avg_yearly,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey JOIN th ON l_partkey = pk
+        |WHERE p_brand = 'Brand#1' AND l_quantity < qty_threshold""".stripMargin,
     "text_pack" ->
       """WITH chunks AS (
         |  SELECT doc_id, CAST(start // 32 AS BIGINT) AS chunk_id,

@@ -127,6 +127,46 @@ object TpchExtra {
           nullif(col("total_revenue"), lit(0.0))).as("promo_share"))
   }
 
+  /** TPC-H Q15 shape (top supplier): revenue per supplier over a
+    * quarter, keep the supplier(s) achieving the maximum. The max is a
+    * one-row broadcast over the (supplier-cardinality) revenue
+    * aggregate — never a driver collect — and the equality compares
+    * two copies of the SAME exact-DECIMAL-derived double, so it cannot
+    * flip on float noise.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+    val best = rev.agg(max("total_revenue").as("best_rev"))
+    rev.join(broadcast(best))
+      .filter(col("total_revenue") === col("best_rev"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    * orders below 20% of their part's average quantity, for one brand.
+    * The correlated per-part average decorrelates to ONE aggregation
+    * over the fact table joined back on partkey; the brand filter
+    * prunes the part side at the scan. Threshold and comparison use
+    * the same exact-DECIMAL-average chain on both engines, so boundary
+    * rows cannot flip.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String, brand: String = "Brand#1"): DataFrame = {
+    val th = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg((avgMoney(col("l_quantity")) * 0.2).as("qty_threshold"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "part").filter(col("p_brand") === brand),
+        col("l_partkey") === col("p_partkey"))
+      .join(th, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("qty_threshold"))
+      .agg((sumMoney(col("l_extendedprice")) / 7.0).as("avg_yearly"), cnt.as("n_items"))
+  }
+
   /** TPC-H Q22 shape (global sales opportunity): customers holding
     * above-average positive balances who never placed a large order
     * (this schema's every customer has SOME order, so the idle test is
