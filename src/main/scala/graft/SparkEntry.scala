@@ -88,6 +88,10 @@ object SparkEntry {
     "q22_idle" -> ((s: SparkSession, d: String) => operators.TpchExtra.q22Idle(s, d)),
     "q15_top_supplier" -> (operators.TpchExtra.q15TopSupplier _),
     "q17_small_qty" -> ((s: SparkSession, d: String) => operators.TpchExtra.q17SmallQty(s, d)),
+    "q8_market_share" -> ((s: SparkSession, d: String) => operators.TpchExtra.q8MarketShare(s, d)),
+    "q13_custdist" -> ((s: SparkSession, d: String) => operators.TpchExtra.q13CustDist(s, d)),
+    "q19_disjunctive" -> (operators.TpchExtra.q19Disjunctive _),
+    "q21_waiting" -> ((s: SparkSession, d: String) => operators.TpchExtra.q21Waiting(s, d)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -108,6 +112,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprintDocs _),
     "text_tfidf" -> (TextAnalysis.tfidf _),
     "text_scrub" -> (TextAnalysis.scrub _),
+    "text_contamination" -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
     "text_chunk" -> ((s: SparkSession, d: String) => TextAnalysis.chunk(s, d)),
     "text_pack" -> ((s: SparkSession, d: String) => TextAnalysis.pack(s, d)),
     "text_repetition" -> (TextAnalysis.repetition _),
@@ -938,6 +943,67 @@ object SparkEntry {
         | count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey JOIN th ON l_partkey = pk
         |WHERE p_brand = 'Brand#1' AND l_quantity < qty_threshold""".stripMargin,
+    "q8_market_share" ->
+      """WITH j AS (
+        |  SELECT year(o_orderdate) AS o_year, supp.supp_nation,
+        |    CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4)) AS rev
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN (SELECT n_nationkey AS s_nk, n_name AS supp_nation FROM nation) supp ON s_nationkey = s_nk)
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_revenue,
+        |  CAST(sum(rev) AS DOUBLE) AS total_revenue,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / nullif(CAST(sum(rev) AS DOUBLE), 0.0) AS mkt_share
+        |FROM j GROUP BY 1""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand='Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1.0 AND 30.0)
+        |   OR (p_brand='Brand#4' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10.0 AND 40.0)
+        |   OR (p_brand='Brand#16' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20.0 AND 50.0)""".stripMargin,
+    "q21_waiting" ->
+      """WITH l1 AS (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_returnflag = 'R'
+        |    AND l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |    AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = lineitem.l_orderkey
+        |                AND l2.l_suppkey <> lineitem.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = lineitem.l_orderkey
+        |                AND l3.l_suppkey <> lineitem.l_suppkey AND l3.l_returnflag = 'R'))
+        |SELECT s_suppkey, s_name, numwait FROM (
+        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait FROM l1 GROUP BY 1)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY numwait DESC, s_suppkey ASC LIMIT 10""".stripMargin,
+    "text_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(list_transform(string_split(text, ' '),
+        |    t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))), w -> w <> '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ts[CAST(i AS BIGINT)] || ' ' || ts[CAST(i AS BIGINT)+1] || ' ' || ts[CAST(i AS BIGINT)+2] AS shingle
+        |  FROM toks, unnest(range(1, len(ts)-1)) AS t(i)),
+        |pairs AS (
+        |  SELECT tr.doc_id AS train_id, be.doc_id AS bench_id, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM sh tr JOIN sh be ON tr.shingle = be.shingle
+        |  WHERE tr.doc_id % 20 <> 0 AND be.doc_id % 20 = 0
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT train_id, CAST(count(*) AS BIGINT) AS n_bench_hits, max(n_common) AS max_overlap
+        |FROM pairs GROUP BY 1""".stripMargin,
     "text_pack" ->
       """WITH chunks AS (
         |  SELECT doc_id, CAST(start // 32 AS BIGINT) AS chunk_id,

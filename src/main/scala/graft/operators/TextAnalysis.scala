@@ -192,4 +192,39 @@ object TextAnalysis {
         col("event_id"),
         regexp_replace(col("props"), "[0-9]+", "#").as("scrubbed"),
         size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0))).cast("long").as("n_masked"))
+
+  /** Benchmark decontamination (training-pipeline staple): flag
+    * training documents sharing n-gram shingles with a held-out
+    * benchmark set (here the deterministic doc_id % benchMod slice —
+    * in production the benchmark corpus arrives as its own table; the
+    * plan is identical). Candidate generation is the same rare-shingle
+    * equi-join as ngram dedup: shingles above `maxShingleDf` document
+    * frequency are dropped from the join key set (a shingle in B bench
+    * × T train docs makes B·T candidate rows — boilerplate is
+    * quadratic without the cap; a contaminated pair shares many
+    * shingles, overwhelmingly rare ones on natural text). The cap does
+    * not bind at test SF (max df 25), so output there is provably
+    * cap-free. Shingle extraction is one UDF pass, checkpointed
+    * because three consumers (df, train, bench) would otherwise
+    * re-evaluate it.
+    */
+  def contamination(spark: SparkSession, dir: String, n: Int = 3, minCommon: Int = 3,
+      benchMod: Int = 20, maxShingleDf: Int = 1000): DataFrame = {
+    val sh = fanOut(spark, t(spark, dir, "documents"))
+      .select(col("doc_id"),
+        explode(graft.functions.Signatures.shinglesCol(col("text"), n)).as("shingle"))
+      .localCheckpoint()
+    val rareKeys = sh.groupBy("shingle").agg(cnt.as("df"))
+      .filter(col("df") <= maxShingleDf).select("shingle")
+    val rare = sh.join(rareKeys, Seq("shingle"), "left_semi")
+    val bench = rare.filter(col("doc_id") % benchMod === 0)
+      .select(col("shingle"), col("doc_id").as("bench_id"))
+    val train = rare.filter(col("doc_id") % benchMod =!= 0)
+      .select(col("shingle"), col("doc_id").as("train_id"))
+    train.join(bench, "shingle")
+      .groupBy("train_id", "bench_id").agg(cnt.as("n_common"))
+      .filter(col("n_common") >= minCommon)
+      .groupBy("train_id")
+      .agg(cnt.as("n_bench_hits"), max("n_common").as("max_overlap"))
+  }
 }

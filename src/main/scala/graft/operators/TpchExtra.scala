@@ -187,4 +187,116 @@ object TpchExtra {
       .groupBy("c_mktsegment")
       .agg(cnt.as("n_customers"), sumMoney(col("c_acctbal")).as("total_bal"))
   }
+
+  /** TPC-H Q8 shape (national market share): one nation's share of a
+    * region's revenue for one part type, by order year. The share
+    * numerator is a conditional sum inside the SAME aggregation pass
+    * as the denominator — one shuffle, and the division of two
+    * exact-DECIMAL-derived doubles is bit-stable. Only the
+    * fixed-cardinality nation/region dims broadcast; customer/supplier
+    * strategy stays AQE's call.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String, partType: String = "ECONOMY",
+      shareNation: String = "NATION_3", regionName: String = "ASIA"): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val custNation = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+    val suppNation = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "part").filter(col("p_type") === partType).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(t(spark, dir, "region").filter(col("r_name") === regionName)),
+        col("c_rk") === col("r_regionkey"))
+      .join(t(spark, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sumMoney(when(col("supp_nation") === shareNation, rev).otherwise(lit(0.0))).as("nation_revenue"),
+        sumMoney(rev).as("total_revenue"))
+      .select(col("o_year"), col("nation_revenue"), col("total_revenue"),
+        (col("nation_revenue") / nullif(col("total_revenue"), lit(0.0))).as("mkt_share"))
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    * join with the filter IN the join condition (customers keeping
+    * zero matching orders still appear with count 0), then a second
+    * tiny aggregation over the per-customer counts. Both aggregations
+    * are map-side partial; the second one's key space is the max order
+    * count — a few dozen groups at any SF.
+    */
+  def q13CustDist(spark: SparkSession, dir: String, excludePriority: String = "1-URGENT"): DataFrame =
+    t(spark, dir, "customer").select("c_custkey")
+      .join(t(spark, dir, "orders")
+          .filter(col("o_orderpriority") =!= excludePriority)
+          .select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(cnt.as("custdist"))
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+    * OR of brand/size/quantity conjunction groups across the
+    * lineitem⋈part join. The part-only disjunction (brand ∧ size
+    * ranges) is applied ON THE PART SCAN as well — the manual
+    * common-factor extraction Catalyst's CNF pushdown doesn't do for
+    * cross-table ORs — so the build side is pruned before the join
+    * instead of carrying every part row to a post-join filter.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val partPred =
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 15)) ||
+      (col("p_brand") === "Brand#4" && col("p_size").between(10, 30)) ||
+      (col("p_brand") === "Brand#16" && col("p_size").between(20, 50))
+    val fullPred =
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1.0, 30.0)) ||
+      (col("p_brand") === "Brand#4" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10.0, 40.0)) ||
+      (col("p_brand") === "Brand#16" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20.0, 50.0))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "part").filter(partPred), col("l_partkey") === col("p_partkey"))
+      .filter(fullPred)
+      .agg(sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        cnt.as("n_items"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting, adapted to
+    * this schema's columns): suppliers with a RETURNED line in a
+    * finished multi-supplier order where NO other supplier's line was
+    * returned — returnflag stands in for the reference's
+    * receipt-past-commit lateness, preserving the plan shape: a fact
+    * self-semi-join (another supplier exists) and self-anti-join (no
+    * other returned supplier) both equi-keyed on orderkey with the
+    * supplier inequality as a residual. Final top-k is a
+    * TakeOrderedAndProject with the suppkey tiebreak.
+    */
+  def q21Waiting(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    val li = t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .join(t(spark, dir, "orders").filter(col("o_orderstatus") === "F").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    l1.join(l2, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"), "left_anti")
+      .groupBy("l_suppkey")
+      .agg(cnt.as("numwait"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey").asc)
+      .limit(topK)
+  }
 }

@@ -141,4 +141,23 @@ class TextMultimodalSpec extends SparkSpec {
       assert(mine.map(_._2).toSeq === (0L until mine.length.toLong), s"n=$n pack ids")
     }
   }
+
+  test("contamination flags the train copy of a bench doc; df cap gates candidates") {
+    import TestSpark.spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-contamspec").toString
+    val toks = ('a' to 'l').map(c => s"tok$c$c")
+    val benchText = toks.mkString(" ") // 12 tokens -> 10 distinct 3-shingles
+    def alpha(n: Long) = n.toString.map(c => ('a' + (c - '0')).toChar).mkString
+    val docs = (Seq((0L, benchText), (1L, benchText)) ++
+      (2L until 15L).map(i => (i, (1 to 8).map(j => s"f${alpha(i)}x${alpha(j)}").mkString(" "))))
+      .toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // doc 0 is bench (0 % 20 == 0), doc 1 its train-side copy
+    val hits = operators.TextAnalysis.contamination(TestSpark.spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq === Seq((1L, 1L, 10L)), s"got ${hits.mkString(",")}")
+    // a cap below every shingle's df empties the candidate key set
+    assert(operators.TextAnalysis.contamination(TestSpark.spark, tmp,
+      maxShingleDf = 1).count() === 0)
+  }
 }
