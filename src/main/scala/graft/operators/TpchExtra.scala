@@ -149,20 +149,25 @@ object TpchExtra {
 
   /** TPC-H Q17 shape (small-quantity-order revenue): revenue from
     * orders below 20% of their part's average quantity, for one brand.
-    * The correlated per-part average decorrelates to ONE aggregation
-    * over the fact table joined back on partkey; the brand filter
-    * prunes the part side at the scan. Threshold and comparison use
-    * the same exact-DECIMAL-average chain on both engines, so boundary
-    * rows cannot flip.
+    * The correlated per-part average decorrelates to a WINDOW over the
+    * brand-filtered fact subset: the brand join is inner, so
+    * restricting the threshold computation to the 1/|brands| slice
+    * that survives it is semantics-preserving and shrinks both the
+    * shuffle and the aggregate ~25×, and the whole-partition window
+    * (no ORDER BY — frame is the entire partkey group) replaces the
+    * second fact scan + self-join of the naive decorrelation with one
+    * scan and one shuffle. The window's decimal sum is
+    * partition-order-independent, so the threshold and comparison are
+    * bit-stable across engines.
     */
   def q17SmallQty(spark: SparkSession, dir: String, brand: String = "Brand#1"): DataFrame = {
-    val th = t(spark, dir, "lineitem")
-      .groupBy(col("l_partkey").as("pk"))
-      .agg((avgMoney(col("l_quantity")) * 0.2).as("qty_threshold"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
     t(spark, dir, "lineitem")
-      .join(t(spark, dir, "part").filter(col("p_brand") === brand),
+      .join(t(spark, dir, "part").filter(col("p_brand") === brand).select("p_partkey"),
         col("l_partkey") === col("p_partkey"))
-      .join(th, col("l_partkey") === col("pk"))
+      .withColumn("qty_threshold",
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 4))).over(w)
+          .cast("double") / count(lit(1)).over(w) * 0.2)
       .filter(col("l_quantity") < col("qty_threshold"))
       .agg((sumMoney(col("l_extendedprice")) / 7.0).as("avg_yearly"), cnt.as("n_items"))
   }
