@@ -92,6 +92,8 @@ object SparkEntry {
     "q13_custdist" -> ((s: SparkSession, d: String) => operators.TpchExtra.q13CustDist(s, d)),
     "q19_disjunctive" -> (operators.TpchExtra.q19Disjunctive _),
     "q21_waiting" -> ((s: SparkSession, d: String) => operators.TpchExtra.q21Waiting(s, d)),
+    "q16_supplier_cnt" -> (operators.TpchExtra.q16SupplierCnt _),
+    "q20_excess" -> ((s: SparkSession, d: String) => operators.TpchExtra.q20Excess(s, d)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -988,6 +990,27 @@ object SparkEntry {
         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait FROM l1 GROUP BY 1)
         |JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY numwait DESC, s_suppkey ASC LIMIT 10""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size BETWEEN 10 AND 40
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY 1, 2""".stripMargin,
+    "q20_excess" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT l_suppkey,
+        |    CAST(qty AS DOUBLE) / CAST(sum(qty) OVER (PARTITION BY l_partkey) AS DOUBLE) AS share
+        |  FROM ps)
+        |SELECT s_suppkey, s_name, n_parts_dominated FROM (
+        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_parts_dominated
+        |  FROM sh WHERE share > 0.5 GROUP BY 1)
+        |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
     "text_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(list_transform(string_split(text, ' '),

@@ -304,4 +304,45 @@ object TpchExtra {
       .orderBy(col("numwait").desc, col("s_suppkey").asc)
       .limit(topK)
   }
+
+  /** TPC-H Q16 shape (supplier-count statistics, adapted: lineitem is
+    * the part↔supplier bridge — this schema ships no partsupp):
+    * distinct suppliers per surviving (brand, type) after excluding
+    * one brand, a size band, and a supplier denylist. The NOT IN is a
+    * left-anti join; the distinct-pair collapse is a map-side partial
+    * aggregate BEFORE any join, so the join carries one row per
+    * (part, supplier), not one per lineitem.
+    */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+      .join(t(spark, dir, "supplier").filter(col("s_acctbal") < 0.0).select("s_suppkey"),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(t(spark, dir, "part")
+          .filter(col("p_brand") =!= "Brand#1" && col("p_size").between(10, 40)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+
+  /** TPC-H Q20 shape (excess concentration, adapted: shipped quantity
+    * stands in for partsupp availability): suppliers holding more than
+    * `minShare` of a part's total shipped quantity in a year, with how
+    * many parts they dominate. Per-(part,supplier) quantities stay
+    * DECIMAL through the whole-partition window total, so the share
+    * divides two exact values — one fact scan, two shuffles (pair agg,
+    * then partkey window), no self-join.
+    */
+  def q20Excess(spark: SparkSession, dir: String, minShare: Double = 0.5): DataFrame = {
+    val ps = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("qty"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    ps.withColumn("share", col("qty").cast("double") / sum("qty").over(w).cast("double"))
+      .filter(col("share") > minShare)
+      .groupBy("l_suppkey")
+      .agg(cnt.as("n_parts_dominated"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_parts_dominated"))
+  }
 }
