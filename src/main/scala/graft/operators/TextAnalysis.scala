@@ -202,9 +202,14 @@ object TextAnalysis {
     * frequency are dropped from the join key set (a shingle in B bench
     * × T train docs makes B·T candidate rows — boilerplate is
     * quadratic without the cap; a contaminated pair shares many
-    * shingles, overwhelmingly rare ones on natural text). The cap does
-    * not bind at test SF (max df 25), so output there is provably
-    * cap-free. Shingle extraction is one UDF pass, checkpointed
+    * shingles, overwhelmingly rare ones on natural text). Hot shingles
+    * still COUNT toward the overlap of every surviving candidate —
+    * the same exact fix-up as [[graft.dedup.Dedup.ngramJaccard]]:
+    * per-doc HOT-only shingle sets (tiny by construction, empty on
+    * normal corpora) are left-joined onto the candidate pairs — so the
+    * cap gates candidate generation only, never the score. The cap
+    * does not bind at test SF (max df 25), so output there is provably
+    * cap-free. Shingle extraction is one UDF pass, lazily checkpointed
     * because three consumers (df, train, bench) would otherwise
     * re-evaluate it.
     */
@@ -213,16 +218,22 @@ object TextAnalysis {
     val sh = fanOut(spark, t(spark, dir, "documents"))
       .select(col("doc_id"),
         explode(graft.functions.Signatures.shinglesCol(col("text"), n)).as("shingle"))
-      .localCheckpoint()
-    val rareKeys = sh.groupBy("shingle").agg(cnt.as("df"))
-      .filter(col("df") <= maxShingleDf).select("shingle")
-    val rare = sh.join(rareKeys, Seq("shingle"), "left_semi")
-    val bench = rare.filter(col("doc_id") % benchMod === 0)
-      .select(col("shingle"), col("doc_id").as("bench_id"))
-    val train = rare.filter(col("doc_id") % benchMod =!= 0)
-      .select(col("shingle"), col("doc_id").as("train_id"))
-    train.join(bench, "shingle")
-      .groupBy("train_id", "bench_id").agg(cnt.as("n_common"))
+      .localCheckpoint(false)
+    val dfreq = sh.groupBy("shingle").agg(cnt.as("df"))
+    val tagged = sh.join(dfreq, "shingle")
+    val rare = tagged.filter(col("df") <= maxShingleDf)
+    val isBench = col("doc_id") % benchMod === 0
+    val rarePairs = rare.filter(!isBench).select(col("shingle"), col("doc_id").as("train_id"))
+      .join(rare.filter(isBench).select(col("shingle"), col("doc_id").as("bench_id")), "shingle")
+      .groupBy("train_id", "bench_id").agg(cnt.as("rare_common"))
+    val hotSets = tagged.filter(col("df") > maxShingleDf)
+      .groupBy("doc_id").agg(collect_list("shingle").as("hot"))
+    rarePairs
+      .join(hotSets.select(col("doc_id").as("train_id"), col("hot").as("hot_t")), Seq("train_id"), "left")
+      .join(hotSets.select(col("doc_id").as("bench_id"), col("hot").as("hot_b")), Seq("bench_id"), "left")
+      .select(col("train_id"), col("bench_id"),
+        (col("rare_common") + size(array_intersect(
+          coalesce(col("hot_t"), array()), coalesce(col("hot_b"), array())))).as("n_common"))
       .filter(col("n_common") >= minCommon)
       .groupBy("train_id")
       .agg(cnt.as("n_bench_hits"), max("n_common").as("max_overlap"))

@@ -160,4 +160,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(operators.TextAnalysis.contamination(TestSpark.spark, tmp,
       maxShingleDf = 1).count() === 0)
   }
+
+  test("contamination: hot shingles count toward overlap of rare-keyed candidates") {
+    import TestSpark.spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-contamhot").toString
+    // head shared by 4 docs (df=4 -> hot at cap 3); tail unique to the
+    // bench/train pair (df=2 -> rare, generates the candidate)
+    val hot = "alpha beta gamma delta epsilon"
+    val full = hot + " uniqa uniqb uniqc"
+    val docs = Seq((0L, full), (1L, full), (4L, hot), (5L, hot)).toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // pair (1,0) shares 3 hot head-shingles + 3 rare cross/tail
+    // shingles; minCommon=6 is only reachable if hot overlap is added
+    // back onto the rare-keyed candidate
+    val hits = operators.TextAnalysis.contamination(TestSpark.spark, tmp,
+      minCommon = 6, maxShingleDf = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq === Seq((1L, 1L, 6L)), s"got ${hits.mkString(",")}")
+    // docs 4/5 overlap the bench doc ONLY on hot shingles -> never
+    // become candidates (candidate generation stays rare-keyed)
+    assert(!hits.exists(h => h._1 == 4L || h._1 == 5L))
+  }
 }
