@@ -94,6 +94,10 @@ object SparkEntry {
     "q21_waiting" -> ((s: SparkSession, d: String) => operators.TpchExtra.q21Waiting(s, d)),
     "q16_supplier_cnt" -> (operators.TpchExtra.q16SupplierCnt _),
     "q20_excess" -> ((s: SparkSession, d: String) => operators.TpchExtra.q20Excess(s, d)),
+    "q2_min_cost" -> ((s: SparkSession, d: String) => operators.TpchExtra.q2MinCost(s, d)),
+    "q9_profit" -> ((s: SparkSession, d: String) => operators.TpchExtra.q9Profit(s, d)),
+    "q11_important" -> ((s: SparkSession, d: String) => operators.TpchExtra.q11Important(s, d)),
+    "q12_ship_priority" -> ((s: SparkSession, d: String) => operators.TpchExtra.q12ShipPriority(s, d)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -1011,6 +1015,53 @@ object SparkEntry {
         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_parts_dominated
         |  FROM sh WHERE share > 0.5 GROUP BY 1)
         |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+    "q2_min_cost" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS supply_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT l_partkey, l_suppkey, supply_cost, p_brand,
+        |    min(supply_cost) OVER (PARTITION BY l_partkey) AS min_cost
+        |  FROM ps JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 30)
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, p_brand, s_suppkey, supply_cost
+        |FROM cand
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |WHERE supply_cost = min_cost
+        |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC, s_suppkey ASC
+        |LIMIT 100""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) - 0.5*p_retailprice*l_quantity
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q11_important" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS part_value
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_3')
+        |  GROUP BY 1)
+        |SELECT l_partkey, part_value FROM pv
+        |WHERE part_value > (SELECT CAST(sum(CAST(part_value AS DECIMAL(18,4))) AS DOUBLE) FROM pv) * 0.001
+        |ORDER BY part_value DESC, l_partkey ASC""".stripMargin,
+    "q12_ship_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin,
     "text_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(list_transform(string_split(text, ' '),

@@ -4,9 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Additional classic TPC-H query shapes over the available star
-  * schema (no partsupp table ships with the test data, so q2/q9/q11
-  * shapes are out of scope): cross-nation volume shipping, returned-
-  * item revenue ranking, and large-quantity order filtering.
+  * schema. No partsupp table ships with the test data, so the
+  * partsupp-centric shapes (q2/q9/q11, like q16/q20) are adapted with
+  * lineitem as the part↔supplier bridge: per-(part,supplier) facts
+  * come from a map-side-partial aggregate over lineitem, and
+  * ps_supplycost is proxied by observed unit price / part retail
+  * price. q12's receipt-past-commit lateness (columns absent) is
+  * proxied by ship-past-order lateness. The PLAN shapes — the thing
+  * that matters at 100 TB — are preserved exactly.
   *
   * Join-strategy policy: only FIXED-cardinality dims (nation = 25,
   * region = 5 rows at ANY scale factor) carry an explicit
@@ -322,6 +327,119 @@ object TpchExtra {
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_type")
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+
+  /** TPC-H Q2 shape (minimum-cost supplier, adapted: the supply cost
+    * of a (part, supplier) pair is the minimum observed unit price
+    * over lineitem — this schema ships no partsupp). For parts of one
+    * type/size band, find the cheapest supplier(s) within one region.
+    * The correlated min-cost subquery decorrelates to a
+    * whole-partition window MIN over partkey (one scan, no
+    * self-join), and the equality compares a value against the min of
+    * a set containing it — exact, never a float-noise flip. Only the
+    * fixed-cardinality nation/region dims broadcast; the final top-k
+    * is a TakeOrderedAndProject.
+    */
+  def q2MinCost(spark: SparkSession, dir: String, partType: String = "ECONOMY",
+      regionName: String = "EUROPE", topK: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    val ps = t(spark, dir, "lineitem")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("supply_cost"))
+    ps.join(t(spark, dir, "part")
+          .filter(col("p_type") === partType && col("p_size").between(10, 30))
+          .select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("min_cost", min("supply_cost").over(w))
+      .filter(col("supply_cost") === col("min_cost"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region").filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("p_brand"), col("s_suppkey"), col("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
+        col("p_partkey").asc, col("s_suppkey").asc)
+      .limit(topK)
+  }
+
+  /** TPC-H Q9 shape (product-type profit, adapted: unit supply cost is
+    * proxied by half the part's retail price). Profit on every line of
+    * parts whose name matches a token, grouped by supplier nation and
+    * order year. Four fact-dim joins where only nation broadcasts
+    * unconditionally; the part side is pre-filtered at its scan by the
+    * pushed LIKE, and the profit sum is exact-DECIMAL then DOUBLE, so
+    * the result is partition-order-independent.
+    */
+  def q9Profit(spark: SparkSession, dir: String, nameToken: String = "red"): DataFrame = {
+    val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.5) * col("p_retailprice") * col("l_quantity")
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "part").filter(col("p_name").contains(nameToken))
+          .select("p_partkey", "p_retailprice"),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sumMoney(profit).as("sum_profit"))
+  }
+
+  /** TPC-H Q11 shape (important stock, adapted: shipped revenue stands
+    * in for partsupp stock value): parts whose revenue shipped by one
+    * nation's suppliers exceeds a fraction of that nation's total. The
+    * global total re-aggregates the per-part aggregate (tiny input)
+    * and joins back as a ONE-ROW broadcast — never a driver collect;
+    * the supplier filter is a semi-join through the broadcast nation
+    * dim, so the fact shuffle carries only the 1/|nations| slice.
+    */
+  def q11Important(spark: SparkSession, dir: String, nationName: String = "NATION_3",
+      frac: Double = 0.001): DataFrame = {
+    val natSupp = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation").filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = t(spark, dir, "lineitem")
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("part_value"))
+    // Re-cast to DECIMAL before the global total: part_value carries
+    // ≤4 decimal digits by construction, so the cast is lossless-mod-
+    // rounding and the total is order-independent (a plain double sum
+    // would drift with partitioning and could flip a borderline part
+    // against the oracle's threshold).
+    val total = perPart.agg(
+      sum(col("part_value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+        .cast("double").as("total_value"))
+    perPart.join(broadcast(total))
+      .filter(col("part_value") > col("total_value") * frac)
+      .select(col("l_partkey"), col("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey").asc)
+  }
+
+  /** TPC-H Q12 shape (shipping-priority audit, adapted: ship-lag
+    * stands in for the reference's receipt-past-commit lateness, and
+    * returnflag for shipmode — those columns don't ship with this
+    * schema): lines shipped more than `lagDays` after their order
+    * date in a year, split into urgent/non-urgent order counts per
+    * flag. One fact scan with the date range pushed to parquet, one
+    * join, both counts from a single conditional-aggregation pass.
+    */
+  def q12ShipPriority(spark: SparkSession, dir: String, lagDays: Int = 60): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") + expr(s"INTERVAL $lagDays DAYS"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .cast("long").as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .cast("long").as("low_line_count"))
 
   /** TPC-H Q20 shape (excess concentration, adapted: shipped quantity
     * stands in for partsupp availability): suppliers holding more than
