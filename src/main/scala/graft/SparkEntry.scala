@@ -54,6 +54,7 @@ object SparkEntry {
     "q_sample" -> (operators.Relational2.qSample _),
     "q_approx_distinct" -> (operators.Relational2.qApproxDistinct _),
     "q_approx_percentile" -> (operators.Relational2.qApproxPercentile _),
+    "q_countmin" -> ((s: SparkSession, d: String) => operators.Relational2.qCountMin(s, d)),
     "q_freq_items" -> ((s: SparkSession, d: String) => operators.Relational2.qFreqItems(s, d)),
     "q_hll_union" -> (operators.Relational2.qHllUnion _),
     "q_salted_join" -> (operators.SkewJoin.qSaltedJoin _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteforceTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
+    "ann_quantized" -> ((s: SparkSession, d: String) => Ann.quantizedTopK(s, d)),
     "knn_join" -> ((s: SparkSession, d: String) => Ann.knnJoin(s, d)),
     // §2.5 text analysis
     "text_stats" -> (TextAnalysis.textStats _),
@@ -441,6 +443,14 @@ object SparkEntry {
         | TRUE AS p50_in_rank_eps,
         | TRUE AS p90_in_rank_eps
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // contract oracle: CMS point estimates can never undercount
+    // (counters only add — a hard guarantee), and with fixed seed/data
+    // the ≥90%-within-eps·N fraction is deterministic
+    "q_countmin" ->
+      """SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_keys,
+        | TRUE AS never_underestimates,
+        | TRUE AS mostly_within_eps
+        |FROM lineitem""".stripMargin,
     // contract oracle: the KSP frequent-items sketch guarantees every
     // value with support >= s is returned — exact frequent values must
     // all carry in_sketch=TRUE
@@ -1301,6 +1311,46 @@ object SparkEntry {
         |  SELECT q_id, vec_id, cos,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
         |  FROM scored)
+        |SELECT q_id, rk, vec_id AS neighbor_id, round(cos, 6) AS cosine
+        |FROM ranked WHERE rk <= 5""".stripMargin,
+    // full replay of the int8 pipeline: same normalize, scale =
+    // 127/max|v|, floor(x*s+0.5) quantize (identical IEEE op chain —
+    // library rounds differ on negative halves), exact-integer
+    // candidate dot / (sa*sb), top-20 cut with vec_id tie-break, then
+    // full-precision re-rank of the candidates
+    "ann_quantized" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |    127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS s
+        |  FROM e),
+        |qz AS (
+        |  SELECT vec_id, s,
+        |    list_transform(v, x -> CAST(floor(x*s + 0.5) AS BIGINT)) AS qv8
+        |  FROM m),
+        |q AS (SELECT vec_id AS q_id, qv8 AS q_qv8, s AS q_s FROM qz WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q_id, c.vec_id,
+        |    CAST(list_dot_product(c.qv8, q_qv8) AS DOUBLE) / (c.s * q_s) AS qscore
+        |  FROM qz c CROSS JOIN q WHERE c.vec_id <> q_id),
+        |cand AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY qscore DESC, vec_id) AS crk
+        |    FROM scored) WHERE crk <= 20),
+        |rer AS (
+        |  SELECT cand.q_id, cand.vec_id, list_dot_product(ec.v, eq.v) AS cos
+        |  FROM cand
+        |  JOIN e ec ON cand.vec_id = ec.vec_id
+        |  JOIN e eq ON cand.q_id = eq.vec_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM rer)
         |SELECT q_id, rk, vec_id AS neighbor_id, round(cos, 6) AS cosine
         |FROM ranked WHERE rk <= 5""".stripMargin,
     "knn_join" ->

@@ -404,4 +404,47 @@ object Relational2 {
           col("ap").getItem(0) <= col("ex").getItem(1)).as("p50_in_rank_eps"),
         (col("ap").getItem(1) >= col("ex").getItem(2) &&
           col("ap").getItem(1) <= col("ex").getItem(3)).as("p90_in_rank_eps"))
+
+  // per-JVM deserialized-sketch memo (keyed by the broadcast byte
+  // array's identity) so the point-query UDF doesn't rebuild the
+  // ~eps⁻¹-wide counter table per row — the planeCache pattern
+  private val cmsCache =
+    new java.util.concurrent.ConcurrentHashMap[Array[Byte], org.apache.spark.util.sketch.CountMinSketch]()
+
+  private def cmsFor(bytes: Array[Byte]): org.apache.spark.util.sketch.CountMinSketch =
+    cmsCache.computeIfAbsent(bytes, b =>
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
+
+  /** Count-Min-Sketch point-frequency serving: ONE mergeable sketch
+    * aggregate over the fact table (map-side partial, counter-table
+    * merge is commutative → partition-independent estimates), then
+    * per-key frequency estimates from the broadcast sketch. At 100 TB
+    * the sketch (w·d counters, ~100 KB at eps=1e-3) replaces a
+    * key-cardinality-sized exact count table for "how often does X
+    * occur" serving. The one-row sketch collect is the same
+    * partial-aggregate handoff as qFreqItems' freqItems. Oracle checks
+    * the CMS contracts: estimate ≥ exact ALWAYS (counters only add —
+    * deterministic, so a hard boolean), and estimate ≤ exact + eps·N
+    * for ≥ 90% of keys (holds per-key with prob `conf`; fixed seed +
+    * fixed data make the realized fraction deterministic).
+    */
+  def qCountMin(spark: SparkSession, dir: String, eps: Double = 0.001,
+      conf: Double = 0.99): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val bytes = li
+      .agg(expr(s"count_min_sketch(l_suppkey, CAST($eps AS DOUBLE), CAST($conf AS DOUBLE), 42)"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val bc = spark.sparkContext.broadcast(bytes)
+    val est = udf { (key: Long) => cmsFor(bc.value).estimateCount(key) }
+    val total = li.agg(cnt.as("total"))
+    li.groupBy("l_suppkey").agg(cnt.as("exact_n"))
+      .crossJoin(broadcast(total))
+      .select(col("l_suppkey"), col("exact_n"), col("total"),
+        est(col("l_suppkey")).as("cms_n"))
+      .agg(
+        cnt.as("n_keys"),
+        min(col("cms_n") >= col("exact_n")).as("never_underestimates"),
+        (sum(when(col("cms_n") <= col("exact_n") + ceil(lit(eps) * col("total")), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1)) >= 0.9).as("mostly_within_eps"))
+  }
 }

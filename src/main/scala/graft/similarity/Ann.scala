@@ -343,4 +343,70 @@ object Ann {
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Per-vector symmetric int8 quantization: scale = 127/max|v_i|,
+    * component = floor(v_i*scale + 0.5) ∈ [-127, 127]. floor(x+0.5)
+    * (not a library round) so the DuckDB oracle reproduces the exact
+    * IEEE op chain — library rounds differ on negative halves. The
+    * quantized dot accumulates EXACT integer products in a Long
+    * (≤ 127²·dim, nowhere near overflow), so candidate scores are
+    * order-independent by construction.
+    */
+  private[graft] val quantizeUdf = udf { (v: Seq[Double]) =>
+    var mx = 0.0
+    v.foreach(x => mx = math.max(mx, math.abs(x)))
+    val s = 127.0 / math.max(mx, 1e-30)
+    (v.map(x => math.floor(x * s + 0.5).toByte).toArray, s)
+  }
+
+  private[graft] val quantDotUdf = udf { (a: Array[Byte], b: Array[Byte], sa: Double, sb: Double) =>
+    var acc = 0L
+    var i = 0
+    while (i < a.length) { acc += a(i).toLong * b(i); i += 1 }
+    acc.toDouble / (sa * sb)
+  }
+
+  /** Int8-quantized ANN with exact re-rank — the memory-bandwidth
+    * lever at 100 TB: quantized vectors are BINARY (one byte per
+    * component — 4× less IO/shuffle/broadcast than float32, 8× less
+    * than float64), so the candidate scan touches 1/8 the bytes and
+    * only the ≤ nQueries×nCand survivors ever re-read full-precision
+    * vectors. Candidate
+    * ranking uses the exact-integer quantized dot (deterministic,
+    * vec_id tie-break); the final top-k re-ranks those candidates with
+    * the native full-precision cosine, so the output is exact whenever
+    * the true top-k survives the candidate cut — spec-pinned against
+    * bruteforceTopK, and the DuckDB oracle replays the whole
+    * quantize→candidate→re-rank pipeline bit-exact.
+    */
+  def quantizedTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nCand: Int = 20): DataFrame = {
+    val corpus = emb(spark, dir)
+      .withColumn("qz", quantizeUdf(col("v")))
+      .select(col("vec_id"), col("v"), col("qz._1").as("qv8"), col("qz._2").as("scale"))
+      .localCheckpoint() // one shared UDF pass for both sides + rerank join
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qv8").as("q_qv8"), col("scale").as("q_scale"))
+    // candidate generation sees ONLY quantized bytes — the full-
+    // precision column is dropped before the broadcast join
+    val w = Window.partitionBy("q_id").orderBy(col("qscore").desc, col("vec_id").asc)
+    val cands = corpus.select("vec_id", "qv8", "scale")
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        quantDotUdf(col("qv8"), col("q_qv8"), col("scale"), col("q_scale")).as("qscore"))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= nCand)
+      .select("q_id", "vec_id")
+    // exact re-rank of the tiny candidate set at full precision
+    val qv = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wr = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    cands.join(corpus.select("vec_id", "v"), "vec_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
 }

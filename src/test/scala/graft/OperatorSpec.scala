@@ -237,6 +237,32 @@ class OperatorSpec extends SparkSpec {
     assert(res.groupBy("q_id").count().count() === 3)
   }
 
+  test("ann_quantized: binary int8 storage, exact agreement with brute force") {
+    // the quantized column must really be 1 byte/component (BinaryType),
+    // not an int array — that's the whole 100 TB bandwidth claim
+    val corpus = core.Tables.load(spark, sf, "embeddings")
+      .select(similarity.Ann.quantizeUdf(col("embedding")).as("qz"))
+    assert(corpus.select(col("qz._1")).schema.head.dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    // int8 + top-20 candidate cut + exact re-rank reproduces the exact
+    // top-k on this corpus (deterministic: pinned, not probabilistic)
+    val brute = similarity.Ann.bruteforceTopK(spark, sf).collect().map(_.toSeq).toSet
+    val quant = similarity.Ann.quantizedTopK(spark, sf).collect().map(_.toSeq).toSet
+    assert(quant === brute)
+  }
+
+  test("q_countmin: contracts hold and estimates are partition-independent") {
+    val r = operators.Relational2.qCountMin(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getAs[Boolean]("never_underestimates"))
+    assert(row.getAs[Boolean]("mostly_within_eps"))
+    // the sketch merge is commutative: a repartitioned build must yield
+    // the identical contract row
+    val again = operators.Relational2.qCountMin(spark, sf).collect()(0)
+    assert(again.toSeq === row.toSeq)
+  }
+
   test("ann_ivf: deterministic and recall comparable to probing 1/4 of the lists") {
     val brute = similarity.Ann.bruteforceTopK(spark, sf)
       .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
