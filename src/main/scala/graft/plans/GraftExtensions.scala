@@ -27,6 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_normalize expects 1 argument, got ${children.size}")
         L2Normalize(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_zvalue"),
+      new ExpressionInfo(classOf[ZValue].getName, "graft_zvalue"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_zvalue expects 2 arguments, got ${children.size}")
+        ZValue(children(0), children(1))
+      }))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => TopKRewriteRule)
   }

@@ -39,4 +39,46 @@ object Sinks {
       .option("parquet.block.size", rowGroupBytes)
       .mode("overwrite")
       .parquet(path)
+
+  /** Parquet write clustered on TWO dimensions at once: rows are
+    * range-partitioned and sorted by the Morton interleave of the two
+    * key columns ([[graft.plans.ZValue]]), so row-group min/max stats
+    * prune range predicates on EITHER column — the lakehouse
+    * OPTIMIZE-ZORDER layout. A single-column sort makes the second
+    * dimension uniformly interleaved (nothing skips); the z-curve
+    * keeps both locally dense at the cost of neither being perfectly
+    * sorted. The range repartition is the one shuffle any re-layout
+    * pays; the per-partition sort is narrow.
+    *
+    * Both keys are first scaled to equal-width 16-bit buckets from
+    * their observed [min, max] — interleaving RAW values hands the
+    * wider-ranged column all the significant bits and the narrow
+    * column never prunes (measured: partkey ~2000 values × suppkey
+    * ~100 → zero suppkey skipping without scaling). The min/max agg is
+    * one tiny job whose 4-value result joins the plan as literals —
+    * the centroid-handoff pattern, not a data collect. Integer bucket
+    * math is exact for key spans < 2^47; rank-compress wider, float,
+    * or heavily-skewed keys first (the curve needs order, not values —
+    * and min/max scaling keeps skewed value clusters in few buckets,
+    * where a true rank would spread them).
+    */
+  def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
+      rowGroupBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.spark.sql.functions.{floor, greatest, lit, max, min}
+    val r = df.agg(min(a.cast("long")), max(a.cast("long")),
+      min(b.cast("long")), max(b.cast("long"))).collect()(0)
+    val (aMin, aMax, bMin, bMax) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    def bucket(c: Column, lo: Long, hi: Long): Column = {
+      val span = math.max(hi - lo + 1, 1L)
+      floor((c.cast("long") - lit(lo)) * lit(65536L) / lit(span)).cast("long")
+    }
+    val z = graft.plans.ZValue.zvalue(
+      bucket(a, aMin, aMax), bucket(b, bMin, bMax))
+    df.repartitionByRange(z)
+      .sortWithinPartitions(z)
+      .write
+      .option("parquet.block.size", rowGroupBytes)
+      .mode("overwrite")
+      .parquet(path)
+  }
 }

@@ -50,3 +50,14 @@ abstract class ArrayDoubleUnaryExpression
   override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
     Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
 }
+
+/** (long, long) sibling: two integral inputs coerced to LONG at
+  * analysis time (AbstractDataType is private[sql], so the input-type
+  * declaration lives here with the other coercion shims).
+  */
+abstract class LongBinaryExpression
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.LongType)
+}
