@@ -101,6 +101,7 @@ object SparkEntry {
     "q12_ship_priority" -> ((s: SparkSession, d: String) => operators.TpchExtra.q12ShipPriority(s, d)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.exact _),
+    "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
@@ -345,7 +346,12 @@ object SparkEntry {
     * sums, spherical renormalize, lost-cluster fallback), nProbe=4
     * probes and cosine ranking.
     */
-  private def ivfOracleSql: String = {
+  /** The shared quantizer replay (normalize → XXH64 seed selection →
+    * two Lloyd rounds → final assignment `af(vec_id, v, cid)`) as WITH-
+    * clause CTEs — the common prefix of the ann_ivf and dedup_semantic
+    * oracles.
+    */
+  private def ivfCoreCtes: String = {
     import SqlU64._
     def rotl(a: String, r: Int): String = s"(${shlmod(a, r)} + ${shr(a, 64 - r)})"
     val P1 = BigInt("9E3779B185EBCA87", 16)
@@ -374,7 +380,7 @@ object SparkEntry {
          |           sqrt(list_sum(list_transform(ml.ml, y -> y*y))), 1e-12))
          |    END AS cv
          |  FROM $cin p LEFT JOIN ml_$cout ml ON p.cid = ml.cid)""".stripMargin
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
        |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS v
@@ -403,7 +409,11 @@ object SparkEntry {
        |    SELECT e.vec_id, e.v, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |                         ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
-       |    FROM e CROSS JOIN c2 c) WHERE rn = 1),
+       |    FROM e CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfOracleSql: String =
+    s"""WITH $ivfCoreCtes,
        |qprobes AS (
        |  SELECT q_id, qv, cid AS q_cid FROM (
        |    SELECT a.vec_id AS q_id, a.v AS qv, c.cid,
@@ -419,13 +429,26 @@ object SparkEntry {
        |  FROM scored)
        |SELECT q_id, rk, vec_id AS neighbor_id, round(cos, 6) AS cosine
        |FROM ranked WHERE rk <= 5""".stripMargin
-  }
+
+  /** dedup_semantic oracle: same quantizer replay, then the greedy
+    * keep-lowest-id rule — drop any vector with a lower-id cluster-mate
+    * at cosine ≥ tau, return surviving assignments.
+    */
+  private def semanticDedupOracleSql: String =
+    s"""WITH $ivfCoreCtes,
+       |pairs AS (
+       |  SELECT b.vec_id AS dropped
+       |  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.v, b.v) >= 0.35)
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM af
+       |WHERE vec_id NOT IN (SELECT dropped FROM pairs)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashOracleSql,
     "multimodal_stats" -> multimodalStatsOracleSql,
     "multimodal_topk" -> multimodalTopKOracleSql,
     "ann_ivf" -> ivfOracleSql,
+    "dedup_semantic" -> semanticDedupOracleSql,
     // contract oracle: the raw HLL estimate is Spark-internal, but its
     // accuracy contract (within 5% of exact) is engine-independent —
     // the gate fails if the sketch ever degrades

@@ -429,4 +429,39 @@ object Dedup {
       // hash-comparability (instruction-order last-ulp differences)
       .withColumn("cosine", round(col("cosine"), 6))
   }
+
+  /** SemDeDup-style semantic dedup (cluster-blocked): the deterministic
+    * spherical-k-means quantizer from [[graft.similarity.Ann.ivfTopK]]
+    * partitions the embedding space; a vector is dropped when ANY
+    * lower-id member of ITS OWN cluster is within `tau` cosine (keep-
+    * lowest-id, the greedy one-per-ball rule). Returns the surviving
+    * (vec_id, cid) assignments.
+    *
+    * Scale shape: clustering is the blocking — the pairwise term is
+    * per-cluster, so kCentroids must scale ~N/target-cluster-size
+    * (the standard IVF sizing rule) to keep cells bounded; candidates
+    * are an equi-join on cid, never global all-pairs. The documented
+    * trade vs [[embeddingDups]]' SRP blocking: pairs straddling a
+    * cluster boundary are MISSED by construction (SemDeDup accepts
+    * this for its locality and its reusable cluster structure — the
+    * same assignment serves ann_ivf probes and the dedup pass).
+    */
+  def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.35,
+      kCentroids: Int = 16, lloydIters: Int = 2): DataFrame = {
+    import graft.similarity.Ann
+    val corpus = Ann.emb(spark, dir).cache()
+    val centroids = Ann.trainQuantizer(corpus, kCentroids, lloydIters)
+    val assigned = corpus
+      .withColumn("cid", Ann.nearestUdf(centroids)(col("v")))
+      .localCheckpoint() // one UDF pass feeds both pair sides + output
+    corpus.unpersist()
+    val a = assigned.select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("cid"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val dropped = a.join(b, "cid")
+      .filter(col("id_a") < col("id_b"))
+      .filter(dotNative(col("va"), col("vb")) >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+  }
 }

@@ -162,7 +162,7 @@ object Ann {
     * bit-identical under any partitioning (avg(double) would drift
     * with partition order).
     */
-  private[similarity] def nearestUdf(cs: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+  private[graft] def nearestUdf(cs: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
     var best = 0; var bestDot = Double.NegativeInfinity
     var c = 0
     while (c < cs.length) {
@@ -192,7 +192,7 @@ object Ann {
     * per-dim DECIMAL sums of 1e-9-quantized values, so centroids are
     * bit-identical under any partitioning.
     */
-  private[similarity] def trainQuantizer(corpus: DataFrame, kCentroids: Int,
+  private[graft] def trainQuantizer(corpus: DataFrame, kCentroids: Int,
       lloydIters: Int, dim: Int = 64): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = corpus
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(kCentroids)

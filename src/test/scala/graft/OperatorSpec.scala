@@ -237,6 +237,29 @@ class OperatorSpec extends SparkSpec {
     assert(res.groupBy("q_id").count().count() === 3)
   }
 
+  test("dedup_semantic: matches a brute-force within-cluster keep-lowest-id reference") {
+    val got = dedup.Dedup.semanticDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent reference: same deterministic quantizer, rule applied
+    // naively over collected rows (500 vectors at this SF)
+    val corpus = similarity.Ann.emb(spark, sf).cache()
+    val cs = similarity.Ann.trainQuantizer(corpus, 16, 2)
+    val rows = corpus.withColumn("cid", similarity.Ann.nearestUdf(cs)(col("v")))
+      .select("vec_id", "cid", "v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+    corpus.unpersist()
+    def cos(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val expect = rows.filter { case (id, cid, v) =>
+      !rows.exists { case (id2, cid2, v2) =>
+        id2 < id && cid2 == cid && cos(v2, v) >= 0.35
+      }
+    }.map { case (id, cid, _) => (id, cid.toLong) }.toSet
+    assert(got === expect)
+    assert(got.size < rows.length, "the pass should drop at least one near-dup")
+  }
+
   test("ann_quantized: binary int8 storage, exact agreement with brute force") {
     // the quantized column must really be 1 byte/component (BinaryType),
     // not an int array — that's the whole 100 TB bandwidth claim
