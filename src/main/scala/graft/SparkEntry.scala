@@ -79,6 +79,7 @@ object SparkEntry {
     "q_array_funcs" -> (operators.ComplexTypes.qArrayFuncs _),
     "q_map_ops" -> (operators.ComplexTypes.qMapOps _),
     "q_resample" -> (operators.ComplexTypes.qResample _),
+    "q_scd2" -> (operators.ComplexTypes.qScd2 _),
     "q_funnel" -> (operators.ComplexTypes.qFunnel _),
     "q7_volume" -> (operators.TpchExtra.q7Volume _),
     "q10_returns" -> (operators.TpchExtra.q10Returns _),
@@ -600,6 +601,14 @@ object SparkEntry {
       """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1""".stripMargin,
+    "q_scd2" ->
+      """SELECT user_id, event_id, event_type AS state,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+        |  lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS valid_to_s,
+        |  lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) IS NULL AS is_current
+        |FROM events""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         |  SELECT user_id, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS new_sess FROM (

@@ -104,4 +104,23 @@ object ComplexTypes {
       .select(col("o_orderpriority"), explode(col("m")))
       .select(col("o_orderpriority"), col("key").as("o_orderstatus"), col("value").as("n"))
   }
+
+  /** SCD2 (slowly-changing-dimension type 2) interval build: each
+    * user's event stream becomes validity intervals — a row's state
+    * holds from its own timestamp until the NEXT event's (lead), the
+    * newest row stays open (`is_current`). ONE window pass per user
+    * partition builds the whole history — the standard
+    * change-log → dimension-snapshot transform, no self-join. Times
+    * are emitted (and ordered) as epoch SECONDS so the comparison is
+    * identical across engines regardless of sub-second timestamp
+    * handling (the q_sessionize precedent).
+    */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("valid_from_s"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type").as("state"),
+        col("ts").cast("long").as("valid_from_s"))
+      .withColumn("valid_to_s", lead(col("valid_from_s"), 1).over(w))
+      .withColumn("is_current", col("valid_to_s").isNull)
+  }
 }

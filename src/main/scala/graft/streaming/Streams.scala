@@ -39,6 +39,26 @@ object Streams {
       .select(col("a.event_id").as("left_id"), col("b.event_id").as("right_id"),
         col("a.user_id").as("user_id"))
 
+  /** Stream-stream LEFT OUTER time-bounded join — the harder state
+    * contract next to [[streamStreamJoin]]: an unmatched left event
+    * CANNOT be emitted until the watermark proves no matching right
+    * event can still arrive, so null-padded rows surface only after
+    * the right watermark passes the join window's upper bound. Both
+    * the time-bound in the condition AND the watermarks are mandatory
+    * for outer joins (Spark rejects the query otherwise — unbounded
+    * state could never prove a non-match).
+    */
+  def streamStreamLeftOuter(a: Dataset[Event], b: Dataset[Event]): DataFrame =
+    a.withWatermark("ts", "2 hours").alias("a")
+      .join(
+        b.withWatermark("ts", "2 hours").alias("b"),
+        expr("""a.user_id = b.user_id
+                AND a.event_id <> b.event_id
+                AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR"""),
+        "left_outer")
+      .select(col("a.event_id").as("left_id"), col("b.event_id").as("right_id"),
+        col("a.user_id").as("user_id"))
+
   /** Stream-static join: enrich the stream with a dimension table.
     * The static side is planned per micro-batch as an ordinary join —
     * no streaming state at all, which is why this is the right shape

@@ -94,6 +94,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty) // events data must actually produce pairs
   }
 
+  test("stream-stream LEFT OUTER join null-pads once the watermark proves non-match") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sa = MemoryStream[Event]; val sb = MemoryStream[Event]
+    sa.addData(events); sb.addData(events)
+    val q = Streams.streamStreamLeftOuter(sa.toDS(), sb.toDS())
+      .writeStream.format("memory").queryName("ssloj").outputMode("append").start()
+    q.processAllAvailable()
+    // unmatched lefts are withheld until the watermark proves no match
+    // can still arrive — push it far past every event with sentinels
+    val flush = ts(60 * 24 * 40) // 40 days on: beyond every bound + watermark
+    sa.addData(Seq(Event(-1, flush, 99, "flush", 0.0)))
+    sb.addData(Seq(Event(-2, flush, 98, "flush", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssloj").filter(col("left_id") >= 0)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]))).toSet
+    val batch = events.toDS().alias("a")
+      .join(events.toDS().alias("b"),
+        expr("""a.user_id = b.user_id AND a.event_id <> b.event_id
+                AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR"""),
+        "left_outer")
+      .select(col("a.event_id"), col("b.event_id"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(got === batch)
+    // the outer semantics must actually bite: some left event has no
+    // in-window partner and surfaces null-padded
+    assert(got.exists(_._2.isEmpty), s"no null-padded rows in $got")
+  }
+
   test("file-source streaming: new parquet files flow through the windowed agg") {
     import TestSpark.spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
