@@ -21,6 +21,7 @@ object SparkEntry {
     "mr_grep" -> (MRJobs.grep _),
     "mr_inverted_index" -> (MRJobs.invertedIndex _),
     "mr_histogram" -> (MRJobs.histogram _),
+    "mr_pagerank" -> ((s: SparkSession, d: String) => MRJobs.pagerank(s, d)),
     // §2.2 relational battery
     "q1_agg" -> (Relational.q1Agg _),
     "q3_topk" -> (Relational.q3Topk _),
@@ -508,6 +509,34 @@ object SparkEntry {
         |) w WHERE word <> '' GROUP BY word""".stripMargin,
     "mr_histogram" ->
       "SELECT CAST(floor(l_extendedprice/10000.0) AS BIGINT) AS bucket, count(*) AS n FROM lineitem GROUP BY 1",
+    // integer micro-rank PageRank replayed exactly: same truncating
+    // divisions, 5 unrolled iteration CTEs (the Lloyd-oracle pattern)
+    "mr_pagerank" -> {
+      def iter(prev: String, cur: String): String =
+        s"""$cur AS (
+           |  SELECT nodes.node,
+           |    (SELECT (1000000000000 * 15 // 100) // n FROM params)
+           |      + coalesce(s.in_sum, 0) * 85 // 100 AS rank
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.b AS node, sum(r.rank // o.outdeg) AS in_sum
+           |    FROM $prev r JOIN outdeg o ON r.node = o.node JOIN edges e ON r.node = e.a
+           |    GROUP BY 1) s ON nodes.node = s.node)""".stripMargin
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         |pairs AS (
+         |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
+         |outdeg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+         |params AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, 1000000000000 // (SELECT n FROM params) AS rank FROM nodes),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")},
+         |${iter("r3", "r4")},
+         |${iter("r4", "r5")}
+         |SELECT node AS part_id, CAST(rank AS BIGINT) AS rank FROM r5""".stripMargin
+    },
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -57,4 +57,52 @@ object MRJobs {
     t(spark, dir, "lineitem")
       .groupBy(floor(col("l_extendedprice") / 10000.0).cast("long").as("bucket"))
       .agg(cnt.as("n"))
+
+  /** PageRank — the canonical ITERATIVE MapReduce workload (each
+    * round is exactly one map(contribute)/shuffle(by dst)/reduce(sum)
+    * pass), over the part co-occurrence graph (parts sharing an
+    * order, undirected → both directions).
+    *
+    * All arithmetic is INTEGER micro-rank units (scale 1e12) with
+    * truncating division: contribution = rank DIV outdeg, damping =
+    * (sum·85) DIV 100 — every engine computes the identical longs, so
+    * the oracle replays the run bit-exact with unrolled-iteration
+    * CTEs (the Lloyd-oracle pattern) instead of settling for a
+    * convergence contract. Floor division leaks mass (standard for
+    * integer PageRank) — rank ORDER, the quantity PageRank exists
+    * for, is unaffected. Isolated parts keep the teleport term only.
+    *
+    * Scale shape: edges build from one distinct pair-collapse of the
+    * fact table (map-side partial); each iteration is one equi-join
+    * (rank ⋈ edges on src — broadcastable while ranks are narrow) +
+    * one groupBy(dst) sum; the driver loop only schedules, and a
+    * localCheckpoint per round keeps lineage flat (the CC pattern).
+    */
+  def pagerank(spark: SparkSession, dir: String, iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    val li = t(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    val nodes = li.select(col("l_partkey").as("node")).distinct().localCheckpoint()
+    val outdeg = edges.groupBy(col("a").as("node")).agg(cnt.as("outdeg"))
+    val n = nodes.count() // scalar graph size, not data
+    val base = (scale * 15L / 100L) / n
+    var rank = nodes.select(col("node"), lit(scale / n).as("rank")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = rank.join(outdeg, "node")
+        .select(col("node"), expr("rank DIV outdeg").as("c"))
+        .join(edges, col("node") === col("a"))
+        .groupBy(col("b").as("node")).agg(sum("c").as("in_sum"))
+      rank = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("coalesce(in_sum, CAST(0 AS BIGINT)) * 85 DIV 100")).as("rank"))
+        .localCheckpoint()
+    }
+    rank.select(col("node").as("part_id"), col("rank"))
+  }
 }
