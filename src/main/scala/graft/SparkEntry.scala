@@ -432,9 +432,10 @@ object SparkEntry {
        |SELECT q_id, rk, vec_id AS neighbor_id, round(cos, 6) AS cosine
        |FROM ranked WHERE rk <= 5""".stripMargin
 
-  /** dedup_semantic oracle: same quantizer replay, then the greedy
+  /** dedup_semantic oracle: same quantizer replay, then the one-shot
     * keep-lowest-id rule — drop any vector with a lower-id cluster-mate
-    * at cosine ≥ tau, return surviving assignments.
+    * at cosine ≥ tau (dropped mates included), return surviving
+    * assignments.
     */
   private def semanticDedupOracleSql: String =
     s"""WITH $ivfCoreCtes,
@@ -518,16 +519,16 @@ object SparkEntry {
            |    (SELECT (1000000000000 * 15 // 100) // n FROM params)
            |      + coalesce(s.in_sum, 0) * 85 // 100 AS rank
            |  FROM nodes LEFT JOIN (
-           |    SELECT e.b AS node, sum(r.rank // o.outdeg) AS in_sum
-           |    FROM $prev r JOIN outdeg o ON r.node = o.node JOIN edges e ON r.node = e.a
+           |    SELECT e.b AS node, sum(r.rank // e.outdeg) AS in_sum
+           |    FROM $prev r JOIN edges e ON r.node = e.a
            |    GROUP BY 1) s ON nodes.node = s.node)""".stripMargin
-      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          |pairs AS (
          |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
          |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-         |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
          |nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
-         |outdeg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+         |outdeg AS (SELECT a, CAST(count(*) AS BIGINT) AS outdeg FROM pairs GROUP BY 1),
+         |edges AS (SELECT pairs.a, pairs.b, outdeg FROM pairs JOIN outdeg USING (a)),
          |params AS (SELECT count(*) AS n FROM nodes),
          |r0 AS (SELECT node, 1000000000000 // (SELECT n FROM params) AS rank FROM nodes),
          |${iter("r0", "r1")},
@@ -1090,16 +1091,20 @@ object SparkEntry {
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS supply_cost
         |  FROM lineitem GROUP BY 1, 2),
+        |regional AS (
+        |  SELECT l_partkey, l_suppkey, supply_cost, s_acctbal, s_name, n_name
+        |  FROM ps
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
         |cand AS (
-        |  SELECT l_partkey, l_suppkey, supply_cost, p_brand,
+        |  SELECT l_partkey, l_suppkey, supply_cost, s_acctbal, s_name, n_name, p_brand,
         |    min(supply_cost) OVER (PARTITION BY l_partkey) AS min_cost
-        |  FROM ps JOIN part ON l_partkey = p_partkey
+        |  FROM regional JOIN part ON l_partkey = p_partkey
         |  WHERE p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 30)
-        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, p_brand, s_suppkey, supply_cost
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, p_brand,
+        |  l_suppkey AS s_suppkey, supply_cost
         |FROM cand
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
         |WHERE supply_cost = min_cost
         |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC, s_suppkey ASC
         |LIMIT 100""".stripMargin,

@@ -8,7 +8,14 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional third arg: comma-separated query-name filter for fast
     // local iteration; the driver's two-arg call runs everything.
-    val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    // Names are trimmed, and unknown names abort loudly — a typo must
+    // not silently produce an empty run that a stale compare then
+    // "passes" against.
+    val only: Option[Set[String]] = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -433,9 +433,13 @@ object Dedup {
   /** SemDeDup-style semantic dedup (cluster-blocked): the deterministic
     * spherical-k-means quantizer from [[graft.similarity.Ann.ivfTopK]]
     * partitions the embedding space; a vector is dropped when ANY
-    * lower-id member of ITS OWN cluster is within `tau` cosine (keep-
-    * lowest-id, the greedy one-per-ball rule). Returns the surviving
-    * (vec_id, cid) assignments.
+    * lower-id member of ITS OWN cluster is within `tau` cosine —
+    * including members that are themselves dropped (survivor := no
+    * lower-id neighbor ≥ tau; NOT the sequential greedy rule, which
+    * would re-admit a vector whose only close mates were dropped —
+    * this one-shot form needs no iteration and errs toward dropping,
+    * the safe side for dedup). Returns the surviving (vec_id, cid)
+    * assignments.
     *
     * Scale shape: clustering is the blocking — the pairwise term is
     * per-cluster, so kCentroids must scale ~N/target-cluster-size

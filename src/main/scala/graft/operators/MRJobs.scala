@@ -80,23 +80,28 @@ object MRJobs {
     */
   def pagerank(spark: SparkSession, dir: String, iters: Int = 5,
       scale: Long = 1000000000000L): DataFrame = {
-    val li = t(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
+    // the unrestricted self-join with a ≠ b already emits BOTH
+    // directions of every co-occurring pair — the undirected edge set
+    // needs no swapped-copy union. Per-order duplicate parts collapse
+    // BEFORE the pair join so an order listing a part twice doesn't
+    // square its contribution to the pre-distinct volume.
+    val li = t(spark, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
       .join(li.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
       .filter(col("a") =!= col("b"))
       .select("a", "b").distinct()
-    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
     val nodes = li.select(col("l_partkey").as("node")).distinct().localCheckpoint()
-    val outdeg = edges.groupBy(col("a").as("node")).agg(cnt.as("outdeg"))
+    // out-degree rides ON the edge rows, so each iteration is ONE join
+    // (rank ⋈ edges) + one groupBy instead of two joins
+    val outdeg = pairs.groupBy("a").agg(cnt.as("outdeg"))
+    val edges = pairs.join(outdeg, "a").localCheckpoint()
     val n = nodes.count() // scalar graph size, not data
     val base = (scale * 15L / 100L) / n
     var rank = nodes.select(col("node"), lit(scale / n).as("rank")).localCheckpoint()
     for (_ <- 1 to iters) {
-      val contrib = rank.join(outdeg, "node")
-        .select(col("node"), expr("rank DIV outdeg").as("c"))
-        .join(edges, col("node") === col("a"))
-        .groupBy(col("b").as("node")).agg(sum("c").as("in_sum"))
+      val contrib = rank.join(edges, col("node") === col("a"))
+        .groupBy(col("b").as("node"))
+        .agg(sum(expr("rank DIV outdeg")).as("in_sum"))
       rank = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),

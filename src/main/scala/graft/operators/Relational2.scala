@@ -407,13 +407,18 @@ object Relational2 {
 
   // per-JVM deserialized-sketch memo (keyed by the broadcast byte
   // array's identity) so the point-query UDF doesn't rebuild the
-  // ~eps⁻¹-wide counter table per row — the planeCache pattern
+  // ~eps⁻¹-wide counter table per row. Unlike planeCache's bounded
+  // (nPlanes, dim) key space, every invocation collects a FRESH byte
+  // array → a fresh identity key, so the cache is explicitly bounded:
+  // stale sketches are evicted rather than retained for the JVM's life
   private val cmsCache =
     new java.util.concurrent.ConcurrentHashMap[Array[Byte], org.apache.spark.util.sketch.CountMinSketch]()
 
-  private def cmsFor(bytes: Array[Byte]): org.apache.spark.util.sketch.CountMinSketch =
+  private def cmsFor(bytes: Array[Byte]): org.apache.spark.util.sketch.CountMinSketch = {
+    if (cmsCache.size > 4) cmsCache.clear()
     cmsCache.computeIfAbsent(bytes, b =>
       org.apache.spark.util.sketch.CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
+  }
 
   /** Count-Min-Sketch point-frequency serving: ONE mergeable sketch
     * aggregate over the fact table (map-side partial, counter-table
@@ -436,10 +441,11 @@ object Relational2 {
       .collect()(0).getAs[Array[Byte]](0)
     val bc = spark.sparkContext.broadcast(bytes)
     val est = udf { (key: Long) => cmsFor(bc.value).estimateCount(key) }
-    val total = li.agg(cnt.as("total"))
+    // N comes from the sketch itself (totalCount = rows it absorbed) —
+    // no third fact-table scan just for a count
+    val total = cmsFor(bytes).totalCount()
     li.groupBy("l_suppkey").agg(cnt.as("exact_n"))
-      .crossJoin(broadcast(total))
-      .select(col("l_suppkey"), col("exact_n"), col("total"),
+      .select(col("l_suppkey"), col("exact_n"), lit(total).as("total"),
         est(col("l_suppkey")).as("cms_n"))
       .agg(
         cnt.as("n_keys"),

@@ -345,16 +345,20 @@ object TpchExtra {
     val ps = t(spark, dir, "lineitem")
       .groupBy("l_partkey", "l_suppkey")
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("supply_cost"))
-    ps.join(t(spark, dir, "part")
+    // region scoping BEFORE the window min — Q2's correlated subquery
+    // ranges over the region's suppliers only (a part whose global
+    // minimum sits in another region must still report its cheapest
+    // REGIONAL supplier)
+    ps.join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region").filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(t(spark, dir, "part")
           .filter(col("p_type") === partType && col("p_size").between(10, 30))
           .select("p_partkey", "p_brand"),
         col("l_partkey") === col("p_partkey"))
       .withColumn("min_cost", min("supply_cost").over(w))
       .filter(col("supply_cost") === col("min_cost"))
-      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(t(spark, dir, "region").filter(col("r_name") === regionName)),
-        col("n_regionkey") === col("r_regionkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
         col("p_brand"), col("s_suppkey"), col("supply_cost"))
       .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,

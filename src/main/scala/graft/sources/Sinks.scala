@@ -56,27 +56,33 @@ object Sinks {
     * column never prunes (measured: partkey ~2000 values × suppkey
     * ~100 → zero suppkey skipping without scaling). The min/max agg is
     * one tiny job whose 4-value result joins the plan as literals —
-    * the centroid-handoff pattern, not a data collect. Integer bucket
-    * math is exact for key spans < 2^47; rank-compress wider, float,
-    * or heavily-skewed keys first (the curve needs order, not values —
+    * the centroid-handoff pattern, not a data collect. Bucket math is
+    * floor((v-lo)·2^16 / span) in DOUBLE — bit-exact for spans below
+    * ~2^37 (the scaled numerator stays under 2^53); beyond that the
+    * boundaries can wobble by a value but stay MONOTONE, which is all
+    * a clustering key needs. Rank-compress wider, float, or
+    * heavily-skewed keys first (the curve needs order, not values —
     * and min/max scaling keeps skewed value clusters in few buckets,
-    * where a true rank would spread them).
+    * where a true rank would spread them). An empty input degenerates
+    * to a plain empty write.
     */
   def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
       rowGroupBytes: Long = 128L * 1024 * 1024): Unit = {
-    import org.apache.spark.sql.functions.{floor, greatest, lit, max, min}
+    import org.apache.spark.sql.functions.{floor, lit, max, min}
     val r = df.agg(min(a.cast("long")), max(a.cast("long")),
       min(b.cast("long")), max(b.cast("long"))).collect()(0)
-    val (aMin, aMax, bMin, bMax) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    def bucket(c: Column, lo: Long, hi: Long): Column = {
-      val span = math.max(hi - lo + 1, 1L)
-      floor((c.cast("long") - lit(lo)) * lit(65536L) / lit(span)).cast("long")
-    }
-    val z = graft.plans.ZValue.zvalue(
-      bucket(a, aMin, aMax), bucket(b, bMin, bMax))
-    df.repartitionByRange(z)
-      .sortWithinPartitions(z)
-      .write
+    val sorted =
+      if (r.isNullAt(0)) df // no rows (or all-null keys): nothing to cluster
+      else {
+        def bucket(c: Column, lo: Long, hi: Long): Column = {
+          val span = math.max(hi - lo + 1, 1L)
+          floor((c.cast("long") - lit(lo)) * lit(65536L) / lit(span)).cast("long")
+        }
+        val z = graft.plans.ZValue.zvalue(
+          bucket(a, r.getLong(0), r.getLong(1)), bucket(b, r.getLong(2), r.getLong(3)))
+        df.repartitionByRange(z).sortWithinPartitions(z)
+      }
+    sorted.write
       .option("parquet.block.size", rowGroupBytes)
       .mode("overwrite")
       .parquet(path)

@@ -280,10 +280,16 @@ class OperatorSpec extends SparkSpec {
     val row = r(0)
     assert(row.getAs[Boolean]("never_underestimates"))
     assert(row.getAs[Boolean]("mostly_within_eps"))
-    // the sketch merge is commutative: a repartitioned build must yield
-    // the identical contract row
-    val again = operators.Relational2.qCountMin(spark, sf).collect()(0)
-    assert(again.toSeq === row.toSeq)
+    // the sketch merge is commutative: rebuilding with a DIFFERENT scan
+    // partitioning (smaller split size → more input partitions → a
+    // different merge tree) must yield the identical contract row
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, (64 * 1024).toString)
+      val again = operators.Relational2.qCountMin(spark, sf).collect()(0)
+      assert(again.toSeq === row.toSeq)
+    } finally spark.conf.set(key, prev)
   }
 
   test("ann_ivf: deterministic and recall comparable to probing 1/4 of the lists") {
