@@ -81,6 +81,7 @@ object SparkEntry {
     "q_map_ops" -> (operators.ComplexTypes.qMapOps _),
     "q_resample" -> (operators.ComplexTypes.qResample _),
     "q_scd2" -> (operators.ComplexTypes.qScd2 _),
+    "q_upsert" -> (operators.ComplexTypes.qUpsert _),
     "q_funnel" -> (operators.ComplexTypes.qFunnel _),
     "q7_volume" -> (operators.TpchExtra.q7Volume _),
     "q10_returns" -> (operators.TpchExtra.q10Returns _),
@@ -631,6 +632,21 @@ object SparkEntry {
       """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1""".stripMargin,
+    "q_upsert" ->
+      """WITH target AS (
+        |  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 0),
+        |changes AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS delta
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT coalesce(c_custkey, o_custkey) AS c_custkey,
+        |  CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'update'
+        |       WHEN c_custkey IS NULL THEN 'insert'
+        |       ELSE 'keep' END AS action,
+        |  coalesce(c_acctbal, 0.0) + coalesce(delta, 0.0) AS new_bal
+        |FROM target FULL OUTER JOIN changes ON c_custkey = o_custkey""".stripMargin,
     "q_scd2" ->
       """SELECT user_id, event_id, event_type AS state,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,

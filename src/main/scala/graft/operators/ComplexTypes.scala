@@ -48,9 +48,13 @@ object ComplexTypes {
     * the daily aggregate it emits is tiny.
     */
   def qResample(spark: SparkSession, dir: String): DataFrame = {
+    // the tiny daily aggregate feeds BOTH the spine bounds and the
+    // fill join — materialize it once (eager localCheckpoint) so the
+    // fact table is scanned once, not twice
     val daily = t(spark, dir, "orders")
       .groupBy(col("o_orderdate").cast("date").as("d"))
       .agg(sumMoney(col("o_totalprice")).as("total"))
+      .localCheckpoint()
     val spine = daily.agg(min("d").as("lo"), max("d").as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("d"))
     val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -115,6 +119,33 @@ object ComplexTypes {
     * identical across engines regardless of sub-second timestamp
     * handling (the q_sessionize precedent).
     */
+  /** MERGE INTO (upsert) as a batch shape: a change batch (per-customer
+    * order deltas) merges into a target dimension slice — matched rows
+    * UPDATE (balance + delta), source-only rows INSERT, target-only
+    * rows are KEPT. One full-outer join on the key, every action
+    * decided by null-side classification — the engine-agnostic core of
+    * what lakehouse MERGE does, minus the transactional file rewrite.
+    * At scale the join is key-partitioned on both sides (no hint — a
+    * small change batch broadcasts by AQE's size check).
+    */
+  def qUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val target = t(spark, dir, "customer")
+      .filter(col("c_custkey") % 3 =!= 0) // a dim slice, so INSERTs exist
+      .select(col("c_custkey"), col("c_acctbal"))
+    val changes = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy("o_custkey")
+      .agg(sumMoney(col("o_totalprice")).as("delta"))
+    target.join(changes, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("c_custkey"),
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "update")
+          .when(col("c_custkey").isNull, "insert")
+          .otherwise("keep").as("action"),
+        (coalesce(col("c_acctbal"), lit(0.0)) + coalesce(col("delta"), lit(0.0))).as("new_bal"))
+  }
+
   def qScd2(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("valid_from_s"), col("event_id"))
     t(spark, dir, "events")
