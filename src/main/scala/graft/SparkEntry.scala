@@ -80,6 +80,8 @@ object SparkEntry {
     "q_array_funcs" -> (operators.ComplexTypes.qArrayFuncs _),
     "q_map_ops" -> (operators.ComplexTypes.qMapOps _),
     "q_resample" -> (operators.ComplexTypes.qResample _),
+    "q_resample_by_key" -> (operators.Resample.qResampleByKey _),
+    "q_topk_weighted" -> (operators.Relational2.qTopkWeighted _),
     "q_scd2" -> (operators.ComplexTypes.qScd2 _),
     "q_upsert" -> (operators.ComplexTypes.qUpsert _),
     "q_funnel" -> (operators.ComplexTypes.qFunnel _),
@@ -1186,6 +1188,24 @@ object SparkEntry {
         |SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id, count(*) AS n_chunks,
         | CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
         |FROM packed GROUP BY 1, 2""".stripMargin,
+    "q_topk_weighted" ->
+      """SELECT o_orderpriority AS k,
+        |  array_to_string(list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey)[1:5], ',') AS top_orders
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_resample_by_key" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1, 2),
+        |bounds AS (SELECT k, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM bounds),
+        |j AS (SELECT spine.k, spine.d, daily.total
+        |      FROM spine LEFT JOIN daily ON spine.k = daily.k AND spine.d = daily.d)
+        |SELECT k, d, total IS NOT NULL AS observed,
+        |  last_value(total IGNORE NULLS) OVER (
+        |    PARTITION BY k ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_ffill
+        |FROM j""".stripMargin,
     "q_resample" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,

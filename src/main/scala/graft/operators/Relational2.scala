@@ -453,4 +453,19 @@ object Relational2 {
         (sum(when(col("cms_n") <= col("exact_n") + ceil(lit(eps) * col("total")), 1L)
           .otherwise(0L)).cast("double") / count(lit(1)) >= 0.9).as("mostly_within_eps"))
   }
+
+  /** The from-scratch TypedImperativeAggregate end-to-end: per
+    * priority, the 5 orders with the highest totalprice via
+    * [[graft.plans.TopKByWeight]] — O(k) state per group, map-side
+    * combined, shuffle carries ≤k pairs per partial (see the
+    * aggregate's scaladoc). The result array is emitted as a joined
+    * string so the oracle (a plain ORDER BY ... LIMIT list build)
+    * hashes identically.
+    */
+  def qTopkWeighted(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("k"))
+      .agg(array_join(
+        graft.plans.TopKByWeight.topkBy(col("o_orderkey"), col("o_totalprice"), 5)
+          .cast("array<string>"), ",").as("top_orders"))
 }

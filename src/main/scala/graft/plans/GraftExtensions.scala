@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_zvalue expects 2 arguments, got ${children.size}")
         ZValue(children(0), children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk_by"),
+      new ExpressionInfo(classOf[TopKByWeight].getName, "graft_topk_by"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"graft_topk_by expects 3 arguments (item, weight, k), got ${children.size}")
+        TopKByWeight(children(0), children(1), children(2))
+      }))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => TopKRewriteRule)
   }
