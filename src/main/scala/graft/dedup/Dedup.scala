@@ -304,10 +304,15 @@ object Dedup {
     * Fixpoint = every edge is (node, component-min).
     */
   def dupClustersStars(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // materialize the caller's pair pipeline ONCE: both `nodes` and
+    // `edges` derive from it, and nodes is joined again after the
+    // loop — without this the whole upstream candidate generation
+    // (e.g. ngramJaccard's shingle/df/self-join cascade) runs twice
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
     // every endpoint must appear in the output even if its only edges
     // are self-pairs (which carry no connectivity and are dropped)
-    val nodes = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    var edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+    val nodes = p.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    var edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()

@@ -97,8 +97,8 @@ object MRJobs {
     val edges = pairs.join(outdeg, "a").localCheckpoint()
     val n = nodes.count() // scalar graph size, not data
     val base = (scale * 15L / 100L) / n
-    var rank = nodes.select(col("node"), lit(scale / n).as("rank")).localCheckpoint()
-    for (_ <- 1 to iters) {
+    var rank = nodes.select(col("node"), lit(scale / n).as("rank"))
+    for (i <- 1 to iters) {
       val contrib = rank.join(edges, col("node") === col("a"))
         .groupBy(col("b").as("node"))
         .agg(sum(expr("rank DIV outdeg")).as("in_sum"))
@@ -106,7 +106,15 @@ object MRJobs {
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("coalesce(in_sum, CAST(0 AS BIGINT)) * 85 DIV 100")).as("rank"))
-        .localCheckpoint()
+      // Lineage guard only — NOT a per-round materialization. Each rank
+      // appears exactly once in the next round's plan, so leaving the
+      // loop unrolled costs nothing (edges/nodes, the rescanned inputs,
+      // ARE checkpointed above); a checkpoint every 8 rounds caps plan
+      // depth for long runs. Per-round eager checkpoints serialized the
+      // job into `iters` barriers whose block writes made the measured
+      // time hostage to GC pauses — observed 8.7–112 s for the same
+      // 5-round sf0.1 graph; one fused job is both faster and stable.
+      if (i % 8 == 0 && i < iters) rank = rank.localCheckpoint()
     }
     rank.select(col("node").as("part_id"), col("rank"))
   }

@@ -100,6 +100,27 @@ object Streams {
       .dropDuplicatesWithinWatermark("h", "len")
       .select("doc_id", "ts", "lang", "text", "n_tokens")
 
+  /** Declarative gap-based sessionization via Spark's NATIVE
+    * `session_window` grouping — the form most users reach for before
+    * the custom-state machinery in [[sessionize]]. The engine merges
+    * overlapping per-event windows ([ts, ts+gap)) into sessions and
+    * bounds state by the watermark; no user state machine at all.
+    * `session_window.end` is lastSeen + gap by definition, so end_s
+    * subtracts the gap back out to report the last event time —
+    * making the output directly comparable to [[sessionize]]'s
+    * SessionOut and to the batch window-lag twin
+    * (Relational.qSessionize), which the spec pins.
+    */
+  def sessionWindowed(events: Dataset[Event], gapSeconds: Long = 1800L): DataFrame =
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_s"),
+        (unix_timestamp(col("session_window.end")) - gapSeconds).as("end_s"),
+        col("n_events"))
+
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
   case class SessionOut(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
 

@@ -218,6 +218,57 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set(1L, 2L, 4L), s"got $got")
   }
 
+  test("native session_window sessionization equals the batch window-lag twin on the events table") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the real corpus, not a toy: every event at sf0.001 through the
+    // declarative session_window pipeline
+    val corpus = core.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val maxTs = corpus.map(_.ts.getTime).max
+    val stream = MemoryStream[Event]
+    stream.addData(corpus)
+    val q = Streams.sessionWindowed(stream.toDS())
+      .writeStream.format("memory").queryName("sesswin").outputMode("append").start()
+    q.processAllAvailable()
+    // append mode only emits sessions the watermark has CLOSED — push
+    // it past every real session with one far-future sentinel event
+    // from a user id the corpus can't contain
+    stream.addData(Seq(Event(-1L, new Timestamp(maxTs + 86400L * 1000), -1L, "x", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sesswin").filter(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+    val want = graft.operators.Relational.qSessionize(spark, sf)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("session_window stream also matches the custom flatMapGroupsWithState sessionize") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(events)
+    val q = Streams.sessionWindowed(stream.toDS())
+      .writeStream.format("memory").queryName("sesswin2").outputMode("append").start()
+    q.processAllAvailable()
+    stream.addData(Seq(Event(-1L, ts(60 * 24), -1L, "x", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sesswin2").filter(col("user_id") >= 0)
+      .select("user_id", "start_s", "end_s", "n_events")
+      .collect().map(_.toSeq).toSet
+    // the custom-state operator's output on the same five events:
+    // user 10 sessions (:05-:10)x2ev + (:70)x1, user 11 (:65)x1 + (2:05)x1
+    def s(m: Int) = ts(m).getTime / 1000
+    val want = Set(
+      Seq[Any](10L, s(5), s(10), 2L), Seq[Any](10L, s(70), s(70), 1L),
+      Seq[Any](11L, s(65), s(65), 1L), Seq[Any](11L, s(125), s(125), 1L))
+    assert(got === want)
+  }
+
   test("stateful sessionize closes sessions across >30min gaps") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
