@@ -113,6 +113,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingDups(s, d)),
     "dedup_clusters" -> (Dedup.clusters _),
     "dedup_cross" -> (Dedup.crossDedup _),
+    "dedup_bloom" -> ((s: SparkSession, d: String) => Dedup.bloomCrossDedup(s, d)),
     // §2.4 similarity search
     "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteforceTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
@@ -1308,6 +1309,20 @@ object SparkEntry {
         |  round(list_dot_product(a.v, b.v), 6) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) >= 0.35""".stripMargin,
+    "dedup_bloom" ->
+      // exact counts replayed; the two Bloom guarantees are literal
+      // TRUE here — the Spark side must COMPUTE them true (the
+      // q_approx_distinct contract-oracle pattern)
+      """WITH batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 10 <> 0 AND doc_id % 50 = 1),
+        |tn AS (SELECT b.doc_id FROM batch b WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents c WHERE c.doc_id % 10 <> 0 AND c.text = b.text))
+        |SELECT (SELECT count(*) FROM batch) AS n_batch,
+        |  (SELECT count(*) FROM tn) AS n_truly_new,
+        |  TRUE AS no_false_negatives, TRUE AS fp_share_within_bound""".stripMargin,
     "dedup_cross" ->
       """SELECT n.doc_id FROM documents n
         |WHERE n.doc_id % 10 = 0 AND NOT EXISTS (

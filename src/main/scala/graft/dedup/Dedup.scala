@@ -253,6 +253,72 @@ object Dedup {
       .select("doc_id")
   }
 
+  /** Bloom-filter cross-corpus dedup — the COMPACT-INDEX twin of
+    * [[crossDedup]]: instead of anti-joining the batch against the
+    * corpus's distinct hash set (a shuffle whose corpus side re-reads
+    * the index every batch), the corpus is distilled ONCE into a Bloom
+    * filter (`df.stat.bloomFilter` — one aggregate pass, mergeable
+    * per-partition bit arrays OR-ed on the driver) and each batch is a
+    * broadcast-filter map with NO shuffle at all. The trade is typed
+    * by the structure: `mightContain=false` is PROOF the document is
+    * unseen (no false negatives, ever); `true` is "seen with
+    * probability 1-fpp" — so the filter routes the (1-fpp) certain
+    * mass for free and only the tiny maybe-seen remainder needs the
+    * exact anti-join.
+    *
+    * Scale sizing: bits ≈ 1.44·n·log2(1/fpp) — 1% fpp costs ~1.2 MB
+    * per million corpus docs, broadcastable to ~10⁹ docs. Beyond that,
+    * shard the filter by hash range and route each batch row to its
+    * shard (corpus side still never rescanned). Output is the contract
+    * audit the oracle replays: batch/truly-new counts exactly, plus
+    * the two Bloom guarantees as hard booleans (the filter's bit
+    * layout is deterministic — fixed murmur seed, OR-commutative
+    * inserts — so the realized false-positive share is a stable
+    * number, not a flaky assertion).
+    */
+  def bloomCrossDedup(spark: SparkSession, dir: String,
+      fpp: Double = 0.01): DataFrame = {
+    val d = docs(spark, dir)
+    val corpusDocs = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val corpus = corpusDocs.select(xxhash64(col("text")).as("h")).distinct()
+    // cardinality for filter sizing: one count on the already-distinct
+    // 8-byte keys (in production this is the dedup index's row count,
+    // known without a scan)
+    val nCorpus = corpus.count().max(1L)
+    val bloom = corpus.stat.bloomFilter("h", nCorpus, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val maybeSeen = udf { (h: Long) => bc.value.mightContainLong(h) }
+    // the batch is the id%10 slice PLUS a replay of some corpus texts
+    // under fresh ids — without the replay the test corpora have no
+    // batch∩corpus overlap and the no-false-negatives guarantee would
+    // be vacuously true
+    val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), col("text"))
+      .unionAll(corpusDocs.filter(pmod(col("doc_id"), lit(50)) === 1)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      .select(col("doc_id"), xxhash64(col("text")).as("h"))
+      .withColumn("maybe_seen", maybeSeen(col("h")))
+    // exact truth (the crossDedup anti-join) to audit the contract
+    val trulyNew = batch.select(col("doc_id"))
+      .join(batch.select("doc_id", "h").join(corpus, Seq("h"), "left_semi"),
+        Seq("doc_id"), "left_anti")
+      .withColumn("truly_new", lit(true))
+    batch.join(trulyNew, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("maybe_seen"),
+        coalesce(col("truly_new"), lit(false)).as("truly_new"))
+      .agg(
+        cnt.as("n_batch"),
+        sum(when(col("truly_new"), 1L).otherwise(0L)).as("n_truly_new"),
+        // guarantee 1 (hard): every actually-seen doc reads maybe_seen
+        min(when(!col("truly_new"), col("maybe_seen")).otherwise(lit(true)))
+          .as("no_false_negatives"),
+        // guarantee 2: among truly-new docs, the share wrongly flagged
+        // maybe_seen stays within 3x the configured fpp
+        ((sum(when(col("truly_new") && col("maybe_seen"), 1L).otherwise(0L)).cast("double") /
+          greatest(sum(when(col("truly_new"), 1L).otherwise(0L)), lit(1L)).cast("double"))
+          <= lit(3 * fpp)).as("fp_share_within_bound"))
+  }
+
   /** Cluster near-dup candidate pairs into canonical groups:
     * iterative min-label propagation — the standard Spark connected-
     * components loop (cf. GraphFrames), O(log n) rounds on the
