@@ -83,6 +83,7 @@ object SparkEntry {
     "q_resample_by_key" -> (operators.Resample.qResampleByKey _),
     "q_topk_weighted" -> (operators.Relational2.qTopkWeighted _),
     "q_scd2" -> (operators.ComplexTypes.qScd2 _),
+    "q_cdc_apply" -> (operators.ComplexTypes.qCdcApply _),
     "q_upsert" -> (operators.ComplexTypes.qUpsert _),
     "q_funnel" -> (operators.ComplexTypes.qFunnel _),
     "q7_volume" -> (operators.TpchExtra.q7Volume _),
@@ -650,6 +651,16 @@ object SparkEntry {
         |       ELSE 'keep' END AS action,
         |  coalesce(c_acctbal, 0.0) + coalesce(delta, 0.0) AS new_bal
         |FROM target FULL OUTER JOIN changes ON c_custkey = o_custkey""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value,
+        |    CASE WHEN event_type = 'purchase' THEN 'delete' ELSE 'upsert' END AS op,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event_id, ts_s AS updated_s,
+        |  value AS current_value
+        |FROM log WHERE rn = 1 AND op = 'upsert'""".stripMargin,
     "q_scd2" ->
       """SELECT user_id, event_id, event_type AS state,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,

@@ -146,6 +146,35 @@ object ComplexTypes {
         (coalesce(col("c_acctbal"), lit(0.0)) + coalesce(col("delta"), lit(0.0))).as("new_bal"))
   }
 
+  /** CDC apply (change-data-capture): collapse an ordered change log
+    * into the current snapshot — per key, the LAST operation wins
+    * (ordered by event time with the event id as the deterministic
+    * tiebreaker), and keys whose last operation is a delete vanish.
+    * The third lakehouse-maintenance shape next to qUpsert (one merge
+    * batch) and qScd2 (full history): ONE window pass per key
+    * partition, no self-join, no driver loop. At 100 TB the window
+    * partitions by key — the same distribution the downstream merge
+    * would use — and the change log is read once. Events stand in as
+    * the change log: view/click upsert the user's row with the event
+    * value; purchase deletes it (semantics are arbitrary; the
+    * last-writer-wins + delete-filter SHAPE is the operator).
+    */
+  def qCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    // ordering runs on SECOND-floored epochs (+ event_id tiebreak) so
+    // both engines rank identically regardless of sub-second timestamp
+    // precision — the q_scd2/q_sessionize precedent
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_s").desc, col("event_id").desc)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_s"), col("value"),
+        when(col("event_type") === "purchase", "delete").otherwise("upsert").as("op"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "upsert")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts_s").as("updated_s"), col("value").as("current_value"))
+  }
+
   def qScd2(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("valid_from_s"), col("event_id"))
     t(spark, dir, "events")

@@ -1,9 +1,10 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming pipelines (SURVEY.md §2.8). The batch twin of
   * the windowed aggregation is Relational.qWindowTumbling, which is
@@ -120,6 +121,51 @@ object Streams {
         unix_timestamp(col("session_window.start")).as("start_s"),
         (unix_timestamp(col("session_window.end")) - gapSeconds).as("end_s"),
         col("n_events"))
+
+  case class RunningOut(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-key running totals via `transformWithState` — Spark 4's
+    * arbitrary-state API (the successor to flatMapGroupsWithState):
+    * typed per-key [[ValueState]] managed by the RocksDB state store,
+    * explicit TTL, timers when needed. Each micro-batch emits the
+    * key's UPDATED running (count, decimal-exact total) — the
+    * stateful-enrichment shape (feature backfill, per-entity
+    * counters) that outgrows windowed aggregation. State is O(1) per
+    * key; totals accumulate in DECIMAL(18,4) cents-exact longs so the
+    * running value is partition- and replay-deterministic (the
+    * sumMoney rule applied to streaming state).
+    */
+  class RunningTotalsProcessor extends StatefulProcessor[Long, Event, RunningOut] {
+    @transient private var state: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[(Long, Long)](
+        "running", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[RunningOut] = {
+      var (n, cents) = if (state.exists()) state.get() else (0L, 0L)
+      rows.foreach { e =>
+        n += 1
+        cents += math.round(e.value * 10000d) // DECIMAL(18,4)-exact
+      }
+      state.update((n, cents))
+      Iterator.single(RunningOut(key, n, cents / 10000d))
+    }
+  }
+
+  /** The transformWithState pipeline over an event stream. Requires
+    * the RocksDB state-store provider (the API's backing store).
+    */
+  def runningTotals(events: Dataset[Event]): Dataset[RunningOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
   case class SessionOut(user_id: Long, start_s: Long, end_s: Long, n_events: Long)

@@ -269,6 +269,42 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("transformWithState running totals converge to the batch aggregate") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState is backed by the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Event]
+      val q = Streams.runningTotals(stream.toDS())
+        .writeStream.format("memory").queryName("running").outputMode("update").start()
+      // two batches so the second proves state carried across batches
+      stream.addData(events.take(3))
+      q.processAllAvailable()
+      stream.addData(events.drop(3))
+      q.processAllAvailable()
+      q.stop()
+      // update mode: the LAST row per key is the converged running total
+      val got = spark.table("running")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+            .orderBy(col("n_events").desc)))
+        .filter(col("rn") === 1).drop("rn")
+        .as[Streams.RunningOut].collect().map(r => r.user_id -> (r.n_events, r.total_value)).toMap
+      val want = events.groupBy(_.user_id).map { case (u, es) =>
+        u -> (es.size.toLong, es.map(_.value).sum)
+      }
+      assert(got === want)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful sessionize closes sessions across >30min gaps") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
