@@ -22,6 +22,8 @@ object SparkEntry {
     "mr_inverted_index" -> (MRJobs.invertedIndex _),
     "mr_histogram" -> (MRJobs.histogram _),
     "mr_pagerank" -> ((s: SparkSession, d: String) => MRJobs.pagerank(s, d)),
+    "graph_triangles" -> (operators.Graph.triangles _),
+    "graph_bfs" -> ((s: SparkSession, d: String) => operators.Graph.bfs(s, d)),
     // §2.2 relational battery
     "q1_agg" -> (Relational.q1Agg _),
     "q3_topk" -> (Relational.q3Topk _),
@@ -542,6 +544,44 @@ object SparkEntry {
          |${iter("r3", "r4")},
          |${iter("r4", "r5")}
          |SELECT node AS part_id, CAST(rank AS BIGINT) AS rank FROM r5""".stripMargin
+    },
+    // triangle enumeration via the simple a<b orientation — any acyclic
+    // orientation yields the same triangle set (the Spark side uses
+    // degree-ordering for skew, result-identical; Graph.scala doc)
+    "graph_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |      AND a.l_partkey < b.l_partkey),
+        |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |        FROM e e1
+        |        JOIN e e2 ON e1.b = e2.a
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |m AS (SELECT u AS node FROM tri UNION ALL
+        |      SELECT v FROM tri UNION ALL
+        |      SELECT w FROM tri)
+        |SELECT node AS part_id, count(*) AS n_triangles FROM m GROUP BY 1""".stripMargin,
+    // unit-weight Bellman-Ford, 4 unrolled relaxation rounds (the
+    // mr_pagerank unrolled-CTE pattern) — bit-exact at any diameter
+    "graph_bfs" -> {
+      def relax(prev: String, cur: String): String =
+        s"""$cur AS (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM $prev
+           |    UNION ALL
+           |    SELECT e.b AS node, d.dist + 1 AS dist
+           |    FROM $prev d JOIN pairs e ON d.node = e.a)
+           |  GROUP BY node)""".stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pairs AS (
+         |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         |d0 AS (SELECT (SELECT min(l_partkey) FROM li) AS node, CAST(0 AS BIGINT) AS dist),
+         |${relax("d0", "d1")},
+         |${relax("d1", "d2")},
+         |${relax("d2", "d3")},
+         |${relax("d3", "d4")}
+         |SELECT node AS part_id, CAST(dist AS BIGINT) AS dist FROM d4""".stripMargin
     },
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

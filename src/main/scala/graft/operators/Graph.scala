@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the part co-occurrence graph (parts sharing
+  * an order — the same graph mr_pagerank walks; reference analogue:
+  * the iterative-job surface of mapreduce.c:440+'s scheduler, which
+  * classic MapReduce graph jobs like triangle counting / BFS were the
+  * canonical users of).
+  *
+  * Both operators here are pure integer arithmetic on ids/hops, so
+  * the DuckDB oracles replay them bit-exact (the mr_pagerank
+  * pattern): no convergence contracts, exact hash equality.
+  */
+object Graph {
+
+  /** Distinct (orderkey, partkey) incidence — collapsed BEFORE any
+    * pair join so a part listed twice in an order can't inflate pair
+    * volume (the mr_pagerank guard).
+    */
+  private def incidence(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+
+  /** Undirected co-occurrence edge set, each edge ONCE as (a < b). */
+  private def undirectedEdges(li: DataFrame): DataFrame =
+    li.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+
+  /** Per-node triangle participation counts.
+    *
+    * Scale design — DEGREE-ORDERED orientation (Cohen's MR triangle
+    * counting / Latapy): each undirected edge is oriented from its
+    * lower-(degree, id) endpoint to the higher one, so every node's
+    * OUT-degree is O(sqrt(E)) regardless of skew. The wedge self-join
+    * (the quadratic step) then does sum(outdeg²) work, which
+    * degree-ordering bounds by O(E^1.5) — an id-ordered orientation
+    * leaves a low-id celebrity node with outdeg = its full degree and
+    * the wedge join goes quadratic on exactly the hub the 100 TB
+    * graph will have. The oracle uses the simple a<b orientation:
+    * any acyclic orientation enumerates each triangle exactly once,
+    * so the RESULT is orientation-independent — only the join volume
+    * differs (documented asymmetry, not a semantic one).
+    *
+    * Three shuffle joins on ids (wedge + closing-edge + degree
+    * attach), one aggregation; no driver-side data.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val und = undirectedEdges(incidence(spark, dir))
+    // degree over both endpoints of the once-per-edge set
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(cnt.as("deg"))
+    // orient low (deg, id) -> high (deg, id); carry the dst endpoint's
+    // (deg, id) so the wedge filter needs no further join
+    val withDeg = und
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "dega"), "a")
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "degb"), "b")
+    val aFirst = col("dega") < col("degb") ||
+      (col("dega") === col("degb") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("degb")).otherwise(col("dega")).as("ddeg"))
+    // wedges u -> (v, w) with (deg,id)(v) < (deg,id)(w); the closing
+    // edge v -> w is oriented v-first by construction, so one
+    // equi-join on (src, dst) confirms the triangle
+    val o1 = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("vdeg"))
+    val o2 = oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("wdeg"))
+    val wedges = o1.join(o2, "src")
+      .filter(col("vdeg") < col("wdeg") ||
+        (col("vdeg") === col("wdeg") && col("v") < col("w")))
+    val tris = wedges.join(
+        oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(col("src").as("u"), col("v"), col("w"))
+    tris.select(col("u").as("node"))
+      .unionAll(tris.select(col("v").as("node")))
+      .unionAll(tris.select(col("w").as("node")))
+      .groupBy("node").agg(cnt.as("n_triangles"))
+      .select(col("node").as("part_id"), col("n_triangles"))
+  }
+
+  /** Hop distance from the minimum part id, `rounds` relaxation
+    * rounds of unit-weight Bellman-Ford (frontier join + min
+    * aggregate per round — exactly one map/shuffle/reduce per round,
+    * the iterative-MR shape). A FIXED round count (not
+    * run-to-convergence) keeps the oracle bit-exact by unrolled CTEs
+    * whatever the graph diameter; unreached nodes are absent. On the
+    * dense co-occurrence graph 4 rounds reach everything reachable;
+    * a caller chasing a high-diameter graph raises `rounds` (cost is
+    * linear in rounds — same contract as mr_pagerank's iters).
+    */
+  def bfs(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+    val li = incidence(spark, dir)
+    // both directions: frontier expansion needs src->dst for every edge
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct().localCheckpoint()
+    // one-row aggregate scalar (graph parameter, not data)
+    val src = li.agg(min("l_partkey").cast("long")).head.getLong(0)
+    var dist = li.sparkSession.range(1)
+      .select(lit(src).as("node"), lit(0L).as("dist"))
+    for (i <- 1 to rounds) {
+      dist = dist.unionAll(
+          dist.join(pairs, col("node") === col("a"))
+            .select(col("b").as("node"), (col("dist") + 1L).as("dist")))
+        .groupBy("node").agg(min("dist").as("dist"))
+      if (i % 8 == 0 && i < rounds) dist = dist.localCheckpoint()
+    }
+    dist.select(col("node").as("part_id"), col("dist"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Graph operators (SURVEY.md §2.1 iterative-MR companions).
+  *
+  * Triangle counting's scale trick is the degree-ordered edge
+  * orientation — but any acyclic orientation must enumerate the SAME
+  * triangle set, so the spec recomputes counts with the naive a<b
+  * orientation (the oracle's form) and requires equality. BFS is
+  * pinned by its metric properties rather than a second
+  * implementation: source at 0, neighbors differ by ≤1 hop.
+  */
+class GraphSpec extends SparkSpec {
+
+  private def edges = {
+    val li = core.Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    li.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  test("triangle counts are orientation-independent (degree-ordered == a<b)") {
+    val e = edges.cache()
+    try {
+      // naive a<b orientation: e1=(u,v), e2=(v,w), closing (u,w)
+      val e1 = e.select(col("a").as("u"), col("b").as("v"))
+      val e2 = e.select(col("a").as("v"), col("b").as("w"))
+      val e3 = e.select(col("a").as("u"), col("b").as("w"))
+      val tris = e1.join(e2, "v").join(e3, Seq("u", "w"))
+      val naive = tris.select(col("u").as("part_id"))
+        .unionAll(tris.select(col("v").as("part_id")))
+        .unionAll(tris.select(col("w").as("part_id")))
+        .groupBy("part_id").agg(count(lit(1)).as("n_triangles"))
+      val fast = Graph.triangles(spark, sf)
+      assert(fast.count() > 0, "test graph has triangles")
+      assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty,
+        "degree-ordered orientation must enumerate the identical triangle set")
+    } finally e.unpersist()
+  }
+
+  test("bfs distances: source at 0, edge endpoints within 1 hop") {
+    val d = Graph.bfs(spark, sf).cache()
+    try {
+      val srcRow = core.Tables.load(spark, sf, "lineitem")
+        .agg(min("l_partkey").cast("long")).head.getLong(0)
+      assert(d.filter(col("part_id") === srcRow && col("dist") === 0).count() == 1)
+      // metric consistency: for every edge with both endpoints reached,
+      // |d(u) - d(v)| <= 1 (a violated edge means a missed relaxation)
+      val du = d.withColumnRenamed("part_id", "a").withColumnRenamed("dist", "da")
+      val dv = d.withColumnRenamed("part_id", "b").withColumnRenamed("dist", "db")
+      val bad = edges.join(du, "a").join(dv, "b")
+        .filter(abs(col("da") - col("db")) > 1)
+      assert(bad.isEmpty, "every reached edge must satisfy |d(u)-d(v)| <= 1")
+    } finally d.unpersist()
+  }
+}
