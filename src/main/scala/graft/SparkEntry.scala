@@ -55,6 +55,11 @@ object SparkEntry {
     "q_cross_join" -> (operators.Relational2.qCrossJoin _),
     "q_cube" -> (operators.Relational2.qCube _),
     "q_sample" -> (operators.Relational2.qSample _),
+    "q_profile" -> (operators.Profile.qProfile _),
+    "q_mode" -> (operators.Relational3.qMode _),
+    "q_window_distinct" -> (operators.Relational3.qWindowDistinct _),
+    "q_incremental_agg" -> (operators.Relational3.qIncrementalAgg _),
+    "q_weighted_sample" -> ((s: SparkSession, d: String) => operators.Profile.qWeightedSample(s, d)),
     "q_approx_distinct" -> (operators.Relational2.qApproxDistinct _),
     "q_approx_percentile" -> (operators.Relational2.qApproxPercentile _),
     "q_countmin" -> ((s: SparkSession, d: String) => operators.Relational2.qCountMin(s, d)),
@@ -134,6 +139,7 @@ object SparkEntry {
     "text_chunk" -> ((s: SparkSession, d: String) => TextAnalysis.chunk(s, d)),
     "text_pack" -> ((s: SparkSession, d: String) => TextAnalysis.pack(s, d)),
     "text_repetition" -> (TextAnalysis.repetition _),
+    "text_lm_score" -> (TextAnalysis.lmScore _),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     "text_stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "pipeline_corpus" -> (operators.Pipeline.corpusBuild _),
@@ -774,6 +780,58 @@ object SparkEntry {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE (l_orderkey*31 + l_linenumber) % 20 = 0
         |GROUP BY 1""".stripMargin,
+    "q_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |           FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority) AS rn
+        |      FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM r WHERE rn = 1""".stripMargin,
+    // DuckDB's NATIVE distinct window aggregate — an independent
+    // implementation of the semantics the Spark side rewrites to
+    // dense_rank (cumulative frame ordered by the counted expression)
+    "q_window_distinct" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        | count(DISTINCT date_trunc('month', o_orderdate)) OVER (
+        |   PARTITION BY o_custkey ORDER BY date_trunc('month', o_orderdate)) AS n_distinct_months
+        |FROM orders""".stripMargin,
+    // the refreshed view must equal the one-shot aggregate — the
+    // incremental-maintenance contract
+    "q_incremental_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_profile" -> {
+      def num(c: String, mn: String, mx: String): String =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           | count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+           | CAST($mn AS DOUBLE) AS min_d, CAST($mx AS DOUBLE) AS max_d FROM orders""".stripMargin
+      Seq(
+        num("o_orderkey", "min(o_orderkey)", "max(o_orderkey)"),
+        num("o_custkey", "min(o_custkey)", "max(o_custkey)"),
+        num("o_totalprice", "min(o_totalprice)", "max(o_totalprice)"),
+        num("o_orderdate", "epoch_us(min(o_orderdate))", "epoch_us(max(o_orderdate))"),
+        num("o_orderstatus", "NULL", "NULL"),
+        num("o_orderpriority", "NULL", "NULL")).mkString("\nUNION ALL\n")
+    },
+    // priority sampling: splitmix64(o_orderkey) replayed in HUGEINT
+    // (the tokenHashSql finalizer chain), then integer w/u priorities
+    "q_weighted_sample" -> {
+      import SqlU64._
+      s"""WITH p0 AS (SELECT o_orderkey, o_totalprice,
+         |    (CAST(o_orderkey AS HUGEINT) + ${lit(u(0x9e3779b97f4a7c15L))}) % $M64 AS z
+         |  FROM orders),
+         |p1 AS (SELECT o_orderkey, o_totalprice, ${mix("z", 30, 0xbf58476d1ce4e5b9L)} AS z FROM p0),
+         |p2 AS (SELECT o_orderkey, o_totalprice, ${mix("z", 27, 0x94d049bb133111ebL)} AS z FROM p1),
+         |ph AS (SELECT o_orderkey, o_totalprice, ${xor64("z", shr("z", 31))} AS h FROM p2),
+         |pk AS (SELECT o_orderkey, o_totalprice,
+         |    CAST(h // 8589934592 AS BIGINT) + 1 AS u32,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM ph)
+         |SELECT o_orderkey, o_totalprice, (cents * 2147483648) // u32 AS priority
+         |FROM pk ORDER BY priority DESC, o_orderkey LIMIT 50""".stripMargin
+    },
     "dedup_exact" ->
       "SELECT min(doc_id) AS canonical_id, count(*) AS copies FROM documents GROUP BY text",
     "dedup_ngram_jaccard" ->
@@ -1396,6 +1454,32 @@ object SparkEntry {
         |  CAST(n_shingles - n_distinct AS DOUBLE) /
         |    nullif(CAST(n_shingles AS DOUBLE), 0.0) AS dup_ratio
         |FROM counts""".stripMargin,
+    // integer-quantized bigram surprisal: s = bitlen(q)-1 for
+    // q = (2*c1 + V) // (2*c12 + 1) ≥ 1 — floor(log2(n/d)) ==
+    // bitlen(n // d) - 1 for n ≥ d, so both engines compute the exact
+    // same integers (no ln() ulp drift)
+    "text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(list_transform(string_split(text, ' '),
+        |    t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))), w -> w <> '') AS ts
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(ts) AS w1 FROM toks) GROUP BY 1),
+        |vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |bi AS (
+        |  SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ts)), i ->
+        |      struct_pack(w1 := ts[CAST(i AS BIGINT)], w2 := ts[CAST(i AS BIGINT)+1]))) AS bg
+        |    FROM toks WHERE len(ts) >= 2)),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
+        |s AS (
+        |  SELECT doc_id,
+        |    length(bin((2*c1 + (SELECT v FROM vocab)) // (2*c12 + 1))) - 1 AS s
+        |  FROM bi JOIN bc USING (w1, w2) JOIN uni USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(s) * 1000 // count(*) AS BIGINT) AS lm_bits_milli
+        |FROM s GROUP BY doc_id""".stripMargin,
     "text_domain_mix" ->
       """WITH per AS (
         |  SELECT lang, count(*) AS n_docs,

@@ -194,6 +194,17 @@ object Signatures {
     h
   }
 
+  /** splitmix64 of a long key — the deterministic per-row uniform for
+    * sampling operators (same finalizer as hashToken; replayed in
+    * oracle SQL with HUGEINT arithmetic).
+    */
+  def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   // Column wrappers
   val refTokensUdf = udf((text: String) => refTokenStrings(text))
   def refTokensFast(text: Column): Column = refTokensUdf(text)
@@ -202,6 +213,7 @@ object Signatures {
   def shinglesUdf(n: Int) = udf((text: String) => shingleStrings(text, n))
 
   val fingerprintUdf = udf((text: String) => fingerprint64(text))
+  val splitmixUdf = udf((x: Long) => splitmix64(x))
 
   def minhashCol(text: Column, n: Int = 3): Column = minhashSigUdf(n)(text)
   def simhashCol(text: Column): Column = simhashUdf(text)

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Third relational batch (SURVEY.md §2.2): mode, windowed distinct
+  * counting, and incremental aggregate maintenance.
+  */
+object Relational3 {
+
+  /** Exact per-group mode with a DETERMINISTIC tie-break (highest
+    * count, then lexicographically smallest value). Spark's built-in
+    * `mode()` is tie-nondeterministic — the count + row_number form
+    * is the portable contract, and it is two hash shuffles on keys
+    * whose cardinality is the (status × priority) pair space, not the
+    * fact table.
+    */
+  def qMode(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority").agg(cnt.as("n"))
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("n").desc, col("o_orderpriority").asc)
+    c.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"), col("n"))
+  }
+
+  /** Running COUNT(DISTINCT) over a window — an operator Spark's
+    * window functions REFUSE natively (DISTINCT aggregates are
+    * unsupported in window frames). Rewrite: when the frame is
+    * cumulative and ordered by the counted expression itself,
+    * running-distinct == dense_rank — one window pass, no distinct
+    * state. The oracle runs DuckDB's NATIVE distinct window
+    * aggregate, so the rewrite is checked against a real
+    * implementation of the semantics, not against itself.
+    */
+  def qWindowDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+    val w = Window.partitionBy("o_custkey").orderBy("month")
+    o.withColumn("n_distinct_months", dense_rank().over(w).cast("long"))
+  }
+
+  /** Incremental aggregate maintenance — the materialized-view
+    * refresh shape: a per-key STATE aggregate (history up to a
+    * cutoff) is merged with the DELTA batch's partial aggregate via
+    * a full-outer coalesce, producing the refreshed view WITHOUT
+    * rescanning history. Here both sides derive from the same table
+    * split at the cutoff (so the oracle can check the merged result
+    * against a one-shot aggregate); in production the state side is
+    * a stored table and only the delta is scanned — the plan past
+    * the two leaf aggregates is identical. Counts and DECIMAL sums
+    * are the mergeable pair (avg is re-derived, never merged).
+    */
+  def qIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val cutoff = lit("1997-01-01").cast("timestamp_ntz")
+    def part(df: DataFrame) = df.groupBy("o_custkey").agg(
+      cnt.as("n"), sum(col("o_totalprice").cast(DecimalType(18, 4))).as("total"))
+    val state = part(o.filter(col("o_orderdate") < cutoff))
+      .withColumnRenamed("n", "sn").withColumnRenamed("total", "stotal")
+    val delta = part(o.filter(col("o_orderdate") >= cutoff))
+      .withColumnRenamed("n", "dn").withColumnRenamed("total", "dtotal")
+    state.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("sn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("stotal"), lit(0).cast(DecimalType(18, 4)))
+          + coalesce(col("dtotal"), lit(0).cast(DecimalType(18, 4))))
+          .cast("double").as("total_price"))
+  }
+}

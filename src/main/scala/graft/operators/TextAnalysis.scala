@@ -72,6 +72,52 @@ object TextAnalysis {
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("score"))
   }
 
+  /** Bigram language-model quality score — the CCNet-style "train a
+    * small LM on the corpus, rank documents by perplexity" filter,
+    * self-trained on the corpus itself in the same job.
+    *
+    * Model: add-half-smoothed bigram conditionals
+    * p(w2|w1) = (c12 + 0.5) / (c1 + 0.5·V). Per-bigram surprisal is
+    * QUANTIZED to whole bits with pure integer arithmetic:
+    * s = floor(log2(1/p)) = bitlen((2·c1 + V) div (2·c12 + 1)) − 1,
+    * which both engines compute exactly as length(bin(q)) − 1 — no
+    * ln() ulp drift, no float sums, bit-identical at any partitioning
+    * (the mr_pagerank integer-arithmetic pattern applied to LM
+    * scoring). Doc score = mean surprisal in milli-bits, integer
+    * floor division.
+    *
+    * Scale shape: the bigram-count table grows with the corpus →
+    * NEVER broadcast; bigrams join it shuffle-on-(w1,w2) and the
+    * unigram table shuffle-on-w1 (the tfidf df-table policy). Only
+    * the one-row vocabulary size broadcasts. Wikipedia-style LM
+    * training (score against a reference corpus instead of self)
+    * is the same plan with counts built from a second table.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = fanOut(spark, t(spark, dir, "documents"))
+    val toks = docs.select(col("doc_id"),
+      graft.functions.Signatures.refTokensFast(col("text")).as("toks"))
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1))).as("bg"))
+      .select(col("doc_id"), col("bg")("0").as("w1"), col("bg")("1").as("w2"))
+    val uni = toks.select(explode(col("toks")).as("w1"))
+      .groupBy("w1").agg(cnt.as("c1"))
+    val bc = bi.groupBy("w1", "w2").agg(cnt.as("c12"))
+    val vocab = uni.agg(cnt.as("v"))
+    bi.join(bc, Seq("w1", "w2"))
+      .join(uni, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (length(bin(expr("(2*c1 + v) DIV (2*c12 + 1)"))) - 1).cast("long").as("s"))
+      .groupBy("doc_id")
+      .agg(cnt.as("n_bigrams"), sum(col("s")).as("total_bits"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("total_bits * 1000 DIV n_bigrams").as("lm_bits_milli"))
+  }
+
   /** Rolling-hash document fingerprint. Oracle-checked: DuckDB
     * reproduces the same modular recurrence with HUGEINT arithmetic
     * over hex-decoded UTF-8 bytes.
