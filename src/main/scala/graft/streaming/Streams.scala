@@ -101,6 +101,62 @@ object Streams {
       .dropDuplicatesWithinWatermark("h", "len")
       .select("doc_id", "ts", "lang", "text", "n_tokens")
 
+  /** Last-writer-wins merge of a CDC snapshot STATE with a change
+    * batch — the pure function both the batch operator and the
+    * streaming sink share. Tombstones (op='delete') are RETAINED in
+    * the state so a late-arriving older upsert cannot resurrect a
+    * deleted key; only the read view filters them. Merge is
+    * idempotent and order-insensitive (max by (ts_s, event_id) is a
+    * semilattice), which is exactly what makes foreachBatch replays
+    * after a checkpoint recovery safe.
+    */
+  def cdcSnapshotMerge(state: DataFrame, batch: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_s").desc, col("event_id").desc)
+    state.unionByName(batch)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Streaming CDC apply — the streaming twin of the batch
+    * q_cdc_apply collapse: a change-log stream is merged per
+    * micro-batch into a parquet snapshot via foreachBatch (the
+    * engine-agnostic core of `MERGE INTO target USING batch`; a
+    * lakehouse table format would make the swap transactional —
+    * unreachable in this offline sandbox, same plan otherwise).
+    * Input columns: user_id, event_id, ts_s, value, op.
+    *
+    * Scale notes: each micro-batch shuffles ONLY on user_id (state
+    * and batch co-partition before the window), and the snapshot
+    * rewrite is the compaction step every CDC sink pays; the
+    * localCheckpoint materializes the merge so the overwrite never
+    * reads the files it is replacing.
+    */
+  def cdcIngest(changes: DataFrame, snapshotDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val cur =
+          if (new java.io.File(snapshotDir).exists) spark.read.parquet(snapshotDir)
+          else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            batch.schema)
+        cdcSnapshotMerge(cur, batch).localCheckpoint()
+          .write.mode("overwrite").parquet(snapshotDir)
+      }
+      .start()
+
+  /** The read view over the snapshot: tombstones filtered, the
+    * q_cdc_apply output shape.
+    */
+  def cdcSnapshotView(spark: org.apache.spark.sql.SparkSession,
+      snapshotDir: String): DataFrame =
+    spark.read.parquet(snapshotDir)
+      .filter(col("op") === "upsert")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts_s").as("updated_s"), col("value").as("current_value"))
+
   /** Declarative gap-based sessionization via Spark's NATIVE
     * `session_window` grouping — the form most users reach for before
     * the custom-state machinery in [[sessionize]]. The engine merges
