@@ -140,6 +140,8 @@ object SparkEntry {
     "text_pack" -> ((s: SparkSession, d: String) => TextAnalysis.pack(s, d)),
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_lm_score" -> (TextAnalysis.lmScore _),
+    "text_keywords" -> ((s: SparkSession, d: String) => TextAnalysis.keywords(s, d)),
+    "q_retention" -> (operators.Relational3.qRetention _),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     "text_stratified_sample" -> (TextAnalysis.stratifiedSample _),
     "pipeline_corpus" -> (operators.Pipeline.corpusBuild _),
@@ -1011,6 +1013,28 @@ object SparkEntry {
         |  UNION
         |  SELECT reach.id, edges.dst FROM reach, edges WHERE reach.r = edges.src)
         |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+    "q_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_week FROM wk GROUP BY 1)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, wk) // 7 AS BIGINT) AS week_offset,
+        |  count(*) AS n_active
+        |FROM wk JOIN cohort USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "text_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS term
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1,2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, term,
+        |         round(tf * ln(CAST(n_docs AS DOUBLE)/df), 6) AS score
+        |       FROM tf JOIN dfreq USING(term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM sc)
+        |SELECT doc_id, term, score FROM r WHERE rn <= 3""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS term

@@ -44,6 +44,25 @@ object Relational3 {
     o.withColumn("n_distinct_months", dense_rank().over(w).cast("long"))
   }
 
+  /** Cohort retention matrix — the classic product-analytics shape:
+    * users grouped by first-activity week (their cohort), counted in
+    * each subsequent week they stay active. Two aggregations and one
+    * shuffle join on user_id; the (user, week) activity set is
+    * distinct-collapsed FIRST so the join carries one row per active
+    * week, not one per event — at 100 TB that collapse is the
+    * difference between joining events and joining users×weeks.
+    */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val wk = t(spark, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val cohort = wk.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    wk.join(cohort, "user_id")
+      .select(col("cohort_week"),
+        expr("CAST(datediff(wk, cohort_week) DIV 7 AS BIGINT)").as("week_offset"))
+      .groupBy("cohort_week", "week_offset").agg(cnt.as("n_active"))
+  }
+
   /** Incremental aggregate maintenance — the materialized-view
     * refresh shape: a per-key STATE aggregate (history up to a
     * cutoff) is merged with the DELTA batch's partial aggregate via

@@ -118,6 +118,18 @@ object TextAnalysis {
         expr("total_bits * 1000 DIV n_bigrams").as("lm_bits_milli"))
   }
 
+  /** Keyword extraction: top-3 TF-IDF terms per document — [[tfidf]]
+    * composed with the NATIVE bounded-heap top-k operator
+    * (plans.TopK, O(n log k) per group, no window sort): the
+    * custom-plan stack driving a real pipeline stage rather than a
+    * demo query. Tie-break (score desc, term asc) is total, so the
+    * cut is deterministic and the oracle's row_number replays it.
+    */
+  def keywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    graft.plans.TopK.topKPerGroup(
+      tfidf(spark, dir).select("doc_id", "term", "score"),
+      Seq("doc_id"), Seq("score" -> false, "term" -> true), k)
+
   /** Rolling-hash document fingerprint. Oracle-checked: DuckDB
     * reproduces the same modular recurrence with HUGEINT arithmetic
     * over hex-decoded UTF-8 bytes.
