@@ -60,10 +60,15 @@ object Graph {
       .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "degb"), "b")
     val aFirst = col("dega") < col("degb") ||
       (col("dega") === col("degb") && col("a") < col("b"))
+    // materialized ONCE: the wedge self-join reads it twice and the
+    // closing-edge join a third time — without this the whole
+    // edge-build cascade (distinct + pair self-join + degree joins)
+    // re-executes per branch (the dupClustersStars lesson)
     val oriented = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("src"),
       when(aFirst, col("b")).otherwise(col("a")).as("dst"),
       when(aFirst, col("degb")).otherwise(col("dega")).as("ddeg"))
+      .localCheckpoint()
     // wedges u -> (v, w) with (deg,id)(v) < (deg,id)(w); the closing
     // edge v -> w is oriented v-first by construction, so one
     // equi-join on (src, dst) confirms the triangle
@@ -75,9 +80,9 @@ object Graph {
     val tris = wedges.join(
         oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
       .select(col("src").as("u"), col("v"), col("w"))
-    tris.select(col("u").as("node"))
-      .unionAll(tris.select(col("v").as("node")))
-      .unionAll(tris.select(col("w").as("node")))
+    // one narrow explode per triangle row — a 3-arm union would
+    // re-execute the wedge join three times
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(cnt.as("n_triangles"))
       .select(col("node").as("part_id"), col("n_triangles"))
   }
@@ -108,7 +113,11 @@ object Graph {
           dist.join(pairs, col("node") === col("a"))
             .select(col("b").as("node"), (col("dist") + 1L).as("dist")))
         .groupBy("node").agg(min("dist").as("dist"))
-      if (i % 8 == 0 && i < rounds) dist = dist.localCheckpoint()
+      // `dist` appears TWICE per round (carry + expand), so an
+      // unrolled plan doubles per round — the per-round checkpoint
+      // that pagerank could drop (single reference there) is
+      // mandatory here, exactly as in the CC loop
+      if (i < rounds) dist = dist.localCheckpoint()
     }
     dist.select(col("node").as("part_id"), col("dist"))
   }
