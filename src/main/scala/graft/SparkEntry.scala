@@ -59,6 +59,8 @@ object SparkEntry {
     "q_mode" -> (operators.Relational3.qMode _),
     "q_window_distinct" -> (operators.Relational3.qWindowDistinct _),
     "q_incremental_agg" -> (operators.Relational3.qIncrementalAgg _),
+    "q_winsorize" -> (operators.Relational3.qWinsorize _),
+    "q_outliers" -> (operators.Relational3.qOutliers _),
     "q_weighted_sample" -> ((s: SparkSession, d: String) => operators.Profile.qWeightedSample(s, d)),
     "q_approx_distinct" -> (operators.Relational2.qApproxDistinct _),
     "q_approx_percentile" -> (operators.Relational2.qApproxPercentile _),
@@ -804,6 +806,28 @@ object SparkEntry {
       """SELECT o_custkey, count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.01) AS lo,
+        |    quantile_cont(l_extendedprice, 0.99) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi) AS DECIMAL(18,4))) AS DOUBLE) AS sum_clipped,
+        |  CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        |  CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+        |FROM lineitem l JOIN b USING (l_returnflag) GROUP BY 1""".stripMargin,
+    "q_outliers" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY 1),
+        |dev AS (
+        |  SELECT l.l_returnflag, med, abs(l_extendedprice - med) AS adev
+        |  FROM lineitem l JOIN med USING (l_returnflag)),
+        |mad AS (SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT d.l_returnflag, count(*) AS n, min(d.med) AS med, min(mad.mad) AS mad,
+        |  CAST(sum(CASE WHEN adev > mad.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad USING (l_returnflag) GROUP BY 1""".stripMargin,
     "q_profile" -> {
       def num(c: String, mn: String, mx: String): String =
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,

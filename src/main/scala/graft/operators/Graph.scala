@@ -47,28 +47,35 @@ object Graph {
     * Three shuffle joins on ids (wedge + closing-edge + degree
     * attach), one aggregation; no driver-side data.
     */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val und = undirectedEdges(incidence(spark, dir))
-    // degree over both endpoints of the once-per-edge set
+  /** Degree-ordered acyclic orientation of a once-per-edge (a, b)
+    * set: each edge points from its lower-(degree, id) endpoint to
+    * the higher one, carrying the dst endpoint's degree as `ddeg`.
+    * Guarantees max out-degree O(sqrt(E)) — the property the wedge
+    * join's cost bound rests on (spec-pinned on an adversarial
+    * low-id hub graph where id-ordering degenerates).
+    */
+  private[graft] def orientByDegree(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(cnt.as("deg"))
-    // orient low (deg, id) -> high (deg, id); carry the dst endpoint's
-    // (deg, id) so the wedge filter needs no further join
     val withDeg = und
       .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "dega"), "a")
       .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "degb"), "b")
     val aFirst = col("dega") < col("degb") ||
       (col("dega") === col("degb") && col("a") < col("b"))
+    withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("degb")).otherwise(col("dega")).as("ddeg"))
+  }
+
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val und = undirectedEdges(incidence(spark, dir))
     // materialized ONCE: the wedge self-join reads it twice and the
     // closing-edge join a third time — without this the whole
     // edge-build cascade (distinct + pair self-join + degree joins)
     // re-executes per branch (the dupClustersStars lesson)
-    val oriented = withDeg.select(
-      when(aFirst, col("a")).otherwise(col("b")).as("src"),
-      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
-      when(aFirst, col("degb")).otherwise(col("dega")).as("ddeg"))
-      .localCheckpoint()
+    val oriented = orientByDegree(und).localCheckpoint()
     // wedges u -> (v, w) with (deg,id)(v) < (deg,id)(w); the closing
     // edge v -> w is oriented v-first by construction, so one
     // equi-join on (src, dst) confirms the triangle

@@ -44,6 +44,52 @@ object Relational3 {
     o.withColumn("n_distinct_months", dense_rank().over(w).cast("long"))
   }
 
+  /** Winsorization — clip a measure at per-group p01/p99 before
+    * aggregating, the standard heavy-tail taming step before
+    * training-statistics jobs. Both bounds come from ONE percentile
+    * array aggregate (the qPercentile lesson); the per-group bounds
+    * table has fixed cardinality (one row per returnflag) so its
+    * join-back broadcasts at any SF. Clipped sums run through the
+    * DECIMAL chain; clip counts are exact integers.
+    */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    val bounds = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.01D, 0.99D))").as("ps"))
+      .select(col("l_returnflag"), col("ps").getItem(0).as("lo"), col("ps").getItem(1).as("hi"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .select(col("l_returnflag"),
+        least(greatest(col("l_extendedprice"), col("lo")), col("hi")).as("clipped"),
+        (col("l_extendedprice") < col("lo")).as("is_lo"),
+        (col("l_extendedprice") > col("hi")).as("is_hi"))
+      .groupBy("l_returnflag")
+      .agg(cnt.as("n"), sumMoney(col("clipped")).as("sum_clipped"),
+        sum(when(col("is_lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("is_hi"), 1L).otherwise(0L)).as("n_clipped_high"))
+  }
+
+  /** Robust outlier detection via MAD (median absolute deviation):
+    * |x − median| > 3·MAD flags — the data-quality screen that
+    * survives the heavy tails that break z-scores. Two dependent
+    * median passes (MAD needs the median first) with the tiny
+    * per-group medians broadcast back between them; exact
+    * interpolated medians keep both engines bit-identical.
+    */
+  def qOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    val med = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5D)").as("med"))
+    val dev = li.join(broadcast(med), "l_returnflag")
+      .select(col("l_returnflag"), col("med"),
+        abs(col("l_extendedprice") - col("med")).as("adev"))
+    val mad = dev.groupBy("l_returnflag")
+      .agg(expr("percentile(adev, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(cnt.as("n"), min(col("med")).as("med"), min(col("mad")).as("mad"),
+        sum(when(col("adev") > col("mad") * 3.0, 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** Cohort retention matrix — the classic product-analytics shape:
     * users grouped by first-activity week (their cohort), counted in
     * each subsequent week they stay active. Two aggregations and one

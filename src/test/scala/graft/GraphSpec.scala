@@ -42,6 +42,28 @@ class GraphSpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("degree orientation defuses the low-id hub that id-ordering squares on") {
+    import TestSpark.spark.implicits._
+    // adversarial graph: hub node 1 (LOWEST id) connected to 200
+    // leaves — a<b orientation would give the hub outdeg 200 and the
+    // wedge join C(200,2) pairs; degree-ordering points every edge AT
+    // the hub (leaf deg 1 < hub deg 200), so hub outdeg is 0
+    val und = (2L to 201L).map(leaf => (1L, leaf)).toDF("a", "b")
+    val out = Graph.orientByDegree(und)
+      .groupBy("src").agg(count(lit(1)).as("outdeg"))
+    assert(out.filter(col("src") === 1L).isEmpty, "hub must have outdeg 0")
+    val maxOut = out.agg(max("outdeg")).head.getLong(0)
+    assert(maxOut <= 1L, s"every leaf orients its single edge at the hub (max=$maxOut)")
+    // and the O(sqrt E) bound on a graph that HAS triangles: a 20-clique
+    val clique = (for { i <- 1L to 20L; j <- (i + 1) to 20L } yield (i, j)).toDF("a", "b")
+    val e = clique.count()
+    val cliqueMax = Graph.orientByDegree(clique)
+      .groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .agg(max("outdeg")).head.getLong(0)
+    assert(cliqueMax <= math.ceil(math.sqrt(2.0 * e)).toLong + 1,
+      s"clique max outdeg $cliqueMax exceeds the O(sqrt E) bound")
+  }
+
   test("bfs distances: source at 0, edge endpoints within 1 hop") {
     val d = Graph.bfs(spark, sf).cache()
     try {
