@@ -65,20 +65,30 @@ object Bench {
 
     // Free the block-manager state a query left behind so the next
     // query's time measures its own plan, not its predecessor's debris.
+    // The explicit unpersist of every registered RDD (cache() AND
+    // localCheckpoint() blocks both appear in getPersistentRDDs) frees
+    // the storage debris directly; System.gc() is only needed for what
+    // the ContextCleaner frees by reference collection (broadcasts,
+    // shuffle files), so it runs on a query-count backstop — a full GC
+    // on this heap measures seconds, and ~30 of them cost more wall
+    // than the debris they would free (round-4 measurement: heavy-
+    // prefix GC policy 514 s wall vs backstop-only; cleanup_s in the
+    // output line keeps this auditable every run).
     var sinceGc = 0
+    var cleanupS = 0.0
+    val gcEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC_EVERY", "16").toInt.max(1)
+    val gcHeavy = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC_HEAVY", "0") == "1"
     def cleanup(afterName: String): Unit = {
+      val t0 = System.nanoTime()
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
       sinceGc += 1
-      // GC promptly after known block-heavy families (their
-      // localCheckpoint blocks are only freed once the RDD reference
-      // is collected), and every 16 queries as a backstop; an
-      // every-query GC would cost more than the debris it frees.
-      if (heavyPrefixes.exists(afterName.startsWith) || sinceGc >= 16) {
+      if ((gcHeavy && heavyPrefixes.exists(afterName.startsWith)) || sinceGc >= gcEvery) {
         System.gc()
         sinceGc = 0
       }
+      cleanupS += (System.nanoTime() - t0) / 1e9
     }
 
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -167,7 +177,7 @@ object Bench {
     // sorts to the truncated HEAD (-1.0) and is excluded from the
     // total, so without this field a breakage would read as a speedup
     val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"queries":$qs,"metric":"total","unit":"sec","sf":"$sfDir","passes":$pass,"wall":$elapsedS,"top5":$top5,"failed":$failed,"value":$total}""")
+    println(s"""{"queries":$qs,"metric":"total","unit":"sec","sf":"$sfDir","passes":$pass,"wall":$elapsedS,"cleanup_s":$cleanupS,"top5":$top5,"failed":$failed,"value":$total}""")
     spark.stop()
   }
 }

@@ -92,6 +92,7 @@ object SparkEntry {
     "q_resample_by_key" -> (operators.Resample.qResampleByKey _),
     "q_topk_weighted" -> (operators.Relational2.qTopkWeighted _),
     "q_scd2" -> (operators.ComplexTypes.qScd2 _),
+    "q_islands" -> (operators.ComplexTypes.qIslands _),
     "q_cdc_apply" -> (operators.ComplexTypes.qCdcApply _),
     "q_upsert" -> (operators.ComplexTypes.qUpsert _),
     "q_funnel" -> (operators.ComplexTypes.qFunnel _),
@@ -129,6 +130,7 @@ object SparkEntry {
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
     "ann_quantized" -> ((s: SparkSession, d: String) => Ann.quantizedTopK(s, d)),
+    "ann_pq" -> ((s: SparkSession, d: String) => Ann.pqTopK(s, d)),
     "knn_join" -> ((s: SparkSession, d: String) => Ann.knnJoin(s, d)),
     // §2.5 text analysis
     "text_stats" -> (TextAnalysis.textStats _),
@@ -370,7 +372,12 @@ object SparkEntry {
     * clause CTEs — the common prefix of the ann_ivf and dedup_semantic
     * oracles.
     */
-  private def ivfCoreCtes: String = {
+  /** Shared embedding-normalize + XXH64(vec_id) CTEs (`e`, `ex`,
+    * `xx`) — the common prefix of the ann_ivf, dedup_semantic and
+    * ann_pq oracles (all three quantizers seed from the same
+    * hash-ordered rows).
+    */
+  private def embHashCtes: String = {
     import SqlU64._
     def rotl(a: String, r: Int): String = s"(${shlmod(a, r)} + ${shr(a, 64 - r)})"
     val P1 = BigInt("9E3779B185EBCA87", 16)
@@ -379,6 +386,28 @@ object SparkEntry {
     val P4 = BigInt("85EBCA77C2B2AE63", 16)
     val P5 = BigInt("27D4EB2F165667C5", 16)
     val acc0 = (BigInt(42) + P5 + 8) & ((BigInt(1) << 64) - 1)
+    s"""e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS v
+       |  FROM embeddings),
+       |ex AS (
+       |  SELECT vec_id, generate_subscripts(v, 1) AS d, unnest(v) AS val FROM e),
+       |x1 AS (SELECT vec_id, v, ${mulmod64("vec_id::HUGEINT", P2)} AS k FROM e),
+       |x2 AS (SELECT vec_id, v, ${rotl("k", 31)} AS k FROM x1),
+       |x3 AS (SELECT vec_id, v, ${xor64(lit(acc0), mulmod64("k", P1))} AS acc FROM x2),
+       |x4 AS (SELECT vec_id, v, (${mulmod64(rotl("acc", 27), P1)} + ${lit(P4)}) % $M64 AS acc FROM x3),
+       |x5 AS (SELECT vec_id, v, ${xor64("acc", shr("acc", 33))} AS acc FROM x4),
+       |x6 AS (SELECT vec_id, v, ${mulmod64("acc", P2)} AS acc FROM x5),
+       |x7 AS (SELECT vec_id, v, ${xor64("acc", shr("acc", 29))} AS acc FROM x6),
+       |x8 AS (SELECT vec_id, v, ${mulmod64("acc", P3)} AS acc FROM x7),
+       |xx AS (SELECT vec_id, v,
+       |  CAST(CASE WHEN ${xor64("acc", shr("acc", 32))} >= ${lit(BigInt(1) << 63)}
+       |       THEN ${xor64("acc", shr("acc", 32))} - $M64
+       |       ELSE ${xor64("acc", shr("acc", 32))} END AS BIGINT) AS h FROM x8)""".stripMargin
+  }
+
+  private def ivfCoreCtes: String = {
     def lloyd(cin: String, cout: String): String =
       s"""a_$cout AS (
          |  SELECT vec_id, v, cid FROM (
@@ -399,25 +428,7 @@ object SparkEntry {
          |           sqrt(list_sum(list_transform(ml.ml, y -> y*y))), 1e-12))
          |    END AS cv
          |  FROM $cin p LEFT JOIN ml_$cout ml ON p.cid = ml.cid)""".stripMargin
-    s"""e AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
-       |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS v
-       |  FROM embeddings),
-       |ex AS (
-       |  SELECT vec_id, generate_subscripts(v, 1) AS d, unnest(v) AS val FROM e),
-       |x1 AS (SELECT vec_id, v, ${mulmod64("vec_id::HUGEINT", P2)} AS k FROM e),
-       |x2 AS (SELECT vec_id, v, ${rotl("k", 31)} AS k FROM x1),
-       |x3 AS (SELECT vec_id, v, ${xor64(lit(acc0), mulmod64("k", P1))} AS acc FROM x2),
-       |x4 AS (SELECT vec_id, v, (${mulmod64(rotl("acc", 27), P1)} + ${lit(P4)}) % $M64 AS acc FROM x3),
-       |x5 AS (SELECT vec_id, v, ${xor64("acc", shr("acc", 33))} AS acc FROM x4),
-       |x6 AS (SELECT vec_id, v, ${mulmod64("acc", P2)} AS acc FROM x5),
-       |x7 AS (SELECT vec_id, v, ${xor64("acc", shr("acc", 29))} AS acc FROM x6),
-       |x8 AS (SELECT vec_id, v, ${mulmod64("acc", P3)} AS acc FROM x7),
-       |xx AS (SELECT vec_id, v,
-       |  CAST(CASE WHEN ${xor64("acc", shr("acc", 32))} >= ${lit(BigInt(1) << 63)}
-       |       THEN ${xor64("acc", shr("acc", 32))} - $M64
-       |       ELSE ${xor64("acc", shr("acc", 32))} END AS BIGINT) AS h FROM x8),
+    s"""$embHashCtes,
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v AS cv
        |  FROM xx ORDER BY h, vec_id LIMIT 16),
@@ -429,6 +440,69 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY e.vec_id
        |                         ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
        |    FROM e CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
+  }
+
+  /** ann_pq oracle: product-quantization training and serving
+    * replayed end to end — per-subspace euclidean Lloyd (argmin
+    * cc − 2·x·c with lowest-cid tie-break, 1e-9-grid DECIMAL means,
+    * lost-cluster fallback) over the SAME xxhash64 seed rows as the
+    * IVF quantizer, code assignment, ADC scoring (per-m dots summed
+    * in subspace order) and the full-precision re-rank.
+    */
+  private def pqOracleSql: String = {
+    def assign(cb: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, m, sv, cid FROM (
+         |    SELECT s.vec_id, s.m, s.sv, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY list_dot_product(c.cv, c.cv) - 2*list_dot_product(s.sv, c.cv), c.cid) AS rn
+         |    FROM sub s JOIN $cb c ON s.m = c.m) WHERE rn = 1)""".stripMargin
+    def update(a: String, cbin: String, cbout: String): String =
+      s"""sx_$cbout AS (
+         |  SELECT a.m, a.cid, generate_subscripts(a.sv, 1) AS d, unnest(a.sv) AS val FROM $a a),
+         |sums_$cbout AS (
+         |  SELECT m, cid, d,
+         |    (CAST(sum(CAST(round(val*1e9) AS BIGINT)) AS DOUBLE) / 1e9) / count(*) AS mval
+         |  FROM sx_$cbout GROUP BY 1, 2, 3),
+         |ml_$cbout AS (SELECT m, cid, list(mval ORDER BY d) AS cv FROM sums_$cbout GROUP BY 1, 2),
+         |$cbout AS (
+         |  SELECT p.m, p.cid, coalesce(ml.cv, p.cv) AS cv
+         |  FROM $cbin p LEFT JOIN ml_$cbout ml ON p.m = ml.m AND p.cid = ml.cid)""".stripMargin
+    s"""WITH $embHashCtes,
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v
+       |  FROM xx ORDER BY h, vec_id LIMIT 16),
+       |ms AS (SELECT unnest(range(0, 8)) AS m),
+       |cb0 AS (SELECT m, cid, array_slice(v, m*8+1, m*8+8) AS cv FROM seeds CROSS JOIN ms),
+       |sub AS (SELECT vec_id, m, array_slice(v, m*8+1, m*8+8) AS sv FROM e CROSS JOIN ms),
+       |${assign("cb0", "a1")},
+       |${update("a1", "cb0", "cb1")},
+       |${assign("cb1", "a2")},
+       |${update("a2", "cb1", "cb2")},
+       |${assign("cb2", "codes")},
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+       |parts AS (
+       |  SELECT q.q_id, c.vec_id, c.m,
+       |    list_dot_product(array_slice(q.qv, c.m*8+1, c.m*8+8), cb.cv) AS pd
+       |  FROM q CROSS JOIN codes c JOIN cb2 cb ON cb.m = c.m AND cb.cid = c.cid
+       |  WHERE c.vec_id <> q.q_id),
+       |qs AS (SELECT q_id, vec_id, list_sum(list(pd ORDER BY m)) AS qscore
+       |       FROM parts GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY qscore DESC, vec_id) AS crk
+       |    FROM qs) WHERE crk <= 50),
+       |rr AS (
+       |  SELECT ca.q_id, ca.vec_id, list_dot_product(e.v, q.qv) AS cos
+       |  FROM cands ca JOIN e ON ca.vec_id = e.vec_id JOIN q ON ca.q_id = q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM rr)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id AS neighbor_id,
+       |  round(cos, 6) AS cosine
+       |FROM ranked WHERE rk <= 5""".stripMargin
   }
 
   private def ivfOracleSql: String =
@@ -468,6 +542,7 @@ object SparkEntry {
     "multimodal_stats" -> multimodalStatsOracleSql,
     "multimodal_topk" -> multimodalTopKOracleSql,
     "ann_ivf" -> ivfOracleSql,
+    "ann_pq" -> pqOracleSql,
     "dedup_semantic" -> semanticDedupOracleSql,
     // contract oracle: the raw HLL estimate is Spark-internal, but its
     // accuracy contract (within 5% of exact) is engine-independent —
@@ -719,6 +794,13 @@ object SparkEntry {
         |  lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
         |    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) IS NULL AS is_current
         |FROM events""".stripMargin,
+    "q_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |  day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS grp FROM d)
+        |SELECT user_id, min(day) AS island_start, max(day) AS island_end,
+        |  count(*) AS days
+        |FROM g GROUP BY user_id, grp""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         |  SELECT user_id, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS new_sess FROM (

@@ -183,4 +183,23 @@ object ComplexTypes {
       .withColumn("valid_to_s", lead(col("valid_from_s"), 1).over(w))
       .withColumn("is_current", col("valid_to_s").isNull)
   }
+
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    * user (the classic day − row_number() grouper: constant within a
+    * run, distinct across runs). Every step is keyed by user_id —
+    * distinct shuffles on (user, day), the window and the final
+    * aggregate both ride partitionBy(user_id) — so the shape is
+    * per-key parallel at any scale; no global window anywhere.
+    */
+  def qIslands(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    t(spark, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min("day").as("island_start"), max("day").as("island_end"),
+        cnt.as("days"))
+      .drop("grp")
+  }
 }

@@ -379,6 +379,118 @@ object Ann {
     * bruteforceTopK, and the DuckDB oracle replays the whole
     * quantize→candidate→re-rank pipeline bit-exact.
     */
+  /** Product-quantization codebooks: the 64-dim space split into M=8
+    * subspaces × 8 dims, each with its own ksub=16-centroid EUCLIDEAN
+    * k-means (argmin ‖x−c‖² via cc − 2·x·c; x·x is per-row constant).
+    * Deterministic end to end: seed rows are the SAME xxhash64-ordered
+    * 16 vectors the IVF quantizer uses, per-dim means run through the
+    * 1e-9-grid DECIMAL sums with exact counts, lost clusters keep
+    * their previous centroid — so the DuckDB oracle replays training
+    * bit-for-bit (the trainQuantizer pattern, euclidean flavor).
+    * Driver holds only the 8×16×8 codebook (scalars, not data).
+    */
+  private[graft] def trainPq(corpus: DataFrame, nSub: Int = 8, ksub: Int = 16,
+      lloydIters: Int = 2, dim: Int = 64): Array[Array[Array[Double]]] = {
+    val sub = dim / nSub
+    val seedVecs = corpus.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ksub)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(nSub, ksub)((m, c) => seedVecs(c).slice(m * sub, (m + 1) * sub))
+    for (_ <- 1 to lloydIters) {
+      val coded = corpus.select(col("vec_id"), col("v"),
+        posexplode(pqCodesUdf(books, sub)(col("v"))).as(Seq("m", "code")))
+      val dimSums = (0 until sub).map(i =>
+        sum(round(element_at(col("v"), col("m") * sub + i + 1) * 1e9)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"s$i"))
+      val updates = coded.groupBy("m", "code")
+        .agg(cnt.as("n"), dimSums: _*)
+        .collect()
+        .map { r =>
+          val (m, c, n) = (r.getInt(0), r.getInt(1), r.getLong(2))
+          // (sum/1e9)/n with both divisions in this order — the oracle
+          // computes the identical double chain
+          (m, c) -> (0 until sub)
+            .map(i => (r.getDecimal(i + 3).doubleValue() / 1e9) / n).toArray
+        }.toMap
+      books = Array.tabulate(nSub, ksub)((m, c) => updates.getOrElse((m, c), books(m)(c)))
+    }
+    books
+  }
+
+  /** Per-subspace nearest-codeword ids (argmin cc − 2·x·c, lowest
+    * index on ties — matches the oracle's ASC, cid row_number).
+    */
+  private[graft] def pqCodesUdf(books: Array[Array[Array[Double]]], sub: Int) =
+    udf { (v: Seq[Double]) =>
+      books.indices.map { m =>
+        var best = 0
+        var bestd = Double.MaxValue
+        var c = 0
+        while (c < books(m).length) {
+          val cb = books(m)(c)
+          var cc = 0.0; var xc = 0.0; var i = 0
+          while (i < sub) { cc += cb(i) * cb(i); xc += v(m * sub + i) * cb(i); i += 1 }
+          val d = cc - 2.0 * xc
+          if (d < bestd) { bestd = d; best = c }
+          c += 1
+        }
+        best
+      }.toArray
+    }
+
+  /** ADC score: Σ_m q_subᵐ · codebook[m][codeᵐ], accumulated in
+    * subspace order (the oracle list_sums the same per-m dots ordered
+    * by m).
+    */
+  private def pqScoreUdf(books: Array[Array[Array[Double]]], sub: Int) =
+    udf { (codes: Seq[Int], qv: Seq[Double]) =>
+      var s = 0.0
+      var m = 0
+      while (m < codes.length) {
+        val cb = books(m)(codes(m))
+        var i = 0
+        while (i < sub) { s += qv(m * sub + i) * cb(i); i += 1 }
+        m += 1
+      }
+      s
+    }
+
+  /** PQ-ADC top-k: candidates are generated from 8 codeword ids per
+    * vector — the candidate scan/shuffle carries 8 SMALL INTS per
+    * row (~8 bytes vs 64 for int8, 512 for float64), the asymmetric-
+    * distance-computation serving shape of an IVF-PQ index — then the
+    * nCand cut is re-ranked at full precision exactly like
+    * [[quantizedTopK]]. Oracle: codebook training, code assignment,
+    * ADC scoring and the re-rank all replayed in DuckDB SQL.
+    */
+  def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nCand: Int = 50, nSub: Int = 8, ksub: Int = 16): DataFrame = {
+    val sub = 64 / nSub
+    val corpus = emb(spark, dir)
+    val books = trainPq(corpus, nSub, ksub)
+    val coded = corpus
+      .select(col("vec_id"), col("v"), pqCodesUdf(books, sub)(col("v")).as("codes"))
+      .localCheckpoint() // one shared code pass for both sides + rerank join
+    val queries = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("qscore").desc, col("vec_id").asc)
+    val cands = coded.select("vec_id", "codes")
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        pqScoreUdf(books, sub)(col("codes"), col("qv")).as("qscore"))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= nCand)
+      .select("q_id", "vec_id")
+    val wr = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    cands.join(coded.select("vec_id", "v"), "vec_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   def quantizedTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nCand: Int = 20): DataFrame = {
     val corpus = emb(spark, dir)
