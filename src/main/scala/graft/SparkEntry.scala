@@ -151,7 +151,8 @@ object SparkEntry {
     "pipeline_corpus" -> (operators.Pipeline.corpusBuild _),
     // §2.6 multimodal plumbing
     "multimodal_stats" -> (Multimodal.mediaStats _),
-    "multimodal_topk" -> ((s: SparkSession, d: String) => Multimodal.mediaTopK(s, d))
+    "multimodal_topk" -> ((s: SparkSession, d: String) => Multimodal.mediaTopK(s, d)),
+    "multimodal_phash" -> ((s: SparkSession, d: String) => Multimodal.phashDedup(s, d))
   )
 
   /** DuckDB-dialect oracle per query (same semantics, independent
@@ -360,6 +361,53 @@ object SparkEntry {
        |FROM ranked WHERE rk <= 3""".stripMargin
   }
 
+  /** multimodal_phash oracle: variant payloads (one LCG stream per
+    * BASE id, low-bit flips per variant), the stride-4 perceptual
+    * hash with its integer-only threshold (64·sample > Σsamples — no
+    * floats anywhere), 4×16 banding and the hamming verify, all in
+    * SQL. The Spark bucket cap (100) provably never binds on the
+    * controlled corpus, so the uncapped replay is value-exact.
+    */
+  private def multimodalPhashOracleSql: String = {
+    import SqlU64._
+    val A = u(6364136223846793005L)
+    val C = u(1442695040888963407L)
+    def newX(x: String) = s"(${mulmod64(x, A)} + ${lit(C)}) % $M64"
+    s"""WITH RECURSIVE media AS (
+       |  SELECT doc_id AS media_id, doc_id // 4 AS base FROM documents),
+       |bases AS (SELECT DISTINCT base FROM media),
+       |gen(base, i, x) AS (
+       |  SELECT base, 0, ${newX("base::HUGEINT")} FROM bases
+       |  UNION ALL
+       |  SELECT base, i + 1, ${newX("x")} FROM gen WHERE i < 253),
+       |samp AS (
+       |  SELECT base, (i - 1) // 4 AS si, CAST(x // ${lit(BigInt(1) << 56)} AS BIGINT) AS val
+       |  FROM gen WHERE i >= 1 AND (i - 1) % 4 = 0),
+       |pb AS (
+       |  SELECT m.media_id, s.si,
+       |    CASE WHEN s.si % 4 = 0 AND s.si // 4 < m.media_id % 4
+       |         THEN xor(s.val, 1) ELSE s.val END AS val
+       |  FROM media m JOIN samp s ON m.base = s.base),
+       |st AS (SELECT media_id, sum(val) AS tot FROM pb GROUP BY 1),
+       |bits AS (
+       |  SELECT pb.media_id,
+       |    sum(CASE WHEN pb.val * 64 > st.tot
+       |        THEN power(2::HUGEINT, pb.si)::HUGEINT ELSE 0::HUGEINT END) AS ph
+       |  FROM pb JOIN st ON pb.media_id = st.media_id GROUP BY 1),
+       |banded AS (
+       |  SELECT media_id, ph, b.band,
+       |    CAST((ph // power(2::HUGEINT, b.band * 16)::HUGEINT) % 65536 AS BIGINT) AS chunk
+       |  FROM bits CROSS JOIN (SELECT unnest(range(4)) AS band) b),
+       |pairs AS (
+       |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       |    bit_count(xor(CAST(a.ph // $P32 AS BIGINT), CAST(b.ph // $P32 AS BIGINT)))
+       |      + bit_count(xor(CAST(a.ph % $P32 AS BIGINT), CAST(b.ph % $P32 AS BIGINT))) AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.chunk = b.chunk AND a.media_id < b.media_id)
+       |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM pairs WHERE hamming <= 3""".stripMargin
+  }
+
   /** ann_ivf oracle: the ENTIRE quantizer replayed in SQL — XXH64 of
     * the vec_id (Spark's xxhash64 seed-selection, 8-byte block with
     * seed 42), two unrolled DECIMAL-exact Lloyd rounds (argmax-dot
@@ -541,6 +589,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> minhashOracleSql,
     "multimodal_stats" -> multimodalStatsOracleSql,
     "multimodal_topk" -> multimodalTopKOracleSql,
+    "multimodal_phash" -> multimodalPhashOracleSql,
     "ann_ivf" -> ivfOracleSql,
     "ann_pq" -> pqOracleSql,
     "dedup_semantic" -> semanticDedupOracleSql,

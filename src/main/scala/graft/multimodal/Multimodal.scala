@@ -143,6 +143,87 @@ object Multimodal {
     }))
   }
 
+  /** Variant media table for near-dup detection: every 4 consecutive
+    * media ids share one base payload, and id%4 of them carry small
+    * low-bit perturbations (the re-encode/resize noise real image
+    * corpora have). The controlled structure lets the phash pipeline
+    * be verified value-exactly — production tables arrive with the
+    * duplicates already in them.
+    */
+  def variantMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val encV = udf { (id: Long) =>
+      val bytes = FakeCodec.encode(id / 4)
+      var j = 0
+      while (j < (id % 4).toInt) {
+        bytes(j * 16) = (bytes(j * 16) ^ 1).toByte
+        j += 1
+      }
+      bytes
+    }
+    graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"))
+      .withColumn("meta", struct(lit("fake/rgb8").as("format"),
+        lit(16).as("width"), lit(16).as("height")))
+      .withColumn("payload", encV(col("media_id")))
+      .as[MediaRow]
+  }
+
+  /** Perceptual hash: stride-4 downsample (the resize stage's shape)
+    * to 64 samples, then one bit per sample by integer-only
+    * mean-threshold (64·sample > Σsamples — no floating point, so the
+    * hash replays bit-exactly in any engine). Small pixel noise moves
+    * few samples by ±1 → few bits flip; unrelated payloads land ~32
+    * bits apart. Codec-domain work, hence a UDF next to FakeCodec —
+    * a real pHash (DCT over decoded pixels) drops into this slot.
+    */
+  private[graft] val phashUdf = udf { (payload: Array[Byte]) =>
+    val n = payload.length / 4
+    val s = new Array[Int](n)
+    var sum = 0L
+    var i = 0
+    while (i < n) { s(i) = payload(i * 4) & 0xff; sum += s(i); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < n && i < 64) {
+      if (s(i) * n.toLong > sum) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Media near-dup pairs by perceptual hash — image dedup, the
+    * multimodal twin of text SimHash: 64-bit phash per payload, 4×16
+    * banding (pigeonhole: hamming ≤ 3 ⇒ some band equal), capped
+    * bucket self-join, bit_count verify. The payload never reaches
+    * the shuffle — bands carry (media_id, phash) only, so at 100 TB
+    * of images the join moves ~16 bytes per row per band.
+    */
+  def phashDedup(spark: SparkSession, dir: String, maxHamming: Int = 3,
+      maxBucketSize: Int = 100): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming unsupported: 4x16-bit banding covers radius <= 3")
+    val sig = variantMediaTable(spark, dir).toDF()
+      .select(col("media_id"), phashUdf(col("payload")).as("phash"))
+    val banded = sig.select(col("media_id"), col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("phash"), b * 16).bitwiseAND(0xffffL)): _*)))
+      .toDF("media_id", "phash", "band", "chunk")
+    // same quadratic guard as the text dedup family: cells above the
+    // cap are dropped before the self-join (geometric cell size here
+    // is ~4 — the variants of one base — far under the cap)
+    val ok = banded.groupBy("band", "chunk").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize).select("band", "chunk")
+    val bounded = banded.join(ok, Seq("band", "chunk"))
+    bounded.as("a").join(bounded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Media → embedding → cosine top-k, the full multimodal similarity
     * pipeline: batched fake encoder, native graft_normalize +
     * graft_dot scoring, broadcast query side — the same plan shape as

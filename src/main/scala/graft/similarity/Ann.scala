@@ -462,6 +462,14 @@ object Ann {
     * nCand cut is re-ranked at full precision exactly like
     * [[quantizedTopK]]. Oracle: codebook training, code assignment,
     * ADC scoring and the re-rank all replayed in DuckDB SQL.
+    *
+    * Scale rule (measured, SURVEY §5): the defaults are sized for the
+    * ~2k-vector test corpus; recall at a FIXED ksub/nCand degrades as
+    * N grows (0.80 → 0.34 at 10×). Size `ksub` up with N (practical
+    * deployments fix 8-bit codes, ksub=256 — codes stay ≤ 8 bytes/
+    * vector at nSub=8) and keep `nCand` at ~0.5–2% of N; rule-sized
+    * at 10× (ksub=64, nCand=500) recall is 0.90 with unchanged
+    * serving time.
     */
   def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nCand: Int = 50, nSub: Int = 8, ksub: Int = 16): DataFrame = {

@@ -138,7 +138,10 @@ object ScaleProbe {
       timed("dedup_semantic @10x (k=16)")(SparkEntry.queries("dedup_semantic")(spark, out).count())
     }
 
-    // ann_lsh recall vs brute force on the 10x corpus
+    // ann_lsh / ann_pq recall vs brute force on the 10x corpus (pq:
+    // the codebook stays 8x16x8 regardless of N — what must scale is
+    // the nCand re-rank cut relative to corpus size, so the fixed-cut
+    // recall at 10x is the number that validates the default)
     if (on("ann")) {
       val bf = SparkEntry.queries("ann_bruteforce")(spark, out)
         .select(col("q_id"), col("neighbor_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -146,6 +149,12 @@ object ScaleProbe {
       val lsh = SparkEntry.queries("ann_lsh")(spark, out)
         .select(col("q_id"), col("neighbor_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(f"[probe] ann_lsh @10x: recall=${(bf & lsh).size.toDouble / bf.size}%.3f time=${(System.nanoTime() - t0) / 1e9}%.1f s (|bf|=${bf.size})")
+      for ((nCand, ksub) <- Seq((50, 16), (500, 16), (500, 64))) {
+        val t1 = System.nanoTime()
+        val pq = graft.similarity.Ann.pqTopK(spark, out, nCand = nCand, ksub = ksub)
+          .select(col("q_id"), col("neighbor_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"[probe] ann_pq @10x nCand=$nCand ksub=$ksub: recall=${(bf & pq).size.toDouble / bf.size}%.3f time=${(System.nanoTime() - t1) / 1e9}%.1f s")
+      }
     }
     spark.stop()
   }

@@ -106,6 +106,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(one.frame.toSeq === payload.slice(128, 192).toSeq)
   }
 
+  test("multimodal phash dedup: full recall on variant groups, zero cross-base pairs") {
+    val pairs = Multimodal.phashDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("hamming")))
+    // the controlled corpus has 125 bases x 4 variants: every C(4,2)=6
+    // within-base pair must be recovered (<=3 flipped low bits land
+    // within the radius-3 banding guarantee)...
+    assert(pairs.length === 125 * 6, s"got ${pairs.length} pairs")
+    assert(pairs.forall { case (a, b, _) => a / 4 === b / 4 },
+      "a reported near-dup pair crossed variant groups")
+    // ...and unrelated payloads (~32 bits apart) never collide in
+    assert(pairs.forall(_._3 <= 3))
+    // perturbation really is sub-hamming-1-per-flip: the 0-vs-1
+    // variant differs in exactly the one sampled byte
+    val ph = Multimodal.variantMediaTable(spark, sf).toDF()
+      .select(col("media_id"), Multimodal.phashUdf(col("payload")).as("ph"))
+      .filter(col("media_id") < 2).collect().map(_.getAs[Long]("ph"))
+    assert(java.lang.Long.bitCount(ph(0) ^ ph(1)) <= 1)
+  }
+
   test("chunk/pack boundary arithmetic: coverage, sizes, and budgets at edge token counts") {
     import TestSpark.spark.implicits._
     import org.apache.spark.sql.functions._
