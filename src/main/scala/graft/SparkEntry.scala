@@ -61,6 +61,7 @@ object SparkEntry {
     "q_incremental_agg" -> (operators.Relational3.qIncrementalAgg _),
     "q_winsorize" -> (operators.Relational3.qWinsorize _),
     "q_outliers" -> (operators.Relational3.qOutliers _),
+    "q_skyline" -> (operators.Relational3.qSkyline _),
     "q_weighted_sample" -> ((s: SparkSession, d: String) => operators.Profile.qWeightedSample(s, d)),
     "q_approx_distinct" -> (operators.Relational2.qApproxDistinct _),
     "q_approx_percentile" -> (operators.Relational2.qApproxPercentile _),
@@ -131,6 +132,7 @@ object SparkEntry {
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
     "ann_quantized" -> ((s: SparkSession, d: String) => Ann.quantizedTopK(s, d)),
     "ann_pq" -> ((s: SparkSession, d: String) => Ann.pqTopK(s, d)),
+    "ann_ivfpq" -> ((s: SparkSession, d: String) => Ann.ivfpqTopK(s, d)),
     "knn_join" -> ((s: SparkSession, d: String) => Ann.knnJoin(s, d)),
     // §2.5 text analysis
     "text_stats" -> (TextAnalysis.textStats _),
@@ -490,14 +492,14 @@ object SparkEntry {
        |    FROM e CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
   }
 
-  /** ann_pq oracle: product-quantization training and serving
-    * replayed end to end — per-subspace euclidean Lloyd (argmin
+  /** PQ codebook training + code assignment as reusable CTEs
+    * (`seeds`…`cb2`,`codes`): per-subspace euclidean Lloyd (argmin
     * cc − 2·x·c with lowest-cid tie-break, 1e-9-grid DECIMAL means,
     * lost-cluster fallback) over the SAME xxhash64 seed rows as the
-    * IVF quantizer, code assignment, ADC scoring (per-m dots summed
-    * in subspace order) and the full-precision re-rank.
+    * IVF quantizer. Expects `e` and `xx` (embHashCtes) in scope;
+    * shared by the ann_pq and ann_ivfpq oracles.
     */
-  private def pqOracleSql: String = {
+  private def pqTrainCtes: String = {
     def assign(cb: String, out: String): String =
       s"""$out AS (
          |  SELECT vec_id, m, sv, cid FROM (
@@ -516,8 +518,7 @@ object SparkEntry {
          |$cbout AS (
          |  SELECT p.m, p.cid, coalesce(ml.cv, p.cv) AS cv
          |  FROM $cbin p LEFT JOIN ml_$cbout ml ON p.m = ml.m AND p.cid = ml.cid)""".stripMargin
-    s"""WITH $embHashCtes,
-       |seeds AS (
+    s"""seeds AS (
        |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v
        |  FROM xx ORDER BY h, vec_id LIMIT 16),
        |ms AS (SELECT unnest(range(0, 8)) AS m),
@@ -527,7 +528,17 @@ object SparkEntry {
        |${update("a1", "cb0", "cb1")},
        |${assign("cb1", "a2")},
        |${update("a2", "cb1", "cb2")},
-       |${assign("cb2", "codes")},
+       |${assign("cb2", "codes")}""".stripMargin
+  }
+
+  /** ann_pq oracle: product-quantization training and serving
+    * replayed end to end — see [[pqTrainCtes]] for the Lloyd chain;
+    * ADC scoring (per-m dots summed in subspace order) and the
+    * full-precision re-rank follow.
+    */
+  private def pqOracleSql: String = {
+    s"""WITH $embHashCtes,
+       |$pqTrainCtes,
        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
        |parts AS (
        |  SELECT q.q_id, c.vec_id, c.m,
@@ -571,6 +582,47 @@ object SparkEntry {
        |SELECT q_id, rk, vec_id AS neighbor_id, round(cos, 6) AS cosine
        |FROM ranked WHERE rk <= 5""".stripMargin
 
+  /** ann_ivfpq oracle: both quantizer replays composed — the IVF
+    * Lloyd chain supplies the probed lists (af/c2, as in ann_ivf),
+    * the PQ chain supplies codebooks+codes, candidates are ADC-scored
+    * only within the probed lists, and the top-50 cut re-ranks at
+    * full precision.
+    */
+  private def ivfpqOracleSql: String =
+    s"""WITH $ivfCoreCtes,
+       |$pqTrainCtes,
+       |qprobes AS (
+       |  SELECT q_id, qv, cid AS q_cid FROM (
+       |    SELECT a.vec_id AS q_id, a.v AS qv, c.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |                         ORDER BY list_dot_product(a.v, c.cv) DESC, c.cid) AS rn
+       |    FROM af a CROSS JOIN c2 c WHERE a.vec_id < 10) WHERE rn <= 4),
+       |parts AS (
+       |  SELECT q.q_id, a.vec_id, c.m,
+       |    list_dot_product(array_slice(q.qv, c.m*8+1, c.m*8+8), cb.cv) AS pd
+       |  FROM qprobes q
+       |  JOIN af a ON a.cid = q.q_cid AND a.vec_id <> q.q_id
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN cb2 cb ON cb.m = c.m AND cb.cid = c.cid),
+       |qs AS (SELECT q_id, vec_id, list_sum(list(pd ORDER BY m)) AS qscore
+       |       FROM parts GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY qscore DESC, vec_id) AS crk
+       |    FROM qs) WHERE crk <= 50),
+       |rr AS (
+       |  SELECT ca.q_id, ca.vec_id, list_dot_product(e.v, q.qv) AS cos
+       |  FROM cands ca JOIN e ON ca.vec_id = e.vec_id
+       |  JOIN (SELECT DISTINCT q_id, qv FROM qprobes) q ON ca.q_id = q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM rr)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id AS neighbor_id,
+       |  round(cos, 6) AS cosine
+       |FROM ranked WHERE rk <= 5""".stripMargin
+
   /** dedup_semantic oracle: same quantizer replay, then the one-shot
     * keep-lowest-id rule — drop any vector with a lower-id cluster-mate
     * at cosine ≥ tau (dropped mates included), return surviving
@@ -592,6 +644,7 @@ object SparkEntry {
     "multimodal_phash" -> multimodalPhashOracleSql,
     "ann_ivf" -> ivfOracleSql,
     "ann_pq" -> pqOracleSql,
+    "ann_ivfpq" -> ivfpqOracleSql,
     "dedup_semantic" -> semanticDedupOracleSql,
     // contract oracle: the raw HLL estimate is Spark-internal, but its
     // accuracy contract (within 5% of exact) is engine-independent —
@@ -959,6 +1012,12 @@ object SparkEntry {
         |SELECT d.l_returnflag, count(*) AS n, min(d.med) AS med, min(mad.mad) AS mad,
         |  CAST(sum(CASE WHEN adev > mad.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev d JOIN mad USING (l_returnflag) GROUP BY 1""".stripMargin,
+    "q_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))""".stripMargin,
     "q_profile" -> {
       def num(c: String, mn: String, mx: String): String =
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,

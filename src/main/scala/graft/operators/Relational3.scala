@@ -136,4 +136,52 @@ object Relational3 {
           + coalesce(col("dtotal"), lit(0).cast(DecimalType(18, 4))))
           .cast("double").as("total_price"))
   }
+
+  /** The 2D price/size Pareto sweep over one sorted iterator: keep a
+    * row iff no seen row has (price ≤, size ≥, one strict). Rows MUST
+    * arrive sorted (price asc, size desc); `maxPrev` is the best size
+    * among strictly-cheaper rows, `maxCur` within the current price.
+    */
+  private def sweep(it: Iterator[(Long, Double, Int)]): Iterator[(Long, Double, Int)] = {
+    var curPrice = Double.NaN
+    var maxPrev = Int.MinValue
+    var maxCur = Int.MinValue
+    it.filter { case (_, price, size) =>
+      if (price != curPrice) {
+        maxPrev = math.max(maxPrev, maxCur); curPrice = price; maxCur = Int.MinValue
+      }
+      // dominated by a strictly-cheaper ≥-size row, or an equal-price
+      // strictly-bigger row (equal price+size duplicates both survive)
+      val dominated = maxPrev >= size || maxCur > size
+      maxCur = math.max(maxCur, size)
+      !dominated
+    }
+  }
+
+  /** Skyline (Pareto frontier) of parts on (cheap price, big size) —
+    * multi-objective shortlists without a scoring function. The
+    * distributed shape is the classic two-phase skyline: a NARROW
+    * partition-local sweep first (sortWithinPartitions + one-pass
+    * filter — no shuffle; the global skyline is always a subset of
+    * every partition's local skyline), then the exact sweep on the
+    * few survivors in one task. The all-pairs dominance join the
+    * oracle runs (NOT EXISTS — fine at 60k rows) is exactly what
+    * this shape avoids at scale: stage-1 discards ~everything
+    * map-side, and stage 2's single partition sees only frontier
+    * candidates (≤ skyline size × partition count).
+    */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = t(spark, dir, "part")
+      .select(col("p_partkey").as("_1"), col("p_retailprice").as("_2"), col("p_size").as("_3"))
+      .as[(Long, Double, Int)]
+    val local = parts
+      .sortWithinPartitions(col("_2").asc, col("_3").desc)
+      .mapPartitions(sweep)
+    val global = local
+      .repartition(1)
+      .sortWithinPartitions(col("_2").asc, col("_3").desc)
+      .mapPartitions(sweep)
+    global.toDF("p_partkey", "p_retailprice", "p_size")
+  }
 }

@@ -499,6 +499,57 @@ object Ann {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** IVF-PQ: the standard billion-scale vector-index serving shape —
+    * the IVF coarse quantizer restricts the scan to nProbe inverted
+    * lists, and WITHIN the probed lists candidates are ADC-scored
+    * from their 8-byte PQ codes (direct encoding; residual encoding
+    * is the same plan with `v − centroid` fed to the code UDF), so
+    * the candidate pass touches neither full vectors nor the 15/16 of
+    * the corpus outside the probes. Both quantizers are the existing
+    * deterministic trainers, so the DuckDB oracle replays the whole
+    * index bit-exactly. Scale rules: kCentroids ~ sqrt(N) (IVF,
+    * documented at buildIvfIndex), ksub/nCand as at [[pqTopK]].
+    */
+  def ivfpqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      kCentroids: Int = 16, nProbe: Int = 4, nCand: Int = 50, nSub: Int = 8,
+      ksub: Int = 16): DataFrame = {
+    val sub = 64 / nSub
+    val corpus = emb(spark, dir).cache()
+    val centroids = trainQuantizer(corpus, kCentroids, 2)
+    val books = trainPq(corpus, nSub, ksub)
+    // one materialized pass carries the whole index row:
+    // (vec_id, v, cid, codes) — the persisted form would write this
+    // PARTITIONED BY cid with codes, like buildIvfIndex
+    val indexed = corpus
+      .select(col("vec_id"), col("v"),
+        nearestUdf(centroids)(col("v")).as("cid"),
+        pqCodesUdf(books, sub)(col("v")).as("codes"))
+      .localCheckpoint()
+    corpus.unpersist()
+    val qbase = indexed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val queries = qbase
+      .select(col("q_id"), col("qv"), explode(probesUdf(centroids, nProbe)(col("qv"))).as("q_cid"))
+    // each vector lives in exactly one list, so the probe join yields
+    // at most one (q, vec) row — no dedup needed before ranking
+    val w = Window.partitionBy("q_id").orderBy(col("qscore").desc, col("vec_id").asc)
+    val cands = indexed.select("vec_id", "cid", "codes")
+      .join(broadcast(queries), col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        pqScoreUdf(books, sub)(col("codes"), col("qv")).as("qscore"))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= nCand)
+      .select("q_id", "vec_id")
+    val wr = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    cands.join(indexed.select("vec_id", "v"), "vec_id")
+      .join(broadcast(qbase), "q_id")
+      .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   def quantizedTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nCand: Int = 20): DataFrame = {
     val corpus = emb(spark, dir)

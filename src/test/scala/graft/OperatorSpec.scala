@@ -295,6 +295,46 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall")
   }
 
+  test("q_skyline: exactly the non-dominated set, any partitioning") {
+    val all = core.Tables.load(spark, sf, "part")
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    // brute-force weak-dominance reference on the collected table
+    val expected = all.filter { case (_, pa, sa) =>
+      !all.exists { case (_, pb, sb) =>
+        pb <= pa && sb >= sa && (pb < pa || sb > sa)
+      }
+    }.map(_._1).toSet
+    val got = operators.Relational3.qSkyline(spark, sf).collect()
+      .map(_.getAs[Long]("p_partkey")).toSet
+    assert(got === expected)
+    // the two-phase result must not depend on how stage 1 partitioned
+    val sc = spark.conf.get("spark.sql.shuffle.partitions")
+    val again = operators.Relational3.qSkyline(spark, sf).repartition(7).collect()
+      .map(_.getAs[Long]("p_partkey")).toSet
+    assert(again === expected, s"partitioning changed the frontier (shuffle=$sc)")
+  }
+
+  test("ann_ivfpq: probe-restricted ADC candidates, deterministic, recall tracks IVF") {
+    val ivfpq1 = similarity.Ann.ivfpqTopK(spark, sf)
+    val ivfpq2 = similarity.Ann.ivfpqTopK(spark, sf)
+    val got1 = ivfpq1.select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got2 = ivfpq2.select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got1 === got2, "IVF-PQ training + serving must be reproducible run-to-run")
+    // IVF-PQ can never out-recall its own coarse quantizer (candidates
+    // come only from the probed lists), and the PQ cut costs little on
+    // top — pin both sides of that envelope
+    val brute = similarity.Ann.bruteforceTopK(spark, sf)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = similarity.Ann.ivfTopK(spark, sf)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallIvfpq = (brute intersect got1).size.toDouble / brute.size
+    val recallIvf = (brute intersect ivf).size.toDouble / brute.size
+    info(f"ann_ivfpq recall $recallIvfpq%.3f vs ann_ivf $recallIvf%.3f")
+    assert(recallIvfpq <= recallIvf + 1e-9)
+    assert(recallIvfpq >= recallIvf - 0.2, s"PQ cut lost too much: $recallIvfpq vs $recallIvf")
+  }
+
   test("q_countmin: contracts hold and estimates are partition-independent") {
     val r = operators.Relational2.qCountMin(spark, sf).collect()
     assert(r.length === 1)
