@@ -550,6 +550,84 @@ object Ann {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Offline IVF-PQ index build — the billion-scale PERSISTED form:
+    * list rows carry (vec_id, codes) only — ~16 bytes each vs 512 for
+    * the float64 vector, so the index is ~30× smaller than the corpus
+    * and a probe scan reads codes, never vectors. Full vectors stay
+    * in the primary store (the embeddings table); only the ≤
+    * nQueries×nCand re-rank survivors ever fetch one. Codebooks and
+    * centroids persist alongside (driver-scalar sized).
+    */
+  def buildIvfPqIndex(spark: SparkSession, dir: String, indexPath: String,
+      kCentroids: Int = 16, nSub: Int = 8, ksub: Int = 16): Unit = {
+    import spark.implicits._
+    val sub = 64 / nSub
+    val corpus = emb(spark, dir).cache()
+    val centroids = trainQuantizer(corpus, kCentroids, 2)
+    val books = trainPq(corpus, nSub, ksub)
+    corpus
+      .select(col("vec_id"),
+        nearestUdf(centroids)(col("v")).as("cid"),
+        pqCodesUdf(books, sub)(col("v")).as("codes"))
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$indexPath/lists")
+    corpus.unpersist()
+    centroids.zipWithIndex.map { case (v, cid) => (cid, v.toSeq) }.toSeq
+      .toDF("cid", "v")
+      .write.mode("overwrite").parquet(s"$indexPath/centroids")
+    books.zipWithIndex.flatMap { case (cb, m) =>
+      cb.zipWithIndex.map { case (cv, c) => (m, c, cv.toSeq) }
+    }.toSeq.toDF("m", "cid", "cv")
+      .write.mode("overwrite").parquet(s"$indexPath/codebooks")
+  }
+
+  /** Query a persisted IVF-PQ index: probed list ids prune the
+    * partitioned codes scan (`PartitionFilters: [cid IN …]`), ADC
+    * scores come from the broadcast codebooks, and only the nCand
+    * survivors fetch their full vector back from the PRIMARY store by
+    * id. Results identical to the in-session [[ivfpqTopK]] at the
+    * same parameters (spec-pinned).
+    */
+  def ivfpqTopKIndexed(spark: SparkSession, dir: String, indexPath: String,
+      nQueries: Int = 10, k: Int = 5, nProbe: Int = 4, nCand: Int = 50,
+      nSub: Int = 8): DataFrame = {
+    val sub = 64 / nSub
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cid").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("v")).toArray)
+    val ksub = spark.read.parquet(s"$indexPath/codebooks")
+      .agg(max("cid")).head.getInt(0) + 1
+    val bookRows = spark.read.parquet(s"$indexPath/codebooks").collect()
+    val books = Array.ofDim[Array[Double]](nSub, ksub)
+    bookRows.foreach { r =>
+      books(r.getInt(r.fieldIndex("m")))(r.getInt(r.fieldIndex("cid"))) =
+        r.getSeq[Double](r.fieldIndex("cv")).toArray
+    }
+    val corpus = emb(spark, dir)
+    val qbase = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .localCheckpoint() // one primary-store scan for probes AND re-rank
+    val queries = qbase
+      .select(col("q_id"), col("qv"), explode(probesUdf(centroids, nProbe)(col("qv"))).as("q_cid"))
+    val probedCids = queries.select("q_cid").distinct().collect().map(_.getInt(0)).toSeq
+    val lists = spark.read.parquet(s"$indexPath/lists")
+    val w = Window.partitionBy("q_id").orderBy(col("qscore").desc, col("vec_id").asc)
+    val cands = lists.filter(col("cid").isin(probedCids: _*))
+      .join(broadcast(queries), col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        pqScoreUdf(books, sub)(col("codes"), col("qv")).as("qscore"))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= nCand)
+      .select("q_id", "vec_id")
+    val wr = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    cands.join(corpus.select("vec_id", "v"), "vec_id")
+      .join(broadcast(qbase), "q_id")
+      .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   def quantizedTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nCand: Int = 20): DataFrame = {
     val corpus = emb(spark, dir)

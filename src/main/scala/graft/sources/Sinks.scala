@@ -87,4 +87,49 @@ object Sinks {
       .mode("overwrite")
       .parquet(path)
   }
+
+  /** Small-file compaction — the table-maintenance job every
+    * streaming/append-heavy lakehouse table needs: micro-batch
+    * ingest and per-key appends leave thousands of KB-sized files,
+    * and at 100 TB the scan cost becomes footer-and-open dominated
+    * (one task per tiny file) instead of IO dominated. Rewrites the
+    * table at `targetBytes` per output file, sized from the ACTUAL
+    * on-disk bytes (compressed), not a row-count guess; data is
+    * hash-redistributed (`repartition(n)`) so output files are even
+    * regardless of how skewed the input files were. Optionally
+    * re-sorts within files (`sortBy`) so compaction restores
+    * row-group pruning that appends destroyed — compact + re-cluster
+    * is one pass. Writes to a sibling temp dir then swaps, so a
+    * reader never sees a half-compacted table; returns
+    * (filesBefore, filesAfter).
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      sortBy: Seq[Column] = Nil): (Int, Int) = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def dataFiles(p: String) = Files.list(Paths.get(p)).iterator().asScala
+      .filter(f => f.getFileName.toString.endsWith(".parquet")).toSeq
+    val before = dataFiles(path)
+    val totalBytes = before.map(Files.size).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    val redistributed = df.repartition(nOut)
+    val clustered =
+      if (sortBy.isEmpty) redistributed else redistributed.sortWithinPartitions(sortBy: _*)
+    val tmp = s"$path.compact-tmp"
+    clustered.write.mode("overwrite").parquet(tmp)
+    // atomic-enough swap for a filesystem table (a real lakehouse
+    // table format would commit a new snapshot instead): the old dir
+    // is replaced only after the full rewrite succeeded
+    val old = s"$path.compact-old"
+    Files.move(Paths.get(path), Paths.get(old))
+    Files.move(Paths.get(tmp), Paths.get(path))
+    def rmDir(p: String): Unit = {
+      Files.walk(Paths.get(p)).iterator().asScala.toSeq.reverse
+        .foreach(Files.delete)
+    }
+    rmDir(old)
+    (before.size, dataFiles(path).size)
+  }
 }

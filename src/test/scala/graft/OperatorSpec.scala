@@ -215,6 +215,20 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [cid"), plan.take(2000))
   }
 
+  test("persisted IVF-PQ index: codes-only lists, pruned probes, identical results") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-index").toString
+    similarity.Ann.buildIvfPqIndex(spark, sf, idx)
+    // the index stores 8-byte codes, never vectors — the ~30x size
+    // claim rests on the lists schema having no v column
+    val lists = spark.read.parquet(s"$idx/lists")
+    assert(lists.schema.fieldNames.sorted.toSeq === Seq("cid", "codes", "vec_id"))
+    val indexed = similarity.Ann.ivfpqTopKIndexed(spark, sf, idx)
+    val inSession = similarity.Ann.ivfpqTopK(spark, sf)
+    assert(indexed.collect().map(_.toSeq).toSet === inSession.collect().map(_.toSeq).toSet)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"), plan.take(2000))
+  }
+
   test("IVF index append: new vectors assigned to existing centroids and queryable") {
     import org.apache.spark.sql.functions.{col => c}
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString

@@ -99,6 +99,35 @@ class SourcesSpec extends SparkSpec {
     assert(df2.count() === 7)
   }
 
+  test("compaction merges small files at target size with identical data and a clean swap") {
+    val path = tmp("compact")
+    val src = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    // simulate a micro-batch-ingested table: 40 tiny files
+    src.repartition(40).write.parquet(path)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(identity)
+    val expected = key(spark.read.parquet(path))
+    val (before, after) = graft.sources.Sinks.compactParquet(
+      spark, path, targetBytes = 32L * 1024, sortBy = Seq(col("l_orderkey")))
+    assert(before === 40)
+    assert(after < before, s"$after files after compacting $before")
+    assert(after > 1, "target sizing should still split this table")
+    // data survives bit-for-bit and the temp/old dirs are gone
+    assert(key(spark.read.parquet(path)).toSeq === expected.toSeq)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$path.compact-tmp")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$path.compact-old")))
+    // sortBy re-clustered each output file: within every file the
+    // key column is non-decreasing (restores row-group pruning)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(input_file_name())
+      .orderBy(monotonically_increasing_id())
+    val unsortedRows = spark.read.parquet(path)
+      .withColumn("prev", lag("l_orderkey", 1).over(w))
+      .filter(col("prev") > col("l_orderkey")).count()
+    assert(unsortedRows === 0L)
+  }
+
   test("sorted parquet write: row-group stats prune the scan for range filters") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // same rows, two layouts, small row groups so the table spans many
