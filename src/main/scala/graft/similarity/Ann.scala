@@ -448,12 +448,47 @@ object Ann {
       var m = 0
       while (m < codes.length) {
         val cb = books(m)(codes(m))
+        // per-subspace partial first, THEN add to the total — the
+        // same floating-point summation tree as the oracle's
+        // list_sum(list(pd ORDER BY m)) over per-m dots; one running
+        // 64-term sum would differ by ulps and could flip candidates
+        // at the nCand boundary
+        var pm = 0.0
         var i = 0
-        while (i < sub) { s += qv(m * sub + i) * cb(i); i += 1 }
+        while (i < sub) { pm += qv(m * sub + i) * cb(i); i += 1 }
+        s += pm
         m += 1
       }
       s
     }
+
+  /** ADC candidate cut: top-nCand per query by quantized score,
+    * deterministic vec_id tie-break. Shared by the PQ family.
+    */
+  private def adcCut(scored: DataFrame, nCand: Int): DataFrame =
+    scored.withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("qscore").desc, col("vec_id").asc)))
+      .filter(col("crk") <= nCand)
+      .select("q_id", "vec_id")
+
+  /** Full-precision re-rank of a candidate cut: fetch vectors by id
+    * (`vecs` carries (vec_id, v)), score against the broadcast query
+    * vectors (`queries` carries (q_id, qv)), keep top k. ONE shared
+    * implementation for the in-session and persisted PQ paths — the
+    * spec pins them identical, so tie-break/rounding/schema changes
+    * must not be able to diverge.
+    */
+  private def rerankCandidates(cands: DataFrame, vecs: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val wr = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    cands.join(vecs, "vec_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
 
   /** PQ-ADC top-k: candidates are generated from 8 codeword ids per
     * vector — the candidate scan/shuffle carries 8 SMALL INTS per
@@ -474,29 +509,22 @@ object Ann {
   def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nCand: Int = 50, nSub: Int = 8, ksub: Int = 16): DataFrame = {
     val sub = 64 / nSub
-    val corpus = emb(spark, dir)
+    // trainPq drives three actions over the corpus (seed collect +
+    // two Lloyd aggregates) before the code pass — cache like the
+    // sibling quantizer paths, release once codes materialize
+    val corpus = emb(spark, dir).cache()
     val books = trainPq(corpus, nSub, ksub)
     val coded = corpus
       .select(col("vec_id"), col("v"), pqCodesUdf(books, sub)(col("v")).as("codes"))
       .localCheckpoint() // one shared code pass for both sides + rerank join
+    corpus.unpersist()
     val queries = coded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val w = Window.partitionBy("q_id").orderBy(col("qscore").desc, col("vec_id").asc)
-    val cands = coded.select("vec_id", "codes")
+    val cands = adcCut(coded.select("vec_id", "codes")
       .join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        pqScoreUdf(books, sub)(col("codes"), col("qv")).as("qscore"))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") <= nCand)
-      .select("q_id", "vec_id")
-    val wr = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
-    cands.join(coded.select("vec_id", "v"), "vec_id")
-      .join(broadcast(queries), "q_id")
-      .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
-      .withColumn("rk", row_number().over(wr))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+        pqScoreUdf(books, sub)(col("codes"), col("qv")).as("qscore")), nCand)
+    rerankCandidates(cands, coded.select("vec_id", "v"), queries, k)
   }
 
   /** IVF-PQ: the standard billion-scale vector-index serving shape —
@@ -532,22 +560,11 @@ object Ann {
       .select(col("q_id"), col("qv"), explode(probesUdf(centroids, nProbe)(col("qv"))).as("q_cid"))
     // each vector lives in exactly one list, so the probe join yields
     // at most one (q, vec) row — no dedup needed before ranking
-    val w = Window.partitionBy("q_id").orderBy(col("qscore").desc, col("vec_id").asc)
-    val cands = indexed.select("vec_id", "cid", "codes")
+    val cands = adcCut(indexed.select("vec_id", "cid", "codes")
       .join(broadcast(queries), col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        pqScoreUdf(books, sub)(col("codes"), col("qv")).as("qscore"))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") <= nCand)
-      .select("q_id", "vec_id")
-    val wr = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
-    cands.join(indexed.select("vec_id", "v"), "vec_id")
-      .join(broadcast(qbase), "q_id")
-      .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
-      .withColumn("rk", row_number().over(wr))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+        pqScoreUdf(books, sub)(col("codes"), col("qv")).as("qscore")), nCand)
+    rerankCandidates(cands, indexed.select("vec_id", "v"), qbase, k)
   }
 
   /** Offline IVF-PQ index build — the billion-scale PERSISTED form:
@@ -590,13 +607,18 @@ object Ann {
   def ivfpqTopKIndexed(spark: SparkSession, dir: String, indexPath: String,
       nQueries: Int = 10, k: Int = 5, nProbe: Int = 4, nCand: Int = 50,
       nSub: Int = 8): DataFrame = {
-    val sub = 64 / nSub
     val centroids = spark.read.parquet(s"$indexPath/centroids")
       .orderBy("cid").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("v")).toArray)
-    val ksub = spark.read.parquet(s"$indexPath/codebooks")
-      .agg(max("cid")).head.getInt(0) + 1
+    // ONE collect of the (driver-scalar-sized) codebooks; shape comes
+    // from the persisted index itself, and a caller-parameter mismatch
+    // fails loudly here instead of as an executor NPE mid-query
     val bookRows = spark.read.parquet(s"$indexPath/codebooks").collect()
+    val persistedNSub = bookRows.map(r => r.getInt(r.fieldIndex("m"))).max + 1
+    val ksub = bookRows.map(r => r.getInt(r.fieldIndex("cid"))).max + 1
+    require(persistedNSub == nSub,
+      s"index at $indexPath was built with nSub=$persistedNSub, caller passed $nSub")
+    val sub = 64 / nSub
     val books = Array.ofDim[Array[Double]](nSub, ksub)
     bookRows.foreach { r =>
       books(r.getInt(r.fieldIndex("m")))(r.getInt(r.fieldIndex("cid"))) =
@@ -610,22 +632,11 @@ object Ann {
       .select(col("q_id"), col("qv"), explode(probesUdf(centroids, nProbe)(col("qv"))).as("q_cid"))
     val probedCids = queries.select("q_cid").distinct().collect().map(_.getInt(0)).toSeq
     val lists = spark.read.parquet(s"$indexPath/lists")
-    val w = Window.partitionBy("q_id").orderBy(col("qscore").desc, col("vec_id").asc)
-    val cands = lists.filter(col("cid").isin(probedCids: _*))
+    val cands = adcCut(lists.filter(col("cid").isin(probedCids: _*))
       .join(broadcast(queries), col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        pqScoreUdf(books, sub)(col("codes"), col("qv")).as("qscore"))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") <= nCand)
-      .select("q_id", "vec_id")
-    val wr = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
-    cands.join(corpus.select("vec_id", "v"), "vec_id")
-      .join(broadcast(qbase), "q_id")
-      .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
-      .withColumn("rk", row_number().over(wr))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+        pqScoreUdf(books, sub)(col("codes"), col("qv")).as("qscore")), nCand)
+    rerankCandidates(cands, corpus.select("vec_id", "v"), qbase, k)
   }
 
   def quantizedTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,

@@ -92,44 +92,79 @@ object Sinks {
     * streaming/append-heavy lakehouse table needs: micro-batch
     * ingest and per-key appends leave thousands of KB-sized files,
     * and at 100 TB the scan cost becomes footer-and-open dominated
-    * (one task per tiny file) instead of IO dominated. Rewrites the
-    * table at `targetBytes` per output file, sized from the ACTUAL
-    * on-disk bytes (compressed), not a row-count guess; data is
-    * hash-redistributed (`repartition(n)`) so output files are even
-    * regardless of how skewed the input files were. Optionally
-    * re-sorts within files (`sortBy`) so compaction restores
-    * row-group pruning that appends destroyed — compact + re-cluster
-    * is one pass. Writes to a sibling temp dir then swaps, so a
-    * reader never sees a half-compacted table; returns
-    * (filesBefore, filesAfter).
+    * (one task per tiny file) instead of IO dominated.
+    *
+    * Partition-aware: each LEAF directory holding parquet files (a
+    * `k=v` partition, or the root for a flat table) is compacted
+    * independently — the directory layout, and with it every
+    * reader's partition pruning, is preserved, and leaves are sized
+    * from their ACTUAL on-disk bytes (compressed), not a row-count
+    * guess. Data is hash-redistributed (`repartition(n)`) so output
+    * files are even regardless of how skewed the input files were;
+    * optional `sortBy` re-sorts within files so compaction restores
+    * the row-group pruning appends destroyed.
+    *
+    * Each leaf is rewritten to a sibling temp dir then swapped via
+    * two renames. The swap is NOT atomic — a reader racing the
+    * rename can see the leaf briefly missing (a real lakehouse table
+    * format commits snapshots instead; this is the plain-filesystem
+    * trade, stated rather than papered over). A crash between the
+    * renames is recoverable: the next call restores a stranded
+    * `.compact-old` before doing anything else. Returns
+    * (filesBefore, filesAfter) summed over leaves.
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024,
       sortBy: Seq[Column] = Nil): (Int, Int) = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Path, Paths}
     import scala.jdk.CollectionConverters._
-    def dataFiles(p: String) = Files.list(Paths.get(p)).iterator().asScala
-      .filter(f => f.getFileName.toString.endsWith(".parquet")).toSeq
-    val before = dataFiles(path)
-    val totalBytes = before.map(Files.size).sum
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(path)
-    val redistributed = df.repartition(nOut)
-    val clustered =
-      if (sortBy.isEmpty) redistributed else redistributed.sortWithinPartitions(sortBy: _*)
-    val tmp = s"$path.compact-tmp"
-    clustered.write.mode("overwrite").parquet(tmp)
-    // atomic-enough swap for a filesystem table (a real lakehouse
-    // table format would commit a new snapshot instead): the old dir
-    // is replaced only after the full rewrite succeeded
-    val old = s"$path.compact-old"
-    Files.move(Paths.get(path), Paths.get(old))
-    Files.move(Paths.get(tmp), Paths.get(path))
-    def rmDir(p: String): Unit = {
-      Files.walk(Paths.get(p)).iterator().asScala.toSeq.reverse
-        .foreach(Files.delete)
+    import scala.util.Using
+    def ls(p: Path): Seq[Path] =
+      Using.resource(Files.list(p))(_.iterator().asScala.toSeq)
+    def rmDir(p: Path): Unit =
+      Using.resource(Files.walk(p))(_.iterator().asScala.toSeq.reverse.foreach(Files.delete))
+    // crash recovery from a previous run that died mid-swap: restore
+    // (or discard) stranded swap dirs BEFORE they can be mistaken for
+    // partitions of the tree walk
+    def recover(p: Path): Unit = {
+      for (c <- ls(p) if c.getFileName.toString.endsWith(".compact-old")) {
+        val orig = Paths.get(c.toString.stripSuffix(".compact-old"))
+        if (!Files.exists(orig)) Files.move(c, orig) // died between renames
+        else rmDir(c) // died after the second rename, before cleanup
+      }
+      for (c <- ls(p) if c.getFileName.toString.endsWith(".compact-tmp"))
+        rmDir(c) // incomplete rewrite, discard
     }
-    rmDir(old)
-    (before.size, dataFiles(path).size)
+    // leaves: directories that directly hold parquet files
+    def leaves(p: Path): Seq[Path] = {
+      recover(p)
+      val children = ls(p)
+      if (children.exists(_.getFileName.toString.endsWith(".parquet"))) Seq(p)
+      else children.filter(Files.isDirectory(_)).flatMap(leaves)
+    }
+    // the root itself may be stranded from a crash between renames
+    val rootOld = Paths.get(path + ".compact-old")
+    if (!Files.exists(Paths.get(path)) && Files.exists(rootOld))
+      Files.move(rootOld, Paths.get(path))
+    var beforeTotal = 0
+    var afterTotal = 0
+    for (leaf <- leaves(Paths.get(path))) {
+      val files = ls(leaf).filter(_.getFileName.toString.endsWith(".parquet"))
+      val nOut = math.max(1,
+        math.ceil(files.map(Files.size).sum.toDouble / targetBytes).toInt)
+      val df = spark.read.parquet(leaf.toString)
+      val redistributed = df.repartition(nOut)
+      val clustered =
+        if (sortBy.isEmpty) redistributed else redistributed.sortWithinPartitions(sortBy: _*)
+      val tmp = Paths.get(leaf.toString + ".compact-tmp")
+      clustered.write.mode("overwrite").parquet(tmp.toString)
+      val old = Paths.get(leaf.toString + ".compact-old")
+      Files.move(leaf, old)
+      Files.move(tmp, leaf)
+      rmDir(old)
+      beforeTotal += files.size
+      afterTotal += ls(leaf).count(_.getFileName.toString.endsWith(".parquet"))
+    }
+    (beforeTotal, afterTotal)
   }
 }

@@ -322,11 +322,18 @@ class OperatorSpec extends SparkSpec {
     val got = operators.Relational3.qSkyline(spark, sf).collect()
       .map(_.getAs[Long]("p_partkey")).toSet
     assert(got === expected)
-    // the two-phase result must not depend on how stage 1 partitioned
-    val sc = spark.conf.get("spark.sql.shuffle.partitions")
-    val again = operators.Relational3.qSkyline(spark, sf).repartition(7).collect()
-      .map(_.getAs[Long]("p_partkey")).toSet
-    assert(again === expected, s"partitioning changed the frontier (shuffle=$sc)")
+    // the two-phase result must not depend on how stage 1 partitioned:
+    // shrink the scan split size so the INPUT arrives in many more
+    // partitions (the q_countmin partition-independence pattern) —
+    // different local sweeps, same global frontier
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, (16 * 1024).toString)
+      val again = operators.Relational3.qSkyline(spark, sf).collect()
+        .map(_.getAs[Long]("p_partkey")).toSet
+      assert(again === expected, "input partitioning changed the frontier")
+    } finally spark.conf.set(key, prev)
   }
 
   test("ann_ivfpq: probe-restricted ADC candidates, deterministic, recall tracks IVF") {

@@ -128,6 +128,26 @@ class SourcesSpec extends SparkSpec {
     assert(unsortedRows === 0L)
   }
 
+  test("compaction of a partitioned table preserves layout and pruning") {
+    val path = tmp("compact-part")
+    Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .repartition(8)
+      .write.partitionBy("o_orderpriority").parquet(path)
+    val expected = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sortBy(identity)
+    val (before, after) = graft.sources.Sinks.compactParquet(spark, path)
+    assert(after < before, s"$after files after compacting $before")
+    // per-leaf rewrite keeps the k=v directory tree: the partition
+    // column still prunes, and the data is untouched
+    val back = spark.read.parquet(path)
+    assert(back.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .sortBy(identity).toSeq === expected.toSeq)
+    val pruned = back.filter(col("o_orderpriority") === "1-URGENT")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+  }
+
   test("sorted parquet write: row-group stats prune the scan for range filters") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // same rows, two layouts, small row groups so the table spans many
