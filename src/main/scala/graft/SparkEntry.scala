@@ -62,6 +62,7 @@ object SparkEntry {
     "q_winsorize" -> (operators.Relational3.qWinsorize _),
     "q_outliers" -> (operators.Relational3.qOutliers _),
     "q_skyline" -> (operators.Relational3.qSkyline _),
+    "q_session_window" -> (operators.Relational3.qSessionWindow _),
     "q_weighted_sample" -> ((s: SparkSession, d: String) => operators.Profile.qWeightedSample(s, d)),
     "q_approx_distinct" -> (operators.Relational2.qApproxDistinct _),
     "q_approx_percentile" -> (operators.Relational2.qApproxPercentile _),
@@ -125,6 +126,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingDups(s, d)),
     "dedup_clusters" -> (Dedup.clusters _),
     "dedup_cross" -> (Dedup.crossDedup _),
+    "dedup_golden" -> (Dedup.goldenRecords _),
     "dedup_bloom" -> ((s: SparkSession, d: String) => Dedup.bloomCrossDedup(s, d)),
     // §2.4 similarity search
     "ann_bruteforce" -> ((s: SparkSession, d: String) => Ann.bruteforceTopK(s, d)),
@@ -1012,6 +1014,22 @@ object SparkEntry {
         |SELECT d.l_returnflag, count(*) AS n, min(d.med) AS med, min(mad.mad) AS mad,
         |  CAST(sum(CASE WHEN adev > mad.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev d JOIN mad USING (l_returnflag) GROUP BY 1""".stripMargin,
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+        |x AS (
+        |  SELECT user_id, event_id, s,
+        |    CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w >= 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+        |g AS (
+        |  SELECT user_id, s,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM x)
+        |SELECT user_id, min(s) AS session_start_s, max(s) AS last_event_s,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sess""".stripMargin,
     "q_skyline" ->
       """SELECT p_partkey, p_retailprice, p_size FROM part a
         |WHERE NOT EXISTS (
@@ -1227,6 +1245,37 @@ object SparkEntry {
         |  UNION
         |  SELECT reach.id, edges.dst FROM reach, edges WHERE reach.r = edges.src)
         |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+    // same CC replay as dedup_clusters, then the survivorship pick:
+    // arg_max over the identical length-shifted composite
+    "dedup_golden" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(list_transform(string_split(text, ' '),
+        |    t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))), w -> w <> '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ts[CAST(i AS BIGINT)] || ' ' || ts[CAST(i AS BIGINT)+1] || ' ' || ts[CAST(i AS BIGINT)+2] AS shingle
+        |  FROM toks, unnest(range(1, len(ts)-1)) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id GROUP BY 1,2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sizes sa ON id_a=sa.doc_id JOIN sizes sb ON id_b=sb.doc_id
+        |  WHERE CAST(common AS DOUBLE)/(sa.n_shingles + sb.n_shingles - common) >= 0.55),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.dst FROM reach, edges WHERE reach.r = edges.src),
+        |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+        |SELECT cluster,
+        |  arg_max(d.doc_id, length(d.text) * 10000000000 - d.doc_id) AS golden_id,
+        |  max(length(d.text)) AS max_len, count(*) AS n_members
+        |FROM cl JOIN documents d ON cl.id = d.doc_id
+        |GROUP BY cluster""".stripMargin,
     "q_retention" ->
       """WITH wk AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),

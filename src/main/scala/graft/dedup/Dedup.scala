@@ -434,6 +434,26 @@ object Dedup {
   def clusters(spark: SparkSession, dir: String): DataFrame =
     dupClustersStars(ngramJaccard(spark, dir)).orderBy("id")
 
+  /** Survivorship — the golden-record step entity resolution runs
+    * AFTER clustering: each near-dup cluster keeps its most complete
+    * member (longest text; lowest doc_id on ties) plus the member
+    * count. One keyed aggregate over the cluster assignment; the
+    * composite shifts length far above any doc_id (the q_arg_max
+    * pattern) so the tie-break can never outweigh a real length
+    * difference, making the pick deterministic and oracle-replayable
+    * (DuckDB arg_max over the identical composite).
+    */
+  def goldenRecords(spark: SparkSession, dir: String): DataFrame = {
+    val cl = clusters(spark, dir)
+    val lens = docs(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val composite = col("len") * lit(10000000000L) - col("doc_id")
+    cl.join(lens, col("id") === col("doc_id"))
+      .groupBy("cluster")
+      .agg(max_by(col("doc_id"), composite).as("golden_id"),
+        max("len").as("max_len"), cnt.as("n_members"))
+  }
+
   val EmbTables = 10
   val EmbBits = 4
 

@@ -137,6 +137,26 @@ object Relational3 {
           .cast("double").as("total_price"))
   }
 
+  /** Native `session_window` in BATCH mode — the declarative twin of
+    * the window-lag sessionization (qSessionize) and the streaming
+    * session_window spec: one groupBy, no self-join, no explicit lag
+    * chain. Timestamps are second-floored FIRST (the q_sessionize
+    * precision rule: the raw parquet is nanos, Spark truncates to µs
+    * — flooring both engines to whole seconds removes the precision
+    * mismatch) so the 30-minute gap semantics replay exactly: a gap
+    * ≥ 1800 s starts a new session (windows [t, t+gap) merge only on
+    * strict overlap).
+    */
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("user_id"), to_timestamp(col("ts").cast("long")).as("tss"))
+      .groupBy(col("user_id"), session_window(col("tss"), "30 minutes").as("sw"))
+      .agg(cnt.as("n_events"))
+      .select(col("user_id"),
+        col("sw.start").cast("long").as("session_start_s"),
+        (col("sw.end").cast("long") - 1800).as("last_event_s"),
+        col("n_events"))
+
   /** The 2D price/size Pareto sweep over one sorted iterator: keep a
     * row iff no seen row has (price ≤, size ≥, one strict). Rows MUST
     * arrive sorted (price asc, size desc); `maxPrev` is the best size

@@ -309,6 +309,18 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall")
   }
 
+  test("q_session_window agrees with the window-lag sessionization per user") {
+    // native batch session_window counts the same sessions as the lag
+    // chain (their gap boundaries differ only at EXACTLY 1800 s —
+    // > vs >= — and this corpus has no such gap, verified in duckdb)
+    val native = operators.Relational3.qSessionWindow(spark, sf)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lagged = operators.Relational.qSessionize(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions")).toMap
+    assert(native === lagged)
+  }
+
   test("q_skyline: exactly the non-dominated set, any partitioning") {
     val all = core.Tables.load(spark, sf, "part")
       .select("p_partkey", "p_retailprice", "p_size").collect()
