@@ -280,7 +280,12 @@ object Dedup {
       fpp: Double = 0.01): DataFrame = {
     val d = docs(spark, dir)
     val corpusDocs = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    // materialize the distinct hash set ONCE: three consumers below
+    // (sizing count, bloomFilter aggregate, the left_semi audit join)
+    // would each re-run the scan+hash+distinct cascade otherwise —
+    // the dupClustersStars lesson; the blocks die with this plan's RDD
     val corpus = corpusDocs.select(xxhash64(col("text")).as("h")).distinct()
+      .localCheckpoint()
     // cardinality for filter sizing: one count on the already-distinct
     // 8-byte keys (in production this is the dedup index's row count,
     // known without a scan)
@@ -292,12 +297,15 @@ object Dedup {
     // under fresh ids — without the replay the test corpora have no
     // batch∩corpus overlap and the no-false-negatives guarantee would
     // be vacuously true
+    // materialized for the same reason: the batch feeds both the
+    // audit anti-join and the final contract aggregate
     val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
       .select(col("doc_id"), col("text"))
       .unionAll(corpusDocs.filter(pmod(col("doc_id"), lit(50)) === 1)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
       .select(col("doc_id"), xxhash64(col("text")).as("h"))
       .withColumn("maybe_seen", maybeSeen(col("h")))
+      .localCheckpoint()
     // exact truth (the crossDedup anti-join) to audit the contract
     val trulyNew = batch.select(col("doc_id"))
       .join(batch.select("doc_id", "h").join(corpus, Seq("h"), "left_semi"),

@@ -138,8 +138,13 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // snapshot existence via the Hadoop FileSystem of the PATH —
+        // java.io.File would always say "absent" for hdfs://, s3a://
+        // etc., and silently reset the snapshot to the current batch
+        val p = new org.apache.hadoop.fs.Path(snapshotDir)
+        val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
         val cur =
-          if (new java.io.File(snapshotDir).exists) spark.read.parquet(snapshotDir)
+          if (exists) spark.read.parquet(snapshotDir)
           else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
             batch.schema)
         cdcSnapshotMerge(cur, batch).localCheckpoint()
