@@ -138,6 +138,20 @@ object ScaleProbe {
       timed("dedup_semantic @10x (k=16)")(SparkEntry.queries("dedup_semantic")(spark, out).count())
     }
 
+    // multimodal phash dedup at 10x: the 10^7 replica id offset is
+    // divisible by 4, so every replica keeps the 4-variant base
+    // grouping — pair volume must grow exactly linearly (banding is
+    // per-cell, never all-pairs) and stay cross-base-clean
+    if (on("phash")) {
+      for (d <- Seq(src, out)) {
+        val t0 = System.nanoTime()
+        val pairs = graft.multimodal.Multimodal.phashDedup(spark, d)
+        val n = pairs.count()
+        val crossBase = pairs.filter(expr("id_a DIV 4 <> id_b DIV 4")).count()
+        println(f"[probe] multimodal_phash @ $d: pairs=$n crossBase=$crossBase time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+    }
+
     // ann_lsh / ann_pq recall vs brute force on the 10x corpus (pq:
     // the codebook stays 8x16x8 regardless of N — what must scale is
     // the nCand re-rank cut relative to corpus size, so the fixed-cut
