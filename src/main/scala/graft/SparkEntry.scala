@@ -63,6 +63,7 @@ object SparkEntry {
     "q_outliers" -> (operators.Relational3.qOutliers _),
     "q_skyline" -> (operators.Relational3.qSkyline _),
     "q_session_window" -> (operators.Relational3.qSessionWindow _),
+    "q_fuzzy_join" -> ((s: SparkSession, d: String) => operators.FuzzyJoin.qFuzzyJoin(s, d)),
     "q_weighted_sample" -> ((s: SparkSession, d: String) => operators.Profile.qWeightedSample(s, d)),
     "q_approx_distinct" -> (operators.Relational2.qApproxDistinct _),
     "q_approx_percentile" -> (operators.Relational2.qApproxPercentile _),
@@ -1030,6 +1031,13 @@ object SparkEntry {
         |SELECT user_id, min(s) AS session_start_s, max(s) AS last_event_s,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, sess""".stripMargin,
+    "q_fuzzy_join" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_partkey < b.p_partkey
+        | AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
     "q_skyline" ->
       """SELECT p_partkey, p_retailprice, p_size FROM part a
         |WHERE NOT EXISTS (
