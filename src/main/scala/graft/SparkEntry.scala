@@ -93,6 +93,7 @@ object SparkEntry {
     "q_map_ops" -> (operators.ComplexTypes.qMapOps _),
     "q_resample" -> (operators.ComplexTypes.qResample _),
     "q_resample_by_key" -> (operators.Resample.qResampleByKey _),
+    "q_interpolate" -> (operators.Resample.qInterpolate _),
     "q_topk_weighted" -> (operators.Relational2.qTopkWeighted _),
     "q_scd2" -> (operators.ComplexTypes.qScd2 _),
     "q_islands" -> (operators.ComplexTypes.qIslands _),
@@ -1597,6 +1598,27 @@ object SparkEntry {
       """SELECT o_orderpriority AS k,
         |  array_to_string(list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey)[1:5], ',') AS top_orders
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_interpolate" ->
+      """WITH daily AS (
+        |  SELECT user_id AS k, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT k, d, total, lead(d) OVER w AS nd, lead(total) OVER w AS nv
+        |  FROM daily WINDOW w AS (PARTITION BY k ORDER BY d)),
+        |g AS (
+        |  SELECT k, d AS obs_d, total, nd, nv,
+        |    CASE WHEN nd IS NULL THEN [d]
+        |         ELSE list_transform(generate_series(d, nd - INTERVAL 1 DAY, INTERVAL 1 DAY),
+        |                             t -> CAST(t AS DATE)) END AS grid
+        |  FROM x),
+        |e AS (SELECT k, obs_d, total, nd, nv, unnest(grid) AS d FROM g)
+        |SELECT k, d, d = obs_d AS observed,
+        |  round(CASE WHEN d = obs_d THEN total
+        |        ELSE total + (nv - total) *
+        |          (CAST(date_diff('day', obs_d, d) AS DOUBLE) /
+        |           CAST(date_diff('day', obs_d, nd) AS DOUBLE)) END, 6) AS total_interp
+        |FROM e""".stripMargin,
     "q_resample_by_key" ->
       """WITH daily AS (
         |  SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS d,

@@ -54,6 +54,27 @@ class ResampleSpec extends SparkSpec {
     assert(p1.exceptAll(p7).isEmpty && p7.exceptAll(p1).isEmpty)
   }
 
+  test("interpolateByKey: exact values on the known grid, observed rows verbatim") {
+    val series = rows.toDF("k", "ds", "v")
+      .select(col("k"), col("ds").cast("date").as("d"), col("v"))
+    val got = Resample.interpolateByKey(series, "k", "d", "v")
+    // a: 1.0 @Jan1, gap Jan2 = 1 + (2-1)*1/2 = 1.5, 2.0 @Jan3,
+    //    Jan4 = 2+1/3, Jan5 = 2+2/3, 3.0 @Jan6
+    val a = got.filter($"k" === "a").orderBy("d")
+      .select($"v_interp").as[Double].collect()
+    assert(a.toSeq === Seq(1.0, 1.5, 2.0, 2.333333, 2.666667, 3.0))
+    // degenerate single observation passes through
+    val b = got.filter($"k" === "b").select($"v_interp").as[Double].collect()
+    assert(b.toSeq === Seq(7.0))
+    // observed rows always carry the input value verbatim
+    val obs = got.filter($"observed").orderBy("k", "d")
+      .select($"v_interp").as[Double].collect()
+    assert(obs.toSeq === Seq(1.0, 2.0, 3.0, 7.0, 4.0, 5.0))
+    // partition independence, like the ffill form
+    val p7 = Resample.interpolateByKey(series.repartition(7, col("v")), "k", "d", "v")
+    assert(got.exceptAll(p7).isEmpty && p7.exceptAll(got).isEmpty)
+  }
+
   test("q_resample_by_key yields one row per (key, grid day) and starts observed") {
     val df = Resample.qResampleByKey(spark, sf).cache()
     try {
