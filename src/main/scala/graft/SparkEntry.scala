@@ -64,6 +64,7 @@ object SparkEntry {
     "q_skyline" -> (operators.Relational3.qSkyline _),
     "q_session_window" -> (operators.Relational3.qSessionWindow _),
     "q_fuzzy_join" -> ((s: SparkSession, d: String) => operators.FuzzyJoin.qFuzzyJoin(s, d)),
+    "q_drift" -> (operators.Relational3.qDrift _),
     "q_weighted_sample" -> ((s: SparkSession, d: String) => operators.Profile.qWeightedSample(s, d)),
     "q_approx_distinct" -> (operators.Relational2.qApproxDistinct _),
     "q_approx_percentile" -> (operators.Relational2.qApproxPercentile _),
@@ -1032,6 +1033,22 @@ object SparkEntry {
         |SELECT user_id, min(s) AS session_start_s, max(s) AS last_event_s,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, sess""".stripMargin,
+    "q_drift" ->
+      """WITH r AS (
+        |  SELECT CAST(floor(value / 32) AS BIGINT) AS bucket, count(*) AS n_ref
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+        |c AS (
+        |  SELECT CAST(floor(value / 32) AS BIGINT) AS bucket, count(*) AS n_cur
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
+        |t AS (SELECT (SELECT sum(n_ref) FROM r) AS t_ref,
+        |             (SELECT sum(n_cur) FROM c) AS t_cur)
+        |SELECT coalesce(r.bucket, c.bucket) AS bucket,
+        |  coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur,
+        |  round(CAST(coalesce(n_ref, 0) AS DOUBLE) / CAST(t_ref AS DOUBLE), 6) AS p_ref,
+        |  round(CAST(coalesce(n_cur, 0) AS DOUBLE) / CAST(t_cur AS DOUBLE), 6) AS p_cur,
+        |  round(abs(CAST(coalesce(n_ref, 0) AS DOUBLE) / CAST(t_ref AS DOUBLE)
+        |    - CAST(coalesce(n_cur, 0) AS DOUBLE) / CAST(t_cur AS DOUBLE)), 6) AS shift
+        |FROM r FULL OUTER JOIN c ON r.bucket = c.bucket CROSS JOIN t""".stripMargin,
     "q_fuzzy_join" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist

@@ -137,6 +137,38 @@ object Relational3 {
           .cast("double").as("total_price"))
   }
 
+  /** Distribution-drift report between two time slices of the event
+    * stream — the data-monitoring shape every production training
+    * pipeline runs before ingesting a new dump: equi-width value
+    * buckets (deterministic integer floor — quantile edges would put
+    * floats on bucket boundaries), per-slice proportions, and the
+    * per-bucket absolute shift (Σshift/2 = total-variation distance).
+    * Two partial-aggregated scans + a bucket-keyed join; the totals
+    * ride a one-row broadcast cross join (cardinality fixed at any
+    * SF). Proportions are n/total double divisions — one fixed op
+    * chain, engine-exact — rounded at the output edge only.
+    */
+  def qDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val ev = t(spark, dir, "events").select(col("value"), col("ts"))
+    def slice(cond: org.apache.spark.sql.Column, n: String) =
+      ev.filter(cond)
+        .groupBy(floor(col("value") / 32).cast("long").as("bucket"))
+        .agg(cnt.as(n))
+    val refB = slice(col("ts") < cut, "n_ref")
+    val curB = slice(col("ts") >= cut, "n_cur")
+    val tots = refB.agg(sum("n_ref").as("t_ref"))
+      .crossJoin(curB.agg(sum("n_cur").as("t_cur")))
+    refB.join(curB, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(tots))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(col("n_ref").cast("double") / col("t_ref").cast("double"), 6).as("p_ref"),
+        round(col("n_cur").cast("double") / col("t_cur").cast("double"), 6).as("p_cur"),
+        round(abs(col("n_ref").cast("double") / col("t_ref").cast("double")
+          - col("n_cur").cast("double") / col("t_cur").cast("double")), 6).as("shift"))
+  }
+
   /** Native `session_window` in BATCH mode — the declarative twin of
     * the window-lag sessionization (qSessionize) and the streaming
     * session_window spec: one groupBy, no self-join, no explicit lag
