@@ -65,6 +65,7 @@ object SparkEntry {
     "q_session_window" -> (operators.Relational3.qSessionWindow _),
     "q_fuzzy_join" -> ((s: SparkSession, d: String) => operators.FuzzyJoin.qFuzzyJoin(s, d)),
     "q_drift" -> (operators.Relational3.qDrift _),
+    "q_market_basket" -> ((s: SparkSession, d: String) => operators.Relational3.qMarketBasket(s, d)),
     "q_weighted_sample" -> ((s: SparkSession, d: String) => operators.Profile.qWeightedSample(s, d)),
     "q_approx_distinct" -> (operators.Relational2.qApproxDistinct _),
     "q_approx_percentile" -> (operators.Relational2.qApproxPercentile _),
@@ -1033,6 +1034,21 @@ object SparkEntry {
         |SELECT user_id, min(s) AS session_start_s, max(s) AS last_event_s,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, sess""".stripMargin,
+    "q_market_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT count(DISTINCT o) AS n_orders FROM li),
+        |pc AS (SELECT p, count(*) AS n_p FROM li GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |scored AS (
+        |  SELECT pa, pb, n_ab,
+        |    (CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)) /
+        |      (CAST(ca.n_p AS DOUBLE) * CAST(cb.n_p AS DOUBLE)) AS lift
+        |  FROM pairs JOIN pc ca ON pa = ca.p JOIN pc cb ON pb = cb.p CROSS JOIN n)
+        |SELECT pa, pb, n_ab, round(lift, 6) AS lift
+        |FROM scored ORDER BY lift DESC, pa, pb LIMIT 50""".stripMargin,
     "q_drift" ->
       """WITH r AS (
         |  SELECT CAST(floor(value / 32) AS BIGINT) AS bucket, count(*) AS n_ref

@@ -137,6 +137,39 @@ object Relational3 {
           .cast("double").as("total_price"))
   }
 
+  /** Market-basket affinity: part pairs bought together with
+    * support and LIFT (P(a,b)/(P(a)·P(b)) — >1 means genuinely
+    * associated, not just individually popular). The basket self-join
+    * runs on (order, part) pairs deduped FIRST (the shuffle carries
+    * 16-byte keys co-partitioned by order), the min-support filter
+    * cuts the pair table before the per-part count joins, the global
+    * order count rides a one-row broadcast, and the final top-k is
+    * TakeOrdered — no global sort. Lift arithmetic is one fixed
+    * double chain (counts cast, multiply, divide) mirrored in the
+    * oracle, ranked at full precision, rounded at the output edge.
+    */
+  def qMarketBasket(spark: SparkSession, dir: String, minSupport: Int = 3,
+      k: Int = 50): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val nOrders = li.select(countDistinct("o").as("n_orders"))
+    val partCnt = li.groupBy("p").agg(cnt.as("n_p"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb")).agg(cnt.as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(partCnt.select(col("p").as("pa"), col("n_p").as("n_a")), "pa")
+      .join(partCnt.select(col("p").as("pb"), col("n_p").as("n_b")), "pb")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift",
+        (col("n_ab").cast("double") * col("n_orders").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+      .orderBy(col("lift").desc, col("pa").asc, col("pb").asc)
+      .limit(k)
+      .select(col("pa"), col("pb"), col("n_ab"), round(col("lift"), 6).as("lift"))
+  }
+
   /** Distribution-drift report between two time slices of the event
     * stream — the data-monitoring shape every production training
     * pipeline runs before ingesting a new dump: equi-width value
