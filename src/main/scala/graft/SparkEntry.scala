@@ -66,6 +66,8 @@ object SparkEntry {
     "q_fuzzy_join" -> ((s: SparkSession, d: String) => operators.FuzzyJoin.qFuzzyJoin(s, d)),
     "q_drift" -> (operators.Relational3.qDrift _),
     "q_market_basket" -> ((s: SparkSession, d: String) => operators.Relational3.qMarketBasket(s, d)),
+    "q_rfm" -> (operators.Relational3.qRfm _),
+    "q_dq_audit" -> (operators.Relational3.qDqAudit _),
     "q_weighted_sample" -> ((s: SparkSession, d: String) => operators.Profile.qWeightedSample(s, d)),
     "q_approx_distinct" -> (operators.Relational2.qApproxDistinct _),
     "q_approx_percentile" -> (operators.Relational2.qApproxPercentile _),
@@ -1034,6 +1036,48 @@ object SparkEntry {
         |SELECT user_id, min(s) AS session_start_s, max(s) AS last_event_s,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, sess""".stripMargin,
+    "q_dq_audit" ->
+      """SELECT 'orders_null_custkey' AS rule,
+        |  (SELECT count(*) FROM orders) AS n_checked,
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_violations
+        |UNION ALL
+        |SELECT 'orders_orphan_custkey',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |UNION ALL
+        |SELECT 'lineitem_nonpositive_price',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0)
+        |UNION ALL
+        |SELECT 'lineitem_ship_before_order',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |   WHERE l.l_shipdate < o.o_orderdate)
+        |UNION ALL
+        |SELECT 'customer_negative_balance',
+        |  (SELECT count(*) FROM customer),
+        |  (SELECT count(*) FROM customer WHERE c_acctbal < 0)""".stripMargin,
+    "q_rfm" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', DATE '1990-01-01', CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS rec_days,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1),
+        |cuts AS (
+        |  SELECT quantile_cont(rec_days, [0.25, 0.5, 0.75]) AS rq,
+        |         quantile_cont(freq, [0.25, 0.5, 0.75]) AS fq,
+        |         quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mq
+        |  FROM pc)
+        |SELECT o_custkey, rec_days, freq, monetary,
+        |  1 + CAST(rec_days > rq[1] AS BIGINT) + CAST(rec_days > rq[2] AS BIGINT)
+        |    + CAST(rec_days > rq[3] AS BIGINT) AS r_score,
+        |  1 + CAST(freq > fq[1] AS BIGINT) + CAST(freq > fq[2] AS BIGINT)
+        |    + CAST(freq > fq[3] AS BIGINT) AS f_score,
+        |  1 + CAST(monetary > mq[1] AS BIGINT) + CAST(monetary > mq[2] AS BIGINT)
+        |    + CAST(monetary > mq[3] AS BIGINT) AS m_score
+        |FROM pc CROSS JOIN cuts""".stripMargin,
     "q_market_basket" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |n AS (SELECT count(DISTINCT o) AS n_orders FROM li),

@@ -137,6 +137,71 @@ object Relational3 {
           .cast("double").as("total_price"))
   }
 
+  /** RFM customer scoring — recency / frequency / monetary quartile
+    * scores, the standard segmentation input. Scores come from
+    * QUARTILE BOUNDARIES (one percentile-array aggregate per metric,
+    * a one-row broadcast) applied as integer comparisons — NOT from a
+    * global ntile window, which would funnel every customer through
+    * one partition at scale (the TotalOrderRank lesson, avoided
+    * rather than paid three times). score = 1 + Σ(x > qᵢ), so 4 is
+    * best on every axis; comparisons against the shared boundary
+    * doubles are engine-exact.
+    */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        datediff(max(col("o_orderdate")).cast("date"), lit("1990-01-01").cast("date"))
+          .cast("long").as("rec_days"),
+        cnt.as("freq"),
+        sumMoney(col("o_totalprice")).as("monetary"))
+    val cuts = perCust.agg(
+      expr("percentile(rec_days, array(0.25D, 0.5D, 0.75D))").as("rq"),
+      expr("percentile(freq, array(0.25D, 0.5D, 0.75D))").as("fq"),
+      expr("percentile(monetary, array(0.25D, 0.5D, 0.75D))").as("mq"))
+    def score(x: org.apache.spark.sql.Column, q: String) =
+      (lit(1L) + (x > col(q).getItem(0)).cast("long")
+        + (x > col(q).getItem(1)).cast("long")
+        + (x > col(q).getItem(2)).cast("long"))
+    perCust.crossJoin(broadcast(cuts))
+      .select(col("o_custkey"), col("rec_days"), col("freq"), col("monetary"),
+        score(col("rec_days"), "rq").as("r_score"),
+        score(col("freq"), "fq").as("f_score"),
+        score(col("monetary"), "mq").as("m_score"))
+  }
+
+  /** Data-quality rule audit — one row per rule with checked and
+    * violation counts, the pre-ingest contract gate: null keys,
+    * range rules, referential integrity (orphan foreign keys via
+    * LEFT ANTI join — the shuffle carries key columns only), and a
+    * cross-table temporal rule (shipment before its order date).
+    * Each rule is an independent scan-aggregate or key-only
+    * anti-join; the union is five one-row aggregates, so the audit
+    * costs one pass over each fact table at any scale.
+    */
+  def qDqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    val c = t(spark, dir, "customer")
+    def rule(name: String, checked: DataFrame, violations: DataFrame): DataFrame =
+      checked.agg(cnt.as("n_checked"))
+        .crossJoin(violations.agg(cnt.as("n_violations")))
+        .select(lit(name).as("rule"), col("n_checked"), col("n_violations"))
+    val orphans = o.select("o_custkey")
+      .join(c.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
+    val early = li.select("l_orderkey", "l_shipdate")
+      .join(o.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") < col("o_orderdate"))
+    rule("orders_null_custkey", o, o.filter(col("o_custkey").isNull))
+      .unionByName(rule("orders_orphan_custkey", o, orphans))
+      .unionByName(rule("lineitem_nonpositive_price", li,
+        li.filter(col("l_extendedprice") <= 0)))
+      .unionByName(rule("lineitem_ship_before_order", li, early))
+      .unionByName(rule("customer_negative_balance", c,
+        c.filter(col("c_acctbal") < 0)))
+  }
+
   /** Market-basket affinity: part pairs bought together with
     * support and LIFT (P(a,b)/(P(a)·P(b)) — >1 means genuinely
     * associated, not just individually popular). The basket self-join
