@@ -68,6 +68,7 @@ object SparkEntry {
     "q_market_basket" -> ((s: SparkSession, d: String) => operators.Relational3.qMarketBasket(s, d)),
     "q_rfm" -> (operators.Relational3.qRfm _),
     "q_dq_audit" -> (operators.Relational3.qDqAudit _),
+    "q_standardize" -> (operators.Relational3.qStandardize _),
     "q_weighted_sample" -> ((s: SparkSession, d: String) => operators.Profile.qWeightedSample(s, d)),
     "q_approx_distinct" -> (operators.Relational2.qApproxDistinct _),
     "q_approx_percentile" -> (operators.Relational2.qApproxPercentile _),
@@ -1036,6 +1037,17 @@ object SparkEntry {
         |SELECT user_id, min(s) AS session_start_s, max(s) AS last_event_s,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, sess""".stripMargin,
+    "q_standardize" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(round(l_extendedprice * 1e4) AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(round(l_extendedprice * 1e4) * round(l_extendedprice * 1e4)
+        |                  AS DECIMAL(38,0))) AS DOUBLE) AS sx2
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, l_orderkey, l_linenumber, l_extendedprice AS x,
+        |  round((l_extendedprice - (sx / 1e4) / n) /
+        |    sqrt((sx2 / 1e8) / n - ((sx / 1e4) / n) * ((sx / 1e4) / n)), 6) AS z
+        |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag""".stripMargin,
     "q_dq_audit" ->
       """SELECT 'orders_null_custkey' AS rule,
         |  (SELECT count(*) FROM orders) AS n_checked,

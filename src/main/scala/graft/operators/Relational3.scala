@@ -137,6 +137,36 @@ object Relational3 {
           .cast("double").as("total_price"))
   }
 
+  /** Per-group standardization (z-score feature scaling) — the
+    * feature-engineering step before any numeric model input. The
+    * group mean and variance come from order-independent sums (price
+    * quantized to 1e-4 units; the squares are identical-IEEE double
+    * products — integral but past 2^53, so deterministic rather than
+    * exact — summed as DECIMAL(38,0), ~1e24 at 100 TB row counts
+    * still fits), so the derived double chain (mean, E[x²],
+    * var = E[x²]−mean², sd, (x−mean)/sd) is bit-identical in any
+    * engine and under any partitioning — stddev_samp/Welford
+    * internals never enter the picture. One partial-aggregated pass for the
+    * moments (fixed-cardinality broadcast back), one narrow map for
+    * the scaling.
+    */
+  def qStandardize(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("x"))
+    val moments = li.groupBy("l_returnflag").agg(
+      cnt.as("n"),
+      sum(round(col("x") * 1e4).cast(DecimalType(38, 0))).cast("double").as("sx"),
+      sum((round(col("x") * 1e4) * round(col("x") * 1e4)).cast(DecimalType(38, 0)))
+        .cast("double").as("sx2"))
+    li.join(broadcast(moments), "l_returnflag")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("x"),
+        round((col("x") - (col("sx") / 1e4) / col("n")) /
+          sqrt((col("sx2") / 1e8) / col("n")
+            - ((col("sx") / 1e4) / col("n")) * ((col("sx") / 1e4) / col("n"))), 6)
+          .as("z"))
+  }
+
   /** RFM customer scoring — recency / frequency / monetary quartile
     * scores, the standard segmentation input. Scores come from
     * QUARTILE BOUNDARIES (one percentile-array aggregate per metric,
