@@ -69,6 +69,18 @@ object SparkEntry {
     "q_rfm" -> (operators.Relational3.qRfm _),
     "q_dq_audit" -> (operators.Relational3.qDqAudit _),
     "q_standardize" -> (operators.Relational3.qStandardize _),
+    // deterministic 90/10 split by key hash — the reproducible
+    // train/test partition every training pipeline needs; the audit
+    // output is per-split per-label counts (distribution preservation
+    // is the thing to check). Narrow map + one keyed aggregate.
+    "q_train_test_split" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.core.Tables.load(s, d, "embeddings")
+        .select(col("label"),
+          when(pmod(xxhash64(col("vec_id")), lit(10)) === 0, "test")
+            .otherwise("train").as("split"))
+        .groupBy("split", "label").agg(count(lit(1)).cast("long").as("n"))
+    }),
     "q_weighted_sample" -> ((s: SparkSession, d: String) => operators.Profile.qWeightedSample(s, d)),
     "q_approx_distinct" -> (operators.Relational2.qApproxDistinct _),
     "q_approx_percentile" -> (operators.Relational2.qApproxPercentile _),
@@ -1037,6 +1049,13 @@ object SparkEntry {
         |SELECT user_id, min(s) AS session_start_s, max(s) AS last_event_s,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, sess""".stripMargin,
+    "q_train_test_split" ->
+      s"""WITH $embHashCtes,
+        |s AS (
+        |  SELECT e2.label, CASE WHEN ((xx.h % 10) + 10) % 10 = 0 THEN 'test'
+        |                        ELSE 'train' END AS split
+        |  FROM xx JOIN embeddings e2 ON xx.vec_id = e2.vec_id)
+        |SELECT split, label, count(*) AS n FROM s GROUP BY 1, 2""".stripMargin,
     "q_standardize" ->
       """WITH m AS (
         |  SELECT l_returnflag, count(*) AS n,
