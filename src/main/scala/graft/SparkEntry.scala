@@ -59,15 +59,20 @@ object SparkEntry {
     "q_mode" -> (operators.Relational3.qMode _),
     "q_window_distinct" -> (operators.Relational3.qWindowDistinct _),
     "q_incremental_agg" -> (operators.Relational3.qIncrementalAgg _),
-    "q_winsorize" -> (operators.Relational3.qWinsorize _),
-    "q_outliers" -> (operators.Relational3.qOutliers _),
+    "q_winsorize" -> ((s: SparkSession, d: String) => operators.Relational3.qWinsorize(s, d)),
+    "q_outliers" -> ((s: SparkSession, d: String) => operators.Relational3.qOutliers(s, d)),
     "q_skyline" -> (operators.Relational3.qSkyline _),
     "q_session_window" -> (operators.Relational3.qSessionWindow _),
     "q_fuzzy_join" -> ((s: SparkSession, d: String) => operators.FuzzyJoin.qFuzzyJoin(s, d)),
     "q_drift" -> (operators.Relational3.qDrift _),
     "q_market_basket" -> ((s: SparkSession, d: String) => operators.Relational3.qMarketBasket(s, d)),
-    "q_rfm" -> (operators.Relational3.qRfm _),
+    "q_rfm" -> ((s: SparkSession, d: String) => operators.Relational3.qRfm(s, d)),
     "q_dq_audit" -> (operators.Relational3.qDqAudit _),
+    // no-silent-caps audit for the co-occurrence hot-basket guard
+    // shared by mr_pagerank / graph_triangles / graph_bfs /
+    // q_market_basket: proves the cap is non-binding on this corpus
+    // (n_hot_baskets = 0) and surfaces what it would shed if it bound
+    "q_basket_cap_audit" -> ((s: SparkSession, d: String) => operators.Incidence.capAudit(s, d)),
     "q_standardize" -> (operators.Relational3.qStandardize _),
     // deterministic 90/10 split by key hash — the reproducible
     // train/test partition every training pipeline needs; the audit
@@ -165,6 +170,12 @@ object SparkEntry {
     "text_contamination" -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
     "text_chunk" -> ((s: SparkSession, d: String) => TextAnalysis.chunk(s, d)),
     "text_pack" -> ((s: SparkSession, d: String) => TextAnalysis.pack(s, d)),
+    // learned BPE tokenizer: deterministic greedy pair-merge training
+    // (vocab-bound iterative rounds), expression-only encoding, and
+    // packing by REAL subword token counts (operators.Bpe)
+    "text_bpe_train" -> ((s: SparkSession, d: String) => operators.Bpe.train(s, d)),
+    "text_bpe_encode" -> ((s: SparkSession, d: String) => operators.Bpe.encode(s, d)),
+    "text_pack_bpe" -> ((s: SparkSession, d: String) => operators.Bpe.packByBpe(s, d)),
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_lm_score" -> (TextAnalysis.lmScore _),
     "text_keywords" -> ((s: SparkSession, d: String) => TextAnalysis.keywords(s, d)),
@@ -216,6 +227,91 @@ object SparkEntry {
     def shr(a: String, n: Int): String = s"(($a) // ${lit(BigInt(1) << n)})"
     def shlmod(a: String, n: Int): String = mulmod64(a, BigInt(1) << n)
     def mix(a: String, s: Int, k: Long): String = mulmod64(xor64(a, shr(a, s)), u(k))
+  }
+
+  /** Unrolled-round BPE oracle (the mr_pagerank unrolled-CTE
+    * pattern): v0 is the space-delimited char vocab; round i counts
+    * adjacent pairs from v(i-1), picks the (cnt DESC, l, r) top-1
+    * into m_i, and applies the merge with the SAME leftmost
+    * non-overlapping replace() the Spark side runs — so the whole
+    * train → encode → pack chain replays bit-exact.
+    */
+  private object BpeSql {
+    val K = operators.Bpe.DefaultMerges
+
+    /** wf / v0 / (p_i, m_i, v_i) for i = 1..K. */
+    def trainCtes: String = {
+      val sb = new StringBuilder
+      sb.append(
+        """wf AS (
+          |  SELECT word, count(*) AS freq FROM (
+          |    SELECT lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS word
+          |    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
+          |  ) w WHERE word <> '' GROUP BY word),
+          |v0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', ' \1', 'g') || ' ' AS seq, freq FROM wf)""".stripMargin)
+      for (i <- 1 to K) {
+        sb.append(",\n").append(
+          s"""p$i AS MATERIALIZED (
+             |  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+             |  FROM (SELECT string_split(trim(seq), ' ') AS s, freq FROM v${i - 1}) t,
+             |       unnest(range(1, len(s))) AS u(i)
+             |  GROUP BY 1, 2),
+             |m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+             |v$i AS MATERIALIZED (SELECT replace(seq,
+             |    (SELECT ' ' || l || ' ' || r || ' ' FROM m$i),
+             |    (SELECT ' ' || l || r || ' ' FROM m$i)) AS seq, freq FROM v${i - 1})""".stripMargin)
+      }
+      sb.toString
+    }
+
+    /** The k merges folded into nested replace() over `seqExpr`. */
+    def encExpr(seqExpr: String): String =
+      (1 to K).foldLeft(seqExpr) { (acc, i) =>
+        s"replace($acc, (SELECT ' ' || l || ' ' || r || ' ' FROM m$i)," +
+          s" (SELECT ' ' || l || r || ' ' FROM m$i))"
+      }
+
+    private val charSeqSql = """regexp_replace(word, '(.)', ' \1', 'g') || ' '"""
+    private def bpeTokensSql = s"len(string_split(trim(${encExpr(charSeqSql)}), ' '))"
+
+    def trainSql: String = {
+      val rows = (1 to K).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS round, l AS "left", r AS "right",
+           |  l || r AS merged, cnt AS pair_count FROM m$i""".stripMargin)
+      s"WITH $trainCtes\n${rows.mkString("\nUNION ALL\n")}"
+    }
+
+    def encodeSql: String =
+      s"""WITH $trainCtes,
+         |dw AS (
+         |  SELECT doc_id, lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS word
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u),
+         |enc AS (
+         |  SELECT doc_id, word, $bpeTokensSql AS toks
+         |  FROM dw WHERE word <> '')
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(length(word)) AS BIGINT) AS n_chars,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens
+         |FROM enc GROUP BY doc_id""".stripMargin
+
+    def packSql: String =
+      s"""WITH $trainCtes,
+         |tk AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+         |       FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d),
+         |wd AS (SELECT doc_id, pos,
+         |         lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS word FROM tk),
+         |wt AS (SELECT doc_id, CAST((pos - 1) // 32 AS BIGINT) AS chunk_id,
+         |         $bpeTokensSql AS toks
+         |       FROM wd WHERE word <> ''),
+         |ch AS (SELECT doc_id, chunk_id, CAST(sum(toks) AS BIGINT) AS n_tokens
+         |       FROM wt GROUP BY 1, 2),
+         |rs AS (SELECT doc_id, chunk_id, n_tokens,
+         |         coalesce(sum(n_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+         |       FROM ch)
+         |SELECT doc_id, CAST(tok_before // 96 AS BIGINT) AS pack_id,
+         |  count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+         |FROM rs GROUP BY 1, 2""".stripMargin
   }
 
   /** The reference-tokenizer token stream as a DuckDB CTE body
@@ -1067,6 +1163,14 @@ object SparkEntry {
         |  round((l_extendedprice - (sx / 1e4) / n) /
         |    sqrt((sx2 / 1e8) / n - ((sx / 1e4) / n) * ((sx / 1e4) / n)), 6) AS z
         |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag""".stripMargin,
+    "q_basket_cap_audit" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN basket_sz > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_baskets,
+        |  CAST(sum(CASE WHEN basket_sz > 1000 THEN basket_sz - 1000 ELSE 0 END) AS BIGINT)
+        |    AS rows_dropped,
+        |  max(basket_sz) AS max_basket
+        |FROM (SELECT l_orderkey, count(DISTINCT l_partkey) AS basket_sz
+        |      FROM lineitem GROUP BY l_orderkey)""".stripMargin,
     "q_dq_audit" ->
       """SELECT 'orders_null_custkey' AS rule,
         |  (SELECT count(*) FROM orders) AS n_checked,
@@ -1702,6 +1806,9 @@ object SparkEntry {
         |SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id, count(*) AS n_chunks,
         | CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
         |FROM packed GROUP BY 1, 2""".stripMargin,
+    "text_bpe_train" -> BpeSql.trainSql,
+    "text_bpe_encode" -> BpeSql.encodeSql,
+    "text_pack_bpe" -> BpeSql.packSql,
     "q_topk_weighted" ->
       """SELECT o_orderpriority AS k,
         |  array_to_string(list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey)[1:5], ',') AS top_orders

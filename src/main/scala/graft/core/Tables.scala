@@ -16,19 +16,30 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read the raw int64 nanos and truncate to µs —
-      // the same conversion DuckDB applies (ns → its µs timestamp), so
-      // oracle comparisons agree. Integer DIV keeps full precision
-      // (ns-since-epoch overflows double's 53-bit mantissa).
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some
+      // generator versions and plain TIMESTAMP(MICROS) in others, so
+      // the loader normalizes BY OBSERVED TYPE rather than assuming:
+      //  - NANOS: Spark's vectorized reader rejects it — read the raw
+      //    int64 nanos (nanosAsLong) and integer-DIV to µs, the same
+      //    conversion DuckDB applies (ns-since-epoch overflows
+      //    double's 53-bit mantissa, so DIV, never a double cast).
+      //  - MICROS (TIMESTAMP_NTZ): cast to the session-zone timestamp
+      //    (identity under the UTC sessions every entry point pins),
+      //    keeping one downstream ts type across generator versions.
       // CAVEAT: nanosAsLong is session-global and must stay set while
       // the (lazy) scan executes, so it cannot be restored here. It
       // only changes how TIMESTAMP(NANOS) columns parse, and events is
       // the only such table in this schema; a multi-tenant session
       // would need a dedicated reader session instead.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

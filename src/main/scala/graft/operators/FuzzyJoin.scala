@@ -85,9 +85,14 @@ object FuzzyJoin {
   /** All part pairs whose names are within edit distance `tau`
     * (including equal names, dist 0), as (id_a < id_b, dist).
     */
-  def qFuzzyJoin(spark: SparkSession, dir: String, tau: Int = 2): DataFrame = {
+  def qFuzzyJoin(spark: SparkSession, dir: String, tau: Int = 2): DataFrame =
+    fuzzyPairs(t(spark, dir, "part").select(col("p_partkey"), col("p_name")), tau)
+
+  /** Pair join over an arbitrary (p_partkey, p_name) set — the spec
+    * entry point (mass-duplicate corpora).
+    */
+  private[graft] def fuzzyPairs(ids: DataFrame, tau: Int): DataFrame = {
     val nSeg = tau + 1
-    val ids = t(spark, dir, "part").select(col("p_partkey"), col("p_name"))
     val names = ids.select(col("p_name").as("name")).distinct()
     val segUdf = udf((s: String) => segments(s, nSeg))
     val probeUdf = udf((s: String) => probeKeys(s, tau, nSeg))
@@ -107,6 +112,14 @@ object FuzzyJoin {
       .distinct()
       .filter(levenshtein(col("name_lo"), col("name_hi")) <= tau)
       .withColumn("dist", levenshtein(col("name_lo"), col("name_hi")).cast("long"))
+    // Quadratic in the copy count of any single name — inherent to
+    // the all-pairs output contract (k copies ARE C(k,2) pairs; no
+    // algorithm emits fewer). The supported contract is therefore
+    // EXACT-DEDUP-FIRST, same as stated for minhash at Dedup.minhashLsh:
+    // run dedup_exact (or join against its golden survivors) before the
+    // fuzzy join, which collapses identical names to one id each and
+    // bounds this self-join at one row per name. FuzzyJoinSpec pins
+    // the bound on a mass-duplicate corpus.
     val sameName = ids.as("a").join(ids.as("b"),
         col("a.p_name") === col("b.p_name") && col("a.p_partkey") < col("b.p_partkey"))
       .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),

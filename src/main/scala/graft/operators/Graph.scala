@@ -17,10 +17,13 @@ object Graph {
 
   /** Distinct (orderkey, partkey) incidence — collapsed BEFORE any
     * pair join so a part listed twice in an order can't inflate pair
-    * volume (the mr_pagerank guard).
+    * volume, and hot-basket-capped so no single order can go
+    * quadratic in the pair self-join (the shared [[Incidence]]
+    * guard; cap non-binding on testdata, audit via
+    * q_basket_cap_audit).
     */
   private def incidence(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    Incidence.capped(spark, dir)
 
   /** Undirected co-occurrence edge set, each edge ONCE as (a < b). */
   private def undirectedEdges(li: DataFrame): DataFrame =

@@ -83,9 +83,10 @@ object MRJobs {
     // the unrestricted self-join with a ≠ b already emits BOTH
     // directions of every co-occurring pair — the undirected edge set
     // needs no swapped-copy union. Per-order duplicate parts collapse
-    // BEFORE the pair join so an order listing a part twice doesn't
-    // square its contribution to the pre-distinct volume.
-    val li = t(spark, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    // BEFORE the pair join, and the shared hot-basket cap bounds any
+    // single order's pair volume (Incidence guard; non-binding on
+    // testdata, audited by q_basket_cap_audit).
+    val li = Incidence.capped(spark, dir)
     val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
       .join(li.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
       .filter(col("a") =!= col("b"))

@@ -51,11 +51,26 @@ object Relational3 {
     * table has fixed cardinality (one row per returnflag) so its
     * join-back broadcasts at any SF. Clipped sums run through the
     * DECIMAL chain; clip counts are exact integers.
+    *
+    * Scale modes — `exact` (default, the oracle-checked form) uses
+    * `percentile()`, whose ONE aggregation buffer holds EVERY group
+    * value (~N/3 doubles per returnflag here): fine at test SF,
+    * executor-OOM at 100×. `exactBoundaries = false` swaps the
+    * boundary aggregate for `approx_percentile(..., 10000)` — a
+    * Greenwald–Khanna sketch with O(accuracy·log N) memory and rank
+    * error ≤ N/10000, which is the 100 TB path: clipping thresholds
+    * are statistical knobs, not ledger values, so a 0.01 % rank slip
+    * moves only which borderline rows clip (PercentileScaleSpec pins
+    * the drift bound). Everything downstream of the boundary table is
+    * identical in both modes.
     */
-  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+  def qWinsorize(spark: SparkSession, dir: String,
+      exactBoundaries: Boolean = true): DataFrame = {
     val li = t(spark, dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    val pctl = if (exactBoundaries) "percentile(l_extendedprice, array(0.01D, 0.99D))"
+      else "approx_percentile(l_extendedprice, array(0.01D, 0.99D), 10000)"
     val bounds = li.groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, array(0.01D, 0.99D))").as("ps"))
+      .agg(expr(pctl).as("ps"))
       .select(col("l_returnflag"), col("ps").getItem(0).as("lo"), col("ps").getItem(1).as("hi"))
     li.join(broadcast(bounds), "l_returnflag")
       .select(col("l_returnflag"),
@@ -74,16 +89,28 @@ object Relational3 {
     * median passes (MAD needs the median first) with the tiny
     * per-group medians broadcast back between them; exact
     * interpolated medians keep both engines bit-identical.
+    *
+    * Scale modes — same convention as [[qWinsorize]]: the default
+    * exact `percentile()` buffers every group value TWICE here (one
+    * pass for the median, one for the MAD), so `exactBoundaries =
+    * false` runs both passes on the bounded-memory
+    * `approx_percentile` sketch instead. An outlier screen needs a
+    * robust threshold, not an exact one — the flag-count drift the
+    * sketch introduces is bounded by its rank error
+    * (PercentileScaleSpec).
     */
-  def qOutliers(spark: SparkSession, dir: String): DataFrame = {
+  def qOutliers(spark: SparkSession, dir: String,
+      exactBoundaries: Boolean = true): DataFrame = {
+    def p50(c: String) = if (exactBoundaries) s"percentile($c, 0.5D)"
+      else s"approx_percentile($c, 0.5D, 10000)"
     val li = t(spark, dir, "lineitem").select("l_returnflag", "l_extendedprice")
     val med = li.groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, 0.5D)").as("med"))
+      .agg(expr(p50("l_extendedprice")).as("med"))
     val dev = li.join(broadcast(med), "l_returnflag")
       .select(col("l_returnflag"), col("med"),
         abs(col("l_extendedprice") - col("med")).as("adev"))
     val mad = dev.groupBy("l_returnflag")
-      .agg(expr("percentile(adev, 0.5D)").as("mad"))
+      .agg(expr(p50("adev")).as("mad"))
     dev.join(broadcast(mad), "l_returnflag")
       .groupBy("l_returnflag")
       .agg(cnt.as("n"), min(col("med")).as("med"), min(col("mad")).as("mad"),
@@ -176,8 +203,21 @@ object Relational3 {
     * rather than paid three times). score = 1 + Σ(x > qᵢ), so 4 is
     * best on every axis; comparisons against the shared boundary
     * doubles are engine-exact.
+    *
+    * Scale modes — the exact default is the WORST buffer case of the
+    * family: ONE global `percentile` buffer holding all customers × 3
+    * metrics. `exactBoundaries = false` computes the quartile cuts
+    * with `approx_percentile(..., 10000)` (bounded sketch memory,
+    * rank error <= n_customers/10000) — segmentation cut points are
+    * arbitrary to within sampling noise anyway, so only customers
+    * within the error band of a cut can change score
+    * (PercentileScaleSpec pins the changed-score fraction).
     */
-  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+  def qRfm(spark: SparkSession, dir: String,
+      exactBoundaries: Boolean = true): DataFrame = {
+    def quart(c: String) = if (exactBoundaries)
+      s"percentile($c, array(0.25D, 0.5D, 0.75D))"
+      else s"approx_percentile($c, array(0.25D, 0.5D, 0.75D), 10000)"
     val perCust = t(spark, dir, "orders")
       .groupBy("o_custkey")
       .agg(
@@ -186,9 +226,9 @@ object Relational3 {
         cnt.as("freq"),
         sumMoney(col("o_totalprice")).as("monetary"))
     val cuts = perCust.agg(
-      expr("percentile(rec_days, array(0.25D, 0.5D, 0.75D))").as("rq"),
-      expr("percentile(freq, array(0.25D, 0.5D, 0.75D))").as("fq"),
-      expr("percentile(monetary, array(0.25D, 0.5D, 0.75D))").as("mq"))
+      expr(quart("rec_days")).as("rq"),
+      expr(quart("freq")).as("fq"),
+      expr(quart("monetary")).as("mq"))
     def score(x: org.apache.spark.sql.Column, q: String) =
       (lit(1L) + (x > col(q).getItem(0)).cast("long")
         + (x > col(q).getItem(1)).cast("long")
@@ -245,8 +285,12 @@ object Relational3 {
     */
   def qMarketBasket(spark: SparkSession, dir: String, minSupport: Int = 3,
       k: Int = 50): DataFrame = {
-    val li = t(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    // shared hot-basket guard (Incidence): per-part supports and pair
+    // counts both read the CAPPED incidence so support and n_ab stay
+    // mutually consistent if the cap ever binds (it doesn't on
+    // testdata — q_basket_cap_audit pins that)
+    val li = Incidence.capped(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     val nOrders = li.select(countDistinct("o").as("n_orders"))
     val partCnt = li.groupBy("p").agg(cnt.as("n_p"))
     val pairs = li.as("a").join(li.as("b"),
