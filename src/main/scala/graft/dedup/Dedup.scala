@@ -161,12 +161,19 @@ object Dedup {
       .toDF("doc_id", "band", "bucket")
 
   def minhashLsh(spark: SparkSession, dir: String, minSim: Double = 0.5,
+      maxBucketSize: Int = 100): DataFrame =
+    minhashLshFrom(docs(spark, dir), minSim, maxBucketSize)
+
+  /** The LSH pipeline over an arbitrary (doc_id, text) frame — shared
+    * by the dir-based entry point and the split-corpus index specs.
+    */
+  private[graft] def minhashLshFrom(d: DataFrame, minSim: Double = 0.5,
       maxBucketSize: Int = 100): DataFrame = {
     // no .cache(): the signature kernel is a cheap narrow pass, and a
     // returned-lazy DataFrame can't unpersist it — a session-lifetime
     // storage leak costs more than the 3 recomputes (persist explicitly
     // with a lifecycle if signatures are reused across jobs)
-    val sig = minhashSignatures(docs(spark, dir))
+    val sig = minhashSignatures(d)
     val banded = minhashBanded(sig)
     val bounded = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
     val candidates = bounded.as("a").join(bounded.as("b"),
@@ -177,6 +184,75 @@ object Dedup {
     candidates
       .join(sig.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sig.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sa.sig"), col("sb.sig"), (x, y) => x === y),
+          (x: Column) => x)).cast("double") / NumHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minSim)
+  }
+
+  /** Persisted LSH signature index — the incremental form a recurring
+    * ingest needs (round-4 missing #3): every near-dup family
+    * re-signed the whole corpus per run, while dedup_cross/dedup_bloom
+    * made only EXACT dedup incremental. This is the
+    * [[graft.similarity.Ann.buildIvfIndex]] pattern applied to the
+    * minhash band tables: sign the corpus ONCE, persist
+    * (doc_id, band, bucket) + (doc_id, sig), and check each new batch
+    * by signing ONLY the batch and joining its banded rows against the
+    * stored cells.
+    *
+    * Scale shape: the index write is one narrow signature pass + one
+    * shuffle-free banding map; the incremental check joins a
+    * batch-sized banded frame (16 rows/doc) against the corpus band
+    * table on (band, bucket) — candidate volume is bounded by the
+    * batch's cell hits, never a corpus self-join. Cell caps are
+    * recomputed over corpus+batch so the guard semantics equal the
+    * one-shot run's ([[LshIndexSpec]] pins incremental == one-shot on
+    * a split corpus). Composes with [[crossDedup]]/[[bloomCrossDedup]]
+    * as the exact tier: bloom first (drop identical copies without a
+    * shuffle), then this for the near-dup tier.
+    */
+  def buildLshIndex(d: DataFrame, indexPath: String): Unit = {
+    val sig = minhashSignatures(d).localCheckpoint() // one kernel pass feeds both writes
+    sig.write.mode("overwrite").parquet(s"$indexPath/signatures")
+    minhashBanded(sig).write.mode("overwrite").parquet(s"$indexPath/bands")
+  }
+
+  /** Fold a checked batch into the index (append-only files — the
+    * banding is per-doc, so appended rows never rewrite old cells).
+    */
+  def appendToLshIndex(d: DataFrame, indexPath: String): Unit = {
+    val sig = minhashSignatures(d).localCheckpoint()
+    sig.write.mode("append").parquet(s"$indexPath/signatures")
+    minhashBanded(sig).write.mode("append").parquet(s"$indexPath/bands")
+  }
+
+  /** Near-dup pairs INVOLVING the new batch (batch↔corpus and
+    * batch↔batch) without re-signing the corpus: batch-side banded
+    * rows probe the stored band table. Pair ids are normalized
+    * (id_a < id_b) and scored from the stored + batch signatures with
+    * the same matching-positions estimate as [[minhashLsh]].
+    */
+  def incrementalMinhashPairs(spark: SparkSession, indexPath: String,
+      batch: DataFrame, minSim: Double = 0.5,
+      maxBucketSize: Int = 100): DataFrame = {
+    val batchSig = minhashSignatures(batch).localCheckpoint()
+    val batchBanded = minhashBanded(batchSig)
+    val allBanded = spark.read.parquet(s"$indexPath/bands").unionByName(batchBanded)
+    // cap over corpus+batch cells — identical guard semantics to a
+    // one-shot run over the union corpus
+    val bounded = capBuckets(allBanded, Seq("band", "bucket"), maxBucketSize)
+    val batchBounded = bounded.join(
+      batchSig.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val candidates = batchBounded.as("a").join(bounded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .distinct()
+    val sigs = spark.read.parquet(s"$indexPath/signatures").unionByName(batchSig)
+    candidates
+      .join(sigs.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("id_b") === col("sb.doc_id"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sa.sig"), col("sb.sig"), (x, y) => x === y),
           (x: Column) => x)).cast("double") / NumHashes).as("est_jaccard"))
