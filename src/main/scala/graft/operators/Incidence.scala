@@ -67,7 +67,19 @@ object Incidence {
           .orderBy(xxhash64(col("l_orderkey"), col("l_partkey")), col("l_partkey"))))
       .filter(col("rk") <= cap)
       .drop("rk")
+    // The two branches are each hash-partitioned on l_orderkey, so the
+    // raw union ADVERTISES a co-partitioned layout while physically
+    // holding both branches' partitions — a downstream sort-merge
+    // self-join then skips its exchange and zipPartitions dies on the
+    // count mismatch (the sf1 bench failure on bfs/triangles/pagerank;
+    // broadcast joins masked it at test SF). One explicit repartition
+    // makes claimed and actual layouts agree — and since every caller
+    // immediately self-joins on l_orderkey, it is also the partitioning
+    // they want: the pair build becomes a zero-exchange co-partitioned
+    // join. Checkpointed because all callers read it 2–3 times.
     normal.unionByName(sampledHot)
+      .repartition(col("l_orderkey"))
+      .localCheckpoint()
   }
 
   /** No-silent-caps audit: how many baskets exceed the cap, how many

@@ -58,6 +58,28 @@ class IncidenceSpec extends SparkSpec {
       "hash-rank sampling is deterministic across runs")
   }
 
+  test("capped incidence self-join survives sort-merge planning (the sf1 zip bug)") {
+    // At bench scale the pair self-join plans as SMJ, whose
+    // zipPartitions requires the two sides' ACTUAL partition counts to
+    // agree with the claimed co-partitioning. The pre-fix union
+    // (anti-join branch + window branch) reported a co-partitioned
+    // hash layout while physically holding both branches' partitions —
+    // graph_bfs/graph_triangles/mr_pagerank all failed at sf1 with
+    // "Can't zip RDDs with unequal numbers of partitions: List(32, 64)".
+    // Forcing SMJ at test SF reproduces that planning path.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Incidence.cappedFrom(synth, Cap)
+      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint() // the graph_bfs shape: checkpoint ON the join
+      assert(pairs.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("cap is non-binding on the test corpus (oracle-neutral)") {
     val audit = Incidence.capAudit(spark, sf).collect().head
     assert(audit.getLong(0) === 0L, "no hot baskets at test SF")

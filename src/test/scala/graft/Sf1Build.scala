@@ -51,8 +51,18 @@ object Sf1Build {
       col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")), "customer")
     write(t("supplier").crossJoin(repl).select(shift("s_suppkey"),
       col("s_name"), col("s_nationkey"), col("s_acctbal")), "supplier")
+    // p_name gets a per-replica suffix (density preservation, the
+    // probe lesson): raw replication makes 10 identical copies of
+    // EVERY name, which violates q_fuzzy_join's exact-dedup-first
+    // contract and inflates its OUTPUT ~100x (k copies are C(k,2)
+    // pairs by contract — measured 265 s vs 2 s). A trailing suffix
+    // keeps name-dup density at 1x levels while leaving the LIKE
+    // 'prefix%' predicates other queries push down untouched.
     write(t("part").crossJoin(repl).select(shift("p_partkey"),
-      col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+      when(col("r") === 0, col("p_name"))
+        .otherwise(concat(col("p_name"), lit(" q"),
+          expr("substr('abcdefghi', CAST(r AS INT), 1)"))).as("p_name"),
+      col("p_brand"), col("p_type"), col("p_size"),
       col("p_retailprice")), "part")
     // fact tables: every foreign key shifts WITH its replica
     write(t("orders").crossJoin(repl).select(shift("o_orderkey"),
