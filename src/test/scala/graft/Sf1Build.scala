@@ -51,17 +51,22 @@ object Sf1Build {
       col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")), "customer")
     write(t("supplier").crossJoin(repl).select(shift("s_suppkey"),
       col("s_name"), col("s_nationkey"), col("s_acctbal")), "supplier")
-    // p_name gets a per-replica suffix (density preservation, the
-    // probe lesson): raw replication makes 10 identical copies of
-    // EVERY name, which violates q_fuzzy_join's exact-dedup-first
-    // contract and inflates its OUTPUT ~100x (k copies are C(k,2)
-    // pairs by contract — measured 265 s vs 2 s). A trailing suffix
-    // keeps name-dup density at 1x levels while leaving the LIKE
-    // 'prefix%' predicates other queries push down untouched.
+    // p_name gets a per-replica suffix whose LENGTHS are pairwise
+    // > tau apart (3r trailing chars): raw replication makes 10
+    // identical copies of every name, which violates q_fuzzy_join's
+    // exact-dedup-first contract and inflates its output ~100x
+    // (k copies ARE C(k,2) pairs — measured 265 s vs 2 s); an
+    // equal-length tag is not enough either, because PassJoin buckets
+    // by (length, segment) and same-length replicas share prefix
+    // segments — candidate volume x81 despite a clean output
+    // (measured 394 s). Length separation > tau makes the size filter
+    // itself keep replicas apart, so each replica is an independent
+    // 1x-shaped name corpus; prefix/contains LIKE predicates other
+    // queries use still match.
     write(t("part").crossJoin(repl).select(shift("p_partkey"),
       when(col("r") === 0, col("p_name"))
-        .otherwise(concat(col("p_name"), lit(" q"),
-          expr("substr('abcdefghi', CAST(r AS INT), 1)"))).as("p_name"),
+        .otherwise(concat(col("p_name"), lit(" "),
+          expr("repeat('q', 3 * CAST(r AS INT))"))).as("p_name"),
       col("p_brand"), col("p_type"), col("p_size"),
       col("p_retailprice")), "part")
     // fact tables: every foreign key shifts WITH its replica
