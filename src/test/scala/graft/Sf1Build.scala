@@ -63,10 +63,14 @@ object Sf1Build {
     // itself keep replicas apart, so each replica is an independent
     // 1x-shaped name corpus; prefix/contains LIKE predicates other
     // queries use still match.
+    // suffix CONTENT is hash-derived per name (a uniform letter run
+    // would itself be boilerplate: every replica-r name sharing one
+    // q-run makes giant (length, segment) buckets — measured 130 s
+    // residual superlinearity before this)
     write(t("part").crossJoin(repl).select(shift("p_partkey"),
       when(col("r") === 0, col("p_name"))
         .otherwise(concat(col("p_name"), lit(" "),
-          expr("repeat('q', 3 * CAST(r AS INT))"))).as("p_name"),
+          expr("substr(md5(p_name), 1, 3 * CAST(r AS INT))"))).as("p_name"),
       col("p_brand"), col("p_type"), col("p_size"),
       col("p_retailprice")), "part")
     // fact tables: every foreign key shifts WITH its replica
