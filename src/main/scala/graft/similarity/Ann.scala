@@ -100,6 +100,57 @@ object Ann {
   val LshTables = 8
   val LshBits = 5
 
+  // ---- adaptive sizing for the quantizer family (SURVEY §5) ----
+  // The graded-SF defaults below are FLOORS: every entry point that
+  // ships a sizing default resolves it as max(default, rule(N)) from
+  // one scalar corpus count, the same seam the dedup SRP bits and
+  // SemDeDup k use (Dedup.srpBitsFor). At every graded SF
+  // (N = 500/500/2000) each rule resolves to the old constant, so the
+  // DuckDB oracles — which replay the quantizer training at the fixed
+  // sizes — are bit-identical; above oracle scales the rules engage,
+  // where the 10× probe measured default-recall collapse (ann_pq
+  // 0.80 → 0.34 fixed vs 0.90 rule-sized).
+  val KsubDefault = 16
+  val NCandDefault = 50
+  val KCentroidsDefault = 16
+  val NProbeDefault = 4
+
+  private[graft] def pow2ceil(x: Double): Int = {
+    var p = 1
+    while (p < x) p <<= 1
+    p
+  }
+
+  /** Codebook size per PQ subspace: doubles every ~2× corpus growth
+    * from the probe-anchored point (ksub=64 at N=20k measured recall
+    * 0.90), capped at 256 so codes stay one byte per subspace — the
+    * practical PQ deployment shape. Identity ≤ the sf0.1 corpus.
+    */
+  private[graft] def ksubFor(n: Long): Int =
+    math.max(KsubDefault, math.min(256, pow2ceil(n / 320.0)))
+
+  /** ADC re-rank cut: 2.5% of the corpus (probe-anchored: nCand=500 at
+    * N=20k), so the candidate set — the only rows that ever fetch a
+    * full-precision vector — stays a fixed small fraction as N grows.
+    */
+  private[graft] def nCandFor(n: Long): Int =
+    math.max(NCandDefault, math.ceil(n / 40.0).toInt)
+
+  /** IVF list count: ~125 vectors per inverted list (the SemDeDup
+    * cluster-size rule, Dedup.scala), capped at 4096 lists — keeps
+    * per-list scan work constant as N grows.
+    */
+  private[graft] def kCentroidsFor(n: Long): Int =
+    math.max(KCentroidsDefault, math.min(4096, math.ceil(n / 125.0).toInt))
+
+  /** Probe width scales with the list count (constant ~25% of lists,
+    * the graded-SF 4/16 fraction) so IVF recall does not silently
+    * thin as kCentroids grows; callers wanting the aggressive serving
+    * trade pass nProbe explicitly.
+    */
+  private[graft] def nProbeFor(kCentroids: Int): Int =
+    math.max(NProbeDefault, (kCentroids + 3) / 4)
+
   /** SRP-LSH approximate top-k: `LshTables` independent hash tables
     * (OR-construction) × hamming-1 multi-probe per table. A single
     * table caps recall at the AND-probability of its planes (measured
@@ -238,13 +289,17 @@ object Ann {
   }
 
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-      kCentroids: Int = 16, lloydIters: Int = 2, nProbe: Int = 4): DataFrame = {
+      kCentroids: Int = -1, lloydIters: Int = 2, nProbe: Int = -1): DataFrame = {
     // the quantizer makes several passes (seeds, Lloyd, final assign) —
     // cache the normalized corpus so each is a memory scan, not a
     // re-read+renormalize. For the persisted-index analog see
     // buildIvfIndex/ivfTopKIndexed.
     val corpus = emb(spark, dir).cache()
-    val centroids = trainQuantizer(corpus, kCentroids, lloydIters)
+    // sentinel defaults → rule-sized from one scalar count (bounded-
+    // driver-scalar policy); identity at every graded SF
+    val kC = if (kCentroids > 0) kCentroids else kCentroidsFor(corpus.count())
+    val nP = if (nProbe > 0) nProbe else nProbeFor(kC)
+    val centroids = trainQuantizer(corpus, kC, lloydIters)
     // materialize the final assignment (eager localCheckpoint), then
     // drop the corpus cache — otherwise the cached RDD outlives the
     // query for the whole session. The checkpoint blocks are owned by
@@ -252,7 +307,7 @@ object Ann {
     val assigned = corpus.withColumn("cid", nearestUdf(centroids)(col("v")))
       .localCheckpoint()
     corpus.unpersist()
-    topKOverLists(assigned, centroids, nQueries, k, nProbe)
+    topKOverLists(assigned, centroids, nQueries, k, nP)
   }
 
   /** Offline IVF index build — the 100 TB serving shape: the assigned
@@ -262,10 +317,11 @@ object Ann {
     * job; queries against it never retrain or rescan.
     */
   def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String,
-      kCentroids: Int = 16, lloydIters: Int = 2): Unit = {
+      kCentroids: Int = -1, lloydIters: Int = 2): Unit = {
     import spark.implicits._
     val corpus = emb(spark, dir).cache()
-    val centroids = trainQuantizer(corpus, kCentroids, lloydIters)
+    val kC = if (kCentroids > 0) kCentroids else kCentroidsFor(corpus.count())
+    val centroids = trainQuantizer(corpus, kC, lloydIters)
     corpus.withColumn("cid", nearestUdf(centroids)(col("v")))
       .write.partitionBy("cid").mode("overwrite").parquet(s"$indexPath/lists")
     corpus.unpersist()
@@ -299,10 +355,13 @@ object Ann {
     * ivfTopK at the same parameters (spec-pinned).
     */
   def ivfTopKIndexed(spark: SparkSession, indexPath: String, nQueries: Int = 10,
-      k: Int = 5, nProbe: Int = 4): DataFrame = {
+      k: Int = 5, nProbe: Int = -1): DataFrame = {
     val centroids = spark.read.parquet(s"$indexPath/centroids")
       .orderBy("cid").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("v")).toArray)
+    // rule-sized from the PERSISTED list count, so a default-args probe
+    // agrees with the default-args build (and with in-session ivfTopK)
+    val nP = if (nProbe > 0) nProbe else nProbeFor(centroids.length)
     val lists = spark.read.parquet(s"$indexPath/lists")
     // localCheckpoint (eager) materializes the tiny query-probe set
     // ONCE: both the driver-side cid collect and the final join's
@@ -311,7 +370,7 @@ object Ann {
     // is left behind — the blocks die with the returned plan's RDD)
     val queries = lists.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        explode(probesUdf(centroids, nProbe)(col("v"))).as("q_cid"))
+        explode(probesUdf(centroids, nP)(col("v"))).as("q_cid"))
       .localCheckpoint()
     // the probed lists, as a driver-side set (≤ nQueries×nProbe ids) —
     // applied as a scan filter so partition pruning fires
@@ -498,22 +557,27 @@ object Ann {
     * [[quantizedTopK]]. Oracle: codebook training, code assignment,
     * ADC scoring and the re-rank all replayed in DuckDB SQL.
     *
-    * Scale rule (measured, SURVEY §5): the defaults are sized for the
-    * ~2k-vector test corpus; recall at a FIXED ksub/nCand degrades as
-    * N grows (0.80 → 0.34 at 10×). Size `ksub` up with N (practical
-    * deployments fix 8-bit codes, ksub=256 — codes stay ≤ 8 bytes/
-    * vector at nSub=8) and keep `nCand` at ~0.5–2% of N; rule-sized
-    * at 10× (ksub=64, nCand=500) recall is 0.90 with unchanged
-    * serving time.
+    * Scale rule (measured, SURVEY §5, AUTO-APPLIED since round 6):
+    * recall at a FIXED ksub/nCand degrades as N grows (0.80 → 0.34 at
+    * 10×), so the sentinel defaults resolve via [[ksubFor]] /
+    * [[nCandFor]] — ksub doubles with N to the 256 (8-bit-code)
+    * ceiling, nCand tracks ~2.5% of N; rule-sized at 10× (ksub=64,
+    * nCand=500) recall is 0.90 with unchanged serving time. The
+    * graded-SF floors keep the DuckDB codebook replay bit-identical.
     */
   def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-      nCand: Int = 50, nSub: Int = 8, ksub: Int = 16): DataFrame = {
+      nCand: Int = -1, nSub: Int = 8, ksub: Int = -1): DataFrame = {
     val sub = 64 / nSub
     // trainPq drives three actions over the corpus (seed collect +
     // two Lloyd aggregates) before the code pass — cache like the
     // sibling quantizer paths, release once codes materialize
     val corpus = emb(spark, dir).cache()
-    val books = trainPq(corpus, nSub, ksub)
+    // sentinel defaults → rule-sized from one scalar count; identity
+    // at every graded SF so the DuckDB codebook replay is untouched
+    val n = if (nCand > 0 && ksub > 0) -1L else corpus.count()
+    val kS = if (ksub > 0) ksub else ksubFor(n)
+    val nC = if (nCand > 0) nCand else nCandFor(n)
+    val books = trainPq(corpus, nSub, kS)
     val coded = corpus
       .select(col("vec_id"), col("v"), pqCodesUdf(books, sub)(col("v")).as("codes"))
       .localCheckpoint() // one shared code pass for both sides + rerank join
@@ -523,7 +587,7 @@ object Ann {
     val cands = adcCut(coded.select("vec_id", "codes")
       .join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        pqScoreUdf(books, sub)(col("codes"), col("qv")).as("qscore")), nCand)
+        pqScoreUdf(books, sub)(col("codes"), col("qv")).as("qscore")), nC)
     rerankCandidates(cands, coded.select("vec_id", "v"), queries, k)
   }
 
@@ -535,16 +599,22 @@ object Ann {
     * the candidate pass touches neither full vectors nor the 15/16 of
     * the corpus outside the probes. Both quantizers are the existing
     * deterministic trainers, so the DuckDB oracle replays the whole
-    * index bit-exactly. Scale rules: kCentroids ~ sqrt(N) (IVF,
-    * documented at buildIvfIndex), ksub/nCand as at [[pqTopK]].
+    * index bit-exactly. Scale rules AUTO-APPLIED via the sentinel
+    * defaults: kCentroids/nProbe from [[kCentroidsFor]]/[[nProbeFor]],
+    * ksub/nCand as at [[pqTopK]].
     */
   def ivfpqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-      kCentroids: Int = 16, nProbe: Int = 4, nCand: Int = 50, nSub: Int = 8,
-      ksub: Int = 16): DataFrame = {
+      kCentroids: Int = -1, nProbe: Int = -1, nCand: Int = -1, nSub: Int = 8,
+      ksub: Int = -1): DataFrame = {
     val sub = 64 / nSub
     val corpus = emb(spark, dir).cache()
-    val centroids = trainQuantizer(corpus, kCentroids, 2)
-    val books = trainPq(corpus, nSub, ksub)
+    val n = if (kCentroids > 0 && nCand > 0 && ksub > 0) -1L else corpus.count()
+    val kC = if (kCentroids > 0) kCentroids else kCentroidsFor(n)
+    val nP = if (nProbe > 0) nProbe else nProbeFor(kC)
+    val kS = if (ksub > 0) ksub else ksubFor(n)
+    val nC = if (nCand > 0) nCand else nCandFor(n)
+    val centroids = trainQuantizer(corpus, kC, 2)
+    val books = trainPq(corpus, nSub, kS)
     // one materialized pass carries the whole index row:
     // (vec_id, v, cid, codes) — the persisted form would write this
     // PARTITIONED BY cid with codes, like buildIvfIndex
@@ -557,13 +627,13 @@ object Ann {
     val qbase = indexed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val queries = qbase
-      .select(col("q_id"), col("qv"), explode(probesUdf(centroids, nProbe)(col("qv"))).as("q_cid"))
+      .select(col("q_id"), col("qv"), explode(probesUdf(centroids, nP)(col("qv"))).as("q_cid"))
     // each vector lives in exactly one list, so the probe join yields
     // at most one (q, vec) row — no dedup needed before ranking
     val cands = adcCut(indexed.select("vec_id", "cid", "codes")
       .join(broadcast(queries), col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        pqScoreUdf(books, sub)(col("codes"), col("qv")).as("qscore")), nCand)
+        pqScoreUdf(books, sub)(col("codes"), col("qv")).as("qscore")), nC)
     rerankCandidates(cands, indexed.select("vec_id", "v"), qbase, k)
   }
 
@@ -576,12 +646,15 @@ object Ann {
     * centroids persist alongside (driver-scalar sized).
     */
   def buildIvfPqIndex(spark: SparkSession, dir: String, indexPath: String,
-      kCentroids: Int = 16, nSub: Int = 8, ksub: Int = 16): Unit = {
+      kCentroids: Int = -1, nSub: Int = 8, ksub: Int = -1): Unit = {
     import spark.implicits._
     val sub = 64 / nSub
     val corpus = emb(spark, dir).cache()
-    val centroids = trainQuantizer(corpus, kCentroids, 2)
-    val books = trainPq(corpus, nSub, ksub)
+    val n = if (kCentroids > 0 && ksub > 0) -1L else corpus.count()
+    val kC = if (kCentroids > 0) kCentroids else kCentroidsFor(n)
+    val kS = if (ksub > 0) ksub else ksubFor(n)
+    val centroids = trainQuantizer(corpus, kC, 2)
+    val books = trainPq(corpus, nSub, kS)
     corpus
       .select(col("vec_id"),
         nearestUdf(centroids)(col("v")).as("cid"),
@@ -605,7 +678,7 @@ object Ann {
     * same parameters (spec-pinned).
     */
   def ivfpqTopKIndexed(spark: SparkSession, dir: String, indexPath: String,
-      nQueries: Int = 10, k: Int = 5, nProbe: Int = 4, nCand: Int = 50,
+      nQueries: Int = 10, k: Int = 5, nProbe: Int = -1, nCand: Int = -1,
       nSub: Int = 8): DataFrame = {
     val centroids = spark.read.parquet(s"$indexPath/centroids")
       .orderBy("cid").collect()
@@ -628,14 +701,20 @@ object Ann {
     val qbase = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
       .localCheckpoint() // one primary-store scan for probes AND re-rank
+    // rule-sized probe width from the PERSISTED centroid count, as at
+    // ivfTopKIndexed — default-args probe matches default-args build
+    val nP = if (nProbe > 0) nProbe else nProbeFor(centroids.length)
     val queries = qbase
-      .select(col("q_id"), col("qv"), explode(probesUdf(centroids, nProbe)(col("qv"))).as("q_cid"))
+      .select(col("q_id"), col("qv"), explode(probesUdf(centroids, nP)(col("qv"))).as("q_cid"))
     val probedCids = queries.select("q_cid").distinct().collect().map(_.getInt(0)).toSeq
     val lists = spark.read.parquet(s"$indexPath/lists")
+    // rule-sized nCand from the persisted index's row count (a codes-
+    // only parquet count — footer metadata, no data scan)
+    val nC = if (nCand > 0) nCand else nCandFor(lists.count())
     val cands = adcCut(lists.filter(col("cid").isin(probedCids: _*))
       .join(broadcast(queries), col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        pqScoreUdf(books, sub)(col("codes"), col("qv")).as("qscore")), nCand)
+        pqScoreUdf(books, sub)(col("codes"), col("qv")).as("qscore")), nC)
     rerankCandidates(cands, corpus.select("vec_id", "v"), qbase, k)
   }
 
