@@ -211,19 +211,83 @@ object Dedup {
     * as the exact tier: bloom first (drop identical copies without a
     * shuffle), then this for the near-dup tier.
     */
-  def buildLshIndex(d: DataFrame, indexPath: String): Unit = {
-    val sig = minhashSignatures(d).localCheckpoint() // one kernel pass feeds both writes
-    sig.write.mode("overwrite").parquet(s"$indexPath/signatures")
-    minhashBanded(sig).write.mode("overwrite").parquet(s"$indexPath/bands")
+  // ---- epoch-committed index publication ----
+  // The index is TWO tables (signatures + bands) that must stay in
+  // sync; two bare parquet writes are not atomic — a crash between
+  // them would leave candidates findable in bands but unscoreable (or
+  // vice versa), silently changing incremental results. So each
+  // build/append stages both tables under an immutable seg-<uuid>/
+  // dir and publishes them with ONE fail-if-exists hard-link marker
+  // (the VersionedTable commit primitive): readers union committed
+  // segments only, and a crash mid-stage leaves invisible garbage,
+  // never a bands/signatures mismatch.
+
+  private def segMarkerDir(indexPath: String): java.nio.file.Path =
+    java.nio.file.Paths.get(indexPath, "_commits")
+
+  private def committedSegs(indexPath: String): Seq[String] = {
+    val dir = segMarkerDir(indexPath)
+    if (!java.nio.file.Files.exists(dir)) Nil
+    else scala.util.Using.resource(java.nio.file.Files.list(dir)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toSeq
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("e") && !n.startsWith("e.")) // e<n> markers
+        .sortBy(_.stripPrefix("e").toLong)
+        .map(n => java.nio.file.Files.readString(dir.resolve(n)).trim)
+    }
   }
 
-  /** Fold a checked batch into the index (append-only files — the
+  private def commitSeg(indexPath: String, sig: DataFrame, banded: DataFrame): Unit = {
+    val seg = s"seg-${java.util.UUID.randomUUID().toString.take(8)}"
+    sig.write.parquet(s"$indexPath/$seg/signatures")
+    banded.write.parquet(s"$indexPath/$seg/bands")
+    val dir = segMarkerDir(indexPath)
+    java.nio.file.Files.createDirectories(dir)
+    var attempt = 0
+    while (attempt >= 0) {
+      val e = scala.util.Using.resource(java.nio.file.Files.list(dir)) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.map(_.getFileName.toString)
+          .filter(_.matches("e\\d+")).map(_.stripPrefix("e").toLong)
+          .maxOption.getOrElse(0L) + 1
+      }
+      val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.writeString(tmp, seg)
+      try {
+        // link(2) fails if e<n> landed meanwhile (rename would replace)
+        java.nio.file.Files.createLink(dir.resolve(s"e$e"), tmp)
+        java.nio.file.Files.deleteIfExists(tmp)
+        return
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp)
+          attempt += 1
+          require(attempt < 100, s"index commit contention at $indexPath")
+      }
+    }
+  }
+
+  private[graft] def indexTable(spark: SparkSession, indexPath: String,
+      name: String): DataFrame = {
+    val segs = committedSegs(indexPath)
+    require(segs.nonEmpty, s"no committed index at $indexPath")
+    spark.read.parquet(segs.map(s => s"$indexPath/$s/$name"): _*)
+  }
+
+  def buildLshIndex(d: DataFrame, indexPath: String): Unit = {
+    require(committedSegs(indexPath).isEmpty,
+      s"index already exists at $indexPath — build into a fresh path (append with appendToLshIndex)")
+    val sig = minhashSignatures(d).localCheckpoint() // one kernel pass feeds both writes
+    commitSeg(indexPath, sig, minhashBanded(sig))
+  }
+
+  /** Fold a checked batch into the index (append-only segments — the
     * banding is per-doc, so appended rows never rewrite old cells).
     */
   def appendToLshIndex(d: DataFrame, indexPath: String): Unit = {
     val sig = minhashSignatures(d).localCheckpoint()
-    sig.write.mode("append").parquet(s"$indexPath/signatures")
-    minhashBanded(sig).write.mode("append").parquet(s"$indexPath/bands")
+    commitSeg(indexPath, sig, minhashBanded(sig))
   }
 
   /** Near-dup pairs INVOLVING the new batch (batch↔corpus and
@@ -235,9 +299,17 @@ object Dedup {
   def incrementalMinhashPairs(spark: SparkSession, indexPath: String,
       batch: DataFrame, minSim: Double = 0.5,
       maxBucketSize: Int = 100): DataFrame = {
-    val batchSig = minhashSignatures(batch).localCheckpoint()
+    // re-ingested ids are dropped BEFORE the union: a batch doc_id
+    // already in the stored signatures would otherwise appear twice in
+    // the sigs union and fan the scoring joins out into duplicate/self
+    // pairs (the stored copy is authoritative; its pairs were already
+    // reported when it was first checked)
+    val storedIds = indexTable(spark, indexPath, "signatures").select(col("doc_id"))
+    val batchSig = minhashSignatures(batch)
+      .join(storedIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     val batchBanded = minhashBanded(batchSig)
-    val allBanded = spark.read.parquet(s"$indexPath/bands").unionByName(batchBanded)
+    val allBanded = indexTable(spark, indexPath, "bands").unionByName(batchBanded)
     // cap over corpus+batch cells — identical guard semantics to a
     // one-shot run over the union corpus
     val bounded = capBuckets(allBanded, Seq("band", "bucket"), maxBucketSize)
@@ -249,7 +321,7 @@ object Dedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
       .distinct()
-    val sigs = spark.read.parquet(s"$indexPath/signatures").unionByName(batchSig)
+    val sigs = indexTable(spark, indexPath, "signatures").unionByName(batchSig)
     candidates
       .join(sigs.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sigs.as("sb"), col("id_b") === col("sb.doc_id"))

@@ -30,12 +30,17 @@ import org.apache.spark.sql.functions._
   *    total order both engines sort identically (ASCII strings).
   *  - merge application: leftmost non-overlapping `replace` on the
   *    padded seq string — both engines' replace() scans left to right
-  *    and resumes AFTER each replacement. For a run of a
-  *    self-merging symbol ("a a a a a") this pairs (aa) a (aa) where
-  *    canonical BPE pairs (aa)(aa) a — a documented, deterministic
-  *    deviation (token COUNTS match; only the pairing inside such
-  *    runs differs), accepted to keep train/encode replayable as
-  *    pure string expressions in any engine.
+  *    and resumes AFTER each replacement. Because the resume point is
+  *    AFTER the consumed delimiter space, any occurrence of the merge
+  *    pair that shares that space with the previous match is skipped
+  *    that round, not just inside self-merging runs: "a a a a a"
+  *    pairs (aa) a (aa) vs canonical (aa)(aa) a, and "a b a b"
+  *    becomes "ab a b" (3 tokens) where canonical BPE gives
+  *    "ab ab" (2). So token COUNTS can exceed canonical BPE's for
+  *    repeated pairs — a documented, deterministic deviation, applied
+  *    IDENTICALLY by both engines (Spark/DuckDB parity is exact),
+  *    accepted to keep train/encode replayable as pure string
+  *    expressions in any engine.
   */
 object Bpe {
 

@@ -60,4 +60,45 @@ class LshIndexSpec extends SparkSpec {
     val hits = pairs.filter(col("est_jaccard") >= 0.99).count()
     assert(hits >= 3L, "re-ingested copies pair with their indexed originals")
   }
+
+  test("re-ingesting already-indexed ids emits no duplicate or self pairs") {
+    // a batch whose doc_ids are ALREADY in the index must be dropped
+    // before the union (stored copy is authoritative): no self pairs,
+    // no duplicated signature rows fanning the scoring joins out
+    val corpus = core.Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val reingested = corpus.filter(pmod(col("doc_id"), lit(5)) === 0).limit(5)
+    val pairs = Dedup.incrementalMinhashPairs(spark, indexPath, reingested).cache()
+    assert(pairs.filter(col("id_a") === col("id_b")).count() === 0L, "no self pairs")
+    assert(pairs.count() === pairs.distinct().count(), "no duplicate pairs")
+    // fully re-ingested batch contributes nothing new — every pair it
+    // could form was reported when the ids were first checked
+    assert(pairs.count() === 0L, "stored ids are authoritative")
+    pairs.unpersist()
+  }
+
+  test("a crash between the two table writes is invisible to readers") {
+    // stage a seg dir with only ONE of the two tables and no marker —
+    // the shape a crash between writes leaves behind; the index must
+    // read exactly as before (marker-committed segments only)
+    val before = Dedup.incrementalMinhashPairs(spark, indexPath,
+      core.Tables.load(spark, sf, "documents").select("doc_id", "text").limit(3)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text")))
+      .collect().toSet
+    val orphan = Paths.get(indexPath, "seg-deadbeef")
+    core.Tables.load(spark, sf, "documents").select("doc_id", "text").limit(2)
+      .write.parquet(s"$indexPath/seg-deadbeef/signatures") // bands never written
+    assert(Files.exists(orphan))
+    val after = Dedup.incrementalMinhashPairs(spark, indexPath,
+      core.Tables.load(spark, sf, "documents").select("doc_id", "text").limit(3)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text")))
+      .collect().toSet
+    assert(after === before, "uncommitted segment is garbage, not a sig/band mismatch")
+  }
+
+  test("build refuses to clobber an existing committed index") {
+    val e = intercept[IllegalArgumentException](
+      Dedup.buildLshIndex(
+        core.Tables.load(spark, sf, "documents").select("doc_id", "text"), indexPath))
+    assert(e.getMessage.contains("already exists"))
+  }
 }

@@ -64,6 +64,44 @@ class VersionedTableSpec extends SparkSpec {
       "compacted snapshot shares no files with the old one")
   }
 
+  test("racing appends: no lost update — every append's rows survive") {
+    // On Linux a rename(2)-based publish silently REPLACES the target,
+    // so two racing writers could both "succeed" with one manifest
+    // clobbered; and a retry that reuses its pre-race file list drops
+    // the winner's files. The hard-link publish + files-from-base
+    // closure close both: whatever the interleaving, the final head
+    // must contain the base rows plus ALL appended batches.
+    val t = freshTable("race")
+    VersionedTable.overwrite(spark, t, base)
+    val nWriters = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = (0 until nWriters).map { i =>
+      scala.concurrent.Future {
+        VersionedTable.append(spark, t,
+          spark.range(1000L + i, 1001L + i).select(col("id").as("k"), lit(s"W$i").as("v")))
+      }
+    }
+    val committed = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures), scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    assert(committed.toSet.size === nWriters, "every writer got a distinct version")
+    assert(VersionedTable.versions(t).last === 1L + nWriters, "contiguous log")
+    val head = VersionedTable.read(spark, t)
+    assert(head.count() === base.count() + nWriters, "no appended batch lost")
+    assert(head.filter(col("k") >= 1000).count() === nWriters.toLong)
+  }
+
+  test("append/upsert on an uninitialized table fail loudly, not with NoSuchElement") {
+    val t = freshTable("uninit")
+    val one = spark.range(0, 1).select(col("id").as("k"), lit("X").as("v"))
+    val e1 = intercept[IllegalArgumentException](VersionedTable.append(spark, t, one))
+    assert(e1.getMessage.contains("uninitialized"))
+    val e2 = intercept[IllegalArgumentException](VersionedTable.upsert(spark, t, one, "k"))
+    assert(e2.getMessage.contains("uninitialized"))
+  }
+
   test("a crashed mid-commit leaves the old snapshot readable") {
     val t = freshTable("crash")
     VersionedTable.overwrite(spark, t, base)
