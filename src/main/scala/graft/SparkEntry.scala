@@ -121,6 +121,8 @@ object SparkEntry {
     "q_islands" -> (operators.ComplexTypes.qIslands _),
     "q_cdc_apply" -> (operators.ComplexTypes.qCdcApply _),
     "q_upsert" -> (operators.ComplexTypes.qUpsert _),
+    "q_upsert_versioned" -> (operators.VersionedQueries.qUpsertVersioned _),
+    "q_time_travel" -> (operators.VersionedQueries.qTimeTravel _),
     "q_funnel" -> (operators.ComplexTypes.qFunnel _),
     "q7_volume" -> (operators.TpchExtra.q7Volume _),
     "q10_returns" -> (operators.TpchExtra.q10Returns _),
@@ -995,6 +997,26 @@ object SparkEntry {
         |       ELSE 'keep' END AS action,
         |  coalesce(c_acctbal, 0.0) + coalesce(delta, 0.0) AS new_bal
         |FROM target FULL OUTER JOIN changes ON c_custkey = o_custkey""".stripMargin,
+    // q_upsert_versioned result has round-tripped through the
+    // VersionedTable commit log (stage -> manifest publish -> manifest-
+    // selected read); the oracle replays the merge semantics in SQL
+    "q_upsert_versioned" ->
+      """WITH target AS (
+        |  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 0),
+        |updates AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS c_acctbal
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT coalesce(t.c_custkey, u.c_custkey) AS c_custkey,
+        |  coalesce(u.c_acctbal, t.c_acctbal) AS c_acctbal
+        |FROM target t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey""".stripMargin,
+    // q_time_travel pins version 1 AFTER a later upsert committed: the
+    // oracle is the plain pre-merge slice — any v2 file leaking into
+    // (or v1 file missing from) the pinned read fails the hash check
+    "q_time_travel" ->
+      "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 0",
     "q_cdc_apply" ->
       """WITH log AS (
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value,

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+
+/** Oracle-checked queries that route the lakehouse-maintenance shapes
+  * THROUGH the VersionedTable commit log (round-6: the layer existed
+  * but no query path used it — a real user's MERGE wants the
+  * atomic-commit path, and time travel had no oracle evidence).
+  *
+  * Both queries build a throwaway versioned table under a fresh temp
+  * dir, commit version(s), and return what a READER of the commit log
+  * resolves — so the values the DuckDB oracle checks have actually
+  * passed through stageData → manifest publish → manifest-selected
+  * read, not just through a DataFrame plan. The oracle replays the
+  * MERGE semantics in SQL over the same source parquet tables.
+  */
+object VersionedQueries {
+
+  private def freshTable(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-vq-$tag").toString + "/t"
+
+  /** The target dim slice committed as version 1: customer keys not
+    * divisible by 3 (so the upsert has genuine INSERTs), with their
+    * balances.
+    */
+  private def target(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey"), col("c_acctbal"))
+
+  /** The update batch: 1997Q1 order totals per customer, shaped to the
+    * target's schema (updates WIN on matched keys — VersionedTable's
+    * coalesce(u, t) merge rule — and insert otherwise).
+    */
+  private def updates(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(sumMoney(col("o_totalprice")).as("c_acctbal"))
+      .select(col("o_custkey").as("c_custkey"), col("c_acctbal"))
+
+  /** q_upsert_versioned: MERGE routed through the commit log — v1
+    * commits the target slice, v2 commits the upsert (full-outer merge,
+    * updates win, inserts land, unmatched target rows kept), and the
+    * result is the HEAD SNAPSHOT read back through its manifest.
+    * Scale shape: the merge itself is VersionedTable.upsert's ordinary
+    * key-partitioned full-outer join; the commit adds one driver-side
+    * manifest publish — O(files), no data movement beyond the merge
+    * write itself.
+    */
+  def qUpsertVersioned(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("upsert")
+    VersionedTable.overwrite(spark, table, target(spark, dir))
+    VersionedTable.upsert(spark, table, updates(spark, dir), "c_custkey")
+    VersionedTable.read(spark, table)
+  }
+
+  /** q_time_travel: after the same v1 → v2 upsert history, a reader
+    * pinned to VERSION 1 must see exactly the pre-merge slice — the
+    * manifest selects v1's immutable files even though v2 landed.
+    * The oracle is therefore the plain target-slice SQL: if time
+    * travel leaked any v2 file (or lost a v1 file), the hash check
+    * fails.
+    */
+  def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("travel")
+    val v1 = VersionedTable.overwrite(spark, table, target(spark, dir))
+    VersionedTable.upsert(spark, table, updates(spark, dir), "c_custkey")
+    VersionedTable.read(spark, table, Some(v1))
+  }
+}
