@@ -238,10 +238,10 @@ object Dedup {
     }
   }
 
-  private def commitSeg(indexPath: String, sig: DataFrame, banded: DataFrame): Unit = {
+  private[graft] def commitSeg(indexPath: String,
+      tables: Seq[(String, DataFrame)]): Unit = {
     val seg = s"seg-${java.util.UUID.randomUUID().toString.take(8)}"
-    sig.write.parquet(s"$indexPath/$seg/signatures")
-    banded.write.parquet(s"$indexPath/$seg/bands")
+    tables.foreach { case (name, df) => df.write.parquet(s"$indexPath/$seg/$name") }
     val dir = segMarkerDir(indexPath)
     java.nio.file.Files.createDirectories(dir)
     var attempt = 0
@@ -279,7 +279,7 @@ object Dedup {
     require(committedSegs(indexPath).isEmpty,
       s"index already exists at $indexPath — build into a fresh path (append with appendToLshIndex)")
     val sig = minhashSignatures(d).localCheckpoint() // one kernel pass feeds both writes
-    commitSeg(indexPath, sig, minhashBanded(sig))
+    commitSeg(indexPath, Seq("signatures" -> sig, "bands" -> minhashBanded(sig)))
   }
 
   /** Fold a checked batch into the index (append-only segments — the
@@ -287,7 +287,7 @@ object Dedup {
     */
   def appendToLshIndex(d: DataFrame, indexPath: String): Unit = {
     val sig = minhashSignatures(d).localCheckpoint()
-    commitSeg(indexPath, sig, minhashBanded(sig))
+    commitSeg(indexPath, Seq("signatures" -> sig, "bands" -> minhashBanded(sig)))
   }
 
   /** Near-dup pairs INVOLVING the new batch (batch↔corpus and
@@ -360,12 +360,21 @@ object Dedup {
     * for radius-3 at that scale.
     */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3,
+      maxBucketSize: Int = 100): DataFrame =
+    simhashFrom(docs(spark, dir), maxHamming, maxBucketSize)
+
+  /** One-shot simhash pairs over an arbitrary (doc_id, text) frame —
+    * [[simhash]]'s body, factored so the persisted-index specs can
+    * compare incremental results against a one-shot reference on a
+    * split corpus (the minhashLshFrom pattern).
+    */
+  def simhashFrom(d: DataFrame, maxHamming: Int = 3,
       maxBucketSize: Int = 100): DataFrame = {
     // 4 chunks guarantee a shared chunk only for hamming <= 3
     // (pigeonhole); a larger radius would silently lose recall
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming unsupported: 4x16-bit banding covers radius <= 3")
-    val sig = simhashSignatures(docs(spark, dir))
+    val sig = simhashSignatures(d)
     val banded = simhashBanded(sig)
     // same quadratic guard as minhashLsh ([[capBuckets]] scaladoc)
     val bounded = capBuckets(banded, Seq("band", "chunk"), maxBucketSize)
@@ -377,6 +386,72 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  // ---- generic persisted hamming-band index (simhash / phash) ----
+  // The 4×16-bit-chunk hamming family persists as ONE table ("bands":
+  // id, hash, band, chunk) — banded rows carry the hash, so in-bucket
+  // verification needs no signature join — published with the same
+  // epoch-committed marker protocol as the minhash index. Shared by
+  // text SimHash (doc_id/simhash) and multimodal pHash
+  // (media_id/phash): round 5 recomputed both band tables per run,
+  // so incremental image/doc dedup was corpus-sized, not batch-sized.
+
+  private[graft] def buildBandIndex(banded: DataFrame, indexPath: String): Unit = {
+    require(committedSegs(indexPath).isEmpty,
+      s"index already exists at $indexPath — build into a fresh path (append instead)")
+    commitSeg(indexPath, Seq("bands" -> banded))
+  }
+
+  private[graft] def appendBandIndex(banded: DataFrame, indexPath: String): Unit =
+    commitSeg(indexPath, Seq("bands" -> banded))
+
+  /** Near-dup pairs INVOLVING the new batch without re-hashing the
+    * corpus: batch banded rows probe the stored band table; bucket
+    * caps are recomputed over stored ∪ batch so guard semantics equal
+    * a one-shot run over the union corpus; batch ids already present
+    * in the index are dropped first (stored copy authoritative — the
+    * incrementalMinhashPairs rule).
+    */
+  private[graft] def incrementalBandPairs(spark: SparkSession, indexPath: String,
+      batchBanded0: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, maxBucketSize: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming unsupported: 4x16-bit banding covers radius <= 3")
+    val stored = indexTable(spark, indexPath, "bands")
+    val storedIds = stored.select(col(idCol)).distinct()
+    val batchBanded = batchBanded0
+      .join(storedIds, Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val all = stored.unionByName(batchBanded)
+    val bounded = capBuckets(all, Seq("band", "chunk"), maxBucketSize)
+    val batchSide = bounded.join(
+      batchBanded.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+    batchSide.as("a").join(bounded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"),
+        bit_count(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Persisted SimHash band index: sign + band each batch ONCE, store
+    * the banded rows, probe new batches against the stored cells —
+    * the buildLshIndex/appendToLshIndex shape for the hamming family.
+    */
+  def buildSimhashIndex(d: DataFrame, indexPath: String): Unit =
+    buildBandIndex(simhashBanded(simhashSignatures(d)), indexPath)
+
+  def appendToSimhashIndex(d: DataFrame, indexPath: String): Unit =
+    appendBandIndex(simhashBanded(simhashSignatures(d)), indexPath)
+
+  def incrementalSimhashPairs(spark: SparkSession, indexPath: String,
+      batch: DataFrame, maxHamming: Int = 3, maxBucketSize: Int = 100): DataFrame =
+    incrementalBandPairs(spark, indexPath,
+      simhashBanded(simhashSignatures(batch)), "doc_id", "simhash",
+      maxHamming, maxBucketSize)
 
   /** Incremental (cross-corpus) exact dedup: which documents of a new
     * batch are unseen against the existing corpus — the shape every

@@ -199,19 +199,52 @@ object Multimodal {
     * the shuffle — bands carry (media_id, phash) only, so at 100 TB
     * of images the join moves ~16 bytes per row per band.
     */
-  def phashDedup(spark: SparkSession, dir: String, maxHamming: Int = 3,
-      maxBucketSize: Int = 100): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"maxHamming=$maxHamming unsupported: 4x16-bit banding covers radius <= 3")
-    val sig = variantMediaTable(spark, dir).toDF()
-      .select(col("media_id"), phashUdf(col("payload")).as("phash"))
-    val banded = sig.select(col("media_id"), col("phash"),
+  /** (media_id, phash) per payload — factored for the persisted index. */
+  private[graft] def phashSignatures(media: DataFrame): DataFrame =
+    media.select(col("media_id"), phashUdf(col("payload")).as("phash"))
+
+  /** 4×16-bit chunk banding of phash signatures (simhashBanded's twin). */
+  private[graft] def phashBandedOf(sig: DataFrame): DataFrame =
+    sig.select(col("media_id"), col("phash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("phash"), b * 16).bitwiseAND(0xffffL)): _*)))
       .toDF("media_id", "phash", "band", "chunk")
-    // same quadratic guard as the text dedup family: cells above the
-    // cap are dropped before the self-join (geometric cell size here
-    // is ~4 — the variants of one base — far under the cap)
+
+  // quadratic guard as in the text dedup family: cells above the cap
+  // are dropped before the self-join (geometric cell size here is ~4 —
+  // the variants of one base — far under the cap)
+  def phashDedup(spark: SparkSession, dir: String, maxHamming: Int = 3,
+      maxBucketSize: Int = 100): DataFrame =
+    phashDedupFrom(variantMediaTable(spark, dir).toDF(), maxHamming, maxBucketSize)
+
+  /** Persisted pHash band index — incremental IMAGE dedup (round-6:
+    * the band table was recomputed per run, so each ingest paid
+    * corpus-sized hashing). Hash + band each media batch ONCE, commit
+    * the banded rows as an immutable segment (the epoch-marker
+    * protocol shared with the minhash/simhash indexes), and probe new
+    * batches against the stored cells: batch-sized work per ingest,
+    * payloads never leave the hashing pass.
+    */
+  def buildPhashIndex(media: DataFrame, indexPath: String): Unit =
+    graft.dedup.Dedup.buildBandIndex(phashBandedOf(phashSignatures(media)), indexPath)
+
+  def appendToPhashIndex(media: DataFrame, indexPath: String): Unit =
+    graft.dedup.Dedup.appendBandIndex(phashBandedOf(phashSignatures(media)), indexPath)
+
+  def incrementalPhashPairs(spark: SparkSession, indexPath: String,
+      batch: DataFrame, maxHamming: Int = 3, maxBucketSize: Int = 100): DataFrame =
+    graft.dedup.Dedup.incrementalBandPairs(spark, indexPath,
+      phashBandedOf(phashSignatures(batch)), "media_id", "phash",
+      maxHamming, maxBucketSize)
+
+  /** One-shot phash pairs over an arbitrary (media_id, payload) frame —
+    * the index specs' split-corpus reference (simhashFrom's twin).
+    */
+  def phashDedupFrom(media: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Int = 100): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming unsupported: 4x16-bit banding covers radius <= 3")
+    val banded = phashBandedOf(phashSignatures(media))
     val ok = banded.groupBy("band", "chunk").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucketSize).select("band", "chunk")
     val bounded = banded.join(ok, Seq("band", "chunk"))
