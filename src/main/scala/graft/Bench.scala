@@ -31,9 +31,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // data-scaled parallelism knob (round-6 item 4): at 10x volume the
+    // fixed cpus-partition default under-splits the big shuffles, so a
+    // scale run can set partitions independently of the thread count
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
@@ -184,7 +189,7 @@ object Bench {
     // sorts to the truncated HEAD (-1.0) and is excluded from the
     // total, so without this field a breakage would read as a speedup
     val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"queries":$qs,"metric":"total","unit":"sec","sf":"$sfDir","passes":$pass,"wall":$elapsedS,"cleanup_s":$cleanupS,"top5":$top5,"failed":$failed,"value":$total}""")
+    println(s"""{"queries":$qs,"metric":"total","unit":"sec","sf":"$sfDir","passes":$pass,"cpus":$cpus,"shuffle_partitions":$shufflePartitions,"wall":$elapsedS,"cleanup_s":$cleanupS,"top5":$top5,"failed":$failed,"value":$total}""")
     spark.stop()
   }
 }

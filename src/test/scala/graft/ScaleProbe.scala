@@ -152,6 +152,27 @@ object ScaleProbe {
       }
     }
 
+    // BPE at realistic merge counts (round-6 item 9): train time vs k
+    // at 10x (the vocab-bound claim — train cost is k small jobs over
+    // a word-frequency table whose size does NOT grow with corpus
+    // size, so time should be ~linear in k and corpus-size-invariant),
+    // and the encode expression-depth ceiling (k nested replace()
+    // calls; Spark splits oversized codegen into methods and falls
+    // back to interpreted past the Janino 64 KiB limit — the probe
+    // records where that bites in wall time).
+    if (on("bpe")) {
+      for (k <- Seq(16, 64, 128)) {
+        val t0 = System.nanoTime()
+        val merges = graft.operators.Bpe.trainMerges(spark, out, k)
+        val trainS = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val n = graft.operators.Bpe.encode(spark, out, k)
+          .agg(sum("n_tokens")).head.getLong(0)
+        val encS = (System.nanoTime() - t1) / 1e9
+        println(f"[probe] bpe @10x k=$k: merges=${merges.size} train=${trainS}%.1f s encode(total incl retrain)=${encS}%.1f s tokens=$n")
+      }
+    }
+
     // ann_lsh / ann_pq recall vs brute force on the 10x corpus (pq:
     // the codebook stays 8x16x8 regardless of N — what must scale is
     // the nCand re-rank cut relative to corpus size, so the fixed-cut
@@ -168,6 +189,19 @@ object ScaleProbe {
         val pq = graft.similarity.Ann.pqTopK(spark, out, nCand = nCand, ksub = ksub)
           .select(col("q_id"), col("neighbor_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         println(f"[probe] ann_pq @10x nCand=$nCand ksub=$ksub: recall=${(bf & pq).size.toDouble / bf.size}%.3f time=${(System.nanoTime() - t1) / 1e9}%.1f s")
+      }
+      // round-6 gate: with the adaptive seam, DEFAULT arguments at 10x
+      // must resolve to the rule sizes (ksub=64/nCand=500/kC=160) and
+      // deliver recall >= 0.75 — round 5 measured 0.34 here at the
+      // then-fixed defaults
+      for ((nm, f) <- Seq(
+          ("ann_pq DEFAULTS", () => graft.similarity.Ann.pqTopK(spark, out)),
+          ("ann_ivfpq DEFAULTS", () => graft.similarity.Ann.ivfpqTopK(spark, out)),
+          ("ann_ivf DEFAULTS", () => graft.similarity.Ann.ivfTopK(spark, out)))) {
+        val t1 = System.nanoTime()
+        val got = f().select(col("q_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"[probe] $nm @10x: recall=${(bf & got).size.toDouble / bf.size}%.3f time=${(System.nanoTime() - t1) / 1e9}%.1f s")
       }
     }
     spark.stop()
