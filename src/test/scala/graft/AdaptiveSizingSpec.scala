@@ -25,7 +25,7 @@ class AdaptiveSizingSpec extends SparkSpec {
     assert(Ann.ksubFor(20000L) === 64) // measured recall 0.90 at 10x
     assert(Ann.nCandFor(20000L) === 500)
     assert(Ann.kCentroidsFor(20000L) === 160)
-    assert(Ann.nProbeFor(160) === 40) // constant 25%-of-lists fraction
+    assert(Ann.nProbeFor(160) === 60) // engaged 37.5%-of-lists fraction
   }
 
   test("sizing rules respect their deployment ceilings") {
