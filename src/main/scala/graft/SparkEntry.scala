@@ -123,6 +123,7 @@ object SparkEntry {
     "q_upsert" -> (operators.ComplexTypes.qUpsert _),
     "q_upsert_versioned" -> (operators.VersionedQueries.qUpsertVersioned _),
     "q_time_travel" -> (operators.VersionedQueries.qTimeTravel _),
+    "q_zone_map_read" -> (operators.VersionedQueries.qZoneMapRead _),
     "q_funnel" -> (operators.ComplexTypes.qFunnel _),
     "q7_volume" -> (operators.TpchExtra.q7Volume _),
     "q10_returns" -> (operators.TpchExtra.q10Returns _),
@@ -1017,6 +1018,14 @@ object SparkEntry {
     // (or v1 file missing from) the pinned read fails the hash check
     "q_time_travel" ->
       "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 0",
+    // q_zone_map_read went through manifest zone-map file skipping
+    // (the query itself asserts files were skipped); the oracle is the
+    // plain range filter that skipping must be invisible to. The
+    // bounds replicate the query's max/3 thirds arithmetic.
+    "q_zone_map_read" ->
+      """WITH b AS (SELECT max(c_custkey) // 3 AS third FROM customer)
+        |SELECT c_custkey, c_acctbal FROM customer, b
+        |WHERE c_custkey > third AND c_custkey <= 2 * third""".stripMargin,
     "q_cdc_apply" ->
       """WITH log AS (
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value,

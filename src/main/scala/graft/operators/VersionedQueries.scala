@@ -71,4 +71,30 @@ object VersionedQueries {
     VersionedTable.upsert(spark, table, updates(spark, dir), "c_custkey")
     VersionedTable.read(spark, table, Some(v1))
   }
+
+  /** q_zone_map_read: a key-clustered commit history (three appends
+    * with disjoint c_custkey thirds) probed through
+    * [[VersionedTable.readRange]] — the manifest zone maps skip the
+    * non-matching commits' files (asserted: the probe opens fewer
+    * files than the snapshot holds), and the oracle is the plain SQL
+    * range filter the skipping must be invisible to.
+    */
+  def qZoneMapRead(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("zone")
+    val all = t(spark, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    // one-row bound scalars (table parameters, not data)
+    val mx = all.agg(max("c_custkey")).head.getLong(0)
+    val third = mx / 3
+    VersionedTable.overwrite(spark, table, all.filter(col("c_custkey") <= third))
+    VersionedTable.append(spark, table,
+      all.filter(col("c_custkey") > third && col("c_custkey") <= 2 * third))
+    VersionedTable.append(spark, table, all.filter(col("c_custkey") > 2 * third))
+    val lo = third + 1
+    val hi = 2 * third
+    val (kept, total) = VersionedTable.filesForRange(table, "c_custkey", lo, hi)
+    require(kept.size < total,
+      s"zone maps must skip the disjoint commits (kept ${kept.size}/$total)")
+    VersionedTable.readRange(spark, table, "c_custkey", lo, hi)
+      .select(col("c_custkey"), col("c_acctbal"))
+  }
 }

@@ -87,15 +87,74 @@ object VersionedTable {
 
   /** Stage a new data dir for the NEXT commit; returns the relative
     * parquet paths it produced. The dir is invisible to readers until
-    * a manifest referencing it lands.
+    * a manifest referencing it lands. Alongside the parquet files the
+    * stage writes `_stats.json` — per-FILE min/max for every
+    * top-level numeric column (one extra Spark job over the
+    * just-written files, grouped by input_file_name) — the zone-map
+    * layer [[readRange]]'s file skipping reads. Bounds are widened
+    * one ULP at write time so a long/decimal that rounded on the
+    * double conversion can never shrink the interval and wrongly
+    * skip a file holding boundary rows.
     */
   private def stageData(table: String, df: DataFrame, tag: String): Seq[String] = {
     val rel = s"data/$tag-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.parquet(Paths.get(table, rel).toString)
-    ls(Paths.get(table, rel))
+    val dir = Paths.get(table, rel)
+    df.write.parquet(dir.toString)
+    writeFileStats(df.sparkSession, dir)
+    ls(dir)
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => s"$rel/${p.getFileName}")
       .sorted
+  }
+
+  private def numericCols(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.types._
+    df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }.toSeq
+  }
+
+  private def writeFileStats(spark: SparkSession, dir: Path): Unit = {
+    val written = spark.read.parquet(dir.toString)
+    val cols = numericCols(written)
+    if (cols.isEmpty) return
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"min_$c"),
+      max(col(c).cast("double")).as(s"max_$c")))
+    val rows = written
+      .groupBy(input_file_name().as("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per staged file — bounded by the commit's file count
+    val body = rows.map { r =>
+      val fname = r.getString(0).split('/').last
+      val entries = cols.flatMap { c =>
+        val mi = r.getAs[Any](s"min_$c")
+        val ma = r.getAs[Any](s"max_$c")
+        if (mi == null || ma == null) None
+        else Some("\"" + c + "\": [" +
+          math.nextDown(mi.asInstanceOf[Double]) + ", " +
+          math.nextUp(ma.asInstanceOf[Double]) + "]")
+      }
+      "  \"" + fname + "\": {" + entries.mkString(", ") + "}"
+    }.mkString("{\n", ",\n", "\n}\n")
+    Files.writeString(dir.resolve("_stats.json"), body)
+  }
+
+  /** Per-file [min, max] of `statsCol` for one data dir, parsed from
+    * its `_stats.json`; empty (skip nothing) for dirs staged before
+    * stats existed or columns without stats.
+    */
+  private def dirStats(table: String, relDir: String, statsCol: String): Map[String, (Double, Double)] = {
+    val p = Paths.get(table, relDir, "_stats.json")
+    if (!Files.exists(p)) return Map.empty
+    val txt = Files.readString(p)
+    val fileRe = "\"([^\"]+\\.parquet)\": \\{([^}]*)\\}".r
+    val colRe = ("\"" + java.util.regex.Pattern.quote(statsCol) +
+      "\": \\[([-0-9.eE]+), ([-0-9.eE]+)\\]").r
+    fileRe.findAllMatchIn(txt).flatMap { m =>
+      colRe.findFirstMatchIn(m.group(2))
+        .map(c => m.group(1) -> (c.group(1).toDouble, c.group(2).toDouble))
+    }.toMap
   }
 
   /** Publish the next version via fail-if-exists hard link; retries on
@@ -196,7 +255,104 @@ object VersionedTable {
       require(vs.nonEmpty, s"no commits at $table")
       vs.last
     }
+    require(Files.exists(commitsDir(table).resolve(f"v$v%08d.json")),
+      s"version $v of $table was vacuumed or never existed")
     val files = manifestFiles(table, v).map(f => Paths.get(table, f).toString)
     spark.read.parquet(files: _*)
+  }
+
+  /** Manifest files of a version whose `_stats.json` zone maps can
+    * still hold a row with `statsCol` in [lo, hi] — files without
+    * stats are conservatively KEPT. Exposed so specs (and operators)
+    * can assert how many files a range probe actually opens.
+    */
+  def filesForRange(table: String, statsCol: String, lo: Double, hi: Double,
+      version: Option[Long] = None): (Seq[String], Int) = {
+    val v = version.getOrElse(versions(table).last)
+    val all = manifestFiles(table, v)
+    val statsByDir = all.map(_.split('/').dropRight(1).mkString("/"))
+      .distinct.map(d => d -> dirStats(table, d, statsCol)).toMap
+    val kept = all.filter { f =>
+      val (d, name) = (f.split('/').dropRight(1).mkString("/"), f.split('/').last)
+      statsByDir(d).get(name) match {
+        case Some((mi, ma)) => ma >= lo && mi <= hi
+        case None => true // no stats — never skip blind
+      }
+    }
+    (kept, all.size)
+  }
+
+  /** Range read with manifest-level file skipping — the zone-map scan
+    * a lakehouse OPTIMIZE layout serves: only files whose committed
+    * [min, max] for `statsCol` intersects [lo, hi] are opened (plus
+    * the exact predicate on the survivors, so skipping is purely an
+    * IO optimization, never a semantics change). On a sorted or
+    * clustered table this turns a selective range probe from
+    * O(snapshot files) into O(matching files) — the driver-side cost
+    * is one manifest + one `_stats.json` per data dir, no Spark job.
+    */
+  def readRange(spark: SparkSession, table: String, statsCol: String,
+      lo: Double, hi: Double, version: Option[Long] = None): DataFrame = {
+    val (kept, _) = filesForRange(table, statsCol, lo, hi, version)
+    val schemaSrc = read(spark, table, version) // schema even when kept is empty
+    if (kept.isEmpty) schemaSrc.limit(0)
+    else spark.read.parquet(kept.map(f => Paths.get(table, f).toString): _*)
+      .filter(col(statsCol).cast("double").between(lo, hi))
+  }
+
+  /** General MERGE commit: publishes `mergeFn(snapshot, updates)` as
+    * the next version. The merge runs inside the commit closure
+    * against the closure's base, so a race loser re-merges against
+    * the new head (same contract as [[upsert]], which is
+    * `merge(coalesce-rule)`). The CDC streaming sink commits each
+    * micro-batch through this.
+    */
+  def merge(spark: SparkSession, table: String, updates: DataFrame,
+      mergeFn: (DataFrame, DataFrame) => DataFrame): Long =
+    commit(table, "merge", { base =>
+      requireInit(table, base, "merge")
+      stageData(table, mergeFn(read(spark, table, Some(base)), updates), "m")
+    })
+
+  case class VacuumReport(keptVersions: Seq[Long], droppedVersions: Seq[Long],
+      deletedDirs: Int, deletedBytes: Long)
+
+  /** Retention vacuum: drops every version except the newest `retain`
+    * and deletes data dirs no retained manifest references — the
+    * storage-reclaim half of the commit-log contract (Delta VACUUM).
+    * Time travel to a dropped version fails with a clear error
+    * afterwards; pinned READERS of dropped versions are broken by
+    * definition — vacuum is the one operation that trades snapshot
+    * isolation for space, which is why retention is explicit.
+    *
+    * Concurrent-writer safety: a dir staged by an IN-FLIGHT commit is
+    * not yet referenced by any manifest, so reference-counting alone
+    * would delete it; dirs newer than the newest retained manifest
+    * are therefore always preserved (an abandoned stage is collected
+    * by a LATER vacuum, once commits have moved past it).
+    */
+  def vacuum(table: String, retain: Int = 2): VacuumReport = {
+    require(retain >= 1, "retain at least the head version")
+    val vs = versions(table)
+    val (dropped, kept) = vs.splitAt(math.max(0, vs.size - retain))
+    val referenced = kept.flatMap(manifestFiles(table, _))
+      .map(_.split('/').dropRight(1).mkString("/")).toSet
+    val headManifestTime =
+      if (kept.isEmpty) Long.MaxValue
+      else Files.getLastModifiedTime(
+        commitsDir(table).resolve(f"v${kept.last}%08d.json")).toMillis
+    var dirs = 0
+    var bytes = 0L
+    for (d <- ls(Paths.get(table, "data")) if Files.isDirectory(d)) {
+      val rel = s"data/${d.getFileName}"
+      val inFlight = Files.getLastModifiedTime(d).toMillis >= headManifestTime
+      if (!referenced.contains(rel) && !inFlight) {
+        for (f <- ls(d)) { bytes += Files.size(f); Files.delete(f) }
+        Files.delete(d)
+        dirs += 1
+      }
+    }
+    dropped.foreach(v => Files.deleteIfExists(commitsDir(table).resolve(f"v$v%08d.json")))
+    VacuumReport(kept, dropped, dirs, bytes)
   }
 }

@@ -152,6 +152,31 @@ object Streams {
       }
       .start()
 
+  /** [[cdcIngest]] with the snapshot routed THROUGH the
+    * [[graft.sources.VersionedTable]] commit log instead of a bare
+    * dir-overwrite: every micro-batch's LWW merge lands as one atomic
+    * commit (readers see batch N's snapshot or batch N+1's, never a
+    * half-written overwrite), each micro-batch is a time-travelable
+    * version, and a checkpoint REPLAY of a batch re-merges
+    * idempotently (the LWW window rule is a semilattice — replaying
+    * changes the version count, never the head's rows, which the spec
+    * pins). The first batch initializes the table (version 1).
+    */
+  def cdcIngestVersioned(changes: DataFrame, table: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val collapsed = cdcSnapshotMerge(batch.limit(0), batch)
+        if (graft.sources.VersionedTable.versions(table).isEmpty)
+          graft.sources.VersionedTable.overwrite(spark, table, collapsed)
+        else
+          graft.sources.VersionedTable.merge(spark, table, collapsed, cdcSnapshotMerge)
+        () // foreachBatch wants Unit, not the committed version
+      }
+      .start()
+
   /** The read view over the snapshot: tombstones filtered, the
     * q_cdc_apply output shape.
     */

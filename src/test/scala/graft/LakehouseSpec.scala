@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+import graft.streaming.Streams
+
+/** Round-6 lakehouse-layer hardening (SURVEY.md §2.7/§2.8):
+  * manifest-level zone-map file skipping, retention vacuum, and the
+  * streaming CDC sink that commits every micro-batch through the
+  * commit log.
+  */
+class LakehouseSpec extends SparkSpec {
+
+  private def fresh(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-lake-$tag").toString + "/t"
+
+  test("readRange skips files whose committed stats exclude the range") {
+    val t = fresh("skip")
+    // three appends with DISJOINT key ranges — the clustered-commit
+    // layout zone maps exist for; each append stages >= 1 file
+    for (lo <- Seq(0L, 1000L, 2000L)) {
+      val df = spark.range(lo, lo + 500)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+      if (lo == 0L) VersionedTable.overwrite(spark, t, df)
+      else VersionedTable.append(spark, t, df)
+    }
+    val (kept, total) = VersionedTable.filesForRange(t, "k", 1100, 1200)
+    assert(total >= 3, "three commits stage at least three files")
+    assert(kept.nonEmpty && kept.size < total,
+      s"range probe must skip the non-matching commits (kept ${kept.size}/$total)")
+    // skipping is an IO optimization, never a semantics change
+    val viaSkip = VersionedTable.readRange(spark, t, "k", 1100, 1200)
+      .collect().map(_.toSeq).toSet
+    val full = VersionedTable.read(spark, t)
+      .filter(col("k").between(1100, 1200)).collect().map(_.toSeq).toSet
+    assert(viaSkip === full && full.size === 101)
+    // an empty intersection returns an empty, correctly-shaped frame
+    assert(VersionedTable.readRange(spark, t, "k", 10000, 10001).count() === 0)
+    // boundary rows survive (the ULP-widening guard): a range equal to
+    // one commit's exact min/max keeps every row of that commit
+    assert(VersionedTable.readRange(spark, t, "k", 1000, 1499).count() === 500)
+  }
+
+  test("vacuum reclaims unreferenced dirs, keeps retained versions readable") {
+    val t = fresh("vac")
+    val v1 = VersionedTable.overwrite(spark, t,
+      spark.range(100).select(col("id").as("k"), col("id").as("v")))
+    VersionedTable.upsert(spark, t,
+      spark.range(50).select(col("id").as("k"), (col("id") + 1000).as("v")), "k")
+    VersionedTable.compact(spark, t, 1)
+    val v4 = VersionedTable.compact(spark, t, 2)
+    val before = VersionedTable.read(spark, t).collect().map(_.toSeq).toSet
+
+    val rep = VersionedTable.vacuum(t, retain = 2)
+    assert(rep.keptVersions === Seq(v4 - 1, v4))
+    assert(rep.droppedVersions.contains(v1))
+    assert(rep.deletedDirs >= 1 && rep.deletedBytes > 0,
+      "the pre-compaction dirs are unreferenced and must be reclaimed")
+    // head unchanged; retained time travel works; dropped version errors
+    assert(VersionedTable.read(spark, t).collect().map(_.toSeq).toSet === before)
+    assert(VersionedTable.read(spark, t, Some(v4 - 1)).count() === 100)
+    val e = intercept[IllegalArgumentException](VersionedTable.read(spark, t, Some(v1)))
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("vacuum preserves dirs staged after the head manifest (in-flight commits)") {
+    val t = fresh("inflight")
+    VersionedTable.overwrite(spark, t,
+      spark.range(10).select(col("id").as("k")))
+    VersionedTable.compact(spark, t, 1)
+    // simulate an in-flight stage: a data dir NEWER than the head
+    // manifest that no manifest references yet
+    val staged = java.nio.file.Paths.get(t, "data", "a-inflight1")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.writeString(staged.resolve("part-0.parquet"), "pending")
+    val rep = VersionedTable.vacuum(t, retain = 1)
+    assert(java.nio.file.Files.exists(staged.resolve("part-0.parquet")),
+      "reference counting alone would delete an in-flight stage")
+    assert(rep.keptVersions.size === 1)
+  }
+
+  test("streaming CDC through the commit log == batch collapse, replay-idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdcv").toString
+    val t = s"$dir/table"
+    val log = core.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_s"), col("value"),
+        when(col("event_type") === "purchase", "delete").otherwise("upsert").as("op"))
+    log.repartition(4).write.parquet(s"$dir/log")
+
+    val stream = spark.readStream.schema(log.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/log")
+    val q = Streams.cdcIngestVersioned(stream, t, s"$dir/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    // one version per micro-batch — each a time-travelable snapshot
+    val vs = VersionedTable.versions(t)
+    assert(vs.size === 4, s"4 files -> 4 micro-batch commits, got $vs")
+    // head == the batch q_cdc_apply collapse (same view shape)
+    def view(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("op") === "upsert")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts_s").as("updated_s"), col("value").as("current_value"))
+      .collect().map(_.toSeq).toSet
+    val streamed = view(VersionedTable.read(spark, t))
+    val batch = operators.ComplexTypes.qCdcApply(spark, sf).collect().map(_.toSeq).toSet
+    assert(streamed === batch && batch.nonEmpty)
+    // a checkpoint REPLAY of an already-applied batch adds a version
+    // but cannot change the head's rows (LWW is a semilattice)
+    val replayBatch = spark.read.parquet(s"$dir/log").limit(200)
+    VersionedTable.merge(spark, t, replayBatch, Streams.cdcSnapshotMerge)
+    assert(view(VersionedTable.read(spark, t)) === batch)
+    // intermediate versions stay pinned: version 1 holds only batch 1's keys
+    assert(VersionedTable.read(spark, t, Some(1L)).count() <=
+      VersionedTable.read(spark, t, Some(4L)).count())
+  }
+}
