@@ -91,10 +91,14 @@ object VersionedQueries {
     VersionedTable.append(spark, table, all.filter(col("c_custkey") > 2 * third))
     val lo = third + 1
     val hi = 2 * third
-    val (kept, total) = VersionedTable.filesForRange(table, "c_custkey", lo, hi)
+    // version pinned ONCE so the asserted kept/total describes the
+    // same snapshot the read below opens (head-resolved twice could
+    // disagree under a concurrent commit)
+    val v = Some(VersionedTable.versions(table).last)
+    val (kept, total) = VersionedTable.filesForRange(table, "c_custkey", lo, hi, v)
     require(kept.size < total,
       s"zone maps must skip the disjoint commits (kept ${kept.size}/$total)")
-    VersionedTable.readRange(spark, table, "c_custkey", lo, hi)
+    VersionedTable.readRange(spark, table, "c_custkey", lo, hi, v)
       .select(col("c_custkey"), col("c_acctbal"))
   }
 }

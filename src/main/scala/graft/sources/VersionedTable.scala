@@ -107,35 +107,61 @@ object VersionedTable {
       .sorted
   }
 
-  private def numericCols(df: DataFrame): Seq[String] = {
-    import org.apache.spark.sql.types._
-    df.schema.fields.collect {
-      case f if f.dataType.isInstanceOf[NumericType] => f.name
-    }.toSeq
-  }
-
+  /** Per-file min/max from the PARQUET FOOTERS the write already
+    * produced — driver-side metadata reads, O(files), no second scan
+    * of the staged data (the first version of this ran a full
+    * re-read + groupBy(input_file_name) job per commit, which on the
+    * per-micro-batch CDC path meant rescanning the whole snapshot
+    * every batch). Covers top-level plain-numeric columns (INT32 /
+    * INT64 / FLOAT / DOUBLE without a non-integer logical annotation
+    * — timestamps, dates and decimals are stored with annotated
+    * physical stats whose raw values don't compare as the SQL type,
+    * so they're conservatively unindexed and never skipped on).
+    */
   private def writeFileStats(spark: SparkSession, dir: Path): Unit = {
-    val written = spark.read.parquet(dir.toString)
-    val cols = numericCols(written)
-    if (cols.isEmpty) return
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"min_$c"),
-      max(col(c).cast("double")).as(s"max_$c")))
-    val rows = written
-      .groupBy(input_file_name().as("_file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect() // one row per staged file — bounded by the commit's file count
-    val body = rows.map { r =>
-      val fname = r.getString(0).split('/').last
-      val entries = cols.flatMap { c =>
-        val mi = r.getAs[Any](s"min_$c")
-        val ma = r.getAs[Any](s"max_$c")
-        if (mi == null || ma == null) None
-        else Some("\"" + c + "\": [" +
-          math.nextDown(mi.asInstanceOf[Double]) + ", " +
-          math.nextUp(ma.asInstanceOf[Double]) + "]")
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = ls(dir).filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
+    if (files.isEmpty) return
+    val body = files.map { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.toUri), conf))
+      val agg = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Int)]
+      var nBlocks = 0
+      try {
+        for (block <- reader.getFooter.getBlocks.asScala) {
+          nBlocks += 1
+          for (c <- block.getColumns.asScala) {
+            val pt = c.getPrimitiveType
+            val plainNumeric = (pt.getPrimitiveTypeName match {
+              case INT32 | INT64 | FLOAT | DOUBLE => true
+              case _ => false
+            }) && (pt.getLogicalTypeAnnotation == null ||
+              pt.getLogicalTypeAnnotation.isInstanceOf[IntLogicalTypeAnnotation])
+            val st = c.getStatistics
+            if (plainNumeric && c.getPath.size == 1 && st != null &&
+                !st.isEmpty && st.hasNonNullValue) {
+              val (mi, ma) = (st.genericGetMin.asInstanceOf[Number].doubleValue(),
+                st.genericGetMax.asInstanceOf[Number].doubleValue())
+              val name = c.getPath.toDotString
+              val cur = agg.get(name)
+              agg(name) = (cur.fold(mi)(p => math.min(p._1, mi)),
+                cur.fold(ma)(p => math.max(p._2, ma)),
+                cur.fold(1)(_._3 + 1))
+            }
+          }
+        }
+      } finally reader.close()
+      // a column whose stats are missing in ANY row group gets no
+      // entry: a partial interval would under-cover the statless
+      // block's values and wrongly skip the file
+      val entries = agg.collect { case (c, (mi, ma, n)) if n == nBlocks =>
+        "\"" + c + "\": [" + math.nextDown(mi) + ", " + math.nextUp(ma) + "]"
       }
-      "  \"" + fname + "\": {" + entries.mkString(", ") + "}"
+      "  \"" + f.getFileName + "\": {" + entries.mkString(", ") + "}"
     }.mkString("{\n", ",\n", "\n}\n")
     Files.writeString(dir.resolve("_stats.json"), body)
   }
@@ -268,7 +294,13 @@ object VersionedTable {
     */
   def filesForRange(table: String, statsCol: String, lo: Double, hi: Double,
       version: Option[Long] = None): (Seq[String], Int) = {
-    val v = version.getOrElse(versions(table).last)
+    val v = version.getOrElse {
+      val vs = versions(table)
+      require(vs.nonEmpty, s"no commits at $table")
+      vs.last
+    }
+    require(Files.exists(commitsDir(table).resolve(f"v$v%08d.json")),
+      s"version $v of $table was vacuumed or never existed")
     val all = manifestFiles(table, v)
     val statsByDir = all.map(_.split('/').dropRight(1).mkString("/"))
       .distinct.map(d => d -> dirStats(table, d, statsCol)).toMap
@@ -294,10 +326,25 @@ object VersionedTable {
   def readRange(spark: SparkSession, table: String, statsCol: String,
       lo: Double, hi: Double, version: Option[Long] = None): DataFrame = {
     val (kept, _) = filesForRange(table, statsCol, lo, hi, version)
-    val schemaSrc = read(spark, table, version) // schema even when kept is empty
-    if (kept.isEmpty) schemaSrc.limit(0)
-    else spark.read.parquet(kept.map(f => Paths.get(table, f).toString): _*)
-      .filter(col(statsCol).cast("double").between(lo, hi))
+    // the full-snapshot read (footers for schema) happens ONLY on the
+    // empty-survivor path — on the hot path the probe opens nothing
+    // but the kept files, which is the entire point of the zone maps
+    if (kept.isEmpty) read(spark, table, version).limit(0)
+    else {
+      val df = spark.read.parquet(kept.map(f => Paths.get(table, f).toString): _*)
+      // residual predicate on the NATIVE column type: wrapping the
+      // column in cast("double") would defeat parquet row-group
+      // pushdown on every kept file AND mis-compare 64-bit keys
+      // beyond 2^53; for integral columns the double bounds round
+      // INWARD to the equivalent exact integer range instead
+      import org.apache.spark.sql.types._
+      val cond = df.schema(statsCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          col(statsCol).between(math.ceil(lo).toLong, math.floor(hi).toLong)
+        case _ => col(statsCol).between(lo, hi)
+      }
+      df.filter(cond)
+    }
   }
 
   /** General MERGE commit: publishes `mergeFn(snapshot, updates)` as
@@ -325,34 +372,50 @@ object VersionedTable {
     * definition — vacuum is the one operation that trades snapshot
     * isolation for space, which is why retention is explicit.
     *
-    * Concurrent-writer safety: a dir staged by an IN-FLIGHT commit is
-    * not yet referenced by any manifest, so reference-counting alone
-    * would delete it; dirs newer than the newest retained manifest
-    * are therefore always preserved (an abandoned stage is collected
-    * by a LATER vacuum, once commits have moved past it).
+    * Concurrent-writer safety — an in-flight commit's staged dir is
+    * not yet referenced by any manifest, so reference counting alone
+    * would delete it out from under the commit. Two independent
+    * guards protect it:
+    *  - a GRACE PERIOD (`graceMs`, the Delta VACUUM mechanism):
+    *    dirs modified within the window are never deleted, bounding
+    *    how long a stage may take before vacuum could bite it;
+    *  - dirs newer than the newest retained manifest are preserved
+    *    regardless of grace (covers `graceMs = 0` callers in
+    *    single-writer tests; NOT sufficient alone — another writer's
+    *    commit can land AFTER a slow stage started, which is exactly
+    *    what the grace period exists for).
+    * On a table with no commits at all, everything is treated as
+    * in-flight — nothing is deleted.
+    *
+    * Crash ordering: dropped MANIFESTS are deleted before any data,
+    * so an interrupted vacuum leaves orphan data dirs (garbage a
+    * later vacuum collects) — never a live manifest pointing at
+    * deleted files (the same garbage-not-corruption contract the
+    * commit protocol keeps for its own crash case).
     */
-  def vacuum(table: String, retain: Int = 2): VacuumReport = {
+  def vacuum(table: String, retain: Int = 2,
+      graceMs: Long = 20 * 60 * 1000L): VacuumReport = {
     require(retain >= 1, "retain at least the head version")
     val vs = versions(table)
     val (dropped, kept) = vs.splitAt(math.max(0, vs.size - retain))
+    if (kept.isEmpty) return VacuumReport(kept, Nil, 0, 0L) // uninitialized: all in-flight
     val referenced = kept.flatMap(manifestFiles(table, _))
       .map(_.split('/').dropRight(1).mkString("/")).toSet
-    val headManifestTime =
-      if (kept.isEmpty) Long.MaxValue
-      else Files.getLastModifiedTime(
-        commitsDir(table).resolve(f"v${kept.last}%08d.json")).toMillis
+    val headManifestTime = Files.getLastModifiedTime(
+      commitsDir(table).resolve(f"v${kept.last}%08d.json")).toMillis
+    val cutoff = math.min(System.currentTimeMillis() - graceMs, headManifestTime)
+    // manifests first (see crash ordering above)
+    dropped.foreach(v => Files.deleteIfExists(commitsDir(table).resolve(f"v$v%08d.json")))
     var dirs = 0
     var bytes = 0L
     for (d <- ls(Paths.get(table, "data")) if Files.isDirectory(d)) {
       val rel = s"data/${d.getFileName}"
-      val inFlight = Files.getLastModifiedTime(d).toMillis >= headManifestTime
-      if (!referenced.contains(rel) && !inFlight) {
+      if (!referenced.contains(rel) && Files.getLastModifiedTime(d).toMillis < cutoff) {
         for (f <- ls(d)) { bytes += Files.size(f); Files.delete(f) }
         Files.delete(d)
         dirs += 1
       }
     }
-    dropped.foreach(v => Files.deleteIfExists(commitsDir(table).resolve(f"v$v%08d.json")))
     VacuumReport(kept, dropped, dirs, bytes)
   }
 }

@@ -168,11 +168,17 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val collapsed = cdcSnapshotMerge(batch.limit(0), batch)
-        if (graft.sources.VersionedTable.versions(table).isEmpty)
-          graft.sources.VersionedTable.overwrite(spark, table, collapsed)
-        else
-          graft.sources.VersionedTable.merge(spark, table, collapsed, cdcSnapshotMerge)
+        // an empty trigger (source started before data, or a replayed
+        // empty batch) must not commit: an initializing overwrite that
+        // stages ZERO part files would publish an empty manifest the
+        // next batch's merge cannot even infer a schema from
+        if (!batch.isEmpty) {
+          val collapsed = cdcSnapshotMerge(batch.limit(0), batch)
+          if (graft.sources.VersionedTable.versions(table).isEmpty)
+            graft.sources.VersionedTable.overwrite(spark, table, collapsed)
+          else
+            graft.sources.VersionedTable.merge(spark, table, collapsed, cdcSnapshotMerge)
+        }
         () // foreachBatch wants Unit, not the committed version
       }
       .start()

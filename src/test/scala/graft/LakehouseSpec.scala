@@ -51,9 +51,18 @@ class LakehouseSpec extends SparkSpec {
     val v4 = VersionedTable.compact(spark, t, 2)
     val before = VersionedTable.read(spark, t).collect().map(_.toSeq).toSet
 
-    val rep = VersionedTable.vacuum(t, retain = 2)
+    // default grace: retention (manifest dropping) applies, but
+    // just-created DATA dirs are inside the window — vacuum must
+    // reclaim no bytes yet (the guard that protects slow in-flight
+    // stages from a vacuum racing them); their dirs become orphans a
+    // later vacuum collects
+    val graceRep = VersionedTable.vacuum(t, retain = 2)
+    assert(graceRep.deletedDirs === 0,
+      "dirs inside the grace window must survive")
+    assert(graceRep.droppedVersions.contains(v1))
+
+    val rep = VersionedTable.vacuum(t, retain = 2, graceMs = 0L)
     assert(rep.keptVersions === Seq(v4 - 1, v4))
-    assert(rep.droppedVersions.contains(v1))
     assert(rep.deletedDirs >= 1 && rep.deletedBytes > 0,
       "the pre-compaction dirs are unreferenced and must be reclaimed")
     // head unchanged; retained time travel works; dropped version errors
@@ -61,6 +70,21 @@ class LakehouseSpec extends SparkSpec {
     assert(VersionedTable.read(spark, t, Some(v4 - 1)).count() === 100)
     val e = intercept[IllegalArgumentException](VersionedTable.read(spark, t, Some(v1)))
     assert(e.getMessage.contains("vacuumed"))
+    // filesForRange honors the same guard (it opens the manifest too)
+    val e2 = intercept[IllegalArgumentException](
+      VersionedTable.filesForRange(t, "k", 0, 10, Some(v1)))
+    assert(e2.getMessage.contains("vacuumed"))
+  }
+
+  test("vacuum on an uncommitted table deletes nothing (all in-flight)") {
+    val t = fresh("empty")
+    val staged = java.nio.file.Paths.get(t, "data", "w-pending")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.writeString(staged.resolve("part-0.parquet"), "pending")
+    val rep = VersionedTable.vacuum(t, retain = 1, graceMs = 0L)
+    assert(rep.deletedDirs === 0 &&
+      java.nio.file.Files.exists(staged.resolve("part-0.parquet")),
+      "a first commit's stage must survive a vacuum racing it")
   }
 
   test("vacuum preserves dirs staged after the head manifest (in-flight commits)") {
@@ -73,7 +97,8 @@ class LakehouseSpec extends SparkSpec {
     val staged = java.nio.file.Paths.get(t, "data", "a-inflight1")
     java.nio.file.Files.createDirectories(staged)
     java.nio.file.Files.writeString(staged.resolve("part-0.parquet"), "pending")
-    val rep = VersionedTable.vacuum(t, retain = 1)
+    // graceMs=0 so the newer-than-head-manifest guard is what saves it
+    val rep = VersionedTable.vacuum(t, retain = 1, graceMs = 0L)
     assert(java.nio.file.Files.exists(staged.resolve("part-0.parquet")),
       "reference counting alone would delete an in-flight stage")
     assert(rep.keptVersions.size === 1)
