@@ -122,7 +122,8 @@ object VersionedTable {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    import org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{IntLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
     val conf = spark.sparkContext.hadoopConfiguration
     val files = ls(dir).filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
     if (files.isEmpty) return
@@ -136,11 +137,21 @@ object VersionedTable {
           nBlocks += 1
           for (c <- block.getColumns.asScala) {
             val pt = c.getPrimitiveType
+            // µs-timestamp INT64 stats are epoch-micros — directly
+            // comparable, so time-range probes can skip on them (the
+            // graft sinks all write TIMESTAMP_MICROS for exactly this
+            // stats-usability reason); other annotations (decimal,
+            // date, millis) stay conservatively unindexed
+            val microsTs = pt.getLogicalTypeAnnotation match {
+              case t: TimestampLogicalTypeAnnotation => t.getUnit == MICROS
+              case _ => false
+            }
             val plainNumeric = (pt.getPrimitiveTypeName match {
               case INT32 | INT64 | FLOAT | DOUBLE => true
               case _ => false
             }) && (pt.getLogicalTypeAnnotation == null ||
-              pt.getLogicalTypeAnnotation.isInstanceOf[IntLogicalTypeAnnotation])
+              pt.getLogicalTypeAnnotation.isInstanceOf[IntLogicalTypeAnnotation] ||
+              microsTs)
             val st = c.getStatistics
             if (plainNumeric && c.getPath.size == 1 && st != null &&
                 !st.isEmpty && st.hasNonNullValue) {
@@ -341,6 +352,10 @@ object VersionedTable {
       val cond = df.schema(statsCol).dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
           col(statsCol).between(math.ceil(lo).toLong, math.floor(hi).toLong)
+        case TimestampType => // bounds are epoch-µs, matching the stats
+          col(statsCol).between(
+            timestamp_micros(lit(math.ceil(lo).toLong)),
+            timestamp_micros(lit(math.floor(hi).toLong)))
         case _ => col(statsCol).between(lo, hi)
       }
       df.filter(cond)

@@ -41,6 +41,28 @@ class LakehouseSpec extends SparkSpec {
     assert(VersionedTable.readRange(spark, t, "k", 1000, 1499).count() === 500)
   }
 
+  test("time-range probe skips on µs-timestamp zone maps") {
+    val t = fresh("ts")
+    // three day-partitioned appends — the event-time layout a
+    // time-series table commits in
+    for (day <- 0 to 2) {
+      val df = spark.range(day * 100, day * 100 + 100)
+        .select(col("id").as("event_id"),
+          timestamp_micros(lit(1700000000000000L) + col("id") * lit(864000000L)).as("ts"))
+      if (day == 0) VersionedTable.overwrite(spark, t, df)
+      else VersionedTable.append(spark, t, df)
+    }
+    // probe day 1 only (ids 100..199 -> micros offsets [86400s, 172800s))
+    val lo = 1700000000000000L + 86400000000L
+    val hi = 1700000000000000L + 2 * 86400000000L - 1
+    val (kept, total) = VersionedTable.filesForRange(t, "ts", lo.toDouble, hi.toDouble)
+    assert(kept.nonEmpty && kept.size < total,
+      s"timestamp zone maps must skip the other days (kept ${kept.size}/$total)")
+    val got = VersionedTable.readRange(spark, t, "ts", lo.toDouble, hi.toDouble)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === (100L until 200L).toSet)
+  }
+
   test("vacuum reclaims unreferenced dirs, keeps retained versions readable") {
     val t = fresh("vac")
     val v1 = VersionedTable.overwrite(spark, t,
