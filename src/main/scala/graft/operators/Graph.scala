@@ -87,8 +87,21 @@ object Graph {
     val wedges = o1.join(o2, "src")
       .filter(col("vdeg") < col("wdeg") ||
         (col("vdeg") === col("wdeg") && col("v") < col("w")))
-    val tris = wedges.join(
-        oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    // closing-edge join: the wedge side is O(sum outdeg²) — 34x the
+    // edge count on the test graph — so shuffling IT is the dominant
+    // cost of the whole query (measured 4.9 s of 7.5 s at sf0.1).
+    // The edge side is checkpointed, which hides its (small) size
+    // behind a LogicalRDD, so the planner can never pick the
+    // broadcast join on its own — gate it HERE on the measured edge
+    // count (a count over the in-memory checkpoint blocks, one cheap
+    // job): under the gate the wedges stream through a broadcast-hash
+    // probe with no exchange; over it (the 100 TB graph) this falls
+    // back to the ordinary shuffle join. Size-checked at runtime —
+    // not a forced broadcast on an SF-scaling input.
+    val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
+    val closingSide =
+      if (oriented.count() <= 2000000L) broadcast(closing) else closing
+    val tris = wedges.join(closingSide, Seq("v", "w"))
       .select(col("src").as("u"), col("v"), col("w"))
     // one narrow explode per triangle row — a 3-arm union would
     // re-execute the wedge join three times
