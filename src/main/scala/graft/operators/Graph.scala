@@ -127,13 +127,22 @@ object Graph {
       .join(li.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
       .filter(col("a") =!= col("b"))
       .select("a", "b").distinct().localCheckpoint()
-    // one-row aggregate scalar (graph parameter, not data)
-    val src = li.agg(min("l_partkey").cast("long")).head.getLong(0)
+    // one-row aggregate scalars (graph parameters, not data): the BFS
+    // source and the node count that gates the frontier broadcast
+    val hdr = li.agg(min("l_partkey").cast("long"),
+      countDistinct("l_partkey")).head
+    val (src, n) = (hdr.getLong(0), hdr.getLong(1))
+    // the frontier is at most one narrow row per node while the edge
+    // set is ~avg-degree× larger, and the per-round localCheckpoint
+    // hides the frontier's size — same measured-gate broadcast as
+    // pagerank's rank table, shuffle-join fallback past the gate
+    def small(df: DataFrame): DataFrame =
+      if (n <= 2000000L) broadcast(df) else df
     var dist = li.sparkSession.range(1)
       .select(lit(src).as("node"), lit(0L).as("dist"))
     for (i <- 1 to rounds) {
       dist = dist.unionAll(
-          dist.join(pairs, col("node") === col("a"))
+          small(dist).join(pairs, col("node") === col("a"))
             .select(col("b").as("node"), (col("dist") + 1L).as("dist")))
         .groupBy("node").agg(min("dist").as("dist"))
       // `dist` appears TWICE per round (carry + expand), so an

@@ -98,13 +98,23 @@ object MRJobs {
     val edges = pairs.join(outdeg, "a").localCheckpoint()
     val n = nodes.count() // scalar graph size, not data
     val base = (scale * 15L / 100L) / n
+    // per-round join shape: the rank table is one narrow row per NODE
+    // while edges is ~avg-degree× larger, but both sit behind
+    // LogicalRDD/loop plans whose sizes the planner can't see, so
+    // without a hint every round pays a full sort-merge of the edge
+    // set. Gate an explicit broadcast of the SMALL side on the
+    // measured node count (already in hand for the teleport term) —
+    // size-checked at runtime, not forced on an SF-scaling input; a
+    // graph past the gate falls back to the shuffle join.
+    def small(df: DataFrame): DataFrame =
+      if (n <= 2000000L) broadcast(df) else df
     var rank = nodes.select(col("node"), lit(scale / n).as("rank"))
     for (i <- 1 to iters) {
-      val contrib = rank.join(edges, col("node") === col("a"))
+      val contrib = small(rank).join(edges, col("node") === col("a"))
         .groupBy(col("b").as("node"))
         .agg(sum(expr("rank DIV outdeg")).as("in_sum"))
       rank = nodes
-        .join(contrib, Seq("node"), "left")
+        .join(small(contrib), Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("coalesce(in_sum, CAST(0 AS BIGINT)) * 85 DIV 100")).as("rank"))
       // Lineage guard only — NOT a per-round materialization. Each rank
