@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 import scala.util.Using
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Minimal versioned table layer — the commit-log core of a lakehouse
@@ -17,23 +17,17 @@ import org.apache.spark.sql.functions._
   * {{{
   *   table/
   *     _commits/v00000001.json     one manifest per committed version
-  *     _commits/.tmp-<uuid>        in-flight manifests (invisible)
   *     data/c1-<uuid>/ ... parquet immutable data dirs, one per commit
   * }}}
   *
   * The protocol and the three guarantees the specs pin:
-  *  - ATOMIC COMMIT: a manifest is staged as `.tmp-*` and made
-  *    visible with a single hard-link creation (Files.createLink —
-  *    link(2)). Readers resolve the latest `v*.json` — they see the
-  *    table before the link or after it, never a mix of two versions'
-  *    files. A crash before the link leaves only an invisible tmp
-  *    file and orphan data (garbage, not corruption): the previous
-  *    snapshot stays fully readable. link(2) — NOT rename: on Linux
-  *    rename(2) atomically REPLACES an existing target, so a
-  *    Files.move(ATOMIC_MOVE) publish would let two racing writers
-  *    both "succeed" with the second silently clobbering the first's
-  *    manifest; link(2) fails with EEXIST, a true fail-if-exists
-  *    publication primitive.
+  *  - ATOMIC COMMIT: a manifest becomes visible through ONE
+  *    fail-if-exists publication ([[CommitStore.putIfAbsent]] — hard
+  *    link on POSIX, conditional PUT on an object store). Readers
+  *    resolve the latest `v*.json` — they see the table before the
+  *    publish or after it, never a mix of two versions' files. A
+  *    crash before the publish leaves orphan data (garbage, not
+  *    corruption): the previous snapshot stays fully readable.
   *  - SNAPSHOT ISOLATION: data dirs are immutable and never deleted
   *    by commits — compaction and upsert write NEW files and publish
   *    a NEW manifest, so a reader that resolved version N keeps a
@@ -41,7 +35,7 @@ import org.apache.spark.sql.functions._
   *    land meanwhile.
   *  - TIME TRAVEL: `read(path, Some(v))` pins any retained version —
   *    the manifest IS the version.
-  *  - OPTIMISTIC CONCURRENCY: the link fails if the target version
+  *  - OPTIMISTIC CONCURRENCY: the publish fails if the target version
   *    exists (two writers raced); the loser re-reads the log and
   *    REBUILDS ITS FILE LIST against the new head (commit takes a
   *    base-version → files closure, so a retried append re-includes
@@ -51,13 +45,16 @@ import org.apache.spark.sql.functions._
   * Scale notes: the manifest lists files, so the driver-side work is
   * O(files-per-snapshot) — the same planner cost any parquet read
   * pays; data-path operations (upsert's merge, compaction's rewrite)
-  * are ordinary distributed Spark jobs over the snapshot. A real
-  * multi-writer deployment would put the rename on a
-  * rename-atomic store or a log service; the PROTOCOL is unchanged.
+  * are ordinary distributed Spark jobs over the snapshot. The store
+  * seam is exactly the piece that changes per deployment: link(2)
+  * locally, a conditional PUT where 100 TB tables actually live — the
+  * PROTOCOL (and the whole spec battery) is identical over both.
   */
-object VersionedTable {
+class VersionedTableOps(val store: CommitStore) {
 
   private def commitsDir(table: String): Path = Paths.get(table, "_commits")
+
+  private def manifestName(v: Long): String = f"v$v%08d.json"
 
   private def ls(p: Path): Seq[Path] =
     if (!Files.exists(p)) Nil
@@ -65,15 +62,14 @@ object VersionedTable {
 
   /** Committed versions, ascending. */
   def versions(table: String): Seq[Long] =
-    ls(commitsDir(table))
-      .map(_.getFileName.toString)
+    store.list(commitsDir(table))
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
       .sorted
 
   /** Relative data files of a version (manifest body). */
   private[sources] def manifestFiles(table: String, v: Long): Seq[String] = {
-    val txt = Files.readString(commitsDir(table).resolve(f"v$v%08d.json"))
+    val txt = store.read(commitsDir(table), manifestName(v))
     // manifest is written by `render` below: one quoted relative path
     // per array element, paths contain no quotes or escapes
     "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(txt).map(_.group(1)).toSeq
@@ -89,12 +85,12 @@ object VersionedTable {
     * parquet paths it produced. The dir is invisible to readers until
     * a manifest referencing it lands. Alongside the parquet files the
     * stage writes `_stats.json` — per-FILE min/max for every
-    * top-level numeric column (one extra Spark job over the
-    * just-written files, grouped by input_file_name) — the zone-map
-    * layer [[readRange]]'s file skipping reads. Bounds are widened
-    * one ULP at write time so a long/decimal that rounded on the
-    * double conversion can never shrink the interval and wrongly
-    * skip a file holding boundary rows.
+    * top-level zone-mappable column (numeric, timestamp, date,
+    * decimal), decoded from the parquet footers the write already
+    * produced — the zone-map layer [[readRange]]'s file skipping
+    * reads. Bounds are widened one ULP at write time so a value that
+    * rounded on the double conversion can never shrink the interval
+    * and wrongly skip a file holding boundary rows.
     */
   private def stageData(table: String, df: DataFrame, tag: String): Seq[String] = {
     val rel = s"data/$tag-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -107,23 +103,61 @@ object VersionedTable {
       .sorted
   }
 
+  /** Footer statistics of one column chunk, normalized to the
+    * zone-map DOUBLE domain, or None for column types the maps
+    * conservatively leave unindexed (never skipped on). Units per
+    * logical type — [[filesForRange]] bounds must be in the same
+    * domain:
+    *  - plain INT32/INT64/FLOAT/DOUBLE (incl. SIGNED int
+    *    annotations): the value itself. UNSIGNED int annotations are
+    *    unindexed — their raw stats read back as signed, which would
+    *    invert the interval and wrongly skip matching files;
+    *  - TIMESTAMP µs or ms: epoch-MICROSECONDS (ms normalized ×1000);
+    *  - DATE: days since epoch;
+    *  - DECIMAL (int32/int64/binary/fixed backed): the decimal VALUE
+    *    (unscaled/10^scale) as double.
+    */
+  private def statBounds(pt: org.apache.parquet.schema.PrimitiveType,
+      st: org.apache.parquet.column.statistics.Statistics[_]): Option[(Double, Double)] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    def num = (st.genericGetMin.asInstanceOf[Number].doubleValue(),
+      st.genericGetMax.asInstanceOf[Number].doubleValue())
+    def intDec(scale: Int) =
+      (java.math.BigDecimal.valueOf(st.genericGetMin.asInstanceOf[Number].longValue(), scale).doubleValue(),
+        java.math.BigDecimal.valueOf(st.genericGetMax.asInstanceOf[Number].longValue(), scale).doubleValue())
+    def binDec(b: Any, scale: Int) = new java.math.BigDecimal(
+      new java.math.BigInteger(b.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes),
+      scale).doubleValue()
+    (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
+      case (INT32 | INT64 | FLOAT | DOUBLE, null) => Some(num)
+      case (INT32 | INT64, i: IntLogicalTypeAnnotation) if i.isSigned => Some(num)
+      case (INT64, t: TimestampLogicalTypeAnnotation) => t.getUnit match {
+        case TimeUnit.MICROS => Some(num)
+        case TimeUnit.MILLIS => Some((num._1 * 1000d, num._2 * 1000d))
+        case _ => None // nanos: epoch-ns exceeds double's exact range
+      }
+      case (INT32, _: DateLogicalTypeAnnotation) => Some(num)
+      case (INT32 | INT64, d: DecimalLogicalTypeAnnotation) => Some(intDec(d.getScale))
+      case (BINARY | FIXED_LEN_BYTE_ARRAY, d: DecimalLogicalTypeAnnotation) =>
+        // big-endian two's-complement unscaled value (parquet spec)
+        Some((binDec(st.genericGetMin, d.getScale), binDec(st.genericGetMax, d.getScale)))
+      case _ => None
+    }
+  }
+
   /** Per-file min/max from the PARQUET FOOTERS the write already
     * produced — driver-side metadata reads, O(files), no second scan
     * of the staged data (the first version of this ran a full
     * re-read + groupBy(input_file_name) job per commit, which on the
     * per-micro-batch CDC path meant rescanning the whole snapshot
-    * every batch). Covers top-level plain-numeric columns (INT32 /
-    * INT64 / FLOAT / DOUBLE without a non-integer logical annotation
-    * — timestamps, dates and decimals are stored with annotated
-    * physical stats whose raw values don't compare as the SQL type,
-    * so they're conservatively unindexed and never skipped on).
+    * every batch). Column coverage is [[statBounds]]'s: plain
+    * numerics, µs/ms timestamps, dates and decimals; anything else is
+    * conservatively unindexed and never skipped on.
     */
   private def writeFileStats(spark: SparkSession, dir: Path): Unit = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    import org.apache.parquet.schema.LogicalTypeAnnotation.{IntLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
-    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
     val conf = spark.sparkContext.hadoopConfiguration
     val files = ls(dir).filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
     if (files.isEmpty) return
@@ -135,33 +169,16 @@ object VersionedTable {
       try {
         for (block <- reader.getFooter.getBlocks.asScala) {
           nBlocks += 1
-          for (c <- block.getColumns.asScala) {
-            val pt = c.getPrimitiveType
-            // µs-timestamp INT64 stats are epoch-micros — directly
-            // comparable, so time-range probes can skip on them (the
-            // graft sinks all write TIMESTAMP_MICROS for exactly this
-            // stats-usability reason); other annotations (decimal,
-            // date, millis) stay conservatively unindexed
-            val microsTs = pt.getLogicalTypeAnnotation match {
-              case t: TimestampLogicalTypeAnnotation => t.getUnit == MICROS
-              case _ => false
-            }
-            val plainNumeric = (pt.getPrimitiveTypeName match {
-              case INT32 | INT64 | FLOAT | DOUBLE => true
-              case _ => false
-            }) && (pt.getLogicalTypeAnnotation == null ||
-              pt.getLogicalTypeAnnotation.isInstanceOf[IntLogicalTypeAnnotation] ||
-              microsTs)
+          for (c <- block.getColumns.asScala if c.getPath.size == 1) {
             val st = c.getStatistics
-            if (plainNumeric && c.getPath.size == 1 && st != null &&
-                !st.isEmpty && st.hasNonNullValue) {
-              val (mi, ma) = (st.genericGetMin.asInstanceOf[Number].doubleValue(),
-                st.genericGetMax.asInstanceOf[Number].doubleValue())
-              val name = c.getPath.toDotString
-              val cur = agg.get(name)
-              agg(name) = (cur.fold(mi)(p => math.min(p._1, mi)),
-                cur.fold(ma)(p => math.max(p._2, ma)),
-                cur.fold(1)(_._3 + 1))
+            if (st != null && !st.isEmpty && st.hasNonNullValue) {
+              statBounds(c.getPrimitiveType, st).foreach { case (mi, ma) =>
+                val name = c.getPath.toDotString
+                val cur = agg.get(name)
+                agg(name) = (cur.fold(mi)(p => math.min(p._1, mi)),
+                  cur.fold(ma)(p => math.max(p._2, ma)),
+                  cur.fold(1)(_._3 + 1))
+              }
             }
           }
         }
@@ -194,35 +211,30 @@ object VersionedTable {
     }.toMap
   }
 
-  /** Publish the next version via fail-if-exists hard link; retries on
-    * version collision (optimistic concurrency). `filesFor` receives
-    * the CURRENT head version (0 for an empty table) and must return
-    * the complete file list for head+1 — it is re-invoked on every
-    * retry so a race loser rebuilds its list against the new head
-    * instead of republishing a stale one. Data staged by a losing
-    * attempt becomes unreferenced garbage, never corruption.
+  /** Publish the next version via the store's fail-if-exists put;
+    * retries on version collision (optimistic concurrency). `filesFor`
+    * receives the CURRENT head version (0 for an empty table) and must
+    * return the complete file list for head+1 — it is re-invoked on
+    * every retry so a race loser rebuilds its list against the new
+    * head instead of republishing a stale one. A base manifest
+    * vacuumed between the head read and the closure's read surfaces as
+    * NoSuchFileException and is likewise retried against the fresh
+    * head. Data staged by a losing attempt becomes unreferenced
+    * garbage, never corruption.
     */
   private def commit(table: String, op: String, filesFor: Long => Seq[String]): Long = {
     val dir = commitsDir(table)
-    Files.createDirectories(dir)
     var attempt = 0
     while (true) {
       val base = versions(table).lastOption.getOrElse(0L)
       val v = base + 1
-      val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-      Files.writeString(tmp, render(v, op, filesFor(base)))
-      try {
-        // link(2): fails with FileAlreadyExistsException if v landed
-        // meanwhile — unlike rename(2), which silently replaces
-        Files.createLink(dir.resolve(f"v$v%08d.json"), tmp)
-        Files.deleteIfExists(tmp)
-        return v
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp) // lost the race: re-read head, retry
-          attempt += 1
-          require(attempt < 100, s"commit contention on $table")
+      val files = try Some(filesFor(base)) catch {
+        case _: java.nio.file.NoSuchFileException => None // base vacuumed under us
       }
+      val won = files.exists(fs => store.putIfAbsent(dir, manifestName(v), render(v, op, fs)))
+      if (won) return v
+      attempt += 1 // lost the race (or lost the base): re-read head, retry
+      require(attempt < 100, s"commit contention on $table")
     }
     -1 // unreachable
   }
@@ -292,7 +304,7 @@ object VersionedTable {
       require(vs.nonEmpty, s"no commits at $table")
       vs.last
     }
-    require(Files.exists(commitsDir(table).resolve(f"v$v%08d.json")),
+    require(store.exists(commitsDir(table), manifestName(v)),
       s"version $v of $table was vacuumed or never existed")
     val files = manifestFiles(table, v).map(f => Paths.get(table, f).toString)
     spark.read.parquet(files: _*)
@@ -300,7 +312,9 @@ object VersionedTable {
 
   /** Manifest files of a version whose `_stats.json` zone maps can
     * still hold a row with `statsCol` in [lo, hi] — files without
-    * stats are conservatively KEPT. Exposed so specs (and operators)
+    * stats are conservatively KEPT. Bounds are in [[statBounds]]'s
+    * per-type domain (epoch-µs for timestamps, days for dates, the
+    * decimal value for decimals). Exposed so specs (and operators)
     * can assert how many files a range probe actually opens.
     */
   def filesForRange(table: String, statsCol: String, lo: Double, hi: Double,
@@ -310,7 +324,7 @@ object VersionedTable {
       require(vs.nonEmpty, s"no commits at $table")
       vs.last
     }
-    require(Files.exists(commitsDir(table).resolve(f"v$v%08d.json")),
+    require(store.exists(commitsDir(table), manifestName(v)),
       s"version $v of $table was vacuumed or never existed")
     val all = manifestFiles(table, v)
     val statsByDir = all.map(_.split('/').dropRight(1).mkString("/"))
@@ -336,6 +350,8 @@ object VersionedTable {
     */
   def readRange(spark: SparkSession, table: String, statsCol: String,
       lo: Double, hi: Double, version: Option[Long] = None): DataFrame = {
+    require(java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi),
+      "readRange bounds must be finite")
     val (kept, _) = filesForRange(table, statsCol, lo, hi, version)
     // the full-snapshot read (footers for schema) happens ONLY on the
     // empty-survivor path — on the hot path the probe opens nothing
@@ -343,22 +359,59 @@ object VersionedTable {
     if (kept.isEmpty) read(spark, table, version).limit(0)
     else {
       val df = spark.read.parquet(kept.map(f => Paths.get(table, f).toString): _*)
-      // residual predicate on the NATIVE column type: wrapping the
-      // column in cast("double") would defeat parquet row-group
-      // pushdown on every kept file AND mis-compare 64-bit keys
-      // beyond 2^53; for integral columns the double bounds round
-      // INWARD to the equivalent exact integer range instead
-      import org.apache.spark.sql.types._
-      val cond = df.schema(statsCol).dataType match {
-        case ByteType | ShortType | IntegerType | LongType =>
-          col(statsCol).between(math.ceil(lo).toLong, math.floor(hi).toLong)
-        case TimestampType => // bounds are epoch-µs, matching the stats
-          col(statsCol).between(
-            timestamp_micros(lit(math.ceil(lo).toLong)),
-            timestamp_micros(lit(math.floor(hi).toLong)))
-        case _ => col(statsCol).between(lo, hi)
-      }
-      df.filter(cond)
+      df.filter(residualCond(df, statsCol, lo, hi))
+    }
+  }
+
+  /** The exact residual predicate on the NATIVE column type: wrapping
+    * the column in cast("double") would defeat parquet row-group
+    * pushdown on every kept file AND mis-compare 64-bit keys beyond
+    * 2^53. For integral/date/decimal columns the double bounds round
+    * INWARD to the equivalent exact native range (the column's values
+    * are integral multiples of its unit, so the rounded range selects
+    * exactly the rows [lo, hi] would).
+    */
+  private def residualCond(df: DataFrame, statsCol: String,
+      lo: Double, hi: Double): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(statsCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(statsCol).between(math.ceil(lo).toLong, math.floor(hi).toLong)
+      case TimestampType => // bounds are epoch-µs, matching the stats
+        col(statsCol).between(
+          timestamp_micros(lit(math.ceil(lo).toLong)),
+          timestamp_micros(lit(math.floor(hi).toLong)))
+      case DateType => // bounds are days-since-epoch, matching the stats
+        col(statsCol).between(
+          date_from_unix_date(lit(math.max(math.ceil(lo), Int.MinValue.toDouble).toInt)),
+          date_from_unix_date(lit(math.min(math.floor(hi), Int.MaxValue.toDouble).toInt)))
+      case dt: DecimalType =>
+        // bounds rounded INWARD to the column's scale are exact (values
+        // are multiples of 10^-scale); a bound beyond the type's
+        // representable magnitude (10^(precision-scale)) cannot be a
+        // literal of this type — but there it is either vacuous (drop
+        // that side) or unsatisfiable (empty result)
+        import java.math.{BigDecimal => JBD, RoundingMode}
+        val cap = JBD.TEN.pow(dt.precision - dt.scale)
+        val loB = new JBD(lo).setScale(dt.scale, RoundingMode.CEILING)
+        val hiB = new JBD(hi).setScale(dt.scale, RoundingMode.FLOOR)
+        if (loB.compareTo(cap) >= 0 || hiB.compareTo(cap.negate) <= 0) lit(false)
+        else {
+          val sides = Seq(
+            Option.when(loB.compareTo(cap.negate) > 0)(col(statsCol) >= lit(loB)),
+            Option.when(hiB.compareTo(cap) < 0)(col(statsCol) <= lit(hiB))).flatten
+          sides.reduceOption(_ && _).getOrElse(lit(true))
+        }
+      case FloatType =>
+        // native float literals keep parquet row-group pushdown (a
+        // double cast on the column would defeat it); widened OUTWARD
+        // one ULP so no float inside [lo, hi] is excluded, with the
+        // exact double bounds re-applied as a residual conjunct
+        val lof = { val f = lo.toFloat; if (f.toDouble > lo) Math.nextDown(f) else f }
+        val hif = { val f = hi.toFloat; if (f.toDouble < hi) Math.nextUp(f) else f }
+        col(statsCol).between(lit(lof), lit(hif)) &&
+          col(statsCol).cast(DoubleType).between(lo, hi)
+      case _ => col(statsCol).between(lo, hi)
     }
   }
 
@@ -406,7 +459,9 @@ object VersionedTable {
     * so an interrupted vacuum leaves orphan data dirs (garbage a
     * later vacuum collects) — never a live manifest pointing at
     * deleted files (the same garbage-not-corruption contract the
-    * commit protocol keeps for its own crash case).
+    * commit protocol keeps for its own crash case). A dir's
+    * `_stats.json` zone maps die WITH the dir (the delete below is
+    * whole-dir) — stats never outlive the data they describe.
     */
   def vacuum(table: String, retain: Int = 2,
       graceMs: Long = 20 * 60 * 1000L): VacuumReport = {
@@ -416,11 +471,10 @@ object VersionedTable {
     if (kept.isEmpty) return VacuumReport(kept, Nil, 0, 0L) // uninitialized: all in-flight
     val referenced = kept.flatMap(manifestFiles(table, _))
       .map(_.split('/').dropRight(1).mkString("/")).toSet
-    val headManifestTime = Files.getLastModifiedTime(
-      commitsDir(table).resolve(f"v${kept.last}%08d.json")).toMillis
+    val headManifestTime = store.modifiedMs(commitsDir(table), manifestName(kept.last))
     val cutoff = math.min(System.currentTimeMillis() - graceMs, headManifestTime)
     // manifests first (see crash ordering above)
-    dropped.foreach(v => Files.deleteIfExists(commitsDir(table).resolve(f"v$v%08d.json")))
+    dropped.foreach(v => store.delete(commitsDir(table), manifestName(v)))
     var dirs = 0
     var bytes = 0L
     for (d <- ls(Paths.get(table, "data")) if Files.isDirectory(d)) {
@@ -434,3 +488,10 @@ object VersionedTable {
     VacuumReport(kept, dropped, dirs, bytes)
   }
 }
+
+/** The default deployment: manifests published with link(2). Every
+  * production call site uses this object; the class exists so the
+  * spec battery can run the identical protocol over
+  * [[InMemoryCommitStore]]'s object-store semantics.
+  */
+object VersionedTable extends VersionedTableOps(LocalLinkCommitStore)

@@ -2,17 +2,23 @@ package graft
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
-import graft.sources.VersionedTable
+import graft.sources.{InMemoryCommitStore, VersionedTable, VersionedTableOps}
 
 /** Commit-log versioned table (SURVEY §2.7): the three guarantees the
   * round-4 verdict said the independent dir-swapping writers lacked —
   * snapshot isolation across maintenance ops, time travel, and
-  * crash-safe atomic commits.
+  * crash-safe atomic commits — plus the round-7 multi-writer chaos
+  * stress. The battery is backend-abstract and runs IN FULL against
+  * both [[graft.sources.CommitStore]] implementations: the POSIX
+  * link(2) store and the object-store conditional-put store (the
+  * round-6 verdict's top item — the 100 TB deployment lives where
+  * link(2) doesn't exist).
   */
-class VersionedTableSpec extends SparkSpec {
+abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
+    extends SparkSpec {
 
   private def freshTable(name: String): String = {
-    val p = s"tmp/vt-test/$name"
+    val p = s"tmp/vt-test/$backend/$name"
     val root = Paths.get(p)
     if (Files.exists(root)) {
       import scala.jdk.CollectionConverters._
@@ -22,64 +28,75 @@ class VersionedTableSpec extends SparkSpec {
     p
   }
 
-  private def base = core.Tables.load(spark, sf, "nation")
+  /** Simulate a writer that died mid-commit, in whatever form the
+    * backend can leave behind. Both leave orphan staged DATA; only the
+    * link backend can additionally leave a `.tmp-*` manifest (a
+    * conditional put stages nothing store-side before the put).
+    */
+  protected def simulateCrashedCommit(t: String): Unit = {
+    val orphan = Paths.get(t, "data/c9-deadbeef")
+    base.limit(1).write.parquet(orphan.toString)
+  }
+
+  protected def base = core.Tables.load(spark, sf, "nation")
     .select(col("n_nationkey").as("k"), col("n_name").as("v"))
 
-  test("time travel: every version reads exactly its committed state") {
+  test(s"[$backend] time travel: every version reads exactly its committed state") {
     val t = freshTable("travel")
-    val v1 = VersionedTable.overwrite(spark, t, base)
+    val v1 = ops.overwrite(spark, t, base)
     val extra = spark.range(100, 103).select(col("id").as("k"), lit("NEW").as("v"))
-    val v2 = VersionedTable.append(spark, t, extra)
+    val v2 = ops.append(spark, t, extra)
     val upd = spark.range(0, 2).select(col("id").as("k"), lit("UPDATED").as("v"))
-    val v3 = VersionedTable.upsert(spark, t, upd, "k")
+    val v3 = ops.upsert(spark, t, upd, "k")
     assert(Seq(v1, v2, v3) === Seq(1L, 2L, 3L), "monotone versions")
-    val r1 = VersionedTable.read(spark, t, Some(v1))
+    val r1 = ops.read(spark, t, Some(v1))
     assert(r1.except(base).isEmpty && base.except(r1).isEmpty,
       "v1 == original after later commits")
-    val r2 = VersionedTable.read(spark, t, Some(v2))
+    val r2 = ops.read(spark, t, Some(v2))
     assert(r2.count() === base.count() + 3, "v2 == v1 + appended rows")
-    val r3 = VersionedTable.read(spark, t)
+    val r3 = ops.read(spark, t)
     assert(r3.filter(col("v") === "UPDATED").count() === 2L, "v3 has the upserts")
     assert(r3.count() === r2.count(), "upsert of existing keys adds no rows")
   }
 
-  test("compaction is snapshot-isolated: a pinned reader never sees a mix") {
+  test(s"[$backend] compaction is snapshot-isolated: a pinned reader never sees a mix") {
     val t = freshTable("compact")
-    VersionedTable.overwrite(spark, t, base.repartition(8))
-    val preVersion = VersionedTable.versions(t).last
+    ops.overwrite(spark, t, base.repartition(8))
+    val preVersion = ops.versions(t).last
     // reader resolves its snapshot BEFORE compaction lands
-    val pinned = VersionedTable.read(spark, t, Some(preVersion))
+    val pinned = ops.read(spark, t, Some(preVersion))
     val before = pinned.collect().toSet
-    val v2 = VersionedTable.compact(spark, t, nFiles = 1)
+    val v2 = ops.compact(spark, t, nFiles = 1)
     // the pinned reader's files are untouched: same rows after the
     // "concurrent" commit — the race compactParquet's dir swap loses
     assert(pinned.collect().toSet === before, "pinned snapshot stable through compaction")
-    val after = VersionedTable.read(spark, t, Some(v2))
+    val after = ops.read(spark, t, Some(v2))
     assert(after.collect().toSet === before, "compaction preserves content exactly")
     // never a mix: each manifest is self-consistent — the union of
     // any two versions' file lists is NOT what any reader resolves
-    val f1 = VersionedTable.versions(t).map(v =>
-      VersionedTable.read(spark, t, Some(v)).inputFiles.toSet)
+    val f1 = ops.versions(t).map(v =>
+      ops.read(spark, t, Some(v)).inputFiles.toSet)
     assert(f1(0).intersect(f1(1)).isEmpty,
       "compacted snapshot shares no files with the old one")
   }
 
-  test("racing appends: no lost update — every append's rows survive") {
-    // On Linux a rename(2)-based publish silently REPLACES the target,
-    // so two racing writers could both "succeed" with one manifest
-    // clobbered; and a retry that reuses its pre-race file list drops
-    // the winner's files. The hard-link publish + files-from-base
-    // closure close both: whatever the interleaving, the final head
-    // must contain the base rows plus ALL appended batches.
+  test(s"[$backend] racing appends: no lost update — every append's rows survive") {
+    // A publish that silently replaces its target (rename(2), or an
+    // unconditional object PUT) would let two racing writers both
+    // "succeed" with one manifest clobbered; and a retry that reuses
+    // its pre-race file list drops the winner's files. The
+    // fail-if-exists publish + files-from-base closure close both:
+    // whatever the interleaving, the final head must contain the base
+    // rows plus ALL appended batches.
     val t = freshTable("race")
-    VersionedTable.overwrite(spark, t, base)
+    ops.overwrite(spark, t, base)
     val nWriters = 8
     val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futures = (0 until nWriters).map { i =>
       scala.concurrent.Future {
-        VersionedTable.append(spark, t,
+        ops.append(spark, t,
           spark.range(1000L + i, 1001L + i).select(col("id").as("k"), lit(s"W$i").as("v")))
       }
     }
@@ -87,39 +104,132 @@ class VersionedTableSpec extends SparkSpec {
       scala.concurrent.Future.sequence(futures), scala.concurrent.duration.Duration(120, "s"))
     pool.shutdown()
     assert(committed.toSet.size === nWriters, "every writer got a distinct version")
-    assert(VersionedTable.versions(t).last === 1L + nWriters, "contiguous log")
-    val head = VersionedTable.read(spark, t)
+    assert(ops.versions(t).last === 1L + nWriters, "contiguous log")
+    val head = ops.read(spark, t)
     assert(head.count() === base.count() + nWriters, "no appended batch lost")
     assert(head.filter(col("k") >= 1000).count() === nWriters.toLong)
   }
 
-  test("append/upsert on an uninitialized table fail loudly, not with NoSuchElement") {
+  test(s"[$backend] append/upsert on an uninitialized table fail loudly, not with NoSuchElement") {
     val t = freshTable("uninit")
     val one = spark.range(0, 1).select(col("id").as("k"), lit("X").as("v"))
-    val e1 = intercept[IllegalArgumentException](VersionedTable.append(spark, t, one))
+    val e1 = intercept[IllegalArgumentException](ops.append(spark, t, one))
     assert(e1.getMessage.contains("uninitialized"))
-    val e2 = intercept[IllegalArgumentException](VersionedTable.upsert(spark, t, one, "k"))
+    val e2 = intercept[IllegalArgumentException](ops.upsert(spark, t, one, "k"))
     assert(e2.getMessage.contains("uninitialized"))
   }
 
-  test("a crashed mid-commit leaves the old snapshot readable") {
+  test(s"[$backend] a crashed mid-commit leaves the old snapshot readable") {
     val t = freshTable("crash")
-    VersionedTable.overwrite(spark, t, base)
-    val head = VersionedTable.versions(t).last
-    // simulate a writer that died after staging data + manifest but
-    // BEFORE the atomic rename: orphan data dir + .tmp manifest
-    val orphan = Paths.get(t, "data/c9-deadbeef")
-    base.limit(1).write.parquet(orphan.toString)
-    Files.writeString(Paths.get(t, "_commits/.tmp-dead"),
-      "{\"version\": 99, \"op\": \"crashed\", \"files\": []}")
-    assert(VersionedTable.versions(t).last === head,
-      "in-flight tmp manifest is invisible to the log")
-    val r = VersionedTable.read(spark, t)
+    ops.overwrite(spark, t, base)
+    val head = ops.versions(t).last
+    // simulate a writer that died after staging but BEFORE the
+    // fail-if-exists publish: orphan data (both backends) plus
+    // whatever manifest debris the backend can leave
+    simulateCrashedCommit(t)
+    assert(ops.versions(t).last === head,
+      "in-flight debris is invisible to the log")
+    val r = ops.read(spark, t)
     assert(r.except(base).isEmpty && base.except(r).isEmpty,
       "old snapshot reads exactly; orphan data is garbage, not corruption")
     // and the log moves on: the next commit takes the next version
-    val vNext = VersionedTable.append(spark, t,
+    val vNext = ops.append(spark, t,
       spark.range(500, 501).select(col("id").as("k"), lit("X").as("v")))
     assert(vNext === head + 1, "recovery needs no repair step")
   }
+
+  test(s"[$backend] zone-map range probe skips files and matches the full scan") {
+    val t = freshTable("zone")
+    for (lo <- Seq(0L, 1000L, 2000L)) {
+      val df = spark.range(lo, lo + 500)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+      if (lo == 0L) ops.overwrite(spark, t, df)
+      else ops.append(spark, t, df)
+    }
+    val (kept, total) = ops.filesForRange(t, "k", 1100, 1200)
+    assert(kept.nonEmpty && kept.size < total,
+      s"range probe must skip the non-matching commits (kept ${kept.size}/$total)")
+    val viaSkip = ops.readRange(spark, t, "k", 1100, 1200)
+      .collect().map(_.toSeq).toSet
+    val full = ops.read(spark, t)
+      .filter(col("k").between(1100, 1200)).collect().map(_.toSeq).toSet
+    assert(viaSkip === full && full.size === 101)
+  }
+
+  test(s"[$backend] chaos: N writers x M commits with compaction and vacuum interleaved") {
+    // The round-7 stress (verdict item 7): the OCC retry closure was
+    // spec-tested for ONE race; this drives sustained contention with
+    // maintenance ops racing the writers. Invariants at the end:
+    //  - every append got a distinct version; the retained log is
+    //    gap-free;
+    //  - the head holds the base rows plus EVERY appended batch
+    //    (compaction rewrites, vacuum drops manifests, neither may
+    //    lose a committed row);
+    //  - every file the head manifest references exists on disk
+    //    (vacuum's grace window protected all live staging).
+    val t = freshTable("chaos")
+    ops.overwrite(spark, t, base)
+    val nWriters = 8
+    val perWriter = 5
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters + 1)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val rnd = new scala.util.Random(7)
+    val writers = (0 until nWriters).map { w =>
+      scala.concurrent.Future {
+        (0 until perWriter).map { i =>
+          val k = 10000L + w * 100 + i
+          ops.append(spark, t,
+            spark.range(k, k + 1).select(col("id").as("k"), lit(s"W$w-$i").as("v")))
+        }
+      }
+    }
+    val chaos = scala.concurrent.Future {
+      (0 until 6).foreach { _ =>
+        Thread.sleep(30 + rnd.nextInt(120))
+        if (rnd.nextBoolean()) ops.compact(spark, t, 1 + rnd.nextInt(2))
+        // default grace: drops old MANIFESTS (racing any writer whose
+        // closure is mid-read — the NoSuchFile retry path), never a
+        // recently-staged data dir
+        else ops.vacuum(t, retain = 8)
+      }
+    }
+    val versionsCommitted = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(writers),
+      scala.concurrent.duration.Duration(300, "s")).flatten
+    scala.concurrent.Await.result(chaos, scala.concurrent.duration.Duration(300, "s"))
+    pool.shutdown()
+    assert(versionsCommitted.toSet.size === nWriters * perWriter,
+      "every append committed a distinct version")
+    val retained = ops.versions(t)
+    assert(retained.max - retained.min + 1 === retained.size.toLong,
+      s"retained log must be gap-free, got $retained")
+    val head = ops.read(spark, t)
+    assert(head.filter(col("k") >= 10000).count() === (nWriters * perWriter).toLong,
+      "no committed append lost through compaction/vacuum chaos")
+    assert(head.count() === base.count() + nWriters * perWriter)
+    val headFiles = ops.read(spark, t, Some(retained.max)).inputFiles
+    assert(headFiles.nonEmpty && headFiles.forall(f =>
+      Files.exists(Paths.get(new java.net.URI(f)))),
+      "every head-referenced file survives vacuum")
+  }
 }
+
+/** The default POSIX deployment: publish via hard link. */
+class VersionedTableSpec extends VersionedTableBattery("link", VersionedTable) {
+  override protected def simulateCrashedCommit(t: String): Unit = {
+    super.simulateCrashedCommit(t)
+    // only this backend stages manifests as files before the publish
+    Files.writeString(Paths.get(t, "_commits/.tmp-dead"),
+      "{\"version\": 99, \"op\": \"crashed\", \"files\": []}")
+  }
+}
+
+/** Object-store semantics: manifests live in a conditional-put
+  * namespace (S3/GCS/ABFS `If-None-Match: *`), data files on the
+  * filesystem stand in for immutable objects. The IDENTICAL battery —
+  * protocol behavior must not depend on the publish primitive.
+  */
+class VersionedTableObjectStoreSpec
+  extends VersionedTableBattery("objectstore",
+    new VersionedTableOps(new InMemoryCommitStore))
