@@ -124,6 +124,19 @@ object SparkEntry {
     "q_upsert_versioned" -> (operators.VersionedQueries.qUpsertVersioned _),
     "q_time_travel" -> (operators.VersionedQueries.qTimeTravel _),
     "q_zone_map_read" -> (operators.VersionedQueries.qZoneMapRead _),
+    "q_zone_map_date" -> (operators.VersionedQueries.qZoneMapDate _),
+    "q_zone_map_decimal" -> (operators.VersionedQueries.qZoneMapDecimal _),
+    // §2.8: the DSv2 synthetic source under the oracle gate — filter
+    // pushdown prunes generated partitions, column pruning means text
+    // is never built (the aggregate touches only doc_id/lang)
+    "q_synth_docs" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.sources.SyntheticDocsSource")
+        .option("rows", "200000").option("partitions", "32").load()
+        .filter(col("doc_id") >= 50000 && col("doc_id") < 150000)
+        .groupBy("lang")
+        .agg(operators.cnt.as("n"), sum("doc_id").as("sum_id"))
+    }),
     "q_funnel" -> (operators.ComplexTypes.qFunnel _),
     "q7_volume" -> (operators.TpchExtra.q7Volume _),
     "q10_returns" -> (operators.TpchExtra.q10Returns _),
@@ -149,6 +162,7 @@ object SparkEntry {
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "q_dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incrementalDedupDemo(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingDups(s, d)),
     "dedup_clusters" -> (Dedup.clusters _),
@@ -357,7 +371,12 @@ object SparkEntry {
     * (equivalent to the xxhash64 bucket join absent collisions), and
     * the matching-positions/64 estimate.
     */
-  private def minhashOracleSql: String = {
+  /** `extraPred` (ANDed onto the final pair filter) lets the
+    * incremental-index oracle reuse the whole replay: the incremental
+    * path's contract is one-shot pairs restricted to batch-touching
+    * ids, so its oracle IS this SQL plus that restriction.
+    */
+  private def minhashOracleSql(extraPred: String = ""): String = {
     import SqlU64._
     val seeds = functions.Signatures.seeds.zipWithIndex
       .map { case (s, k) => s"($k, ${lit(u(s))})" }.mkString(", ")
@@ -408,7 +427,7 @@ object SparkEntry {
        |    CAST(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE) / 64.0 AS est_jaccard
        |  FROM cand JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id AND sa.k = sb.k
        |  GROUP BY 1, 2)
-       |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
+       |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5$extraPred""".stripMargin
   }
 
   /** multimodal_stats oracle: the fake codec's LCG byte stream
@@ -758,7 +777,8 @@ object SparkEntry {
        |WHERE vec_id NOT IN (SELECT dropped FROM pairs)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
-    "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_minhash_lsh" -> minhashOracleSql(),
+    "q_dedup_incremental" -> minhashOracleSql(" AND (id_a % 10 = 0 OR id_b % 10 = 0)"),
     "multimodal_stats" -> multimodalStatsOracleSql,
     "multimodal_topk" -> multimodalTopKOracleSql,
     "multimodal_phash" -> multimodalPhashOracleSql,
@@ -1026,6 +1046,37 @@ object SparkEntry {
       """WITH b AS (SELECT max(c_custkey) // 3 AS third FROM customer)
         |SELECT c_custkey, c_acctbal FROM customer, b
         |WHERE c_custkey > third AND c_custkey <= 2 * third""".stripMargin,
+    // q_zone_map_date/decimal went through the round-7 DATE / DECIMAL
+    // footer-stats zone maps (each query asserts files were skipped);
+    // the oracles are the plain range filters skipping must be
+    // invisible to. Probe bounds sit strictly inside the middle
+    // commit's band so the exact native-literal residual is exercised.
+    "q_zone_map_date" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date FROM orders
+        |WHERE CAST(o_orderdate AS DATE)
+        |  BETWEEN DATE '1997-07-01' AND DATE '1998-06-30'""".stripMargin,
+    "q_zone_map_decimal" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(12,2))
+        |  BETWEEN 60000.00 AND 140000.00""".stripMargin,
+    // q_synth_docs: the generator is a PURE function of doc_id with a
+    // deliberately SQL-replayable lang hash (Knuth multiplicative mod
+    // 2^32 — see SyntheticDocsSource.langOf), so the oracle rebuilds
+    // the scanned id range with DuckDB's range() and replays the hash
+    // in plain BIGINT arithmetic. No source tables involved.
+    "q_synth_docs" ->
+      """WITH ids AS (
+        |  SELECT range AS doc_id FROM range(0, 200000)
+        |  WHERE range >= 50000 AND range < 150000),
+        |langs AS (
+        |  SELECT doc_id,
+        |    CASE ((doc_id * 2654435761) % 4294967296) % 4
+        |      WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+        |      WHEN 2 THEN 'es' ELSE 'fr' END AS lang
+        |  FROM ids)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM langs GROUP BY lang""".stripMargin,
     "q_cdc_apply" ->
       """WITH log AS (
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value,

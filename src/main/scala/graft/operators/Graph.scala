@@ -99,8 +99,7 @@ object Graph {
     // back to the ordinary shuffle join. Size-checked at runtime —
     // not a forced broadcast on an SF-scaling input.
     val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
-    val closingSide =
-      if (oriented.count() <= 2000000L) broadcast(closing) else closing
+    val closingSide = broadcastUnderGate(closing, oriented.count())
     val tris = wedges.join(closingSide, Seq("v", "w"))
       .select(col("src").as("u"), col("v"), col("w"))
     // one narrow explode per triangle row — a 3-arm union would
@@ -136,8 +135,7 @@ object Graph {
     // set is ~avg-degree× larger, and the per-round localCheckpoint
     // hides the frontier's size — same measured-gate broadcast as
     // pagerank's rank table, shuffle-join fallback past the gate
-    def small(df: DataFrame): DataFrame =
-      if (n <= 2000000L) broadcast(df) else df
+    def small(df: DataFrame): DataFrame = broadcastUnderGate(df, n)
     var dist = li.sparkSession.range(1)
       .select(lit(src).as("node"), lit(0L).as("dist"))
     for (i <- 1 to rounds) {

@@ -106,8 +106,7 @@ object MRJobs {
     // measured node count (already in hand for the teleport term) —
     // size-checked at runtime, not forced on an SF-scaling input; a
     // graph past the gate falls back to the shuffle join.
-    def small(df: DataFrame): DataFrame =
-      if (n <= 2000000L) broadcast(df) else df
+    def small(df: DataFrame): DataFrame = broadcastUnderGate(df, n)
     var rank = nodes.select(col("node"), lit(scale / n).as("rank"))
     for (i <- 1 to iters) {
       val contrib = small(rank).join(edges, col("node") === col("a"))

@@ -101,4 +101,55 @@ object VersionedQueries {
     VersionedTable.readRange(spark, table, "c_custkey", lo, hi, v)
       .select(col("c_custkey"), col("c_acctbal"))
   }
+
+  /** q_zone_map_date: the round-6 gap — the suite's dominant scan
+    * predicates are date ranges, and DATE columns were conservatively
+    * unindexed. Orders are committed in three YEAR-CLUSTERED appends
+    * (the natural time-partitioned commit order of an ingest
+    * pipeline); a mid-span probe through [[VersionedTable.readRange]]
+    * must skip the other eras' files on the days-since-epoch zone
+    * maps (asserted), and the probe range deliberately covers only
+    * PART of the middle era so the exact residual predicate (native
+    * DATE literals — parquet row-group pushdown survives) is
+    * exercised too.
+    */
+  def qZoneMapDate(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("zonedate")
+    val all = t(spark, dir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"))
+    VersionedTable.overwrite(spark, table, all.filter(year(col("o_date")) <= 1996))
+    VersionedTable.append(spark, table,
+      all.filter(year(col("o_date")).between(1997, 1998)))
+    VersionedTable.append(spark, table, all.filter(year(col("o_date")) >= 1999))
+    val lo = java.time.LocalDate.of(1997, 7, 1).toEpochDay.toDouble
+    val hi = java.time.LocalDate.of(1998, 6, 30).toEpochDay.toDouble
+    val v = Some(VersionedTable.versions(table).last)
+    val (kept, total) = VersionedTable.filesForRange(table, "o_date", lo, hi, v)
+    require(kept.size < total,
+      s"date zone maps must skip the other eras (kept ${kept.size}/$total)")
+    VersionedTable.readRange(spark, table, "o_date", lo, hi, v)
+  }
+
+  /** q_zone_map_decimal: same gap for money columns. Orders are
+    * committed in three PRICE-BAND appends (a clustered OPTIMIZE
+    * layout); the probe range sits strictly inside the middle band so
+    * the outer bands' files must be skipped on the decimal zone maps
+    * (unscaled int64 footer stats decoded via the column's scale),
+    * and the survivors are filtered with native DECIMAL(12,2)
+    * literals — no double cast on the column, row-group pushdown
+    * intact.
+    */
+  def qZoneMapDecimal(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("zonedec")
+    val all = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").cast("decimal(12,2)").as("price"))
+    VersionedTable.overwrite(spark, table, all.filter(col("price") < 50000))
+    VersionedTable.append(spark, table, all.filter(col("price").between(50000, 150000)))
+    VersionedTable.append(spark, table, all.filter(col("price") > 150000))
+    val v = Some(VersionedTable.versions(table).last)
+    val (kept, total) = VersionedTable.filesForRange(table, "price", 60000d, 140000d, v)
+    require(kept.size < total,
+      s"decimal zone maps must skip the outer price bands (kept ${kept.size}/$total)")
+    VersionedTable.readRange(spark, table, "price", 60000d, 140000d, v)
+  }
 }

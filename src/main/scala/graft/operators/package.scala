@@ -27,6 +27,30 @@ package object operators {
 
   def cnt: Column = count(lit(1)).cast("long")
 
+  /** Row gate for the EXPLICIT broadcasts in the iterative graph jobs
+    * (triangles' closing edges, bfs's frontier, pagerank's rank
+    * table): those sides sit behind LogicalRDD/loop plans whose sizes
+    * the planner can't estimate, so `broadcast()` is forced under a
+    * measured row count — this one, in one place (round-6 advice: it
+    * was duplicated at three call sites relative to nothing).
+    *
+    * Sizing rationale: the gated rows are 2–3 packed longs (≤ ~24 B
+    * of data, ~48 B as a broadcast HashedRelation entry), so 2M rows
+    * is ~100 MB of broadcast — comfortably inside this harness's 8g
+    * driver/executor and on the order of
+    * `spark.sql.autoBroadcastJoinThreshold`'s intent for a real
+    * cluster. A smaller-driver deployment tunes ONE constant (scale
+    * it with driver memory: ~250k rows per driver GB keeps the same
+    * headroom).
+    */
+  val IterativeBroadcastRowGate: Long = 2000000L
+
+  /** Broadcast `df` iff the measured row count `n` is under the gate;
+    * past it, fall back to the ordinary shuffle join.
+    */
+  def broadcastUnderGate(df: DataFrame, n: Long): DataFrame =
+    if (n <= IterativeBroadcastRowGate) broadcast(df) else df
+
   /** Fan out an under-parallel scan without paying for it at scale.
     * The skip signal is the FILE count, nothing else: parquet
     * byte-range splits are row-group-blind (one file can plan ≥target

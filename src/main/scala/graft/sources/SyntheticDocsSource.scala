@@ -55,7 +55,17 @@ object SyntheticDocsSource {
     z ^ (z >>> 31)
   }
 
-  def langOf(id: Long): String = Langs((mix(id) & 0x7fffffff).toInt % Langs.length)
+  /** Knuth multiplicative hash mod 2^32 — deliberately chosen over the
+    * splitmix chain so the DuckDB ORACLE can replay it in plain BIGINT
+    * arithmetic: `((doc_id * 2654435761) % 4294967296) % 4` never
+    * overflows a signed 64-bit value for doc_id < 2^31 (the oracle
+    * query uses 2*10^5 rows; ids at/above 2^31 would wrap JVM-side
+    * where DuckDB errors, so oracle equivalence is stated for the
+    * sub-2^31 range). Mixing quality is ample for a 4-way synthetic
+    * label.
+    */
+  def langOf(id: Long): String =
+    Langs((((id * 2654435761L) & 0xffffffffL) % Langs.length).toInt)
 
   def textOf(id: Long): String = {
     val n = 5 + (mix(id * 31 + 1) & 0x7fffffff).toInt % 20

@@ -429,6 +429,21 @@ class VersionedTableOps(val store: CommitStore) {
       stageData(table, mergeFn(read(spark, table, Some(base)), updates), "m")
     })
 
+  /** [[merge]] that also handles the EMPTY table — one commit whose
+    * closure branches on the observed base, so two writers racing the
+    * very first commit cannot both take an overwrite path and clobber
+    * each other (the round-6 advice's non-atomic exists-then-
+    * overwrite): the init loser's retry observes the winner's v1 and
+    * merges into it instead. Version 1 is `mergeFn(empty, updates)`.
+    * The streaming CDC sink initializes through this.
+    */
+  def initOrMerge(spark: SparkSession, table: String, updates: DataFrame,
+      mergeFn: (DataFrame, DataFrame) => DataFrame): Long =
+    commit(table, "merge", { base =>
+      val snapshot = if (base == 0) updates.limit(0) else read(spark, table, Some(base))
+      stageData(table, mergeFn(snapshot, updates), if (base == 0) "w" else "m")
+    })
+
   case class VacuumReport(keptVersions: Seq[Long], droppedVersions: Seq[Long],
       deletedDirs: Int, deletedBytes: Long)
 

@@ -174,10 +174,11 @@ object Streams {
         // next batch's merge cannot even infer a schema from
         if (!batch.isEmpty) {
           val collapsed = cdcSnapshotMerge(batch.limit(0), batch)
-          if (graft.sources.VersionedTable.versions(table).isEmpty)
-            graft.sources.VersionedTable.overwrite(spark, table, collapsed)
-          else
-            graft.sources.VersionedTable.merge(spark, table, collapsed, cdcSnapshotMerge)
+          // initOrMerge commits init and merge through ONE closure, so
+          // two streams racing the table's first commit serialize on
+          // the fail-if-exists publish instead of clobbering each
+          // other's overwrite (round-6 advice)
+          graft.sources.VersionedTable.initOrMerge(spark, table, collapsed, cdcSnapshotMerge)
         }
         () // foreachBatch wants Unit, not the committed version
       }

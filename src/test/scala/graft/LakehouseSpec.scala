@@ -126,6 +126,67 @@ class LakehouseSpec extends SparkSpec {
     assert(rep.keptVersions.size === 1)
   }
 
+  test("vacuum deletes zone-map stats with their dirs; readRange post-vacuum stays exact") {
+    val t = fresh("vacstats")
+    for (lo <- Seq(0L, 1000L, 2000L)) {
+      val df = spark.range(lo, lo + 500)
+        .select(col("id").as("k"), (col("id") * 3).as("v"))
+      if (lo == 0L) VersionedTable.overwrite(spark, t, df)
+      else VersionedTable.append(spark, t, df)
+    }
+    def statsFiles(): Set[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(java.nio.file.Paths.get(t, "data")))(
+        _.iterator().asScala.filter(_.getFileName.toString == "_stats.json").toSet)
+    }
+    val before = statsFiles()
+    assert(before.size === 3, "every staged dir committed its zone maps")
+    VersionedTable.compact(spark, t, 1)
+    val rep = VersionedTable.vacuum(t, retain = 1, graceMs = 0L)
+    assert(rep.deletedDirs === 3, "the three pre-compaction dirs are unreferenced")
+    val after = statsFiles()
+    // stats never outlive their data: dropped dirs took their
+    // _stats.json with them, surviving dirs kept theirs
+    assert(before.intersect(after).isEmpty, "no orphan stats for deleted dirs")
+    assert(after.size === 1 && after.forall(java.nio.file.Files.exists(_)))
+    // readRange over the vacuumed table neither crashes nor mis-skips
+    val viaSkip = VersionedTable.readRange(spark, t, "k", 1100, 1200)
+      .collect().map(_.toSeq).toSet
+    val full = VersionedTable.read(spark, t)
+      .filter(col("k").between(1100, 1200)).collect().map(_.toSeq).toSet
+    assert(viaSkip === full && full.size === 101)
+  }
+
+  test("date and decimal zone maps skip files; residuals stay on native types") {
+    val t = fresh("datedec")
+    // three month-clustered appends carrying a DATE and a DECIMAL col
+    for (m <- 1 to 3) {
+      val df = spark.range((m - 1) * 100, m * 100)
+        .select(col("id").as("k"),
+          date_add(to_date(lit("2024-01-01")), (col("id")).cast("int")).as("d"),
+          (col("id").cast("decimal(10,2)") * lit(1.5).cast("decimal(10,2)"))
+            .cast("decimal(12,2)").as("amt"))
+      if (m == 1) VersionedTable.overwrite(spark, t, df)
+      else VersionedTable.append(spark, t, df)
+    }
+    // date probe: ids 100..199 -> days offset [100, 199] from 2024-01-01
+    val d0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    val (kd, td) = VersionedTable.filesForRange(t, "d", (d0 + 100).toDouble, (d0 + 199).toDouble)
+    assert(kd.nonEmpty && kd.size < td, s"date zone maps must skip (kept ${kd.size}/$td)")
+    val gotD = VersionedTable.readRange(spark, t, "d", (d0 + 100).toDouble, (d0 + 199).toDouble)
+    assert(gotD.count() === 100)
+    // decimal probe: amt = k * 1.5, probe [150.00, 298.50] == ids 100..199
+    val (kc, tc) = VersionedTable.filesForRange(t, "amt", 150d, 298.5d)
+    assert(kc.nonEmpty && kc.size < tc, s"decimal zone maps must skip (kept ${kc.size}/$tc)")
+    val gotC = VersionedTable.readRange(spark, t, "amt", 150d, 298.5d)
+    assert(gotC.collect().map(_.getLong(0)).toSet === (100L until 200L).toSet)
+    // boundary exactness: a probe equal to one commit's exact min/max
+    // keeps every row of that commit (the ULP-widening guard, now on
+    // the decoded date/decimal domains)
+    assert(VersionedTable.readRange(spark, t, "d", (d0 + 100).toDouble, (d0 + 199).toDouble)
+      .count() === 100)
+  }
+
   test("streaming CDC through the commit log == batch collapse, replay-idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cdcv").toString
     val t = s"$dir/table"

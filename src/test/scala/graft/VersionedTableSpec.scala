@@ -138,6 +138,34 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     assert(vNext === head + 1, "recovery needs no repair step")
   }
 
+  test(s"[$backend] racing initialization: initOrMerge serializes the first commit") {
+    // the round-6 advice's hazard: exists-then-overwrite lets two
+    // streams both take the init path, one clobbering the other's v1.
+    // initOrMerge decides init-vs-merge INSIDE the commit closure, so
+    // the losers' retries observe the winner's v1 and merge into it.
+    val t = freshTable("init")
+    val n = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val accumulate = (snap: org.apache.spark.sql.DataFrame,
+      upd: org.apache.spark.sql.DataFrame) => snap.unionByName(upd)
+    val futures = (0 until n).map { w =>
+      scala.concurrent.Future {
+        ops.initOrMerge(spark, t,
+          spark.range(w, w + 1).select(col("id").as("k"), lit(s"I$w").as("v")),
+          accumulate)
+      }
+    }
+    val committed = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures), scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    assert(committed.sorted === (1L to n.toLong), "exactly one writer took v1")
+    val head = ops.read(spark, t)
+    assert(head.count() === n.toLong, "no init-race clobber: every batch survived")
+    assert(head.select("k").collect().map(_.getLong(0)).toSet === (0L until n.toLong).toSet)
+  }
+
   test(s"[$backend] zone-map range probe skips files and matches the full scan") {
     val t = freshTable("zone")
     for (lo <- Seq(0L, 1000L, 2000L)) {
