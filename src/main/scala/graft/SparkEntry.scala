@@ -1234,12 +1234,16 @@ object SparkEntry {
         |                        ELSE 'train' END AS split
         |  FROM xx JOIN embeddings e2 ON xx.vec_id = e2.vec_id)
         |SELECT split, label, count(*) AS n FROM s GROUP BY 1, 2""".stripMargin,
+    // the squares are EXACT 64-bit integer products (q < 2^31 →
+    // q² < 2^62), matching the engine's hi/lo long split — DuckDB's
+    // sum(BIGINT) auto-promotes to HUGEINT, so Σq² is exact on both
+    // sides before the one double cast
     "q_standardize" ->
       """WITH m AS (
         |  SELECT l_returnflag, count(*) AS n,
-        |    CAST(sum(CAST(round(l_extendedprice * 1e4) AS DECIMAL(38,0))) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(round(l_extendedprice * 1e4) * round(l_extendedprice * 1e4)
-        |                  AS DECIMAL(38,0))) AS DOUBLE) AS sx2
+        |    CAST(sum(CAST(round(l_extendedprice * 1e4) AS BIGINT)) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(round(l_extendedprice * 1e4) AS BIGINT)
+        |              * CAST(round(l_extendedprice * 1e4) AS BIGINT)) AS DOUBLE) AS sx2
         |  FROM lineitem GROUP BY 1)
         |SELECT l.l_returnflag, l_orderkey, l_linenumber, l_extendedprice AS x,
         |  round((l_extendedprice - (sx / 1e4) / n) /

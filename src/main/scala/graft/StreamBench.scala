@@ -136,13 +136,39 @@ object StreamBench {
       Streams.sessionWindowed(m.toDS()).writeStream.format("noop")
         .outputMode("append").option("checkpointLocation", tmp("sess")).start())
 
+    // 5./6. corpus ingest vs BATCH SIZE (round-7 item 4: 519 rows/s at
+    // 625-row triggers was asserted, not shown, to be per-trigger
+    // fixed cost). Same pipeline over a 10x replicated corpus — docs
+    // get disjoint ids, strictly increasing event time (so nothing is
+    // late under the watermark) and a per-replica text marker (so the
+    // dedup state genuinely grows instead of collapsing replicas) —
+    // driven at ~10x the trigger size, then as ONE ~50k-row trigger.
+    // rows/s across the three points separates per-ROW cost from
+    // per-TRIGGER cost (state-store commit, watermark round, planning).
+    val bigDocs: Seq[Streams.Doc] = (0 until 10).flatMap { r =>
+      docs.zipWithIndex.map { case (d, i) =>
+        Streams.Doc(d.doc_id + r * 10000000L,
+          new Timestamp((1500000000L + r.toLong * docs.size + i) * 1000L),
+          d.lang,
+          if (r == 0) d.text else d.text + " q" + ('a' + r - 1).toChar)
+      }
+    }
+    val (r5, w5, l5) = drive[Streams.Doc](slices(bigDocs), m =>
+      Streams.corpusIngest(m.toDS()).writeStream.format("noop")
+        .option("checkpointLocation", tmp("corpus10")).start())
+    val (r6, w6, l6) = drive[Streams.Doc](Seq(bigDocs), m =>
+      Streams.corpusIngest(m.toDS()).writeStream.format("noop")
+        .option("checkpointLocation", tmp("corpus50k")).start())
+
     val parts = Seq(
       stats("corpus_ingest", r1, w1, l1),
       stats("windowed_counts", r2, w2, l2),
       stats("cdc_ingest", r3, w3, l3),
-      stats("session_window", r4, w4, l4))
-    val totalRows = r1 + r2 + r3 + r4
-    val totalWall = w1 + w2 + w3 + w4
+      stats("session_window", r4, w4, l4),
+      stats("corpus_ingest_10x", r5, w5, l5),
+      stats("corpus_ingest_1trigger", r6, w6, l6))
+    val totalRows = r1 + r2 + r3 + r4 + r5 + r6
+    val totalWall = w1 + w2 + w3 + w4 + w5 + w6
     println(s"""{"streams":{${parts.map(_._1).mkString(",")}},""" +
       s""""metric":"stream_rows_per_sec","unit":"rows/s","sf":"$sfDir",""" +
       s""""n_batches":$nBatches,"total_rows":$totalRows,"total_wall_s":$totalWall,""" +

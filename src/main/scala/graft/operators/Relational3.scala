@@ -166,26 +166,45 @@ object Relational3 {
 
   /** Per-group standardization (z-score feature scaling) — the
     * feature-engineering step before any numeric model input. The
-    * group mean and variance come from order-independent sums (price
-    * quantized to 1e-4 units; the squares are identical-IEEE double
-    * products — integral but past 2^53, so deterministic rather than
-    * exact — summed as DECIMAL(38,0), ~1e24 at 100 TB row counts
-    * still fits), so the derived double chain (mean, E[x²],
-    * var = E[x²]−mean², sd, (x−mean)/sd) is bit-identical in any
-    * engine and under any partitioning — stddev_samp/Welford
-    * internals never enter the picture. One partial-aggregated pass for the
-    * moments (fixed-cardinality broadcast back), one narrow map for
-    * the scaling.
+    * group mean and variance come from order-independent EXACT
+    * integer sums (price quantized to 1e-4 units, |q| < 2^31), so the
+    * derived double chain (mean, E[x²], var = E[x²]−mean², sd,
+    * (x−mean)/sd) is bit-identical in any engine and under any
+    * partitioning — stddev_samp/Welford internals never enter the
+    * picture.
+    *
+    * Moments cost (the round-7 audit, ProbeStandardize at sf1): the
+    * previous DECIMAL(38,0) per-row sums were 10.6 s of the 13.7 s
+    * query — precision 38 is past Spark's 18-digit compact-long
+    * representation, so every row paid a BigDecimal add. The moments
+    * now run entirely in codegen LONG arithmetic: q² (exact, < 2^62)
+    * is split hi = q² >> 31, lo = q² & (2^31−1), and summed per
+    * (group, input-partition) — the partition id in the key bounds
+    * every long sum by partitionRows × 2^31 (overflow needs a 2^32-row
+    * partition; real partitions are ~10^6–10^7 rows), and partial
+    * aggregation collapses each partition to one row per group before
+    * the shuffle, so the exchange carries 3 × P tiny rows. DECIMAL
+    * enters only in the second-stage combine over those 3 × P rows
+    * (Σq² = 2^31·Σhi + Σlo, exact), where its cost is nil. Exactness
+    * improves on the old path, which squared in IEEE doubles (exact
+    * only to 2^53); one narrow map for the scaling, as before.
     */
   def qStandardize(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").as("x"))
-    val moments = li.groupBy("l_returnflag").agg(
-      cnt.as("n"),
-      sum(round(col("x") * 1e4).cast(DecimalType(38, 0))).cast("double").as("sx"),
-      sum((round(col("x") * 1e4) * round(col("x") * 1e4)).cast(DecimalType(38, 0)))
-        .cast("double").as("sx2"))
+    val q2 = col("q") * col("q")
+    val partials = li
+      .withColumn("q", round(col("x") * 1e4).cast("long"))
+      .groupBy(col("l_returnflag"), spark_partition_id().as("pid"))
+      .agg(cnt.as("n"), sum(col("q")).as("sq"),
+        sum(shiftright(q2, 31)).as("shi"),
+        sum(q2.bitwiseAND(lit(0x7fffffffL))).as("slo"))
+    val moments = partials.groupBy("l_returnflag").agg(
+      sum("n").as("n"),
+      sum(col("sq").cast(DecimalType(38, 0))).cast("double").as("sx"),
+      (sum(col("shi").cast(DecimalType(38, 0))) * lit(2147483648L)
+        + sum(col("slo").cast(DecimalType(38, 0)))).cast("double").as("sx2"))
     li.join(broadcast(moments), "l_returnflag")
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("x"),
         round((col("x") - (col("sx") / 1e4) / col("n")) /

@@ -255,9 +255,15 @@ object Ann {
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(kCentroids)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     for (_ <- 1 to lloydIters) {
-      // exact per-dim sums: quantize to 1e-9 grid, sum as DECIMAL
+      // exact per-dim sums: quantize to 1e-9 grid and sum as LONG —
+      // |q| ≤ 1e9 (normalized components), so the sum is exact below
+      // ~9.2e9 rows per cluster, far past any real cell. A DECIMAL(38)
+      // sum here paid a BigDecimal add per row × dim (the round-7
+      // standardize audit's finding — precision 38 is past Spark's
+      // compact-long Decimal); the long sum is the same exact integer
+      // in codegen.
       val sums = (0 until dim).map(i =>
-        sum(round(col("v").getItem(i) * 1e9).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        sum(round(col("v").getItem(i) * 1e9).cast("long"))
           .cast("double").as(s"s$i"))
       val means = corpus.withColumn("cid", nearestUdf(centroids)(col("v")))
         .groupBy("cid").agg(sums.head, sums.tail: _*)
@@ -464,9 +470,12 @@ object Ann {
     for (_ <- 1 to lloydIters) {
       val coded = corpus.select(col("vec_id"), col("v"),
         posexplode(pqCodesUdf(books, sub)(col("v"))).as(Seq("m", "code")))
+      // exact 1e-9-grid sums as LONG (|q| ≤ 1e9 → exact below ~9.2e9
+      // rows per code cell) — same integer a DECIMAL(38) sum produced,
+      // without its per-row×dim BigDecimal add (round-7 audit)
       val dimSums = (0 until sub).map(i =>
         sum(round(element_at(col("v"), col("m") * sub + i + 1) * 1e9)
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"s$i"))
+          .cast("long")).as(s"s$i"))
       val updates = coded.groupBy("m", "code")
         .agg(cnt.as("n"), dimSums: _*)
         .collect()
@@ -475,7 +484,7 @@ object Ann {
           // (sum/1e9)/n with both divisions in this order — the oracle
           // computes the identical double chain
           (m, c) -> (0 until sub)
-            .map(i => (r.getDecimal(i + 3).doubleValue() / 1e9) / n).toArray
+            .map(i => (r.getLong(i + 3).toDouble / 1e9) / n).toArray
         }.toMap
       books = Array.tabulate(nSub, ksub)((m, c) => updates.getOrElse((m, c), books(m)(c)))
     }

@@ -184,7 +184,11 @@ object ScaleProbe {
       val lsh = SparkEntry.queries("ann_lsh")(spark, out)
         .select(col("q_id"), col("neighbor_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(f"[probe] ann_lsh @10x: recall=${(bf & lsh).size.toDouble / bf.size}%.3f time=${(System.nanoTime() - t0) / 1e9}%.1f s (|bf|=${bf.size})")
-      for ((nCand, ksub) <- Seq((50, 16), (500, 16), (500, 64))) {
+      // (500, 256) is the PRODUCTION code size (8-bit codes, the
+      // pqTopK scaladoc's documented ceiling) — the round-7 row that
+      // shows the adaptive seam extrapolates past its ksub=64 rule
+      // point at this N rather than being tuned to it
+      for ((nCand, ksub) <- Seq((50, 16), (500, 16), (500, 64), (500, 256))) {
         val t1 = System.nanoTime()
         val pq = graft.similarity.Ann.pqTopK(spark, out, nCand = nCand, ksub = ksub)
           .select(col("q_id"), col("neighbor_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
