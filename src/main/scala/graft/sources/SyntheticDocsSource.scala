@@ -137,6 +137,13 @@ class SyntheticDocsScanBuilder(rows: Long, partitions: Int)
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
+    // surface the pushdown state in explain() — the evidence line
+    // PLANS.md carries for every file scan, rendered here for the
+    // generated source (range = the post-pushdown generation span)
+    override def description(): String =
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+        s"GenRange: [$lo, $hi), ReadSchema: ${required.simpleString}"
+    override def toString: String = description()
     override def planInputPartitions(): Array[InputPartition] = {
       // balanced split that always yields exactly `partitions` ranges
       // (possibly empty when rows < partitions); when a pushed doc_id
