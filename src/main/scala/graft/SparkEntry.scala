@@ -126,6 +126,9 @@ object SparkEntry {
     "q_zone_map_read" -> (operators.VersionedQueries.qZoneMapRead _),
     "q_zone_map_date" -> (operators.VersionedQueries.qZoneMapDate _),
     "q_zone_map_decimal" -> (operators.VersionedQueries.qZoneMapDecimal _),
+    "q_zone_map_multi" -> (operators.VersionedQueries.qZoneMapMulti _),
+    "q_zone_map_string" -> (operators.VersionedQueries.qZoneMapString _),
+    "q_table_changes" -> (operators.VersionedQueries.qTableChanges _),
     // §2.8: the DSv2 synthetic source under the oracle gate — filter
     // pushdown prunes generated partitions, column pruning means text
     // is never built (the aggregate touches only doc_id/lang)
@@ -1059,6 +1062,43 @@ object SparkEntry {
       """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders
         |WHERE CAST(o_totalprice AS DECIMAL(12,2))
         |  BETWEEN 60000.00 AND 140000.00""".stripMargin,
+    // q_zone_map_multi: conjunctive date+price probe over the 3x2
+    // clustered commit layout (the query asserts BOTH predicates
+    // eliminated files); oracle = the plain two-predicate filter
+    "q_zone_map_multi" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders
+        |WHERE CAST(o_orderdate AS DATE)
+        |    BETWEEN DATE '1997-07-01' AND DATE '1998-06-30'
+        |  AND CAST(o_totalprice AS DECIMAL(12,2))
+        |    BETWEEN 120000.00 AND 400000.00""".stripMargin,
+    // q_zone_map_string: lexicographic probe over the priority-
+    // clustered layout; ASCII-only domain keeps DuckDB's binary
+    // collation, parquet's byte-order stats and Spark's UTF8 compare
+    // in agreement
+    "q_zone_map_string" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority BETWEEN '3' AND '3~'""".stripMargin,
+    // q_table_changes: the v1->v2 CDC delta; both EXCEPT ALL
+    // directions replayed over the same merge the upsert committed
+    "q_table_changes" ->
+      """WITH target AS (
+        |  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 0),
+        |updates AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS c_acctbal
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1),
+        |merged AS (
+        |  SELECT coalesce(t.c_custkey, u.c_custkey) AS c_custkey,
+        |    coalesce(u.c_acctbal, t.c_acctbal) AS c_acctbal
+        |  FROM target t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey)
+        |SELECT *, 'insert' AS _change FROM
+        |  (SELECT * FROM merged EXCEPT ALL SELECT * FROM target)
+        |UNION ALL
+        |SELECT *, 'delete' AS _change FROM
+        |  (SELECT * FROM target EXCEPT ALL SELECT * FROM merged)""".stripMargin,
     // q_synth_docs: the generator is a PURE function of doc_id with a
     // deliberately SQL-replayable lang hash (Knuth multiplicative mod
     // 2^32 — see SyntheticDocsSource.langOf), so the oracle rebuilds

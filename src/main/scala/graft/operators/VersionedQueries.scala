@@ -152,4 +152,81 @@ object VersionedQueries {
       s"decimal zone maps must skip the outer price bands (kept ${kept.size}/$total)")
     VersionedTable.readRange(spark, table, "price", 60000d, 140000d, v)
   }
+
+  /** q_zone_map_multi: CONJUNCTIVE multi-column skipping — orders
+    * committed in 6 clusters (3 date eras × 2 price bands, the
+    * two-dimensionally clustered OPTIMIZE layout) and probed with a
+    * date range AND a price range through
+    * [[VersionedTable.readRanges]]. Each predicate must eliminate
+    * files the other keeps (asserted: survivors < either
+    * single-column probe's survivors), and the survivors get BOTH
+    * native-typed residuals.
+    */
+  def qZoneMapMulti(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("zonemulti")
+    val all = t(spark, dir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    val eras = Seq(
+      year(col("o_date")) <= 1996,
+      year(col("o_date")).between(1997, 1998),
+      year(col("o_date")) >= 1999)
+    val bands = Seq(col("price") < 100000, col("price") >= 100000)
+    var first = true
+    for (e <- eras; b <- bands) {
+      val slice = all.filter(e && b)
+      if (first) { VersionedTable.overwrite(spark, table, slice); first = false }
+      else VersionedTable.append(spark, table, slice)
+    }
+    val dLo = java.time.LocalDate.of(1997, 7, 1).toEpochDay.toDouble
+    val dHi = java.time.LocalDate.of(1998, 6, 30).toEpochDay.toDouble
+    val ranges = Seq(("o_date", dLo, dHi), ("price", 120000d, 400000d))
+    val v = Some(VersionedTable.versions(table).last)
+    val (kept, total) = VersionedTable.filesForRanges(table, ranges, v)
+    val (keptDate, _) = VersionedTable.filesForRange(table, "o_date", dLo, dHi, v)
+    val (keptPrice, _) = VersionedTable.filesForRange(table, "price", 120000d, 400000d, v)
+    require(kept.size < keptDate.size && kept.size < keptPrice.size,
+      s"both predicates must eliminate files (multi ${kept.size} vs date " +
+        s"${keptDate.size} / price ${keptPrice.size} of $total)")
+    VersionedTable.readRanges(spark, table, ranges, v)
+  }
+
+  /** q_zone_map_string: the STRING zone-map domain — orders committed
+    * in three priority-clustered appends, probed with a lexicographic
+    * range that covers only the middle cluster. The probe must skip
+    * the other clusters on the committed string min/max (printable-
+    * ASCII, where driver compare, parquet byte order and Spark UTF8
+    * order all agree); oracle = the plain BETWEEN the skipping must
+    * be invisible to.
+    */
+  def qZoneMapString(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("zonestr")
+    val all = t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    VersionedTable.overwrite(spark, table, all.filter(col("o_orderpriority") < "3"))
+    VersionedTable.append(spark, table,
+      all.filter(col("o_orderpriority") >= "3" && col("o_orderpriority") < "4"))
+    VersionedTable.append(spark, table, all.filter(col("o_orderpriority") >= "4"))
+    val v = Some(VersionedTable.versions(table).last)
+    val (kept, total) = VersionedTable.filesForRangeString(
+      table, "o_orderpriority", "3", "3~", v)
+    require(kept.nonEmpty && kept.size < total,
+      s"string zone maps must skip the other priority clusters (kept ${kept.size}/$total)")
+    VersionedTable.readRangeString(spark, table, "o_orderpriority", "3", "3~", v)
+  }
+
+  /** q_table_changes: the CDC READ over the commit log — after the
+    * same v1 → v2 upsert history as q_upsert_versioned, the v1→v2
+    * row-level delta (`_change` = insert/delete; an updated key is
+    * delete(old) + insert(new)). The upsert rewrote files, so this
+    * exercises the general multiset-symmetric-difference path; the
+    * append FAST path (new files only, no diff job) is spec-pinned in
+    * LakehouseSpec. Oracle replays the merge and both EXCEPT ALL
+    * directions in SQL.
+    */
+  def qTableChanges(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("changes")
+    val v1 = VersionedTable.overwrite(spark, table, target(spark, dir))
+    val v2 = VersionedTable.upsert(spark, table, updates(spark, dir), "c_custkey")
+    VersionedTable.changesBetween(spark, table, v1, v2)
+  }
 }

@@ -67,19 +67,61 @@ class VersionedTableOps(val store: CommitStore) {
       .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
       .sorted
 
-  /** Relative data files of a version (manifest body). */
+  /** Relative data files of a version (manifest body). Scoped to the
+    * `"files": [...]` section so the schema field (which may contain
+    * arbitrary escaped column names) can never be misread as a path.
+    */
   private[sources] def manifestFiles(table: String, v: Long): Seq[String] = {
     val txt = store.read(commitsDir(table), manifestName(v))
-    // manifest is written by `render` below: one quoted relative path
-    // per array element, paths contain no quotes or escapes
-    "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(txt).map(_.group(1)).toSeq
+    val section = "(?s)\"files\": \\[(.*?)\\]".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse(txt) // legacy manifests: whole body
+    // one quoted relative path per array element, paths contain no
+    // quotes or escapes (stageData generates them)
+    "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(section).map(_.group(1)).toSeq
   }
 
-  private def render(v: Long, op: String, files: Seq[String]): String =
+  /** The version's TABLE SCHEMA, recorded in the manifest at commit
+    * time (the Delta/Iceberg design): readers apply it directly
+    * instead of launching a footer-merge job over the snapshot —
+    * schema resolution is O(manifest), not O(files). None for
+    * manifests written before the field existed (readers fall back to
+    * parquet schema merging).
+    */
+  private[sources] def manifestSchema(table: String, v: Long):
+      Option[org.apache.spark.sql.types.StructType] = {
+    val txt = store.read(commitsDir(table), manifestName(v))
+    "\"schema\": \"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(txt).map { m =>
+      org.apache.spark.sql.types.DataType.fromJson(unescStr(m.group(1)))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+  }
+
+  private def render(v: Long, op: String,
+      schema: org.apache.spark.sql.types.StructType, files: Seq[String]): String =
     files.map(f => "    \"" + f + "\"").mkString(
-      s"""{\n  "version": $v,\n  "op": "$op",\n  "files": [\n""",
+      s"""{\n  "version": $v,\n  "op": "$op",\n""" +
+        s"""  "schema": "${escStr(schema.json)}",\n  "files": [\n""",
       ",\n",
       "\n  ]\n}\n")
+
+  /** Stored-schema normalization: every field nullable (a later append
+    * may omit the column — its files then read null — and parquet
+    * reads are nullable-typed anyway).
+    */
+  private def asStored(s: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
+
+  /** Union-merge for schema evolution: same-name fields must match
+    * exactly (enforced by [[append]]'s schema-on-write check before
+    * this runs); fields of either side absent from the other are
+    * appended nullable.
+    */
+  private def unionSchema(head: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      head.fields ++ next.fields.filterNot(f => head.fieldNames.contains(f.name)))
 
   /** Stage a new data dir for the NEXT commit; returns the relative
     * parquet paths it produced. The dir is invisible to readers until
@@ -146,6 +188,48 @@ class VersionedTableOps(val store: CommitStore) {
     }
   }
 
+  /** STRING footer statistics, for the string zone-map domain —
+    * restricted to PRINTABLE-ASCII min/max values, for two reasons:
+    * parquet UTF8 stats order by unsigned BYTES while the driver-side
+    * kept/skip compare and Spark's string comparison order differently
+    * for some non-ASCII sequences (UTF-16 vs UTF-8 order diverges past
+    * the BMP), and ASCII keeps the `_stats.json` encoding trivial
+    * (backslash/quote escaped, no control chars). A column whose
+    * min or max falls outside printable ASCII is conservatively
+    * unindexed — never skipped on.
+    */
+  private def statBoundsStr(pt: org.apache.parquet.schema.PrimitiveType,
+      st: org.apache.parquet.column.statistics.Statistics[_]): Option[(String, String)] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY
+    import org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation
+    // curly braces excluded because the `_stats.json` file-group
+    // parser delimits entries on them (a brace inside a bound would
+    // truncate the group); such columns are simply unindexed
+    def ascii(s: String): Boolean = s.forall(c => c >= ' ' && c <= '~' && c != '{' && c != '}')
+    (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
+      case (BINARY, _: StringLogicalTypeAnnotation) =>
+        val (mi, ma) = (
+          st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+          st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+        if (ascii(mi) && ascii(ma)) Some((mi, ma)) else None
+      case _ => None
+    }
+  }
+
+  private def escStr(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def unescStr(s: String): String = {
+    // sequential unescape (a pair of replaces mis-handles \\" runs)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+      else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Per-file min/max from the PARQUET FOOTERS the write already
     * produced — driver-side metadata reads, O(files), no second scan
     * of the staged data (the first version of this ran a full
@@ -165,6 +249,7 @@ class VersionedTableOps(val store: CommitStore) {
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.toUri), conf))
       val agg = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Int)]
+      val aggS = scala.collection.mutable.LinkedHashMap.empty[String, (String, String, Int)]
       var nBlocks = 0
       try {
         for (block <- reader.getFooter.getBlocks.asScala) {
@@ -172,11 +257,17 @@ class VersionedTableOps(val store: CommitStore) {
           for (c <- block.getColumns.asScala if c.getPath.size == 1) {
             val st = c.getStatistics
             if (st != null && !st.isEmpty && st.hasNonNullValue) {
+              val name = c.getPath.toDotString
               statBounds(c.getPrimitiveType, st).foreach { case (mi, ma) =>
-                val name = c.getPath.toDotString
                 val cur = agg.get(name)
                 agg(name) = (cur.fold(mi)(p => math.min(p._1, mi)),
                   cur.fold(ma)(p => math.max(p._2, ma)),
+                  cur.fold(1)(_._3 + 1))
+              }
+              statBoundsStr(c.getPrimitiveType, st).foreach { case (mi, ma) =>
+                val cur = aggS.get(name)
+                aggS(name) = (cur.fold(mi)(p => if (p._1 <= mi) p._1 else mi),
+                  cur.fold(ma)(p => if (p._2 >= ma) p._2 else ma),
                   cur.fold(1)(_._3 + 1))
               }
             }
@@ -188,6 +279,10 @@ class VersionedTableOps(val store: CommitStore) {
       // block's values and wrongly skip the file
       val entries = agg.collect { case (c, (mi, ma, n)) if n == nBlocks =>
         "\"" + c + "\": [" + math.nextDown(mi) + ", " + math.nextUp(ma) + "]"
+      } ++ aggS.collect { case (c, (mi, ma, n)) if n == nBlocks =>
+        // string intervals need no widening: the stats ARE the exact
+        // min/max values (no lossy domain conversion happened)
+        "\"" + c + "\": [\"" + escStr(mi) + "\", \"" + escStr(ma) + "\"]"
       }
       "  \"" + f.getFileName + "\": {" + entries.mkString(", ") + "}"
     }.mkString("{\n", ",\n", "\n}\n")
@@ -222,16 +317,18 @@ class VersionedTableOps(val store: CommitStore) {
     * head. Data staged by a losing attempt becomes unreferenced
     * garbage, never corruption.
     */
-  private def commit(table: String, op: String, filesFor: Long => Seq[String]): Long = {
+  private def commit(table: String, op: String,
+      planFor: Long => (org.apache.spark.sql.types.StructType, Seq[String])): Long = {
     val dir = commitsDir(table)
     var attempt = 0
     while (true) {
       val base = versions(table).lastOption.getOrElse(0L)
       val v = base + 1
-      val files = try Some(filesFor(base)) catch {
+      val plan = try Some(planFor(base)) catch {
         case _: java.nio.file.NoSuchFileException => None // base vacuumed under us
       }
-      val won = files.exists(fs => store.putIfAbsent(dir, manifestName(v), render(v, op, fs)))
+      val won = plan.exists { case (schema, fs) =>
+        store.putIfAbsent(dir, manifestName(v), render(v, op, schema, fs)) }
       if (won) return v
       attempt += 1 // lost the race (or lost the base): re-read head, retry
       require(attempt < 100, s"commit contention on $table")
@@ -245,19 +342,45 @@ class VersionedTableOps(val store: CommitStore) {
   /** Create (version 1) or fully overwrite the table with `df`. */
   def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
     val staged = stageData(table, df, "w") // stage once; retries reuse it
-    commit(table, "overwrite", _ => staged)
+    commit(table, "overwrite", _ => (asStored(df.schema), staged))
   }
 
   /** Append `df` as a new version (old files + new files). The new
     * data is staged once; the OLD-file prefix is rebuilt from the head
     * manifest inside the commit closure, so a retry after a concurrent
     * commit carries that commit's files forward.
+    *
+    * SCHEMA-ON-WRITE: the carried-forward files and the new files are
+    * later read as ONE merged schema, and parquet schema merging
+    * cannot widen primitive types — so a same-name column whose type
+    * differs from the head's is rejected HERE (the lakehouse
+    * contract: fail the write, not every subsequent read). ADDED
+    * columns are fine — that is schema evolution, [[read]] resolves
+    * the union schema with nulls for pre-evolution files. The check
+    * reads the head snapshot's merged schema (driver-side footer
+    * reads, the same O(files) the read path pays); a concurrent
+    * overwrite landing between check and commit is the caller's
+    * schema-governance race, not a correctness one.
     */
   def append(spark: SparkSession, table: String, df: DataFrame): Long = {
+    versions(table).lastOption.foreach { head =>
+      val headSchema = manifestSchema(table, head)
+        .getOrElse(read(spark, table, Some(head)).schema) // legacy: derive from footers
+      val conflicts = df.schema.flatMap(f => headSchema.find(_.name == f.name)
+        .filter(_.dataType != f.dataType)
+        .map(h => s"${f.name}: table has ${h.dataType.simpleString}, " +
+          s"append has ${f.dataType.simpleString}"))
+      require(conflicts.isEmpty,
+        s"append schema conflicts with $table head (types cannot evolve): " +
+          conflicts.mkString("; "))
+    }
     val staged = stageData(table, df, "a")
     commit(table, "append", { base =>
       requireInit(table, base, "append")
-      manifestFiles(table, base) ++ staged
+      val headSchema = manifestSchema(table, base)
+        .getOrElse(asStored(read(spark, table, Some(base)).schema))
+      (unionSchema(headSchema, asStored(df.schema)),
+        manifestFiles(table, base) ++ staged)
     })
   }
 
@@ -279,7 +402,7 @@ class VersionedTableOps(val store: CommitStore) {
         .select(cols.map(c =>
           if (c == key) col(key)
           else coalesce(col(s"u.$c"), col(s"t.$c")).as(c)): _*)
-      stageData(table, merged, "u")
+      (asStored(merged.schema), stageData(table, merged, "u"))
     })
 
   /** Rewrite the current snapshot as `nFiles` even files and publish
@@ -292,11 +415,20 @@ class VersionedTableOps(val store: CommitStore) {
   def compact(spark: SparkSession, table: String, nFiles: Int = 1): Long =
     commit(table, "compact", { base =>
       requireInit(table, base, "compact")
-      stageData(table, read(spark, table, Some(base)).repartition(nFiles), "c")
+      val snap = read(spark, table, Some(base))
+      (asStored(snap.schema), stageData(table, snap.repartition(nFiles), "c"))
     })
 
   /** Read the latest (or a pinned) version. The file list is resolved
-    * HERE, once — the returned frame is a stable snapshot.
+    * HERE, once — the returned frame is a stable snapshot, read under
+    * the schema RECORDED IN THE MANIFEST at commit time (the
+    * Delta/Iceberg design): a table whose appends EVOLVED the schema
+    * (added columns) resolves to the committed union schema with
+    * nulls for files written before the column existed, a version
+    * pinned BEFORE the evolution reads the old schema, and NO
+    * footer-inference or merge job runs at all — schema resolution is
+    * O(manifest). Legacy manifests without the field fall back to
+    * parquet schema merging.
     */
   def read(spark: SparkSession, table: String, version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse {
@@ -306,8 +438,61 @@ class VersionedTableOps(val store: CommitStore) {
     }
     require(store.exists(commitsDir(table), manifestName(v)),
       s"version $v of $table was vacuumed or never existed")
-    val files = manifestFiles(table, v).map(f => Paths.get(table, f).toString)
-    spark.read.parquet(files: _*)
+    readFiles(spark, table, v, manifestFiles(table, v))
+  }
+
+  /** Open manifest files with the version's RECORDED schema (no
+    * footer job at all — files missing a recorded column read it as
+    * null, which is how evolution-era files resolve); legacy
+    * manifests without the field fall back to parquet schema merging.
+    */
+  private def readFiles(spark: SparkSession, table: String, v: Long,
+      files: Seq[String]): DataFrame = {
+    val paths = files.map(f => Paths.get(table, f).toString)
+    manifestSchema(table, v) match {
+      case Some(schema) => spark.read.schema(schema).parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+  }
+
+  /** Row-level changes between two committed versions — the CDC READ
+    * (`table_changes`) shape: the vFrom→vTo delta with a `_change`
+    * column (`insert` / `delete`; an updated row appears as
+    * delete(old) + insert(new)).
+    *
+    * APPEND FAST PATH: when vTo's manifest still references every
+    * vFrom file, the delta is exactly the files added since — they
+    * are read ALONE and tagged insert: no diff job, cost O(appended
+    * bytes). This is the path a 100 TB ingest pipeline's incremental
+    * consumers live on. The general path (an upsert/merge/compaction
+    * rewrote files in between) is the multiset symmetric difference
+    * of the two snapshots — one hash shuffle of each snapshot on all
+    * columns; exact, but O(both snapshots), which is inherent once
+    * files were rewritten (there is no change journal to replay —
+    * compaction commits, which rewrite every byte while changing no
+    * rows, correctly produce an EMPTY delta here). Both snapshots
+    * must share a schema (diff across a schema evolution is the
+    * caller's alignment decision).
+    */
+  def changesBetween(spark: SparkSession, table: String,
+      vFrom: Long, vTo: Long): DataFrame = {
+    require(vFrom <= vTo, s"vFrom $vFrom must be <= vTo $vTo")
+    val change = "_change"
+    if (vFrom == vTo)
+      return read(spark, table, Some(vFrom)).limit(0).withColumn(change, lit("insert"))
+    val fromFiles = manifestFiles(table, vFrom).toSet
+    val toFiles = manifestFiles(table, vTo)
+    if (fromFiles.subsetOf(toFiles.toSet)) {
+      val added = toFiles.filterNot(fromFiles)
+      if (added.isEmpty)
+        read(spark, table, Some(vTo)).limit(0).withColumn(change, lit("insert"))
+      else readFiles(spark, table, vTo, added).withColumn(change, lit("insert"))
+    } else {
+      val a = read(spark, table, Some(vFrom))
+      val b = read(spark, table, Some(vTo))
+      b.exceptAll(a).withColumn(change, lit("insert"))
+        .unionByName(a.exceptAll(b).withColumn(change, lit("delete")))
+    }
   }
 
   /** Manifest files of a version whose `_stats.json` zone maps can
@@ -318,7 +503,21 @@ class VersionedTableOps(val store: CommitStore) {
     * can assert how many files a range probe actually opens.
     */
   def filesForRange(table: String, statsCol: String, lo: Double, hi: Double,
+      version: Option[Long] = None): (Seq[String], Int) =
+    filesForRanges(table, Seq((statsCol, lo, hi)), version)
+
+  /** CONJUNCTIVE multi-column probe: files kept only if EVERY probed
+    * column's committed interval intersects its range — the
+    * `WHERE d BETWEEN … AND price BETWEEN …` scan shape, where each
+    * predicate independently eliminates files (on a multi-dimensionally
+    * clustered layout the intersection of survivors is much smaller
+    * than any single column's). A column without stats never
+    * eliminates (conservative per column, like the single-column
+    * probe).
+    */
+  def filesForRanges(table: String, ranges: Seq[(String, Double, Double)],
       version: Option[Long] = None): (Seq[String], Int) = {
+    require(ranges.nonEmpty, "at least one (column, lo, hi) range")
     val v = version.getOrElse {
       val vs = versions(table)
       require(vs.nonEmpty, s"no commits at $table")
@@ -327,13 +526,17 @@ class VersionedTableOps(val store: CommitStore) {
     require(store.exists(commitsDir(table), manifestName(v)),
       s"version $v of $table was vacuumed or never existed")
     val all = manifestFiles(table, v)
-    val statsByDir = all.map(_.split('/').dropRight(1).mkString("/"))
-      .distinct.map(d => d -> dirStats(table, d, statsCol)).toMap
+    val dirs = all.map(_.split('/').dropRight(1).mkString("/")).distinct
+    val statsByDirCol: Map[(String, String), Map[String, (Double, Double)]] =
+      (for (d <- dirs; (c, _, _) <- ranges)
+        yield (d, c) -> dirStats(table, d, c)).toMap
     val kept = all.filter { f =>
       val (d, name) = (f.split('/').dropRight(1).mkString("/"), f.split('/').last)
-      statsByDir(d).get(name) match {
-        case Some((mi, ma)) => ma >= lo && mi <= hi
-        case None => true // no stats — never skip blind
+      ranges.forall { case (c, lo, hi) =>
+        statsByDirCol((d, c)).get(name) match {
+          case Some((mi, ma)) => ma >= lo && mi <= hi
+          case None => true // no stats for this column — cannot eliminate
+        }
       }
     }
     (kept, all.size)
@@ -349,18 +552,92 @@ class VersionedTableOps(val store: CommitStore) {
     * is one manifest + one `_stats.json` per data dir, no Spark job.
     */
   def readRange(spark: SparkSession, table: String, statsCol: String,
-      lo: Double, hi: Double, version: Option[Long] = None): DataFrame = {
-    require(java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi),
-      "readRange bounds must be finite")
-    val (kept, _) = filesForRange(table, statsCol, lo, hi, version)
+      lo: Double, hi: Double, version: Option[Long] = None): DataFrame =
+    readRanges(spark, table, Seq((statsCol, lo, hi)), version)
+
+  /** Multi-column [[readRange]]: zone-map skipping on the CONJUNCTION
+    * of the given ranges, exact native-typed residuals re-applied per
+    * column on the survivors.
+    */
+  def readRanges(spark: SparkSession, table: String,
+      ranges: Seq[(String, Double, Double)],
+      version: Option[Long] = None): DataFrame = {
+    ranges.foreach { case (c, lo, hi) =>
+      require(java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi),
+        s"readRange bounds for $c must be finite") }
+    val (kept, _) = filesForRanges(table, ranges, version)
     // the full-snapshot read (footers for schema) happens ONLY on the
     // empty-survivor path — on the hot path the probe opens nothing
     // but the kept files, which is the entire point of the zone maps
     if (kept.isEmpty) read(spark, table, version).limit(0)
     else {
-      val df = spark.read.parquet(kept.map(f => Paths.get(table, f).toString): _*)
-      df.filter(residualCond(df, statsCol, lo, hi))
+      val v = version.getOrElse(versions(table).last)
+      val df = readFiles(spark, table, v, kept)
+      df.filter(ranges.map { case (c, lo, hi) => residualCond(df, c, lo, hi) }
+        .reduce(_ && _))
     }
+  }
+
+  /** Per-file [min, max] STRING stats of `statsCol` for one data dir
+    * (the string twin of [[dirStats]]; entries written by
+    * [[statBoundsStr]], printable-ASCII by construction).
+    */
+  private def dirStatsStr(table: String, relDir: String,
+      statsCol: String): Map[String, (String, String)] = {
+    val p = Paths.get(table, relDir, "_stats.json")
+    if (!Files.exists(p)) return Map.empty
+    val txt = Files.readString(p)
+    val fileRe = "\"([^\"]+\\.parquet)\": \\{([^}]*)\\}".r
+    val colRe = ("\"" + java.util.regex.Pattern.quote(statsCol) +
+      "\": \\[\"((?:[^\"\\\\]|\\\\.)*)\", \"((?:[^\"\\\\]|\\\\.)*)\"\\]").r
+    fileRe.findAllMatchIn(txt).flatMap { m =>
+      colRe.findFirstMatchIn(m.group(2))
+        .map(c => m.group(1) -> (unescStr(c.group(1)), unescStr(c.group(2))))
+    }.toMap
+  }
+
+  /** String-domain zone-map probe: files whose committed [min, max]
+    * for the STRING column `statsCol` can still hold a value in
+    * [lo, hi] (lexicographic). Bounds must be printable ASCII — the
+    * range where the driver-side compare, parquet's unsigned-byte
+    * stats order and Spark's UTF8 comparison all agree (the stats
+    * writer enforces the same restriction, so an indexed interval is
+    * always order-consistent with the probe).
+    */
+  def filesForRangeString(table: String, statsCol: String, lo: String, hi: String,
+      version: Option[Long] = None): (Seq[String], Int) = {
+    def ascii(s: String) = s.forall(c => c >= ' ' && c <= '~')
+    require(ascii(lo) && ascii(hi), "string probe bounds must be printable ASCII")
+    val v = version.getOrElse {
+      val vs = versions(table)
+      require(vs.nonEmpty, s"no commits at $table")
+      vs.last
+    }
+    require(store.exists(commitsDir(table), manifestName(v)),
+      s"version $v of $table was vacuumed or never existed")
+    val all = manifestFiles(table, v)
+    val statsByDir = all.map(_.split('/').dropRight(1).mkString("/"))
+      .distinct.map(d => d -> dirStatsStr(table, d, statsCol)).toMap
+    val kept = all.filter { f =>
+      val (d, name) = (f.split('/').dropRight(1).mkString("/"), f.split('/').last)
+      statsByDir(d).get(name) match {
+        case Some((mi, ma)) => ma >= lo && mi <= hi
+        case None => true // no stats — never skip blind
+      }
+    }
+    (kept, all.size)
+  }
+
+  /** [[readRange]] for a STRING column: manifest-level skipping on the
+    * lexicographic string zone maps, exact `BETWEEN` residual on the
+    * survivors (string literals — parquet row-group pushdown applies).
+    */
+  def readRangeString(spark: SparkSession, table: String, statsCol: String,
+      lo: String, hi: String, version: Option[Long] = None): DataFrame = {
+    val (kept, _) = filesForRangeString(table, statsCol, lo, hi, version)
+    if (kept.isEmpty) read(spark, table, version).limit(0)
+    else readFiles(spark, table, version.getOrElse(versions(table).last), kept)
+      .filter(col(statsCol).between(lit(lo), lit(hi)))
   }
 
   /** The exact residual predicate on the NATIVE column type: wrapping
@@ -426,7 +703,8 @@ class VersionedTableOps(val store: CommitStore) {
       mergeFn: (DataFrame, DataFrame) => DataFrame): Long =
     commit(table, "merge", { base =>
       requireInit(table, base, "merge")
-      stageData(table, mergeFn(read(spark, table, Some(base)), updates), "m")
+      val merged = mergeFn(read(spark, table, Some(base)), updates)
+      (asStored(merged.schema), stageData(table, merged, "m"))
     })
 
   /** [[merge]] that also handles the EMPTY table — one commit whose
@@ -441,7 +719,8 @@ class VersionedTableOps(val store: CommitStore) {
       mergeFn: (DataFrame, DataFrame) => DataFrame): Long =
     commit(table, "merge", { base =>
       val snapshot = if (base == 0) updates.limit(0) else read(spark, table, Some(base))
-      stageData(table, mergeFn(snapshot, updates), if (base == 0) "w" else "m")
+      val merged = mergeFn(snapshot, updates)
+      (asStored(merged.schema), stageData(table, merged, if (base == 0) "w" else "m"))
     })
 
   case class VacuumReport(keptVersions: Seq[Long], droppedVersions: Seq[Long],

@@ -187,6 +187,93 @@ class LakehouseSpec extends SparkSpec {
       .count() === 100)
   }
 
+  test("changesBetween: append fast path reads ONLY the appended files; compaction yields an empty delta") {
+    val t = fresh("cdcread")
+    val v1 = VersionedTable.overwrite(spark, t,
+      spark.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("v")))
+    val v2 = VersionedTable.append(spark, t,
+      spark.range(100, 150).select(col("id").as("k"), (col("id") * 2).as("v")))
+    val v3 = VersionedTable.append(spark, t,
+      spark.range(150, 160).select(col("id").as("k"), (col("id") * 2).as("v")))
+    // fast path: v1 -> v3 delta = the two appended batches, tagged insert
+    val d = VersionedTable.changesBetween(spark, t, v1, v3)
+    assert(d.filter(col("_change") === "insert").count() === 60)
+    assert(d.filter(col("_change") === "delete").count() === 0)
+    // ...and it READ only the appended files (no diff job over v1)
+    val v1Files = VersionedTable.read(spark, t, Some(v1)).inputFiles.toSet
+    assert(d.inputFiles.toSet.intersect(v1Files).isEmpty,
+      "append fast path must not open the base snapshot's files")
+    // same-version delta is empty
+    assert(VersionedTable.changesBetween(spark, t, v2, v2).count() === 0)
+    // compaction rewrites every file while changing no rows -> the
+    // general (symmetric-difference) path must produce an EMPTY delta
+    val v4 = VersionedTable.compact(spark, t, 1)
+    assert(VersionedTable.changesBetween(spark, t, v3, v4).count() === 0)
+    // an upsert's delta: updated key = delete(old) + insert(new)
+    val v5 = VersionedTable.upsert(spark, t,
+      spark.range(0, 5).select(col("id").as("k"), lit(-1L).as("v")), "k")
+    val d2 = VersionedTable.changesBetween(spark, t, v4, v5)
+    assert(d2.filter(col("_change") === "insert").count() === 5)
+    assert(d2.filter(col("_change") === "delete").count() === 5)
+  }
+
+  test("schema evolution: appended columns merge at the head, time travel keeps the old schema") {
+    val t = fresh("evolve")
+    val v1 = VersionedTable.overwrite(spark, t,
+      spark.range(0, 50).select(col("id").as("k"), (col("id") * 2).as("v")))
+    VersionedTable.append(spark, t,
+      spark.range(50, 80).select(col("id").as("k"), (col("id") * 2).as("v"),
+        lit("new").as("tag")))
+    val head = VersionedTable.read(spark, t)
+    assert(head.columns.toSet === Set("k", "v", "tag"), "head resolves the union schema")
+    assert(head.filter(col("tag").isNull).count() === 50,
+      "pre-evolution rows read null for the added column")
+    assert(head.filter(col("tag") === "new").count() === 30)
+    val pinned = VersionedTable.read(spark, t, Some(v1))
+    assert(pinned.columns.toSet === Set("k", "v"),
+      "a version pinned before the evolution keeps the old schema")
+    // zone maps survive evolution: probe on the original column spans
+    // both schemas' files and stays exact
+    val got = VersionedTable.readRange(spark, t, "k", 40, 60)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got === (40L to 60L).toSet)
+  }
+
+  test("string zone maps index escaped values and skip on lexicographic probes") {
+    val t = fresh("stresc")
+    // values containing the JSON-escape characters themselves
+    val mk = (lo: Int, hi: Int, pfx: String) =>
+      spark.range(lo, hi).select(col("id").as("k"),
+        concat(lit(pfx), col("id").cast("string")).as("s"))
+    VersionedTable.overwrite(spark, t, mk(0, 100, "a\\quote\"-"))
+    VersionedTable.append(spark, t, mk(100, 200, "m-"))
+    VersionedTable.append(spark, t, mk(200, 300, "z-"))
+    val (kept, total) = VersionedTable.filesForRangeString(t, "s", "m", "m~")
+    assert(kept.nonEmpty && kept.size < total,
+      s"escaped string stats must still parse and skip (kept ${kept.size}/$total)")
+    val got = VersionedTable.readRangeString(spark, t, "s", "m", "m~")
+    assert(got.count() === 100)
+    // the backslash/quote cluster is intact and probeable too
+    assert(VersionedTable.readRangeString(spark, t, "s", "a", "a~").count() === 100)
+  }
+
+  test("legacy manifests without a schema field still read via the mergeSchema fallback") {
+    val t = fresh("legacy")
+    VersionedTable.overwrite(spark, t,
+      spark.range(0, 40).select(col("id").as("k"), (col("id") * 2).as("v")))
+    val expected = VersionedTable.read(spark, t).collect().map(_.toSeq).toSet
+    // strip the schema field from the committed manifest — the exact
+    // shape every pre-round-7 manifest has on disk
+    val mf = java.nio.file.Paths.get(t, "_commits/v00000001.json")
+    val legacy = java.nio.file.Files.readString(mf).linesIterator
+      .filterNot(_.contains("\"schema\"")).mkString("\n")
+    java.nio.file.Files.writeString(mf, legacy)
+    val again = VersionedTable.read(spark, t)
+    assert(again.collect().map(_.toSeq).toSet === expected,
+      "schema-less manifest reads identically through footer merging")
+    assert(again.columns.toSet === Set("k", "v"))
+  }
+
   test("streaming CDC through the commit log == batch collapse, replay-idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cdcv").toString
     val t = s"$dir/table"

@@ -38,8 +38,12 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     base.limit(1).write.parquet(orphan.toString)
   }
 
+  // k cast to LONG so the battery's spark.range appends are
+  // type-identical — the append-time schema-on-write check rejects
+  // same-name type conflicts (parquet schema merging cannot widen
+  // INT to BIGINT), which its own battery test pins below
   protected def base = core.Tables.load(spark, sf, "nation")
-    .select(col("n_nationkey").as("k"), col("n_name").as("v"))
+    .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("v"))
 
   test(s"[$backend] time travel: every version reads exactly its committed state") {
     val t = freshTable("travel")
@@ -164,6 +168,23 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     val head = ops.read(spark, t)
     assert(head.count() === n.toLong, "no init-race clobber: every batch survived")
     assert(head.select("k").collect().map(_.getLong(0)).toSet === (0L until n.toLong).toSet)
+  }
+
+  test(s"[$backend] append rejects same-name type conflicts, allows added columns") {
+    val t = freshTable("schema")
+    ops.overwrite(spark, t, base)
+    // type conflict (k INT vs the table's BIGINT): fail the WRITE —
+    // pre-round-7 this silently committed and poisoned every read
+    val intKeyed = spark.range(900, 901)
+      .select(col("id").cast("int").as("k"), lit("X").as("v"))
+    val e = intercept[IllegalArgumentException](ops.append(spark, t, intKeyed))
+    assert(e.getMessage.contains("schema conflicts"))
+    assert(ops.versions(t) === Seq(1L), "the rejected append committed nothing")
+    // added column: schema evolution, accepted
+    val v2 = ops.append(spark, t, spark.range(901, 902)
+      .select(col("id").as("k"), lit("Y").as("v"), lit(7L).as("extra")))
+    assert(v2 === 2L)
+    assert(ops.read(spark, t).columns.toSet === Set("k", "v", "extra"))
   }
 
   test(s"[$backend] zone-map range probe skips files and matches the full scan") {
