@@ -136,6 +136,14 @@ object StreamBench {
       Streams.sessionWindowed(m.toDS()).writeStream.format("noop")
         .outputMode("append").option("checkpointLocation", tmp("sess")).start())
 
+    // 4b. the SAME CDC merge committed through the VersionedTable
+    // log (one atomic commit per micro-batch) — the delta vs plain
+    // cdc_ingest is the price of snapshot isolation + time travel on
+    // the streaming path: one manifest publish + footer-stats write
+    // per trigger, both O(files), on top of the identical merge job
+    val (r4b, w4b, l4b) = drive[SbChange](changeBatches, m =>
+      Streams.cdcIngestVersioned(m.toDF(), tmp("cdcv") + "/table", tmp("cdcvchk")))
+
     // 5./6. corpus ingest vs BATCH SIZE (round-7 item 4: 519 rows/s at
     // 625-row triggers was asserted, not shown, to be per-trigger
     // fixed cost). Same pipeline over a 10x replicated corpus — docs
@@ -165,10 +173,11 @@ object StreamBench {
       stats("windowed_counts", r2, w2, l2),
       stats("cdc_ingest", r3, w3, l3),
       stats("session_window", r4, w4, l4),
+      stats("cdc_ingest_versioned", r4b, w4b, l4b),
       stats("corpus_ingest_10x", r5, w5, l5),
       stats("corpus_ingest_1trigger", r6, w6, l6))
-    val totalRows = r1 + r2 + r3 + r4 + r5 + r6
-    val totalWall = w1 + w2 + w3 + w4 + w5 + w6
+    val totalRows = r1 + r2 + r3 + r4 + r4b + r5 + r6
+    val totalWall = w1 + w2 + w3 + w4 + w4b + w5 + w6
     println(s"""{"streams":{${parts.map(_._1).mkString(",")}},""" +
       s""""metric":"stream_rows_per_sec","unit":"rows/s","sf":"$sfDir",""" +
       s""""n_batches":$nBatches,"total_rows":$totalRows,"total_wall_s":$totalWall,""" +

@@ -243,29 +243,20 @@ object Dedup {
     val seg = s"seg-${java.util.UUID.randomUUID().toString.take(8)}"
     tables.foreach { case (name, df) => df.write.parquet(s"$indexPath/$seg/$name") }
     val dir = segMarkerDir(indexPath)
-    java.nio.file.Files.createDirectories(dir)
+    // publication through the SAME fail-if-exists seam as the
+    // VersionedTable commit log (round-7: this was a hand-rolled
+    // link(2) copy) — losing a race re-reads the marker head and
+    // retries with the next number; the staged segment is reused
+    val store = graft.sources.LocalLinkCommitStore
     var attempt = 0
-    while (attempt >= 0) {
-      val e = scala.util.Using.resource(java.nio.file.Files.list(dir)) { s =>
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.toSeq.map(_.getFileName.toString)
-          .filter(_.matches("e\\d+")).map(_.stripPrefix("e").toLong)
-          .maxOption.getOrElse(0L) + 1
-      }
-      val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-      java.nio.file.Files.writeString(tmp, seg)
-      try {
-        // link(2) fails if e<n> landed meanwhile (rename would replace)
-        java.nio.file.Files.createLink(dir.resolve(s"e$e"), tmp)
-        java.nio.file.Files.deleteIfExists(tmp)
-        return
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.deleteIfExists(tmp)
-          attempt += 1
-          require(attempt < 100, s"index commit contention at $indexPath")
-      }
+    while (attempt < 100) {
+      val e = store.list(dir)
+        .filter(_.matches("e\\d+")).map(_.stripPrefix("e").toLong)
+        .maxOption.getOrElse(0L) + 1
+      if (store.putIfAbsent(dir, s"e$e", seg)) return
+      attempt += 1
     }
+    throw new IllegalStateException(s"index commit contention at $indexPath")
   }
 
   private[graft] def indexTable(spark: SparkSession, indexPath: String,
