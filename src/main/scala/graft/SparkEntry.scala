@@ -129,6 +129,7 @@ object SparkEntry {
     "q_zone_map_multi" -> (operators.VersionedQueries.qZoneMapMulti _),
     "q_zone_map_string" -> (operators.VersionedQueries.qZoneMapString _),
     "q_table_changes" -> (operators.VersionedQueries.qTableChanges _),
+    "q_zone_map_auto" -> (operators.VersionedQueries.qZoneMapAuto _),
     // §2.8: the DSv2 synthetic source under the oracle gate — filter
     // pushdown prunes generated partitions, column pruning means text
     // is never built (the aggregate touches only doc_id/lang)
@@ -1046,6 +1047,13 @@ object SparkEntry {
     // plain range filter that skipping must be invisible to. The
     // bounds replicate the query's max/3 thirds arithmetic.
     "q_zone_map_read" ->
+      """WITH b AS (SELECT max(c_custkey) // 3 AS third FROM customer)
+        |SELECT c_custkey, c_acctbal FROM customer, b
+        |WHERE c_custkey > third AND c_custkey <= 2 * third""".stripMargin,
+    // q_zone_map_auto went through the ZoneMapFileIndex: the SAME
+    // range arrives as a plain .filter() and the FileIndex prunes at
+    // planning time — oracle identical to q_zone_map_read by design
+    "q_zone_map_auto" ->
       """WITH b AS (SELECT max(c_custkey) // 3 AS third FROM customer)
         |SELECT c_custkey, c_acctbal FROM customer, b
         |WHERE c_custkey > third AND c_custkey <= 2 * third""".stripMargin,

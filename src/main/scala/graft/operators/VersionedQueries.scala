@@ -214,6 +214,34 @@ object VersionedQueries {
     VersionedTable.readRangeString(spark, table, "o_orderpriority", "3", "3~", v)
   }
 
+  /** q_zone_map_auto: AUTOMATIC file skipping — the same key-clustered
+    * layout as [[qZoneMapRead]], but read through
+    * [[VersionedTable.readIndexed]] with a PLAIN `.filter()`: the
+    * [[graft.sources.ZoneMapFileIndex]] translates the predicate
+    * inside Catalyst planning and prunes the non-intersecting
+    * commits' files with no explicit readRange call (the assertion
+    * consults the same stats the index does; the planning-time
+    * numFiles evidence is LakehouseSpec's). The oracle is the plain
+    * range SQL — identical semantics to the full scan.
+    */
+  def qZoneMapAuto(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("zoneauto")
+    val all = t(spark, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    val mx = all.agg(max("c_custkey")).head.getLong(0)
+    val third = mx / 3
+    VersionedTable.overwrite(spark, table, all.filter(col("c_custkey") <= third))
+    VersionedTable.append(spark, table,
+      all.filter(col("c_custkey") > third && col("c_custkey") <= 2 * third))
+    VersionedTable.append(spark, table, all.filter(col("c_custkey") > 2 * third))
+    val v = Some(VersionedTable.versions(table).last)
+    val (kept, total) = VersionedTable.filesForRange(
+      table, "c_custkey", (third + 1).toDouble, (2 * third).toDouble, v)
+    require(kept.size < total,
+      s"the index's stats must exclude the outer commits (kept ${kept.size}/$total)")
+    VersionedTable.readIndexed(spark, table, v)
+      .filter(col("c_custkey").between(third + 1, 2 * third))
+  }
+
   /** q_table_changes: the CDC READ over the commit log — after the
     * same v1 → v2 upsert history as q_upsert_versioned, the v1→v2
     * row-level delta (`_change` = insert/delete; an updated key is

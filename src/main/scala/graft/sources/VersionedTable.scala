@@ -526,20 +526,36 @@ class VersionedTableOps(val store: CommitStore) {
     require(store.exists(commitsDir(table), manifestName(v)),
       s"version $v of $table was vacuumed or never existed")
     val all = manifestFiles(table, v)
-    val dirs = all.map(_.split('/').dropRight(1).mkString("/")).distinct
-    val statsByDirCol: Map[(String, String), Map[String, (Double, Double)]] =
-      (for (d <- dirs; (c, _, _) <- ranges)
+    (keepByZoneMaps(table, all, ranges, Nil), all.size)
+  }
+
+  /** The shared pruning kernel: of `files`, those whose committed
+    * stats can still satisfy EVERY numeric range (stats double
+    * domain) and EVERY string range (lexicographic). A file without
+    * stats for a probed column is never eliminated by that column.
+    * Bounds may be infinite (un-constrained sides). Used by the
+    * explicit probes ([[filesForRanges]]/[[filesForRangeString]]) and
+    * by [[ZoneMapFileIndex]], which runs it INSIDE Catalyst planning.
+    */
+  private[sources] def keepByZoneMaps(table: String, files: Seq[String],
+      numRanges: Seq[(String, Double, Double)],
+      strRanges: Seq[(String, String, String)]): Seq[String] = {
+    if (numRanges.isEmpty && strRanges.isEmpty) return files
+    val dirs = files.map(_.split('/').dropRight(1).mkString("/")).distinct
+    val num: Map[(String, String), Map[String, (Double, Double)]] =
+      (for (d <- dirs; (c, _, _) <- numRanges)
         yield (d, c) -> dirStats(table, d, c)).toMap
-    val kept = all.filter { f =>
+    val str: Map[(String, String), Map[String, (String, String)]] =
+      (for (d <- dirs; (c, _, _) <- strRanges)
+        yield (d, c) -> dirStatsStr(table, d, c)).toMap
+    files.filter { f =>
       val (d, name) = (f.split('/').dropRight(1).mkString("/"), f.split('/').last)
-      ranges.forall { case (c, lo, hi) =>
-        statsByDirCol((d, c)).get(name) match {
-          case Some((mi, ma)) => ma >= lo && mi <= hi
-          case None => true // no stats for this column — cannot eliminate
-        }
+      numRanges.forall { case (c, lo, hi) =>
+        num((d, c)).get(name).forall { case (mi, ma) => ma >= lo && mi <= hi }
+      } && strRanges.forall { case (c, lo, hi) =>
+        str((d, c)).get(name).forall { case (mi, ma) => ma >= lo && mi <= hi }
       }
     }
-    (kept, all.size)
   }
 
   /** Range read with manifest-level file skipping — the zone-map scan
@@ -616,16 +632,7 @@ class VersionedTableOps(val store: CommitStore) {
     require(store.exists(commitsDir(table), manifestName(v)),
       s"version $v of $table was vacuumed or never existed")
     val all = manifestFiles(table, v)
-    val statsByDir = all.map(_.split('/').dropRight(1).mkString("/"))
-      .distinct.map(d => d -> dirStatsStr(table, d, statsCol)).toMap
-    val kept = all.filter { f =>
-      val (d, name) = (f.split('/').dropRight(1).mkString("/"), f.split('/').last)
-      statsByDir(d).get(name) match {
-        case Some((mi, ma)) => ma >= lo && mi <= hi
-        case None => true // no stats — never skip blind
-      }
-    }
-    (kept, all.size)
+    (keepByZoneMaps(table, all, Nil, Seq((statsCol, lo, hi))), all.size)
   }
 
   /** [[readRange]] for a STRING column: manifest-level skipping on the
@@ -638,6 +645,37 @@ class VersionedTableOps(val store: CommitStore) {
     if (kept.isEmpty) read(spark, table, version).limit(0)
     else readFiles(spark, table, version.getOrElse(versions(table).last), kept)
       .filter(col(statsCol).between(lit(lo), lit(hi)))
+  }
+
+  /** Snapshot read whose FILE LISTING is zone-map-aware INSIDE
+    * Catalyst (via [[ZoneMapFileIndex]]) — the integration that makes
+    * skipping automatic: a plain `.filter()` over the returned frame
+    * prunes non-intersecting files at planning time, with NO explicit
+    * readRange call, and the untouched predicate still gets parquet
+    * row-group pushdown + codegen on the survivors. The schema is the
+    * manifest's recorded schema; the relation is a plain parquet
+    * HadoopFsRelation over the custom index, so every downstream
+    * Spark optimization applies unchanged.
+    */
+  def readIndexed(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse {
+      val vs = versions(table)
+      require(vs.nonEmpty, s"no commits at $table")
+      vs.last
+    }
+    require(store.exists(commitsDir(table), manifestName(v)),
+      s"version $v of $table was vacuumed or never existed")
+    val files = manifestFiles(table, v)
+    val schema = manifestSchema(table, v)
+      .getOrElse(readFiles(spark, table, v, files).schema)
+    val idx = new ZoneMapFileIndex(spark, this, table, v, files, schema)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      idx, new org.apache.spark.sql.types.StructType(), schema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty[String, String])(spark)
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relation)
   }
 
   /** The exact residual predicate on the NATIVE column type: wrapping

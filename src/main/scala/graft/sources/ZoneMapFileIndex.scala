@@ -1,0 +1,147 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types._
+
+/** Zone-map-aware [[FileIndex]] over one committed version of a
+  * [[VersionedTable]] — the Delta-`TahoeFileIndex` integration shape:
+  * instead of the user calling `readRange` explicitly, the manifest
+  * zone maps apply INSIDE Catalyst's planning. `FileSourceScanExec`
+  * hands this index the query's data filters when it lists files, so
+  * a plain
+  * {{{ VersionedTable.readIndexed(spark, t).filter($"k" between(lo, hi)) }}}
+  * opens only the files whose committed per-file intervals intersect
+  * the predicate — and composes with everything else Spark does with
+  * the remaining filters (parquet row-group pushdown on the
+  * survivors, whole-stage codegen residuals), because the original
+  * predicate is untouched: this index only SHRINKS the file list,
+  * never changes semantics.
+  *
+  * Filter translation is deliberately conservative:
+  *  - only `>`, `>=`, `<`, `<=`, `=` between a bare column and a
+  *    literal (either order), conjoined by AND, are used; anything
+  *    else (casts, functions, OR, UDFs) simply prunes nothing;
+  *  - numeric/date/timestamp/decimal literals convert to the stats'
+  *    double domain widened one ULP OUTWARD, and strict bounds are
+  *    relaxed to inclusive — a boundary file is always kept (the
+  *    residual predicate Spark still evaluates makes the row set
+  *    exact);
+  *  - string literals participate only in the printable-ASCII range
+  *    where the stats writer, the driver compare and Spark's UTF8
+  *    ordering agree (see [[VersionedTableOps.filesForRangeString]]).
+  */
+class ZoneMapFileIndex(spark: SparkSession, ops: VersionedTableOps,
+    table: String, version: Long, relFiles: Seq[String],
+    dataSchema: StructType) extends FileIndex {
+
+  // resolved once: the snapshot is immutable, the statuses are stable
+  private val statusByRel: Seq[(String, FileStatus)] = relFiles.map { f =>
+    val p = java.nio.file.Paths.get(table, f)
+    f -> new FileStatus(java.nio.file.Files.size(p), false, 1, 128L * 1024 * 1024,
+      java.nio.file.Files.getLastModifiedTime(p).toMillis, new HPath(p.toUri))
+  }
+
+  override def rootPaths: Seq[HPath] =
+    Seq(new HPath(java.nio.file.Paths.get(table).toUri))
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def inputFiles: Array[String] =
+    statusByRel.map(_._2.getPath.toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = statusByRel.map(_._2.getLen).sum
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val num = mutable.Map.empty[String, (Double, Double)]
+    val str = mutable.Map.empty[String, (String, String)]
+    dataFilters.foreach(collectConstraints(_, num, str))
+    val kept =
+      if (num.isEmpty && str.isEmpty) relFiles
+      else ops.keepByZoneMaps(table, relFiles,
+        num.map { case (c, (lo, hi)) => (c, lo, hi) }.toSeq,
+        str.map { case (c, (lo, hi)) => (c, lo, hi) }.toSeq)
+    val keptSet = kept.toSet
+    Seq(PartitionDirectory(InternalRow.empty,
+      statusByRel.collect { case (f, st) if keptSet(f) => st }.toArray))
+  }
+
+  /** Literal → stats double domain (see VersionedTableOps.statBounds
+    * for the per-type units), or None for unindexable literal types.
+    */
+  private def litNum(l: Literal): Option[Double] = Option(l.value).flatMap { v =>
+    l.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(v.asInstanceOf[Number].doubleValue())
+      case FloatType => Some(v.asInstanceOf[Float].toDouble)
+      case DoubleType => Some(v.asInstanceOf[Double])
+      case DateType => Some(v.asInstanceOf[Int].toDouble) // days
+      case TimestampType => Some(v.asInstanceOf[Long].toDouble) // µs
+      case _: DecimalType => Some(v.asInstanceOf[Decimal].toDouble)
+      case _ => None
+    }
+  }
+
+  private def litStr(l: Literal): Option[String] = Option(l.value).collect {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+  }.filter(_.forall(c => c >= ' ' && c <= '~'))
+
+  // string interval sentinels: "" is <= every string, and a lone DEL
+  // (0x7f) is > every PRINTABLE-ASCII string (first char of any
+  // indexed stat is <= 0x7e) — the stats writer only indexes
+  // printable ASCII, so these are safe +/-infinity stand-ins
+  private val StrMin = ""
+  private val StrMax = "\u007f"
+
+  private def collectConstraints(e: Expression,
+      num: mutable.Map[String, (Double, Double)],
+      str: mutable.Map[String, (String, String)]): Unit = {
+    def lower(a: AttributeReference, l: Literal): Unit = {
+      litNum(l).foreach { d =>
+        val lo = math.nextDown(d) // outward: boundary files always kept
+        val cur = num.getOrElse(a.name, (Double.NegativeInfinity, Double.PositiveInfinity))
+        num(a.name) = (math.max(cur._1, lo), cur._2)
+      }
+      litStr(l).foreach { v =>
+        val cur = str.getOrElse(a.name, (StrMin, StrMax))
+        str(a.name) = (if (cur._1 >= v) cur._1 else v, cur._2)
+      }
+    }
+    def upper(a: AttributeReference, l: Literal): Unit = {
+      litNum(l).foreach { d =>
+        val hi = math.nextUp(d)
+        val cur = num.getOrElse(a.name, (Double.NegativeInfinity, Double.PositiveInfinity))
+        num(a.name) = (cur._1, math.min(cur._2, hi))
+      }
+      litStr(l).foreach { v =>
+        val cur = str.getOrElse(a.name, (StrMin, StrMax))
+        str(a.name) = (cur._1, if (cur._2 <= v) cur._2 else v)
+      }
+    }
+    e match {
+      case And(l, r) =>
+        collectConstraints(l, num, str); collectConstraints(r, num, str)
+      // strict bounds relaxed to inclusive — pruning only, the exact
+      // predicate still runs on the survivors
+      case GreaterThan(a: AttributeReference, l: Literal) => lower(a, l)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => lower(a, l)
+      case LessThan(a: AttributeReference, l: Literal) => upper(a, l)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => upper(a, l)
+      case EqualTo(a: AttributeReference, l: Literal) => lower(a, l); upper(a, l)
+      case GreaterThan(l: Literal, a: AttributeReference) => upper(a, l)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => upper(a, l)
+      case LessThan(l: Literal, a: AttributeReference) => lower(a, l)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => lower(a, l)
+      case EqualTo(l: Literal, a: AttributeReference) => lower(a, l); upper(a, l)
+      case _ => () // not translatable: prunes nothing
+    }
+  }
+}

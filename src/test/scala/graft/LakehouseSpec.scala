@@ -257,6 +257,47 @@ class LakehouseSpec extends SparkSpec {
     assert(VersionedTable.readRangeString(spark, t, "s", "a", "a~").count() === 100)
   }
 
+  test("readIndexed: a plain .filter() skips files inside Catalyst planning") {
+    val t = fresh("autoidx")
+    for (lo <- Seq(0L, 1000L, 2000L)) {
+      val df = spark.range(lo, lo + 500)
+        .select(col("id").as("k"), (col("id") * 2).as("v"),
+          concat(lit(('a' + (lo / 1000).toInt).toChar.toString + "-"),
+            col("id").cast("string")).as("s"))
+      if (lo == 0L) VersionedTable.overwrite(spark, t, df)
+      else VersionedTable.append(spark, t, df)
+    }
+    def scannedFiles(d: org.apache.spark.sql.DataFrame): Long = {
+      d.collect()
+      val plan = d.queryExecution.executedPlan
+      val resolved = plan.collectFirst {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      }.getOrElse(plan)
+      resolved.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.get
+    }
+    val all = scannedFiles(VersionedTable.readIndexed(spark, t))
+    assert(all >= 3, "three commits stage at least three files")
+    // numeric range: NO readRange call — the filter itself prunes
+    val ranged = VersionedTable.readIndexed(spark, t).filter(col("k").between(1100, 1200))
+    assert(ranged.collect().map(_.getLong(0)).toSet === (1100L to 1200L).toSet)
+    assert(scannedFiles(ranged) < all, "planning must skip non-intersecting files")
+    // equality probe prunes the same way
+    assert(scannedFiles(VersionedTable.readIndexed(spark, t).filter(col("k") === 42)) < all)
+    // string predicate prunes on the string zone maps
+    val strd = VersionedTable.readIndexed(spark, t)
+      .filter(col("s") >= "b" && col("s") < "b~")
+    assert(strd.count() === 500)
+    assert(scannedFiles(strd) < all)
+    // a non-translatable predicate prunes nothing but stays exact
+    val opaque = VersionedTable.readIndexed(spark, t).filter(col("k") % 7 === 0)
+    assert(opaque.count() ===
+      VersionedTable.read(spark, t).filter(col("k") % 7 === 0).count())
+    assert(scannedFiles(opaque) === all)
+  }
+
   test("legacy manifests without a schema field still read via the mergeSchema fallback") {
     val t = fresh("legacy")
     VersionedTable.overwrite(spark, t,
