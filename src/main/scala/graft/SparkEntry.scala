@@ -130,6 +130,8 @@ object SparkEntry {
     "q_zone_map_string" -> (operators.VersionedQueries.qZoneMapString _),
     "q_table_changes" -> (operators.VersionedQueries.qTableChanges _),
     "q_zone_map_auto" -> (operators.VersionedQueries.qZoneMapAuto _),
+    "q_optimize_cluster" -> (operators.VersionedQueries.qOptimizeCluster _),
+    "q_optimize_zorder" -> (operators.VersionedQueries.qOptimizeZorder _),
     // §2.8: the DSv2 synthetic source under the oracle gate — filter
     // pushdown prunes generated partitions, column pruning means text
     // is never built (the aggregate touches only doc_id/lang)
@@ -1070,6 +1072,19 @@ object SparkEntry {
       """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders
         |WHERE CAST(o_totalprice AS DECIMAL(12,2))
         |  BETWEEN 60000.00 AND 140000.00""".stripMargin,
+    // q_optimize_cluster/zorder went through OPTIMIZE rewrites (sort
+    // / Z-order layouts); the queries assert the file skipping, the
+    // oracles are the plain filters a layout change must not affect
+    "q_optimize_cluster" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(12,2))
+        |  BETWEEN 60000.00 AND 140000.00""".stripMargin,
+    "q_optimize_zorder" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |FROM orders
+        |WHERE o_custkey <= (SELECT max(o_custkey) // 4 FROM orders)
+        |  AND CAST(o_totalprice AS DECIMAL(12,2)) <= 80000.00""".stripMargin,
     // q_zone_map_multi: conjunctive date+price probe over the 3x2
     // clustered commit layout (the query asserts BOTH predicates
     // eliminated files); oracle = the plain two-predicate filter

@@ -257,4 +257,62 @@ object VersionedQueries {
     val v2 = VersionedTable.upsert(spark, table, updates(spark, dir), "c_custkey")
     VersionedTable.changesBetween(spark, table, v1, v2)
   }
+
+  /** q_optimize_cluster: OPTIMIZE as layout maintenance — orders land
+    * UNCLUSTERED (generator row order: every file's o_totalprice
+    * interval spans the whole domain, so a range probe before
+    * optimize skips NOTHING — asserted), then
+    * [[VersionedTable.optimize]] rewrites the snapshot range-sorted
+    * on o_totalprice and the SAME probe through the automatic
+    * [[VersionedTable.readIndexed]] path skips the out-of-range files
+    * (asserted). The oracle is the plain price-band SQL: identical
+    * rows before and after — optimize must change the layout and
+    * nothing else.
+    */
+  def qOptimizeCluster(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("optim")
+    val all = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    VersionedTable.overwrite(spark, table, all.repartition(8)) // unclustered
+    val (kept0, total0) = VersionedTable.filesForRange(table, "price", 60000d, 140000d, None)
+    require(kept0.size == total0,
+      s"unclustered files all span the probe (kept ${kept0.size}/$total0)")
+    val v = Some(VersionedTable.optimize(spark, table, Seq("price"), nFiles = 8))
+    val (kept, total) = VersionedTable.filesForRange(table, "price", 60000d, 140000d, v)
+    require(kept.size < total,
+      s"optimize must make the price probe skip files (kept ${kept.size}/$total)")
+    VersionedTable.readIndexed(spark, table, v)
+      .filter(col("price").between(lit(BigDecimal(60000)), lit(BigDecimal(140000))))
+  }
+
+  /** q_optimize_zorder: Z-ORDER layout — orders rewritten with bit-
+    * interleaved quantile bins over (o_custkey, price), so range
+    * probes on EACH dimension INDEPENDENTLY skip files (asserted for
+    * both; a lexicographic (custkey, price) sort would leave every
+    * price-only probe scanning all files — the trap Z-order exists
+    * for, spec-pinned in LakehouseSpec). The returned frame is the
+    * conjunctive rectangle through the automatic-skipping read path;
+    * the oracle is the plain two-predicate SQL.
+    */
+  def qOptimizeZorder(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("zorder")
+    val all = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    VersionedTable.overwrite(spark, table, all.repartition(4)) // unclustered
+    val mx = all.agg(max("o_custkey")).head.getLong(0)
+    val v = Some(VersionedTable.optimize(spark, table, Seq("o_custkey", "price"),
+      nFiles = 16, zorder = true))
+    val (keptC, totC) = VersionedTable.filesForRange(
+      table, "o_custkey", 0d, (mx / 4).toDouble, v)
+    require(keptC.size < totC,
+      s"z-order must skip on the custkey dimension (kept ${keptC.size}/$totC)")
+    val (keptP, totP) = VersionedTable.filesForRange(table, "price", 0d, 80000d, v)
+    require(keptP.size < totP,
+      s"z-order must skip on the price dimension (kept ${keptP.size}/$totP)")
+    VersionedTable.readIndexed(spark, table, v)
+      .filter(col("o_custkey") <= mx / 4 &&
+        col("price") <= lit(BigDecimal(80000)))
+  }
 }

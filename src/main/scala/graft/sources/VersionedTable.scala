@@ -419,6 +419,101 @@ class VersionedTableOps(val store: CommitStore) {
       (asStored(snap.schema), stageData(table, snap.repartition(nFiles), "c"))
     })
 
+  /** OPTIMIZE: rewrite the current snapshot CLUSTERED on `clusterBy`
+    * and publish the rewrite as a new version — the layout-
+    * maintenance commit (Delta `OPTIMIZE ... ZORDER BY`'s shape) that
+    * makes the zone maps TIGHT: after it, every range probe on a
+    * clustering column (explicit [[readRange]] or a plain filter
+    * through [[readIndexed]]) skips the files whose interval the sort
+    * made disjoint. Row set is identical (spec-pinned; a subsequent
+    * [[changesBetween]] across it is an empty delta, like compaction).
+    *
+    * Two layouts:
+    *  - `zorder = false` (default): range-repartition + in-file sort
+    *    on `clusterBy` lexicographically. Ideal for ONE column (or a
+    *    genuinely hierarchical prefix); a probe on a NON-prefix
+    *    column still scans everything — the lexicographic trap.
+    *  - `zorder = true`: each clustering column is quantile-binned to
+    *    `zBits` bits (one distributed approxQuantile pass per column
+    *    — sampling-scale work, the RangePartitioner's own cost
+    *    shape), the bin bits are interleaved into a Z-value, and the
+    *    table is range-laid-out on THAT — every clustering column's
+    *    per-file interval spans ~2^-zBits of its domain, so probes on
+    *    EACH dimension skip independently. The Z-value is a pure
+    *    codegen'd column expression (no UDF) and is dropped before
+    *    staging: the layout changes, the schema does not.
+    *
+    * Scale: the rewrite is one ordinary repartitionByRange job over
+    * the snapshot (sampling + full shuffle — the same bytes any
+    * compaction moves); quantile passes add one scan per Z column.
+    * `nFiles` sizes output files: at 100 TB pick snapshot-bytes /
+    * target-file-size (~1 GiB), not a constant.
+    */
+  def optimize(spark: SparkSession, table: String, clusterBy: Seq[String],
+      nFiles: Int = 16, zorder: Boolean = false, zBits: Int = 6): Long = {
+    require(clusterBy.nonEmpty, "optimize needs at least one clustering column")
+    commit(table, "optimize", { base =>
+      requireInit(table, base, "optimize")
+      val snap = read(spark, table, Some(base))
+      val missing = clusterBy.filterNot(snap.columns.contains)
+      require(missing.isEmpty, s"optimize columns absent from $table: $missing")
+      val arranged =
+        if (!zorder || clusterBy.size == 1)
+          snap.repartitionByRange(nFiles, clusterBy.map(col): _*)
+            .sortWithinPartitions(clusterBy.map(col): _*)
+        else {
+          val z = zvalue(snap, clusterBy, zBits)
+          snap.withColumn("__graft_z", z)
+            .repartitionByRange(nFiles, col("__graft_z"))
+            .sortWithinPartitions(col("__graft_z"))
+            .drop("__graft_z")
+        }
+      (asStored(snap.schema), stageData(table, arranged, "o"))
+    })
+  }
+
+  /** Quantile-binned Z-value (bit-interleaved) of `clusterBy` — the
+    * multi-dimensional clustering key [[optimize]] lays files out on.
+    * Per column: `2^zBits - 1` distributed approxQuantile boundaries
+    * (equi-DEPTH bins, so skew in any one column cannot starve the
+    * others' bits — equi-width binning would collapse a zipfian
+    * column to one bin), then the bin index is the count of
+    * boundaries <= the value, computed by ONE codegen'd
+    * `aggregate(lit(bounds), ...)` fold rather than a 2^zBits-deep
+    * when-chain. Bit i of column j lands at position i*k + j, so all
+    * columns' high bits dominate the ordering together. NULLs bin to
+    * 0 (cluster together at the low edge, standard Z-order
+    * treatment). Column domains: any numeric/decimal (cast double —
+    * binning is LAYOUT only, never semantics, so the lossy cast is
+    * safe), date (epoch days), timestamp (epoch µs). Strings are not
+    * Z-orderable here — single-column lexicographic optimize covers
+    * them.
+    */
+  private def zvalue(snap: DataFrame, clusterBy: Seq[String], zBits: Int): Column = {
+    import org.apache.spark.sql.types._
+    val k = clusterBy.size
+    val nBins = 1 << zBits
+    val binCols = clusterBy.map { c =>
+      val view: Column = snap.schema(c).dataType match {
+        case DateType => datediff(col(c), lit(java.sql.Date.valueOf("1970-01-01"))).cast("double")
+        case TimestampType => unix_micros(col(c)).cast("double")
+        case _: NumericType => col(c).cast("double")
+        case other => throw new IllegalArgumentException(
+          s"column $c of type ${other.simpleString} is not Z-orderable")
+      }
+      val probs = (1 until nBins).map(_.toDouble / nBins).toArray
+      val bounds = snap.select(view.as("__graft_zv"))
+        .stat.approxQuantile("__graft_zv", probs, 1.0 / (4 * nBins))
+        .distinct.sorted // ties (low-cardinality column) merge bins
+      aggregate(lit(bounds), lit(0),
+        (acc, b) => acc + when(view >= b, 1).otherwise(0))
+    }
+    binCols.zipWithIndex.flatMap { case (bin, j) =>
+      (0 until zBits).map(i =>
+        shiftleft(shiftright(bin, i).bitwiseAND(lit(1)), i * k + j))
+    }.reduce[Column](_ + _) // disjoint bit positions: + is OR
+  }
+
   /** Read the latest (or a pinned) version. The file list is resolved
     * HERE, once — the returned frame is a stable snapshot, read under
     * the schema RECORDED IN THE MANIFEST at commit time (the

@@ -298,6 +298,65 @@ class LakehouseSpec extends SparkSpec {
     assert(scannedFiles(opaque) === all)
   }
 
+  test("optimize: row-preserving layout rewrite that makes zone maps skip") {
+    val t = fresh("optim")
+    // interleaved keys: every staged file spans the whole key domain,
+    // so pre-optimize probes skip nothing
+    val df = spark.range(3000)
+      .select((col("id") * 1049 % 3000).as("k"), (col("id") % 97).as("v"))
+    val v1 = VersionedTable.overwrite(spark, t, df.repartition(6))
+    val (kept0, tot0) = VersionedTable.filesForRange(t, "k", 0, 299)
+    assert(kept0.size === tot0, "interleaved layout: nothing skippable")
+    val v2 = VersionedTable.optimize(spark, t, Seq("k"), nFiles = 6)
+    // layout changed, rows did not: empty CDC delta across the rewrite
+    assert(VersionedTable.changesBetween(spark, t, v1, v2).count() === 0)
+    // ... and the same probe now skips
+    val (kept1, tot1) = VersionedTable.filesForRange(t, "k", 0, 299, Some(v2))
+    assert(kept1.nonEmpty && kept1.size < tot1,
+      s"sorted layout must skip (kept ${kept1.size}/$tot1)")
+    assert(VersionedTable.readRange(spark, t, "k", 0, 299, Some(v2)).count() === 300)
+    // snapshot isolation: the pre-optimize version is untouched
+    assert(VersionedTable.read(spark, t, Some(v1)).count() === 3000)
+  }
+
+  test("optimize zorder: each dimension skips independently where lexicographic cannot") {
+    val t = fresh("zorder")
+    // a is near-unique -> a lexicographic (a, b) sort leaves every
+    // file's b-interval spanning the whole domain; z-order must not
+    val df = spark.range(4096).select(col("id").as("a"),
+      ((col("id") * 2654435761L) % 4096).as("b"))
+    VersionedTable.overwrite(spark, t, df.repartition(4))
+    val vLex = VersionedTable.optimize(spark, t, Seq("a", "b"), nFiles = 16)
+    val (keptLexB, totLex) = VersionedTable.filesForRange(t, "b", 0, 255, Some(vLex))
+    assert(keptLexB.size === totLex,
+      "lexicographic trap: b-probe scans everything under an (a, b) sort")
+    val vZ = VersionedTable.optimize(spark, t, Seq("a", "b"), nFiles = 16, zorder = true)
+    val (keptZA, totZ) = VersionedTable.filesForRange(t, "a", 0, 255, Some(vZ))
+    val (keptZB, _) = VersionedTable.filesForRange(t, "b", 0, 255, Some(vZ))
+    assert(keptZA.size < totZ, s"z-order a-probe must skip (kept ${keptZA.size}/$totZ)")
+    assert(keptZB.size < totZ, s"z-order b-probe must skip (kept ${keptZB.size}/$totZ)")
+    // semantics unchanged on both dimensions, including through the
+    // automatic-skipping read path
+    assert(VersionedTable.readIndexed(spark, t, Some(vZ))
+      .filter(col("b").between(0, 255)).count() === 256)
+    assert(VersionedTable.readRange(spark, t, "a", 0, 255, Some(vZ)).count() === 256)
+    // nulls in a clustering column bin to the low edge, never crash
+    val tn = fresh("zornull")
+    val dfn = spark.range(512).select(
+      when(col("id") % 7 === 0, null).otherwise(col("id")).as("a"),
+      (col("id") % 31).as("b"))
+    VersionedTable.overwrite(spark, tn, dfn)
+    VersionedTable.optimize(spark, tn, Seq("a", "b"), nFiles = 4, zorder = true)
+    assert(VersionedTable.read(spark, tn).count() === 512)
+    // string columns are not z-orderable: explicit error, not silence
+    val ts = fresh("zorstr")
+    VersionedTable.overwrite(spark, ts,
+      spark.range(10).select(col("id"), col("id").cast("string").as("s")))
+    assertThrows[IllegalArgumentException] {
+      VersionedTable.optimize(spark, ts, Seq("id", "s"), zorder = true)
+    }
+  }
+
   test("legacy manifests without a schema field still read via the mergeSchema fallback") {
     val t = fresh("legacy")
     VersionedTable.overwrite(spark, t,
