@@ -74,30 +74,79 @@ object Graph {
 
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     val und = undirectedEdges(incidence(spark, dir))
-    // materialized ONCE: the wedge self-join reads it twice and the
-    // closing-edge join a third time — without this the whole
-    // edge-build cascade (distinct + pair self-join + degree joins)
-    // re-executes per branch (the dupClustersStars lesson)
+    // materialized ONCE: the adjacency build and both edge joins read
+    // it — without this the whole edge-build cascade (distinct + pair
+    // self-join + degree joins) re-executes per branch (the
+    // dupClustersStars lesson)
     val oriented = orientByDegree(und).localCheckpoint()
-    // wedges u -> (v, w) with (deg,id)(v) < (deg,id)(w); the closing
-    // edge v -> w is oriented v-first by construction, so one
-    // equi-join on (src, dst) confirms the triangle
+    trianglesAdjacency(oriented)
+  }
+
+  /** EDGE-ITERATOR triangle counting over a degree-ordered oriented
+    * edge set: for each oriented base edge (u, v), the closing nodes
+    * are exactly `out(u) ∩ out(v)` (an acyclically oriented triangle
+    * has one source u with out-edges to both others and a middle v
+    * with an out-edge to the sink w — so each triangle is found ONCE,
+    * at its unique (source, middle) base edge). Per-node counts: the
+    * base edge's u and v each join |W| triangles through it, each
+    * w ∈ W one.
+    *
+    * Why this shape over materializing the wedge set and joining it
+    * with the closing edges: the wedge relation has Σ outdeg² rows
+    * (34× the edge count on the test graph, and the gap widens with
+    * density) — it must be produced as JOIN OUTPUT ROWS and pushed
+    * through a second join. Here the same Σ outdeg² element volume
+    * moves as PACKED ARRAYS replicated onto E edge rows (two
+    * co-partitioned joins on node ids), and the quadratic step is
+    * `array_intersect` — a tight per-row hash intersection inside
+    * whole-stage codegen, no second join, no wedge rows. Degree
+    * ordering still bounds every array at O(sqrt(E)), so a replicated
+    * adjacency row is ≤ O(sqrt(E)) longs even on the 100 TB graph's
+    * celebrity hubs, and the work stays O(E^1.5) — measured vs the
+    * wedge join on identical oriented inputs (ProbeTriangles): 4.1 →
+    * 1.3 s at sf0.1, 35.9 → 6.0 s at sf1 (12M edges, 18.8M
+    * triangles; 6×, and the gap widens with scale exactly because
+    * the avoided cost is the quadratic term's row machinery).
+    */
+  private[graft] def trianglesAdjacency(oriented: DataFrame): DataFrame = {
+    val adj = oriented.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+    // u always has out-edges (v is one); a v with NO out-edges closes
+    // nothing through this base edge — inner joins are exact
+    val withU = oriented.select(col("src").as("u"), col("dst").as("v"))
+      .join(adj.select(col("src").as("u"), col("nbrs").as("nu")), "u")
+    val withUV = withU
+      .join(adj.select(col("src").as("v"), col("nbrs").as("nv")), "v")
+    val closed = withUV
+      .select(col("u"), col("v"), array_intersect(col("nu"), col("nv")).as("ws"))
+      .withColumn("n_closed", size(col("ws")).cast("long"))
+      .filter(col("n_closed") > 0)
+      .localCheckpoint() // read twice below; the intersect runs ONCE
+    val uv = closed.select(
+      explode(array(col("u"), col("v"))).as("node"), col("n_closed").as("n"))
+    val ws = closed.select(explode(col("ws")).as("node"), lit(1L).as("n"))
+    uv.unionByName(ws).groupBy("node").agg(sum("n").cast("long").as("n_triangles"))
+      .select(col("node").as("part_id"), col("n_triangles"))
+  }
+
+  /** The round-6 wedge-materialization formulation, kept for the
+    * ProbeTriangles head-to-head (and as the fallback shape if a
+    * future graph's adjacency arrays outgrow executor rows): wedges
+    * u -> (v, w) with (deg,id)(v) < (deg,id)(w) as join output, then
+    * one equi-join on (v, w) with the closing edge set — broadcast
+    * under the measured gate, shuffle join past it.
+    */
+  private[graft] def trianglesWedge(oriented: DataFrame): DataFrame = {
     val o1 = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("vdeg"))
     val o2 = oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("wdeg"))
     val wedges = o1.join(o2, "src")
       .filter(col("vdeg") < col("wdeg") ||
         (col("vdeg") === col("wdeg") && col("v") < col("w")))
-    // closing-edge join: the wedge side is O(sum outdeg²) — 34x the
-    // edge count on the test graph — so shuffling IT is the dominant
-    // cost of the whole query (measured 4.9 s of 7.5 s at sf0.1).
-    // The edge side is checkpointed, which hides its (small) size
+    // the edge side is checkpointed, which hides its (small) size
     // behind a LogicalRDD, so the planner can never pick the
     // broadcast join on its own — gate it HERE on the measured edge
-    // count (a count over the in-memory checkpoint blocks, one cheap
-    // job): under the gate the wedges stream through a broadcast-hash
-    // probe with no exchange; over it (the 100 TB graph) this falls
-    // back to the ordinary shuffle join. Size-checked at runtime —
-    // not a forced broadcast on an SF-scaling input.
+    // count: under the gate the wedges stream through a broadcast-
+    // hash probe with no exchange; over it (the 100 TB graph) this
+    // falls back to the ordinary shuffle join.
     val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
     val closingSide = broadcastUnderGate(closing, oriented.count())
     val tris = wedges.join(closingSide, Seq("v", "w"))

@@ -64,6 +64,22 @@ class GraphSpec extends SparkSpec {
       s"clique max outdeg $cliqueMax exceeds the O(sqrt E) bound")
   }
 
+  test("adjacency-intersection and wedge formulations agree per node") {
+    import TestSpark.spark.implicits._
+    // a 6-clique plus a pendant path: cliques stress the intersection
+    // (every edge closes 4 triangles), the path contributes none
+    val und = ((for { i <- 1L to 6L; j <- (i + 1) to 6L } yield (i, j)) ++
+      Seq((6L, 7L), (7L, 8L))).toDF("a", "b")
+    val oriented = Graph.orientByDegree(und).localCheckpoint()
+    val adj = Graph.trianglesAdjacency(oriented)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val wedge = Graph.trianglesWedge(oriented)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(adj === wedge)
+    // each clique node sits in C(5,2) = 10 triangles; path nodes in none
+    assert((1L to 6L).forall(adj(_) == 10L) && !adj.contains(8L))
+  }
+
   test("bfs distances: source at 0, edge endpoints within 1 hop") {
     val d = Graph.bfs(spark, sf).cache()
     try {
