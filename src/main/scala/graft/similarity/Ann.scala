@@ -179,8 +179,16 @@ object Ann {
     */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nTables: Int = LshTables, bits: Int = LshBits): DataFrame = {
+    // materialized ONCE: four branches read the bucketed corpus
+    // (banding, query probes, query vectors, candidate re-attach) and
+    // the SRP projection is the pipeline's priciest per-row kernel —
+    // unmaterialized, each branch re-runs it, and the two BROADCAST
+    // builds run it SERIALLY (a broadcast subquery plans the bare
+    // 1-split scan with no fan-out exchange: one task, the whole
+    // corpus). Measured at sf1: 15.0 s → 1.1 s wall (ProbeLsh).
     val corpus = emb(spark, dir)
       .select(col("vec_id"), col("v"), srpBuckets(col("v"), nTables, bits).as("buckets"))
+      .localCheckpoint()
     val banded = corpus
       .select(col("vec_id"), posexplode(col("buckets")))
       .toDF("vec_id", "tbl", "bucket")
