@@ -67,9 +67,21 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String,
       n: Int = 3, minJaccard: Double = 0.55, maxShingleDf: Int = 1000): DataFrame = {
+    // explode_OUTER + post-filter, not plain explode: the bucket join
+    // below makes `shingle` a join key, whose inferred isnotnull
+    // constraint an inner Generate lets Catalyst rewrite onto the
+    // generator INPUT (`size(UDF(text)) > 0`) and push below the
+    // fan-out repartition into the scan stage — the shingle kernel
+    // then runs TWICE more per row, serially, in the 1-split scan
+    // (measured: 2 × 3.2 s two-task stages at sf1, ProbeStages). An
+    // outer generate must preserve null rows, so the constraint stays
+    // a cheap post-explode filter and the kernel runs once, post-
+    // fan-out, at full width.
     val sh = docs(spark, dir)
       .select(col("doc_id"), graft.functions.Signatures.shinglesCol(col("text"), n).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n_shingles"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
     // shingle document frequencies: map-side partial aggregate, then a
     // join that tags each occurrence — both keyed by the same shingle
     // hash the self-join below reuses

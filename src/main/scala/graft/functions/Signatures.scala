@@ -205,14 +205,25 @@ object Signatures {
     z ^ (z >>> 31)
   }
 
-  // Column wrappers
-  val refTokensUdf = udf((text: String) => refTokenStrings(text))
+  // Column wrappers for the heavy text kernels. asNondeterministic is
+  // a LIE in the narrow sense — every kernel is a pure function — told
+  // to the OPTIMIZER for a measured reason: Catalyst rewrites inferred
+  // join-key constraints (isnotnull/size>0 on a downstream join or
+  // Generate column) through the kernel's Project alias and pushes
+  // them below the fan-out repartition into the 1-2-split SCAN stage,
+  // where the kernel then re-runs per row, serially, per constraint
+  // (dedup_ngram_jaccard at sf1: 2 extra full-corpus shingle passes in
+  // two-task stages — ProbeStages/ProbeNgram). Nondeterministic
+  // expressions cannot be pushed through, so the kernel runs exactly
+  // once, post-fan-out, at full width. Results are bit-identical; the
+  // flag only constrains WHERE the optimizer may replicate the call.
+  val refTokensUdf = udf((text: String) => refTokenStrings(text)).asNondeterministic()
   def refTokensFast(text: Column): Column = refTokensUdf(text)
-  def minhashSigUdf(n: Int) = udf((text: String) => minhashSig(text, n))
-  val simhashUdf = udf((text: String) => simhash64(text))
-  def shinglesUdf(n: Int) = udf((text: String) => shingleStrings(text, n))
+  def minhashSigUdf(n: Int) = udf((text: String) => minhashSig(text, n)).asNondeterministic()
+  val simhashUdf = udf((text: String) => simhash64(text)).asNondeterministic()
+  def shinglesUdf(n: Int) = udf((text: String) => shingleStrings(text, n)).asNondeterministic()
 
-  val fingerprintUdf = udf((text: String) => fingerprint64(text))
+  val fingerprintUdf = udf((text: String) => fingerprint64(text)).asNondeterministic()
   val splitmixUdf = udf((x: Long) => splitmix64(x))
 
   def minhashCol(text: Column, n: Int = 3): Column = minhashSigUdf(n)(text)

@@ -48,7 +48,7 @@ object Bpe {
 
   /** (word, freq) over documents.text — the mr_wordcount tokenizer. */
   private def wordFreq(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    fanOut(spark, t(spark, dir, "documents"))
       .select(explode(split(col("text"), " ")).as("tok"))
       .select(lower(regexp_replace(col("tok"), "[^A-Za-z]", "")).as("word"))
       .filter(col("word") =!= "")
@@ -120,7 +120,7 @@ object Bpe {
     * BPE-budget packer.
     */
   private def docWords(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    fanOut(spark, t(spark, dir, "documents"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), lower(regexp_replace(col("tok"), "[^A-Za-z]", "")).as("word"))
       .filter(col("word") =!= "")
@@ -157,7 +157,7 @@ object Bpe {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("chunk_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    t(spark, dir, "documents")
+    fanOut(spark, t(spark, dir, "documents"))
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos"),
         lower(regexp_replace(col("tok"), "[^A-Za-z]", "")).as("word"))

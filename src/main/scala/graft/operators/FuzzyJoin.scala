@@ -28,6 +28,30 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  /** Plain two-row DP Levenshtein — semantically identical to Spark's
+    * and DuckDB's builtin `levenshtein` (unit costs), reimplemented
+    * only so the verify can be a nondeterministic-flagged UDF (see
+    * the call site for why the flag matters for placement).
+    */
+  private[graft] def editDistance(a: String, b: String): Int = {
+    if (a == b) return 0
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var j = 1
+      while (j <= b.length) {
+        val sub = prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1)
+        cur(j) = math.min(sub, math.min(prev(j) + 1, cur(j - 1) + 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(b.length)
+  }
+
   private[graft] def segments(name: String, nSeg: Int): Array[(Int, String)] = {
     val l = name.length
     val base = l / nSeg
@@ -86,7 +110,11 @@ object FuzzyJoin {
     * (including equal names, dist 0), as (id_a < id_b, dist).
     */
   def qFuzzyJoin(spark: SparkSession, dir: String, tau: Int = 2): DataFrame =
-    fuzzyPairs(t(spark, dir, "part").select(col("p_partkey"), col("p_name")), tau)
+    // fanned out and materialized ONCE: four consumers (segment build,
+    // probe build via distinct names, and the two id fan-back joins)
+    // would each re-scan and re-shuffle the 1-split part file
+    fuzzyPairs(fanOut(spark, t(spark, dir, "part"))
+      .select(col("p_partkey"), col("p_name")).localCheckpoint(), tau)
 
   /** Pair join over an arbitrary (p_partkey, p_name) set — the spec
     * entry point (mass-duplicate corpora).
@@ -94,8 +122,13 @@ object FuzzyJoin {
   private[graft] def fuzzyPairs(ids: DataFrame, tau: Int): DataFrame = {
     val nSeg = tau + 1
     val names = ids.select(col("p_name").as("name")).distinct()
-    val segUdf = udf((s: String) => segments(s, nSeg))
-    val probeUdf = udf((s: String) => probeKeys(s, tau, nSeg))
+    // asNondeterministic: pure functions, flagged so inferred join-key
+    // constraints can't be rewritten through the alias and pushed into
+    // the scan stage, re-running the kernel serially there (the
+    // Signatures.scala optimizer-lie rationale; q_fuzzy_join's verify
+    // pipeline collapsed to a 10 s two-task stage at sf1 without it)
+    val segUdf = udf((s: String) => segments(s, nSeg)).asNondeterministic()
+    val probeUdf = udf((s: String) => probeKeys(s, tau, nSeg)).asNondeterministic()
     val segs = names
       .select(col("name").as("name_s"), length(col("name")).as("l"),
         explode(segUdf(col("name"))).as("sg"))
@@ -105,13 +138,24 @@ object FuzzyJoin {
       .select(col("name_r"), col("pk._1").as("l"), col("pk._2").as("si"), col("pk._3").as("seg"))
     // complete candidate set (pigeonhole), verified exactly; pairs
     // normalized lexicographically so both directions collapse
+    // verify WIDTH is pinned explicitly: candidate-pair bytes are tiny
+    // (two short strings/row) so AQE coalesces the distinct's shuffle
+    // to one partition, serializing the levenshtein verify — the
+    // query's dominant CPU (8.5 s single-task at sf1, ProbeStages).
+    // The REPARTITION_BY_NUM below is AQE-exempt, and the verify
+    // filter is a nondeterministic-flagged UDF of the same builtin
+    // (the Signatures.scala optimizer-lie rationale) so it cannot be
+    // pushed back below the exchange it was just hoisted above.
+    val edUdf = udf((a: String, b: String) => editDistance(a, b)).asNondeterministic()
     val nameMatches = segs.join(probes, Seq("l", "si", "seg"))
       .filter(col("name_s") =!= col("name_r"))
       .select(least(col("name_s"), col("name_r")).as("name_lo"),
         greatest(col("name_s"), col("name_r")).as("name_hi"))
       .distinct()
-      .filter(levenshtein(col("name_lo"), col("name_hi")) <= tau)
-      .withColumn("dist", levenshtein(col("name_lo"), col("name_hi")).cast("long"))
+      .repartition(ids.sparkSession.sparkContext.defaultParallelism,
+        col("name_lo"), col("name_hi"))
+      .withColumn("dist", edUdf(col("name_lo"), col("name_hi")).cast("long"))
+      .filter(col("dist") <= tau)
     // Quadratic in the copy count of any single name — inherent to
     // the all-pairs output contract (k copies ARE C(k,2) pairs; no
     // algorithm emits fewer). The supported contract is therefore
