@@ -25,8 +25,11 @@ import org.apache.spark.sql.types._
   *
   * Filter translation is deliberately conservative:
   *  - only `>`, `>=`, `<`, `<=`, `=` between a bare column and a
-  *    literal (either order), conjoined by AND, are used; anything
-  *    else (casts, functions, OR, UDFs) simply prunes nothing;
+  *    literal (either order), all-literal null-free IN / InSet lists
+  *    (widened to their [min, max] envelope — gaps re-filter on the
+  *    survivors), and string `startsWith` (a prefix interval),
+  *    conjoined by AND, are used; anything else (casts, functions,
+  *    OR, UDFs) simply prunes nothing;
   *  - numeric/date/timestamp/decimal literals convert to the stats'
   *    double domain widened one ULP OUTWARD, and strict bounds are
   *    relaxed to inclusive — a boundary file is always kept (the
@@ -141,6 +144,43 @@ class ZoneMapFileIndex(spark: SparkSession, ops: VersionedTableOps,
       case LessThan(l: Literal, a: AttributeReference) => lower(a, l)
       case LessThanOrEqual(l: Literal, a: AttributeReference) => lower(a, l)
       case EqualTo(l: Literal, a: AttributeReference) => lower(a, l); upper(a, l)
+      // IN-list: widened to one [min, max] envelope per column — the
+      // zone-map framework holds ONE interval per column, so the
+      // envelope is the tightest sound translation (gaps between list
+      // points are re-filtered by the untouched predicate). Only
+      // all-literal, non-empty lists with no null translate.
+      case In(a: AttributeReference, vs) if vs.nonEmpty &&
+          vs.forall(v => v.isInstanceOf[Literal] &&
+            v.asInstanceOf[Literal].value != null) =>
+        val lits = vs.map(_.asInstanceOf[Literal])
+        val nums = lits.flatMap(l => litNum(l).map(_ -> l))
+        val strs = lits.flatMap(l => litStr(l).map(_ -> l))
+        if (nums.size == lits.size) {
+          lower(a, nums.minBy(_._1)._2); upper(a, nums.maxBy(_._1)._2)
+        } else if (strs.size == lits.size) {
+          lower(a, strs.minBy(_._1)._2); upper(a, strs.maxBy(_._1)._2)
+        }
+      // long IN-lists arrive optimized to InSet (internal values, no
+      // Literal wrappers) — same envelope translation
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty && !hset.contains(null) =>
+        val lits = hset.toSeq.map(v => Literal(v, a.dataType))
+        val nums = lits.flatMap(l => litNum(l).map(_ -> l))
+        val strs = lits.flatMap(l => litStr(l).map(_ -> l))
+        if (nums.size == lits.size) {
+          lower(a, nums.minBy(_._1)._2); upper(a, nums.maxBy(_._1)._2)
+        } else if (strs.size == lits.size) {
+          lower(a, strs.minBy(_._1)._2); upper(a, strs.maxBy(_._1)._2)
+        }
+      // prefix probe: startsWith(p) ⊆ [p, p + DEL) in the printable-
+      // ASCII stats domain (DEL > every printable char, so p++DEL
+      // upper-bounds every p-prefixed string the writer indexed)
+      case StartsWith(a: AttributeReference, l: Literal) =>
+        litStr(l).filter(_.nonEmpty).foreach { p =>
+          val cur = str.getOrElse(a.name, (StrMin, StrMax))
+          val hi = p + StrMax
+          str(a.name) = (if (cur._1 >= p) cur._1 else p,
+            if (cur._2 <= hi) cur._2 else hi)
+        }
       case _ => () // not translatable: prunes nothing
     }
   }

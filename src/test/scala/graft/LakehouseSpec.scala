@@ -296,6 +296,20 @@ class LakehouseSpec extends SparkSpec {
     assert(opaque.count() ===
       VersionedTable.read(spark, t).filter(col("k") % 7 === 0).count())
     assert(scannedFiles(opaque) === all)
+    // IN-list envelope prunes (points all inside one commit's range)
+    val inl = VersionedTable.readIndexed(spark, t).filter(col("k").isin(1101, 1150, 1199))
+    assert(inl.collect().map(_.getLong(0)).toSet === Set(1101L, 1150L, 1199L))
+    assert(scannedFiles(inl) < all, "IN envelope must prune the outer commits")
+    // a long IN-list arrives as InSet — same envelope
+    val inset = VersionedTable.readIndexed(spark, t)
+      .filter(col("k").isin(1100L to 1120L: _*))
+    assert(inset.count() === 21)
+    assert(scannedFiles(inset) < all, "InSet envelope must prune")
+    // string prefix probe: s values are '<era>-<id>' per commit
+    val pre = VersionedTable.readIndexed(spark, t).filter(col("s").startsWith("b-1"))
+    assert(pre.count() ===
+      VersionedTable.read(spark, t).filter(col("s").startsWith("b-1")).count())
+    assert(scannedFiles(pre) < all, "prefix interval must prune")
   }
 
   test("optimize: row-preserving layout rewrite that makes zone maps skip") {
