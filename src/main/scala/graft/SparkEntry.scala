@@ -132,6 +132,7 @@ object SparkEntry {
     "q_zone_map_auto" -> (operators.VersionedQueries.qZoneMapAuto _),
     "q_optimize_cluster" -> (operators.VersionedQueries.qOptimizeCluster _),
     "q_optimize_zorder" -> (operators.VersionedQueries.qOptimizeZorder _),
+    "q_zone_map_prefix" -> (operators.VersionedQueries.qZoneMapPrefix _),
     // §2.8: the DSv2 synthetic source under the oracle gate — filter
     // pushdown prunes generated partitions, column pruning means text
     // is never built (the aggregate touches only doc_id/lang)
@@ -1102,6 +1103,12 @@ object SparkEntry {
     "q_zone_map_string" ->
       """SELECT o_orderkey, o_orderpriority FROM orders
         |WHERE o_orderpriority BETWEEN '3' AND '3~'""".stripMargin,
+    // q_zone_map_prefix: the startsWith probe through the automatic
+    // readIndexed path (prefix -> [p, p ++ DEL) interval inside the
+    // FileIndex); oracle is the plain LIKE prefix filter
+    "q_zone_map_prefix" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority LIKE '3%'""".stripMargin,
     // q_table_changes: the v1->v2 CDC delta; both EXCEPT ALL
     // directions replayed over the same merge the upsert committed
     "q_table_changes" ->

@@ -258,6 +258,31 @@ object VersionedQueries {
     VersionedTable.changesBetween(spark, table, v1, v2)
   }
 
+  /** q_zone_map_prefix: the string PREFIX probe through the AUTOMATIC
+    * read path — the same priority-clustered layout as
+    * [[qZoneMapString]], but read via [[VersionedTable.readIndexed]]
+    * with a plain `.startsWith` filter: [[graft.sources.ZoneMapFileIndex]]
+    * translates the prefix to the interval [p, p ++ DEL) and prunes
+    * the other priority clusters inside Catalyst planning (asserted
+    * via the same stats the index consults). Oracle is the LIKE
+    * 'p%' filter the pruning must be invisible to.
+    */
+  def qZoneMapPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("zonepre")
+    val all = t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    VersionedTable.overwrite(spark, table, all.filter(col("o_orderpriority") < "3"))
+    VersionedTable.append(spark, table,
+      all.filter(col("o_orderpriority") >= "3" && col("o_orderpriority") < "4"))
+    VersionedTable.append(spark, table, all.filter(col("o_orderpriority") >= "4"))
+    val v = Some(VersionedTable.versions(table).last)
+    val (kept, total) = VersionedTable.filesForRangeString(
+      table, "o_orderpriority", "3", "3~", v)
+    require(kept.nonEmpty && kept.size < total,
+      s"the prefix interval must skip the other priority clusters (kept ${kept.size}/$total)")
+    VersionedTable.readIndexed(spark, table, v)
+      .filter(col("o_orderpriority").startsWith("3"))
+  }
+
   /** q_optimize_cluster: OPTIMIZE as layout maintenance — orders land
     * UNCLUSTERED (generator row order: every file's o_totalprice
     * interval spans the whole domain, so a range probe before

@@ -80,6 +80,16 @@ class VersionedTableOps(val store: CommitStore) {
     "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(section).map(_.group(1)).toSeq
   }
 
+  /** The operation that produced version `v`, as recorded in its
+    * manifest ("overwrite" / "append" / "upsert" / "compact" /
+    * "optimize" / ...); "unknown" for legacy manifests without the
+    * field. The streaming source classifies commits with this.
+    */
+  private[sources] def manifestOp(table: String, v: Long): String = {
+    val txt = store.read(commitsDir(table), manifestName(v))
+    "\"op\": \"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("unknown")
+  }
+
   /** The version's TABLE SCHEMA, recorded in the manifest at commit
     * time (the Delta/Iceberg design): readers apply it directly
     * instead of launching a footer-merge job over the snapshot —
@@ -588,6 +598,52 @@ class VersionedTableOps(val store: CommitStore) {
       b.exceptAll(a).withColumn(change, lit("insert"))
         .unionByName(a.exceptAll(b).withColumn(change, lit("delete")))
     }
+  }
+
+  /** The rows a STREAMING consumer receives for the version interval
+    * `(vFrom, vTo]` — the micro-batch body behind
+    * [[VersionedStreamSource]]. Per commit in the interval:
+    *  - overwrite (only legal at v1 here) and append: the commit's
+    *    STAGED files are emitted as inserts — the append fast path,
+    *    O(added bytes), no diff job;
+    *  - compact / optimize: row-preserving rewrites — emit NOTHING
+    *    (their added files re-state rows already delivered);
+    *  - upsert / merge / later overwrite: NOT expressible as inserts.
+    *    `skipRewrites = false` (default) fails the batch with a clear
+    *    error — silently re-emitting the rewritten snapshot would
+    *    duplicate every row downstream; `true` skips the commit (the
+    *    caller has declared downstream tolerates missing updates —
+    *    the Delta `ignoreChanges` trade, minus its duplicate-emit).
+    * Files are read under the CALLER-PINNED `schema` (the source's
+    * schema is fixed at stream start; later-evolved columns stay
+    * invisible, files predating a column read null). The batch is a
+    * pure function of the manifests — a replay after crash recovery
+    * rebuilds byte-identical rows (exactly-once with an idempotent or
+    * transactional sink).
+    */
+  def streamBatch(spark: SparkSession, table: String, vFrom: Long, vTo: Long,
+      schema: org.apache.spark.sql.types.StructType,
+      skipRewrites: Boolean = false): DataFrame = {
+    require(vFrom <= vTo, s"vFrom $vFrom must be <= vTo $vTo")
+    val adds = (vFrom + 1) to vTo
+    val files = adds.flatMap { v =>
+      val op = manifestOp(table, v)
+      val prev = if (v == 1) Set.empty[String] else manifestFiles(table, v - 1).toSet
+      op match {
+        case "overwrite" if v == 1 => manifestFiles(table, v)
+        case "append" => manifestFiles(table, v).filterNot(prev)
+        case "compact" | "optimize" => Nil
+        case _ if skipRewrites => Nil
+        case other => throw new IllegalStateException(
+          s"streaming read of $table hit a '$other' commit at v$v: rewrites are not " +
+            "expressible as inserts; restart from a snapshot or set skipRewrites=true")
+      }
+    }
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema)
+        .parquet(files.map(f => Paths.get(table, f).toString): _*)
   }
 
   /** Manifest files of a version whose `_stats.json` zone maps can
