@@ -19,7 +19,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * (left) / odd (right) positions of the 64-bit result via the
   * standard mask-doubling chain. Keys are expected in [0, 2^32) —
   * surrogate ids and dictionary ranks are; anything wider should be
-  * rank-compressed first (the z-curve only needs ORDER, not values).
+  * rank-compressed first (the z-curve only needs ORDER, not values) —
+  * [[graft.sources.VersionedTableOps.optimize]]'s zorder mode does
+  * exactly that, equi-depth-binning arbitrary numeric/date/decimal
+  * columns before interleaving.
   */
 case class ZValue(left: Expression, right: Expression)
     extends LongBinaryExpression {

@@ -484,6 +484,12 @@ class VersionedTableOps(val store: CommitStore) {
 
   /** Quantile-binned Z-value (bit-interleaved) of `clusterBy` — the
     * multi-dimensional clustering key [[optimize]] lays files out on.
+    * This is the RANK-COMPRESSION front half [[graft.plans.ZValue]]'s
+    * scaladoc calls for: that codegen Morton expression interleaves
+    * two already-32-bit keys ([[Sinks.writeZOrdered]]'s path); this
+    * one first equi-depth-bins ARBITRARY numeric/date/ts/decimal
+    * columns (any k of them) so skewed or wide domains z-order by
+    * ORDER, not raw value.
     * Per column: `2^zBits - 1` distributed approxQuantile boundaries
     * (equi-DEPTH bins, so skew in any one column cannot starve the
     * others' bits — equi-width binning would collapse a zipfian
