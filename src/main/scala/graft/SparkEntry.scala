@@ -133,6 +133,8 @@ object SparkEntry {
     "q_optimize_cluster" -> (operators.VersionedQueries.qOptimizeCluster _),
     "q_optimize_zorder" -> (operators.VersionedQueries.qOptimizeZorder _),
     "q_zone_map_prefix" -> (operators.VersionedQueries.qZoneMapPrefix _),
+    "q_delete_versioned" -> (operators.VersionedQueries.qDeleteVersioned _),
+    "q_update_versioned" -> (operators.VersionedQueries.qUpdateVersioned _),
     // §2.8: the DSv2 synthetic source under the oracle gate — filter
     // pushdown prunes generated partitions, column pruning means text
     // is never built (the aggregate touches only doc_id/lang)
@@ -1109,6 +1111,22 @@ object SparkEntry {
     "q_zone_map_prefix" ->
       """SELECT o_orderkey, o_orderpriority FROM orders
         |WHERE o_orderpriority LIKE '3%'""".stripMargin,
+    // q_delete_versioned: predicate DELETE through the commit log with
+    // copy-on-write pruning (the query asserts the untouched clusters'
+    // files carried by reference); oracle = the surviving row set
+    "q_delete_versioned" ->
+      """WITH b AS (SELECT max(c_custkey) // 3 AS third FROM customer)
+        |SELECT c_custkey, c_acctbal FROM customer, b
+        |WHERE NOT (c_custkey > third + 1 AND c_custkey <= 2 * third - 1
+        |  AND c_acctbal < 0)""".stripMargin,
+    // q_update_versioned: predicate UPDATE (COW, top price band only —
+    // asserted); oracle replays the CASE WHEN assignment
+    "q_update_versioned" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN CAST(o_totalprice AS DECIMAL(12,2)) > 200000.00
+        |    THEN 'X-' || o_orderpriority ELSE o_orderpriority END AS o_orderpriority,
+        |  CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |FROM orders""".stripMargin,
     // q_table_changes: the v1->v2 CDC delta; both EXCEPT ALL
     // directions replayed over the same merge the upsert committed
     "q_table_changes" ->

@@ -283,6 +283,77 @@ object VersionedQueries {
       .filter(col("o_orderpriority").startsWith("3"))
   }
 
+  /** q_delete_versioned: predicate DELETE through the commit log with
+    * COPY-ON-WRITE file pruning — the same key-clustered three-commit
+    * layout as [[qZoneMapRead]], then
+    * `DELETE WHERE c_custkey IN (middle third) AND c_acctbal < 0`.
+    * The zone maps prove the outer clusters hold no matching row, so
+    * their files must carry into the new version BY REFERENCE
+    * (asserted: the outer clusters' file sets are IDENTICAL across
+    * the delete — zero bytes of untouched data moved, the property
+    * that makes a keyed delete O(touched files) instead of O(table)
+    * at 100 TB). The oracle replays the NOT(predicate) row set the
+    * commit must resolve to.
+    */
+  def qDeleteVersioned(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("delete")
+    val all = t(spark, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    val mx = all.agg(max("c_custkey")).head.getLong(0)
+    val third = mx / 3
+    VersionedTable.overwrite(spark, table, all.filter(col("c_custkey") <= third))
+    VersionedTable.append(spark, table,
+      all.filter(col("c_custkey") > third && col("c_custkey") <= 2 * third))
+    val v0 = VersionedTable.append(spark, table, all.filter(col("c_custkey") > 2 * third))
+    def outer(v: Long): Set[String] = {
+      val lo = VersionedTable.filesForRange(table, "c_custkey",
+        1d, third.toDouble, Some(v))._1
+      val hi = VersionedTable.filesForRange(table, "c_custkey",
+        (2 * third + 1).toDouble, mx.toDouble, Some(v))._1
+      (lo ++ hi).toSet
+    }
+    // predicate bounds sit one key INSIDE the middle cluster: the
+    // write-time ULP widening keeps a file whose stat touches a probe
+    // boundary exactly, so a `> third` probe would conservatively
+    // touch (and rewrite) the lower cluster's boundary file too
+    val v1 = VersionedTable.delete(spark, table,
+      col("c_custkey") > third + 1 && col("c_custkey") <= 2 * third - 1 &&
+        col("c_acctbal") < 0)
+    require(outer(v1) == outer(v0),
+      "COW delete must carry the untouched clusters' files by reference")
+    VersionedTable.read(spark, table, Some(v1))
+      .select(col("c_custkey"), col("c_acctbal"))
+  }
+
+  /** q_update_versioned: predicate UPDATE through the commit log —
+    * orders committed in three price-band appends, then
+    * `UPDATE SET o_orderpriority = 'X-' || o_orderpriority WHERE
+    * price > 200000`. Only the top band's files may be rewritten
+    * (asserted: the lower bands' file sets are identical across the
+    * update); the assignment evaluates against the OLD row, rows
+    * where the predicate is false are byte-identical. Oracle replays
+    * the CASE WHEN over the same source table.
+    */
+  def qUpdateVersioned(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("update")
+    val all = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    VersionedTable.overwrite(spark, table, all.filter(col("price") < 50000))
+    VersionedTable.append(spark, table, all.filter(col("price").between(50000, 150000)))
+    val v0 = VersionedTable.append(spark, table, all.filter(col("price") > 150000))
+    def lowerBands(v: Long): Set[String] =
+      VersionedTable.filesForRange(table, "price", 0d, 150000d, Some(v))._1.toSet
+    // 200000 sits strictly above the middle band's 150000 boundary so
+    // the ULP-widened stats cannot conservatively touch its files
+    val v1 = VersionedTable.update(spark, table,
+      col("price") > lit(BigDecimal(200000)),
+      Seq("o_orderpriority" -> concat(lit("X-"), col("o_orderpriority"))))
+    require(lowerBands(v1) == lowerBands(v0),
+      "COW update must carry the untouched price bands' files by reference")
+    VersionedTable.read(spark, table, Some(v1))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("price"))
+  }
+
   /** q_optimize_cluster: OPTIMIZE as layout maintenance — orders land
     * UNCLUSTERED (generator row order: every file's o_totalprice
     * interval spans the whole domain, so a range probe before

@@ -148,7 +148,11 @@ class VersionedTableOps(val store: CommitStore) {
     val rel = s"data/$tag-${java.util.UUID.randomUUID().toString.take(8)}"
     val dir = Paths.get(table, rel)
     df.write.parquet(dir.toString)
-    writeFileStats(df.sparkSession, dir)
+    val emptyParts = writeFileStats(df.sparkSession, dir)
+    // zero-row part files carry no data and no stats — dropped here so
+    // they can never dodge every future zone-map probe (scaladoc on
+    // writeFileStats); deleting pre-publish is safe, nothing refs them
+    emptyParts.foreach(n => Files.delete(dir.resolve(n)))
     ls(dir)
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => s"$rel/${p.getFileName}")
@@ -249,21 +253,30 @@ class VersionedTableOps(val store: CommitStore) {
     * numerics, µs/ms timestamps, dates and decimals; anything else is
     * conservatively unindexed and never skipped on.
     */
-  private def writeFileStats(spark: SparkSession, dir: Path): Unit = {
+  /** Returns the names of ZERO-ROW part files found while decoding
+    * footers — a writer task with no rows still emits a file, and an
+    * empty file has no column stats, so left in the manifest it would
+    * survive EVERY zone-map probe forever (conservative keep) while
+    * contributing nothing. [[stageData]] deletes them pre-publish.
+    */
+  private def writeFileStats(spark: SparkSession, dir: Path): Set[String] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sparkContext.hadoopConfiguration
     val files = ls(dir).filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
-    if (files.isEmpty) return
-    val body = files.map { f =>
+    if (files.isEmpty) return Set.empty
+    val empty = scala.collection.mutable.Set.empty[String]
+    val body = files.flatMap { f =>
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.toUri), conf))
       val agg = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Int)]
       val aggS = scala.collection.mutable.LinkedHashMap.empty[String, (String, String, Int)]
       var nBlocks = 0
+      var nRows = 0L
       try {
         for (block <- reader.getFooter.getBlocks.asScala) {
           nBlocks += 1
+          nRows += block.getRowCount
           for (c <- block.getColumns.asScala if c.getPath.size == 1) {
             val st = c.getStatistics
             if (st != null && !st.isEmpty && st.hasNonNullValue) {
@@ -294,9 +307,11 @@ class VersionedTableOps(val store: CommitStore) {
         // min/max values (no lossy domain conversion happened)
         "\"" + c + "\": [\"" + escStr(mi) + "\", \"" + escStr(ma) + "\"]"
       }
-      "  \"" + f.getFileName + "\": {" + entries.mkString(", ") + "}"
+      if (nRows == 0L) { empty += f.getFileName.toString; None }
+      else Some("  \"" + f.getFileName + "\": {" + entries.mkString(", ") + "}")
     }.mkString("{\n", ",\n", "\n}\n")
     Files.writeString(dir.resolve("_stats.json"), body)
+    empty.toSet
   }
 
   /** Per-file [min, max] of `statsCol` for one data dir, parsed from
@@ -917,6 +932,98 @@ class VersionedTableOps(val store: CommitStore) {
       val merged = mergeFn(snapshot, updates)
       (asStored(merged.schema), stageData(table, merged, if (base == 0) "w" else "m"))
     })
+
+  /** The copy-on-write file split every row-level mutation shares:
+    * `cond` resolved and constant-folded against the base snapshot,
+    * translated through [[ZoneMapFilters]] (the SAME conservative
+    * rules the automatic read path prunes with), and matched against
+    * the committed zone maps — files whose stats PROVE no row can
+    * match are carried into the next manifest BY REFERENCE (zero
+    * bytes moved); only the possibly-matching files are rewritten.
+    * On a clustered layout a keyed DELETE/UPDATE therefore rewrites
+    * O(touched files), not O(table) — the Delta/Iceberg COW shape,
+    * and the difference between a usable and an unusable mutation at
+    * 100 TB. Untranslatable predicates (OR, functions, UDFs)
+    * conservatively touch everything — correctness never depends on
+    * the pruning.
+    */
+  private def cowSplit(spark: SparkSession, table: String, base: Long,
+      cond: Column): (Seq[String], Seq[String]) = {
+    val all = manifestFiles(table, base)
+    val snap = readFiles(spark, table, base, all)
+    // optimizedPlan so type-coercion casts around literals are folded
+    // to the bare column-vs-literal shapes the translator matches
+    val condExpr = snap.filter(cond).queryExecution.optimizedPlan.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    val (num, str) = ZoneMapFilters.constraints(condExpr.toSeq)
+    val touched =
+      if (num.isEmpty && str.isEmpty) all
+      else keepByZoneMaps(table, all, num, str)
+    val touchedSet = touched.toSet
+    (touched, all.filterNot(touchedSet))
+  }
+
+  /** Predicate DELETE as a commit: rows where `cond` is TRUE are
+    * removed (NULL keeps the row — SQL DELETE semantics); the new
+    * version holds the untouched files by reference plus a rewrite of
+    * the touched files with the matching rows filtered out. Runs
+    * inside the commit closure, so a race loser re-plans the COW
+    * split against the new head. Schema is unchanged by construction.
+    */
+  def delete(spark: SparkSession, table: String, cond: Column): Long =
+    commit(table, "delete", { base =>
+      requireInit(table, base, "delete")
+      val schema = manifestSchema(table, base)
+        .getOrElse(asStored(read(spark, table, Some(base)).schema))
+      val (touched, carried) = cowSplit(spark, table, base, cond)
+      val staged = if (touched.isEmpty) Nil else {
+        val kept = readFiles(spark, table, base, touched)
+          .filter(!coalesce(cond, lit(false)))
+        stageData(table, kept, "d")
+      }
+      (schema, carried ++ staged)
+    })
+
+  /** Predicate UPDATE as a commit: rows where `cond` is TRUE get each
+    * `set` column replaced by its expression (evaluated against the
+    * OLD row, the SQL UPDATE contract); NULL-evaluating rows are
+    * untouched, like [[delete]]'s keep side. Same COW split: files
+    * whose zone maps prove no match are carried by reference. The
+    * schema may not change — each assignment must resolve to the
+    * column's existing type (enforced, not silently cast).
+    */
+  def update(spark: SparkSession, table: String, cond: Column,
+      set: Seq[(String, Column)]): Long = {
+    require(set.nonEmpty, "update needs at least one column assignment")
+    commit(table, "update", { base =>
+      requireInit(table, base, "update")
+      val schema = manifestSchema(table, base)
+        .getOrElse(asStored(read(spark, table, Some(base)).schema))
+      val setMap = set.toMap
+      val unknown = set.map(_._1).filterNot(schema.fieldNames.contains)
+      require(unknown.isEmpty, s"update of columns absent from $table: $unknown")
+      val (touched, carried) = cowSplit(spark, table, base, cond)
+      val staged = if (touched.isEmpty) Nil else {
+        val part = readFiles(spark, table, base, touched)
+        val hit = coalesce(cond, lit(false))
+        val updated = part.select(part.columns.map { c =>
+          setMap.get(c) match {
+            case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*)
+        val drift = schema.fields.flatMap(f =>
+          updated.schema.find(_.name == f.name).filter(_.dataType != f.dataType)
+            .map(u => s"${f.name}: table has ${f.dataType.simpleString}, " +
+              s"assignment yields ${u.dataType.simpleString}"))
+        require(drift.isEmpty,
+          s"update may not change the schema of $table: ${drift.mkString("; ")}")
+        stageData(table, updated, "m")
+      }
+      (schema, carried ++ staged)
+    })
+  }
 
   case class VacuumReport(keptVersions: Seq[Long], droppedVersions: Seq[Long],
       deletedDirs: Int, deletedBytes: Long)

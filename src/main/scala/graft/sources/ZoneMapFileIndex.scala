@@ -23,7 +23,8 @@ import org.apache.spark.sql.types._
   * predicate is untouched: this index only SHRINKS the file list,
   * never changes semantics.
   *
-  * Filter translation is deliberately conservative:
+  * Filter translation (shared with the copy-on-write DELETE/UPDATE
+  * path — see [[ZoneMapFilters]]) is deliberately conservative:
   *  - only `>`, `>=`, `<`, `<=`, `=` between a bare column and a
   *    literal (either order), all-literal null-free IN / InSet lists
   *    (widened to their [min, max] envelope — gaps re-filter on the
@@ -64,17 +65,35 @@ class ZoneMapFileIndex(spark: SparkSession, ops: VersionedTableOps,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val num = mutable.Map.empty[String, (Double, Double)]
-    val str = mutable.Map.empty[String, (String, String)]
-    dataFilters.foreach(collectConstraints(_, num, str))
+    val (num, str) = ZoneMapFilters.constraints(dataFilters)
     val kept =
       if (num.isEmpty && str.isEmpty) relFiles
-      else ops.keepByZoneMaps(table, relFiles,
-        num.map { case (c, (lo, hi)) => (c, lo, hi) }.toSeq,
-        str.map { case (c, (lo, hi)) => (c, lo, hi) }.toSeq)
+      else ops.keepByZoneMaps(table, relFiles, num, str)
     val keptSet = kept.toSet
     Seq(PartitionDirectory(InternalRow.empty,
       statusByRel.collect { case (f, st) if keptSet(f) => st }.toArray))
+  }
+}
+
+/** The conservative Catalyst-predicate → zone-map-interval
+  * translation (scaladoc on [[ZoneMapFileIndex]]), factored out so
+  * the COW [[VersionedTableOps.delete]]/[[VersionedTableOps.update]]
+  * path prunes the files it must rewrite with the SAME rules the
+  * automatic read path prunes the files it must open.
+  */
+private[sources] object ZoneMapFilters {
+
+  /** One conjunctive interval per constrained column: numeric ranges
+    * in the stats double domain and string ranges in the printable-
+    * ASCII domain. Untranslatable predicates constrain nothing.
+    */
+  def constraints(filters: Seq[Expression]):
+      (Seq[(String, Double, Double)], Seq[(String, String, String)]) = {
+    val num = mutable.Map.empty[String, (Double, Double)]
+    val str = mutable.Map.empty[String, (String, String)]
+    filters.foreach(collectConstraints(_, num, str))
+    (num.map { case (c, (lo, hi)) => (c, lo, hi) }.toSeq,
+      str.map { case (c, (lo, hi)) => (c, lo, hi) }.toSeq)
   }
 
   /** Literal → stats double domain (see VersionedTableOps.statBounds
