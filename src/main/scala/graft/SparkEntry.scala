@@ -135,6 +135,9 @@ object SparkEntry {
     "q_zone_map_prefix" -> (operators.VersionedQueries.qZoneMapPrefix _),
     "q_delete_versioned" -> (operators.VersionedQueries.qDeleteVersioned _),
     "q_update_versioned" -> (operators.VersionedQueries.qUpdateVersioned _),
+    "q_delete_mor" -> (operators.VersionedQueries.qDeleteMor _),
+    "q_update_mor" -> (operators.VersionedQueries.qUpdateMor _),
+    "q_count_meta" -> (operators.VersionedQueries.qCountMeta _),
     // §2.8: the DSv2 synthetic source under the oracle gate — filter
     // pushdown prunes generated partitions, column pruning means text
     // is never built (the aggregate touches only doc_id/lang)
@@ -1127,6 +1130,27 @@ object SparkEntry {
         |    THEN 'X-' || o_orderpriority ELSE o_orderpriority END AS o_orderpriority,
         |  CAST(o_totalprice AS DECIMAL(12,2)) AS price
         |FROM orders""".stripMargin,
+    // q_delete_mor / q_update_mor: the merge-on-read twins — same
+    // surviving-row semantics as the COW queries (the oracle can't
+    // tell HOW the rows died, which is the point: deletion vectors
+    // are invisible to readers); the in-query requires pin the
+    // zero-rewrite property
+    "q_delete_mor" ->
+      """WITH b AS (SELECT max(c_custkey) // 3 AS third FROM customer)
+        |SELECT c_custkey, c_acctbal FROM customer, b
+        |WHERE NOT (c_custkey > third + 1 AND c_custkey <= 2 * third - 1
+        |  AND c_acctbal < 0)""".stripMargin,
+    "q_update_mor" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN CAST(o_totalprice AS DECIMAL(12,2)) > 200000.00
+        |    THEN 'X-' || o_orderpriority ELSE o_orderpriority END AS o_orderpriority,
+        |  CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |FROM orders""".stripMargin,
+    // q_count_meta: COUNT(*) from manifest + stats metadata (plus the
+    // tiny deletion vector) — no data-file scan on the Spark side
+    "q_count_meta" ->
+      """SELECT count(*) AS cnt FROM orders
+        |WHERE NOT (CAST(o_totalprice AS DECIMAL(12,2)) < 10000.00)""".stripMargin,
     // q_table_changes: the v1->v2 CDC delta; both EXCEPT ALL
     // directions replayed over the same merge the upsert committed
     "q_table_changes" ->

@@ -354,6 +354,85 @@ object VersionedQueries {
       .select(col("o_orderkey"), col("o_orderpriority"), col("price"))
   }
 
+  /** q_delete_mor: [[qDeleteVersioned]]'s MERGE-ON-READ twin — the
+    * same key-clustered layout and predicate, but the delete stages a
+    * DELETION VECTOR instead of rewriting the touched files: the
+    * query asserts the data-file list is IDENTICAL across the commit
+    * (zero data bytes moved — the property that makes narrow deletes
+    * affordable at 100 TB) and that the metadata-only
+    * [[VersionedTable.rowCount]] agrees with the surviving row set
+    * the oracle replays.
+    */
+  def qDeleteMor(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("delmor")
+    val all = t(spark, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    val mx = all.agg(max("c_custkey")).head.getLong(0)
+    val third = mx / 3
+    VersionedTable.overwrite(spark, table, all.filter(col("c_custkey") <= third))
+    VersionedTable.append(spark, table,
+      all.filter(col("c_custkey") > third && col("c_custkey") <= 2 * third))
+    val v0 = VersionedTable.append(spark, table, all.filter(col("c_custkey") > 2 * third))
+    def allFiles(v: Long): Set[String] =
+      VersionedTable.filesForRange(table, "c_custkey", 1d, mx.toDouble, Some(v))._1.toSet
+    val v1 = VersionedTable.deleteMoR(spark, table,
+      col("c_custkey") > third + 1 && col("c_custkey") <= 2 * third - 1 &&
+        col("c_acctbal") < 0)
+    require(allFiles(v1) == allFiles(v0),
+      "MoR delete must not rewrite any data file")
+    require(VersionedTable.deletionVectors(table, Some(v1)).nonEmpty,
+      "MoR delete must commit a deletion vector")
+    val out = VersionedTable.read(spark, table, Some(v1))
+      .select(col("c_custkey"), col("c_acctbal"))
+    require(VersionedTable.rowCount(spark, table, Some(v1)) == out.count(),
+      "metadata-only COUNT(*) must match the scan")
+    out
+  }
+
+  /** q_update_mor: [[qUpdateVersioned]]'s MERGE-ON-READ twin — same
+    * price-band layout and assignment, but matching rows are
+    * tombstoned via a deletion vector and their updated images
+    * appended: ALL original data files must still be referenced
+    * (asserted), so the untouched bands' bytes never move and the
+    * touched band pays O(matching rows), not O(file).
+    */
+  def qUpdateMor(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("updmor")
+    val all = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    VersionedTable.overwrite(spark, table, all.filter(col("price") < 50000))
+    VersionedTable.append(spark, table, all.filter(col("price").between(50000, 150000)))
+    val v0 = VersionedTable.append(spark, table, all.filter(col("price") > 150000))
+    def allFiles(v: Long): Set[String] =
+      VersionedTable.filesForRange(table, "price", 0d, 1e9, Some(v))._1.toSet
+    val v1 = VersionedTable.updateMoR(spark, table,
+      col("price") > lit(BigDecimal(200000)),
+      Seq("o_orderpriority" -> concat(lit("X-"), col("o_orderpriority"))))
+    require(allFiles(v0).subsetOf(allFiles(v1)),
+      "MoR update must carry every original data file")
+    require(VersionedTable.deletionVectors(table, Some(v1)).nonEmpty,
+      "MoR update must tombstone the old images through a deletion vector")
+    VersionedTable.read(spark, table, Some(v1))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("price"))
+  }
+
+  /** q_count_meta: COUNT(*) answered from manifests + committed file
+    * stats alone — after two appends and a MoR delete, the returned
+    * count never scans a data file (the DV subtraction reads only
+    * the tiny vector); the oracle replays the full count in SQL.
+    */
+  def qCountMeta(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("cnt")
+    val all = t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    VersionedTable.overwrite(spark, table, all.filter(col("o_orderkey") % 2 === 0))
+    VersionedTable.append(spark, table, all.filter(col("o_orderkey") % 2 =!= 0))
+    val v = VersionedTable.deleteMoR(spark, table, col("price") < 10000)
+    import spark.implicits._
+    Seq(VersionedTable.rowCount(spark, table, Some(v))).toDF("cnt")
+  }
+
   /** q_optimize_cluster: OPTIMIZE as layout maintenance — orders land
     * UNCLUSTERED (generator row order: every file's o_totalprice
     * interval spans the whole domain, so a range probe before

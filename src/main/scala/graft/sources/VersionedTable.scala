@@ -107,12 +107,40 @@ class VersionedTableOps(val store: CommitStore) {
   }
 
   private def render(v: Long, op: String,
-      schema: org.apache.spark.sql.types.StructType, files: Seq[String]): String =
-    files.map(f => "    \"" + f + "\"").mkString(
+      schema: org.apache.spark.sql.types.StructType, files: Seq[String],
+      dvs: Seq[String]): String = {
+    val filesSec = files.map(f => "    \"" + f + "\"").mkString(
       s"""{\n  "version": $v,\n  "op": "$op",\n""" +
         s"""  "schema": "${escStr(schema.json)}",\n  "files": [\n""",
       ",\n",
-      "\n  ]\n}\n")
+      "\n  ]")
+    val dvSec =
+      if (dvs.isEmpty) ""
+      else dvs.map(f => "    \"" + f + "\"").mkString(",\n  \"dvs\": [\n", ",\n", "\n  ]")
+    filesSec + dvSec + "\n}\n"
+  }
+
+  /** DELETION-VECTOR files of a version (relative paths, each a
+    * parquet of (file, pos) pairs naming rows the version has
+    * DELETED from still-referenced data files — the merge-on-read
+    * half of the mutation surface). Empty for manifests without the
+    * section (every table before [[deleteMoR]] existed, and every
+    * version whose commit rewrote the snapshot — rewrites purge DVs).
+    */
+  /** The version's deletion-vector files (relative paths; empty when
+    * it carries none) — public so specs and operator queries can
+    * assert the merge-on-read bookkeeping: a [[deleteMoR]] adds one,
+    * a rewriting commit purges them.
+    */
+  def deletionVectors(table: String, version: Option[Long] = None): Seq[String] =
+    manifestDvs(table, version.getOrElse(versions(table).last))
+
+  private[sources] def manifestDvs(table: String, v: Long): Seq[String] = {
+    val txt = store.read(commitsDir(table), manifestName(v))
+    val section = "(?s)\"dvs\": \\[(.*?)\\]".r.findFirstMatchIn(txt).map(_.group(1))
+    section.toSeq.flatMap(s =>
+      "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(s).map(_.group(1)))
+  }
 
   /** Stored-schema normalization: every field nullable (a later append
     * may omit the column — its files then read null — and parquet
@@ -300,7 +328,12 @@ class VersionedTableOps(val store: CommitStore) {
       // a column whose stats are missing in ANY row group gets no
       // entry: a partial interval would under-cover the statless
       // block's values and wrongly skip the file
-      val entries = agg.collect { case (c, (mi, ma, n)) if n == nBlocks =>
+      // "#rows" is the file's exact row count ('#' cannot start a
+      // Spark-written column name, and the scalar form can't match
+      // the interval parsers anyway) — [[rowCount]] answers COUNT(*)
+      // from manifests + stats alone, no data scan
+      val entries = Seq("\"#rows\": " + nRows) ++
+        agg.collect { case (c, (mi, ma, n)) if n == nBlocks =>
         "\"" + c + "\": [" + math.nextDown(mi) + ", " + math.nextUp(ma) + "]"
       } ++ aggS.collect { case (c, (mi, ma, n)) if n == nBlocks =>
         // string intervals need no widening: the stats ARE the exact
@@ -312,6 +345,72 @@ class VersionedTableOps(val store: CommitStore) {
     }.mkString("{\n", ",\n", "\n}\n")
     Files.writeString(dir.resolve("_stats.json"), body)
     empty.toSet
+  }
+
+  /** Per-file exact row counts of one data dir from `_stats.json`;
+    * files staged before the `#rows` entry existed are absent.
+    */
+  private def dirRows(table: String, relDir: String): Map[String, Long] = {
+    val p = Paths.get(table, relDir, "_stats.json")
+    if (!Files.exists(p)) return Map.empty
+    val txt = Files.readString(p)
+    val fileRe = "\"([^\"]+\\.parquet)\": \\{([^}]*)\\}".r
+    val rowsRe = "\"#rows\": (\\d+)".r
+    fileRe.findAllMatchIn(txt).flatMap { m =>
+      rowsRe.findFirstMatchIn(m.group(2)).map(r => m.group(1) -> r.group(1).toLong)
+    }.toMap
+  }
+
+  /** COUNT(*) of a version WITHOUT scanning data: sum of the
+    * committed per-file `#rows` stats across the manifest's files,
+    * minus the version's live deletion-vector entries. Driver-side
+    * cost is one manifest + one `_stats.json` per data dir — the
+    * metadata-only aggregate a 100 TB table answers in milliseconds
+    * where a scan would take minutes (the Delta/Iceberg
+    * `SELECT COUNT(*)` fast path). Exact: zero-row files never enter
+    * a manifest, DV entries are unique per (file, pos) by
+    * construction ([[deleteMoR]] subtracts existing DVs before
+    * writing new positions), and only entries naming LIVE files are
+    * subtracted (a COW rewrite orphans its files' DV entries). The
+    * DV subtraction reads the (tiny) vector files — one short Spark
+    * job, O(deleted rows since the last rewrite), still no data-file
+    * IO. Files staged before `#rows` existed fall back to one
+    * driver-side footer read each (row counts live in footers).
+    */
+  def rowCount(spark: SparkSession, table: String,
+      version: Option[Long] = None): Long = {
+    val v = version.getOrElse {
+      val vs = versions(table)
+      require(vs.nonEmpty, s"no commits at $table")
+      vs.last
+    }
+    val files = manifestFiles(table, v)
+    val byDir = files.groupBy(_.split('/').dropRight(1).mkString("/"))
+    var total = 0L
+    for ((d, fs) <- byDir) {
+      val known = dirRows(table, d)
+      for (f <- fs) {
+        val name = f.split('/').last
+        total += known.getOrElse(name, footerRows(spark, Paths.get(table, f)))
+      }
+    }
+    val dvs = manifestDvs(table, v)
+    if (dvs.nonEmpty) {
+      val live = files.toSet
+      val dv = spark.read.schema("file STRING, pos BIGINT")
+        .parquet(dvs.map(f => Paths.get(table, f).toString): _*)
+      total -= dv.filter(col("file").isInCollection(live)).count()
+    }
+    total
+  }
+
+  private def footerRows(spark: SparkSession, f: Path): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.toUri), spark.sparkContext.hadoopConfiguration))
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
   }
 
   /** Per-file [min, max] of `statsCol` for one data dir, parsed from
@@ -343,7 +442,16 @@ class VersionedTableOps(val store: CommitStore) {
     * garbage, never corruption.
     */
   private def commit(table: String, op: String,
-      planFor: Long => (org.apache.spark.sql.types.StructType, Seq[String])): Long = {
+      planFor: Long => (org.apache.spark.sql.types.StructType, Seq[String])): Long =
+    commitDv(table, op, base => { val (s, fs) = planFor(base); (s, fs, Nil) })
+
+  /** [[commit]] with a deletion-vector list in the plan — rewriting
+    * commits use the plain overload (a rewrite purges DVs: its fresh
+    * files already exclude the deleted rows); append and the
+    * merge-on-read mutations plan their DV carry explicitly.
+    */
+  private def commitDv(table: String, op: String,
+      planFor: Long => (org.apache.spark.sql.types.StructType, Seq[String], Seq[String])): Long = {
     val dir = commitsDir(table)
     var attempt = 0
     while (true) {
@@ -352,8 +460,8 @@ class VersionedTableOps(val store: CommitStore) {
       val plan = try Some(planFor(base)) catch {
         case _: java.nio.file.NoSuchFileException => None // base vacuumed under us
       }
-      val won = plan.exists { case (schema, fs) =>
-        store.putIfAbsent(dir, manifestName(v), render(v, op, schema, fs)) }
+      val won = plan.exists { case (schema, fs, dvs) =>
+        store.putIfAbsent(dir, manifestName(v), render(v, op, schema, fs, dvs)) }
       if (won) return v
       attempt += 1 // lost the race (or lost the base): re-read head, retry
       require(attempt < 100, s"commit contention on $table")
@@ -400,12 +508,13 @@ class VersionedTableOps(val store: CommitStore) {
           conflicts.mkString("; "))
     }
     val staged = stageData(table, df, "a")
-    commit(table, "append", { base =>
+    commitDv(table, "append", { base =>
       requireInit(table, base, "append")
       val headSchema = manifestSchema(table, base)
         .getOrElse(asStored(read(spark, table, Some(base)).schema))
+      // carried files keep their deletion vectors
       (unionSchema(headSchema, asStored(df.schema)),
-        manifestFiles(table, base) ++ staged)
+        manifestFiles(table, base) ++ staged, manifestDvs(table, base))
     })
   }
 
@@ -574,11 +683,58 @@ class VersionedTableOps(val store: CommitStore) {
     */
   private def readFiles(spark: SparkSession, table: String, v: Long,
       files: Seq[String]): DataFrame = {
+    val dvs = manifestDvs(table, v)
+    if (dvs.isEmpty) rawRead(spark, table, v, files)
+    else readFilesWithPos(spark, table, v, files).drop(DvFileCol, DvPosCol)
+  }
+
+  private def rawRead(spark: SparkSession, table: String, v: Long,
+      files: Seq[String]): DataFrame = {
     val paths = files.map(f => Paths.get(table, f).toString)
     manifestSchema(table, v) match {
       case Some(schema) => spark.read.schema(schema).parquet(paths: _*)
       case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
+  }
+
+  private val DvFileCol = "__graft_dv_file"
+  private val DvPosCol = "__graft_dv_pos"
+
+  /** The snapshot subset with each row's (relative file, row index)
+    * identity attached and the version's deletion vectors ALREADY
+    * subtracted — the read every merge-on-read consumer builds on.
+    * Row identity comes from the scan itself (`_metadata.file_path` /
+    * `_metadata.row_index` — per-file, stable because data files are
+    * immutable); the DV subtraction is one broadcast hash ANTI join
+    * on (file, pos) — DV cardinality is bounded by rows deleted since
+    * the last rewrite, and a workload deleting enough rows for the
+    * broadcast to hurt should be taking the copy-on-write path (or
+    * compacting, which purges DVs) instead.
+    */
+  private def readFilesWithPos(spark: SparkSession, table: String, v: Long,
+      files: Seq[String]): DataFrame = {
+    val keyed = dvKeyed(rawRead(spark, table, v, files))
+    val dvs = manifestDvs(table, v)
+    if (dvs.isEmpty) keyed else dvAnti(spark, table, keyed, dvs)
+  }
+
+  /** Attach each row's (relative data file, row index) identity from
+    * the scan's metadata columns — stable, because data files are
+    * immutable.
+    */
+  private def dvKeyed(df: DataFrame): DataFrame = df
+    .withColumn(DvFileCol,
+      regexp_extract(col("_metadata.file_path"), "(data/[^/]+/[^/]+\\.parquet)$", 1))
+    .withColumn(DvPosCol, col("_metadata.row_index"))
+
+  private def dvAnti(spark: SparkSession, table: String, keyed: DataFrame,
+      dvs: Seq[String]): DataFrame = {
+    val dv = spark.read
+      .schema("file STRING, pos BIGINT")
+      .parquet(dvs.map(f => Paths.get(table, f).toString): _*)
+    keyed.join(broadcast(dv),
+      keyed(DvFileCol) === dv("file") && keyed(DvPosCol) === dv("pos"),
+      "left_anti")
   }
 
   /** Row-level changes between two committed versions — the CDC READ
@@ -608,7 +764,11 @@ class VersionedTableOps(val store: CommitStore) {
       return read(spark, table, Some(vFrom)).limit(0).withColumn(change, lit("insert"))
     val fromFiles = manifestFiles(table, vFrom).toSet
     val toFiles = manifestFiles(table, vTo)
-    if (fromFiles.subsetOf(toFiles.toSet)) {
+    // the fast path also requires UNCHANGED deletion vectors: a MoR
+    // delete republishes the same file list while removing rows, and
+    // an appends-only delta would wrongly report it as empty
+    if (fromFiles.subsetOf(toFiles.toSet) &&
+        manifestDvs(table, vFrom).toSet == manifestDvs(table, vTo).toSet) {
       val added = toFiles.filterNot(fromFiles)
       if (added.isEmpty)
         read(spark, table, Some(vTo)).limit(0).withColumn(change, lit("insert"))
@@ -846,8 +1006,15 @@ class VersionedTableOps(val store: CommitStore) {
       idx, new org.apache.spark.sql.types.StructType(), schema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       Map.empty[String, String])(spark)
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val base = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(relation)
+    // merge-on-read: subtract the version's deletion vectors, same
+    // broadcast anti join as readFiles — filters on user columns
+    // still reach the FileIndex (they sit below the join's stream
+    // side), so zone-map skipping and the DV subtraction compose
+    val dvs = manifestDvs(table, v)
+    if (dvs.isEmpty) base
+    else dvAnti(spark, table, dvKeyed(base), dvs).drop(DvFileCol, DvPosCol)
   }
 
   /** The exact residual predicate on the NATIVE column type: wrapping
@@ -972,7 +1139,7 @@ class VersionedTableOps(val store: CommitStore) {
     * split against the new head. Schema is unchanged by construction.
     */
   def delete(spark: SparkSession, table: String, cond: Column): Long =
-    commit(table, "delete", { base =>
+    commitDv(table, "delete", { base =>
       requireInit(table, base, "delete")
       val schema = manifestSchema(table, base)
         .getOrElse(asStored(read(spark, table, Some(base)).schema))
@@ -982,7 +1149,42 @@ class VersionedTableOps(val store: CommitStore) {
           .filter(!coalesce(cond, lit(false)))
         stageData(table, kept, "d")
       }
-      (schema, carried ++ staged)
+      // carried files keep their DV entries; entries naming the
+      // rewritten (now-dropped) files can never match a scanned row
+      (schema, carried ++ staged, manifestDvs(table, base))
+    })
+
+  /** [[delete]]'s MERGE-ON-READ twin: instead of rewriting the
+    * touched files minus the matching rows, the commit stages a
+    * DELETION VECTOR — a parquet of (file, row-index) pairs naming
+    * exactly the rows the predicate matched — and republishes the
+    * SAME data file list. Readers subtract the vector at scan time
+    * (one broadcast anti join in [[readFilesWithPos]]). Write cost is
+    * O(matching rows), with ZERO data-file bytes rewritten — at
+    * 100 TB, deleting a row from a 1 GiB file costs ~16 bytes, not
+    * 1 GiB; COW is the right trade when deletes are wide (its reads
+    * stay join-free), MoR when they are frequent and narrow (GDPR
+    * erasure, late-arriving retractions). The zone maps still bound
+    * the SCAN to the files that can match. Read-side debt is bounded:
+    * any rewriting commit ([[compact]] / [[optimize]] / [[upsert]])
+    * purges the vectors. Same SQL semantics as [[delete]] (NULL
+    * keeps the row), pinned by the shared battery.
+    */
+  def deleteMoR(spark: SparkSession, table: String, cond: Column): Long =
+    commitDv(table, "delete", { base =>
+      requireInit(table, base, "delete")
+      val schema = manifestSchema(table, base)
+        .getOrElse(asStored(read(spark, table, Some(base)).schema))
+      val (touched, _) = cowSplit(spark, table, base, cond)
+      val dvNew = if (touched.isEmpty) Nil else {
+        // existing DVs are already subtracted here, so a re-delete of
+        // an already-deleted row can never double-write its position
+        val hits = readFilesWithPos(spark, table, base, touched)
+          .filter(coalesce(cond, lit(false)))
+          .select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+        stageData(table, hits, "dv")
+      }
+      (schema, manifestFiles(table, base), manifestDvs(table, base) ++ dvNew)
     })
 
   /** Predicate UPDATE as a commit: rows where `cond` is TRUE get each
@@ -996,7 +1198,7 @@ class VersionedTableOps(val store: CommitStore) {
   def update(spark: SparkSession, table: String, cond: Column,
       set: Seq[(String, Column)]): Long = {
     require(set.nonEmpty, "update needs at least one column assignment")
-    commit(table, "update", { base =>
+    commitDv(table, "update", { base =>
       requireInit(table, base, "update")
       val schema = manifestSchema(table, base)
         .getOrElse(asStored(read(spark, table, Some(base)).schema))
@@ -1021,7 +1223,49 @@ class VersionedTableOps(val store: CommitStore) {
           s"update may not change the schema of $table: ${drift.mkString("; ")}")
         stageData(table, updated, "m")
       }
-      (schema, carried ++ staged)
+      (schema, carried ++ staged, manifestDvs(table, base))
+    })
+  }
+
+  /** [[update]]'s MERGE-ON-READ twin: matching rows are tombstoned
+    * with a deletion vector and their UPDATED images appended as a
+    * new data file — write cost O(matching rows), untouched rows'
+    * bytes never move (copy-on-write rewrites every row of every
+    * touched file). Assignments see the OLD row and the schema may
+    * not drift, exactly like [[update]]; rewriting commits purge the
+    * vectors and fold the appended images into the clustered layout.
+    */
+  def updateMoR(spark: SparkSession, table: String, cond: Column,
+      set: Seq[(String, Column)]): Long = {
+    require(set.nonEmpty, "update needs at least one column assignment")
+    commitDv(table, "update", { base =>
+      requireInit(table, base, "update")
+      val schema = manifestSchema(table, base)
+        .getOrElse(asStored(read(spark, table, Some(base)).schema))
+      val setMap = set.toMap
+      val unknown = set.map(_._1).filterNot(schema.fieldNames.contains)
+      require(unknown.isEmpty, s"update of columns absent from $table: $unknown")
+      val (touched, _) = cowSplit(spark, table, base, cond)
+      val files = manifestFiles(table, base)
+      val dvs = manifestDvs(table, base)
+      if (touched.isEmpty) (schema, files, dvs)
+      else {
+        val hit = readFilesWithPos(spark, table, base, touched)
+          .filter(coalesce(cond, lit(false)))
+          .localCheckpoint() // one scan feeds both the DV and the images
+        val updated = hit.select(schema.fieldNames.map(c =>
+          setMap.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+        val drift = schema.fields.flatMap(f =>
+          updated.schema.find(_.name == f.name).filter(_.dataType != f.dataType)
+            .map(u => s"${f.name}: table has ${f.dataType.simpleString}, " +
+              s"assignment yields ${u.dataType.simpleString}"))
+        require(drift.isEmpty,
+          s"update may not change the schema of $table: ${drift.mkString("; ")}")
+        val dvNew = stageData(table,
+          hit.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos")), "dv")
+        val staged = stageData(table, updated, "a")
+        (schema, files ++ staged, dvs ++ dvNew)
+      }
     })
   }
 
@@ -1065,7 +1309,7 @@ class VersionedTableOps(val store: CommitStore) {
     val vs = versions(table)
     val (dropped, kept) = vs.splitAt(math.max(0, vs.size - retain))
     if (kept.isEmpty) return VacuumReport(kept, Nil, 0, 0L) // uninitialized: all in-flight
-    val referenced = kept.flatMap(manifestFiles(table, _))
+    val referenced = kept.flatMap(v => manifestFiles(table, v) ++ manifestDvs(table, v))
       .map(_.split('/').dropRight(1).mkString("/")).toSet
     val headManifestTime = store.modifiedMs(commitsDir(table), manifestName(kept.last))
     val cutoff = math.min(System.currentTimeMillis() - graceMs, headManifestTime)

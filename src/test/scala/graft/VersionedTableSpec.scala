@@ -257,6 +257,71 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     assert(ops.read(spark, t, Some(vOr)).filter(col("k").isin(10, 2010)).count() === 0)
   }
 
+  test(s"[$backend] merge-on-read delete/update: zero data-file rewrites, DV lifecycle, metadata counts") {
+    val t = freshTable("mor")
+    for (lo <- Seq(0L, 1000L, 2000L)) {
+      val df = spark.range(lo, lo + 500)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+      if (lo == 0L) ops.overwrite(spark, t, df) else ops.append(spark, t, df)
+    }
+    val v0 = ops.versions(t).last
+    def files(v: Long): Set[String] =
+      ops.filesForRange(t, "k", 0d, 3000d, Some(v))._1.toSet
+    assert(ops.rowCount(spark, t, Some(v0)) === 1500, "metadata COUNT(*), no scan")
+    // MoR delete: the file list is IDENTICAL (zero data bytes moved),
+    // rows are gone at read time, a deletion vector appears
+    val vDel = ops.deleteMoR(spark, t, col("k").between(1100, 1199))
+    assert(files(vDel) === files(v0), "MoR delete rewrites no data file")
+    assert(ops.deletionVectors(t, Some(vDel)).nonEmpty)
+    assert(ops.read(spark, t, Some(vDel)).count() === 1400)
+    assert(ops.read(spark, t, Some(vDel)).filter(col("k") === 1150).count() === 0)
+    assert(ops.read(spark, t, Some(v0)).count() === 1500, "time travel pre-delete")
+    assert(ops.rowCount(spark, t, Some(vDel)) === 1400,
+      "metadata count subtracts live DV entries")
+    // an OVERLAPPING re-delete cannot double-subtract (existing DVs
+    // are applied before new positions are collected)
+    val vDel2 = ops.deleteMoR(spark, t, col("k").between(1100, 1249))
+    assert(ops.read(spark, t, Some(vDel2)).count() === 1350)
+    assert(ops.rowCount(spark, t, Some(vDel2)) === 1350)
+    // a no-match delete commits cleanly and adds no DV
+    val vNoop = ops.deleteMoR(spark, t, col("k") === 1150)
+    assert(ops.deletionVectors(t, Some(vNoop)).toSet ===
+      ops.deletionVectors(t, Some(vDel2)).toSet)
+    assert(ops.rowCount(spark, t, Some(vNoop)) === 1350)
+    // MoR update: old rows tombstoned, updated images appended, the
+    // assignment sees the OLD row, untouched rows untouched
+    val vUpd = ops.updateMoR(spark, t, col("k") >= 2400,
+      Seq("v" -> (col("v") + lit(1L))))
+    val upd = ops.read(spark, t, Some(vUpd))
+    assert(upd.count() === 1350)
+    assert(upd.filter(col("k") === 2450).head.getLong(1) === 2450 * 2 + 1)
+    assert(upd.filter(col("k") === 2300).head.getLong(1) === 2300 * 2)
+    assert(files(v0).subsetOf(files(vUpd)), "all original data files carried")
+    assert(ops.rowCount(spark, t, Some(vUpd)) === 1350)
+    // the automatic zone-map read path subtracts DVs too
+    val auto = ops.readIndexed(spark, t, Some(vUpd))
+    assert(auto.count() === 1350)
+    assert(auto.filter(col("k") === 2450).head.getLong(1) === 2450 * 2 + 1)
+    // CDC across a MoR delete is NOT an empty delta (the file list is
+    // unchanged but rows died — the fast path must not claim it)
+    val delta = ops.changesBetween(spark, t, v0, vDel)
+    assert(delta.filter(col("_change") === "delete").count() === 100)
+    assert(delta.filter(col("_change") === "insert").count() === 0)
+    // a streaming consumer cannot express row removal as inserts
+    intercept[IllegalStateException] {
+      ops.streamBatch(spark, t, v0, vDel, ops.read(spark, t, Some(v0)).schema)
+    }
+    // compaction purges the vectors and preserves the row set
+    val vC = ops.compact(spark, t, 2)
+    assert(ops.deletionVectors(t, Some(vC)).isEmpty, "rewrite purges DVs")
+    assert(ops.read(spark, t, Some(vC)).count() === 1350)
+    assert(ops.rowCount(spark, t, Some(vC)) === 1350)
+    // vacuum keeps retained versions' DV dirs (vUpd is retained here)
+    ops.vacuum(t, retain = 3, graceMs = 0)
+    assert(ops.read(spark, t, Some(vUpd)).count() === 1350,
+      "retained MoR version survives vacuum with its DVs applied")
+  }
+
   test(s"[$backend] chaos: N writers x M commits with compaction and vacuum interleaved") {
     // The round-7 stress (verdict item 7): the OCC retry closure was
     // spec-tested for ONE race; this drives sustained contention with
