@@ -138,6 +138,8 @@ object SparkEntry {
     "q_delete_mor" -> (operators.VersionedQueries.qDeleteMor _),
     "q_update_mor" -> (operators.VersionedQueries.qUpdateMor _),
     "q_count_meta" -> (operators.VersionedQueries.qCountMeta _),
+    "q_restore" -> (operators.VersionedQueries.qRestore _),
+    "q_clone" -> (operators.VersionedQueries.qClone _),
     // §2.8: the DSv2 synthetic source under the oracle gate — filter
     // pushdown prunes generated partitions, column pruning means text
     // is never built (the aggregate touches only doc_id/lang)
@@ -1151,6 +1153,22 @@ object SparkEntry {
     "q_count_meta" ->
       """SELECT count(*) AS cnt FROM orders
         |WHERE NOT (CAST(o_totalprice AS DECIMAL(12,2)) < 10000.00)""".stripMargin,
+    // q_restore: after undoing the odd-key append, the head reads
+    // exactly the even-key v1 slice (file-list identity asserted
+    // in-query — the restore moved zero data)
+    "q_restore" ->
+      """SELECT s_suppkey, CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+        |FROM supplier WHERE s_suppkey % 2 = 0""".stripMargin,
+    // q_clone: the clone's head after divergence = the full base
+    // snapshot (unaffected by src's later delete) plus the appended
+    // +100.00 batch; zero-copy + vacuum-survival asserted in-query
+    "q_clone" ->
+      """SELECT s_suppkey, s_nationkey, CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+        |FROM supplier
+        |UNION ALL
+        |SELECT s_suppkey, s_nationkey,
+        |       CAST(CAST(s_acctbal AS DECIMAL(12,2)) + 100.00 AS DECIMAL(12,2)) AS s_acctbal
+        |FROM supplier WHERE s_suppkey % 7 = 0""".stripMargin,
     // q_table_changes: the v1->v2 CDC delta; both EXCEPT ALL
     // directions replayed over the same merge the upsert committed
     "q_table_changes" ->

@@ -433,6 +433,68 @@ object VersionedQueries {
     Seq(VersionedTable.rowCount(spark, table, Some(v))).toDF("cnt")
   }
 
+  /** q_restore: the O(manifest) undo — supplier's even keys committed
+    * as v1, a "bad" append lands as v2, RESTORE republishes v1's
+    * exact file list as v3 (asserted identical — zero data moved) and
+    * the head read must resolve to the pre-mistake row set the oracle
+    * replays. History stays intact: v2 is still readable.
+    */
+  def qRestore(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("restore")
+    val all = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_acctbal").cast("decimal(12,2)").as("s_acctbal"))
+    val v1 = VersionedTable.overwrite(spark, table, all.filter(col("s_suppkey") % 2 === 0))
+    val v2 = VersionedTable.append(spark, table, all.filter(col("s_suppkey") % 2 =!= 0))
+    val v3 = VersionedTable.restore(spark, table, v1)
+    def files(v: Long): Set[String] =
+      VersionedTable.filesForRange(table, "s_suppkey", 0d, 1e12, Some(v))._1.toSet
+    require(files(v3) == files(v1), "restore must republish v1's exact file list")
+    require(VersionedTable.read(spark, table, Some(v2)).count() == all.count(),
+      "the undone commit stays time-travelable")
+    VersionedTable.read(spark, table) // head == the restored snapshot
+  }
+
+  /** q_clone: SHALLOW CLONE as a dev-branch — supplier committed to
+    * `src`, cloned zero-copy into `dst` (file-list identity asserted
+    * in-query), then the two DIVERGE: a predicate delete mutates src,
+    * an append mutates the clone, and neither write may leak into the
+    * other (asserted). The src is then compacted and vacuumed down to
+    * one retained version — the hard-linked clone must still read its
+    * full snapshot (inode refcounting closes the dangling-file caveat
+    * path-reference shallow clones carry). The returned frame is the
+    * clone's head; the oracle replays base ∪ appended-batch in SQL.
+    */
+  def qClone(spark: SparkSession, dir: String): DataFrame = {
+    val src = freshTable("clsrc")
+    val dst = freshTable("cldst")
+    val all = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"),
+        col("s_acctbal").cast("decimal(12,2)").as("s_acctbal"))
+    VersionedTable.overwrite(spark, src, all)
+    val vSrc = VersionedTable.versions(src).last
+    VersionedTable.cloneTable(spark, src, dst)
+    require(VersionedTable.snapshotFiles(dst) ==
+      VersionedTable.snapshotFiles(src, Some(vSrc)),
+      "zero-copy: the clone's manifest references the source's files")
+    val srcRows = all.count()
+    val batch = all.filter(col("s_suppkey") % 7 === 0)
+      .withColumn("s_acctbal",
+        (col("s_acctbal") + lit(BigDecimal("100.00"))).cast("decimal(12,2)"))
+    VersionedTable.append(spark, dst, batch)
+    VersionedTable.delete(spark, src, col("s_nationkey") < 10)
+    require(VersionedTable.read(spark, src).count() < srcRows,
+      "src delete must land")
+    require(VersionedTable.read(spark, src)
+      .filter(col("s_suppkey") % 7 === 0 && col("s_nationkey") >= 10).count() ==
+      all.filter(col("s_suppkey") % 7 === 0 && col("s_nationkey") >= 10).count(),
+      "the clone's append must not leak into src")
+    // src maintenance reclaims the cloned-from dirs on ITS side; the
+    // clone's hard links keep the shared bytes alive
+    VersionedTable.compact(spark, src)
+    VersionedTable.vacuum(src, retain = 1, graceMs = 0)
+    VersionedTable.read(spark, dst)
+  }
+
   /** q_optimize_cluster: OPTIMIZE as layout maintenance — orders land
     * UNCLUSTERED (generator row order: every file's o_totalprice
     * interval spans the whole domain, so a range probe before

@@ -108,9 +108,12 @@ class VersionedTableOps(val store: CommitStore) {
 
   private def render(v: Long, op: String,
       schema: org.apache.spark.sql.types.StructType, files: Seq[String],
-      dvs: Seq[String]): String = {
+      dvs: Seq[String], txn: Option[(String, Long)] = None): String = {
+    val txnSec = txn.map { case (app, ver) =>
+      s"""  "txnApp": "${escStr(app)}",\n  "txnVer": $ver,\n""" }.getOrElse("")
     val filesSec = files.map(f => "    \"" + f + "\"").mkString(
       s"""{\n  "version": $v,\n  "op": "$op",\n""" +
+        s"""  "ts": ${System.currentTimeMillis()},\n""" + txnSec +
         s"""  "schema": "${escStr(schema.json)}",\n  "files": [\n""",
       ",\n",
       "\n  ]")
@@ -134,6 +137,122 @@ class VersionedTableOps(val store: CommitStore) {
     */
   def deletionVectors(table: String, version: Option[Long] = None): Seq[String] =
     manifestDvs(table, version.getOrElse(versions(table).last))
+
+  /** Commit wall-clock of a version, epoch millis — from the
+    * manifest's `ts` field; legacy manifests without it fall back to
+    * the store's modification time (same clock on the link store; an
+    * object store's PUT time, close enough for AS OF resolution).
+    */
+  private[sources] def commitTimeMs(table: String, v: Long): Long = {
+    val txt = store.read(commitsDir(table), manifestName(v))
+    "\"ts\": (\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      .getOrElse(store.modifiedMs(commitsDir(table), manifestName(v)))
+  }
+
+  /** Timestamp time travel: the newest version committed AT OR BEFORE
+    * `tsMillis` — `SELECT ... TIMESTAMP AS OF`'s resolution rule.
+    * Commit timestamps are non-decreasing in version order for a
+    * single writer clock; with racing writers on skewed clocks the
+    * scan still picks the LAST version whose ts qualifies, so the
+    * result is always a real committed snapshot.
+    */
+  def versionAsOf(table: String, tsMillis: Long): Long = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no commits at $table")
+    val at = vs.filter(commitTimeMs(table, _) <= tsMillis)
+    require(at.nonEmpty,
+      s"no version of $table existed at $tsMillis (first commit: " +
+        s"${commitTimeMs(table, vs.head)})")
+    at.last
+  }
+
+  /** [[read]] pinned to the snapshot current at `tsMillis`. */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+    read(spark, table, Some(versionAsOf(table, tsMillis)))
+
+  /** RESTORE: republish version `v`'s exact file + DV lists as the
+    * new head — the O(manifest) undo of a bad commit (Delta
+    * `RESTORE TABLE ... TO VERSION AS OF`): zero data moves, history
+    * is preserved (the bad commits stay time-travelable until
+    * vacuumed), and the restore itself is one more atomic commit, so
+    * concurrent readers never see a half-undo. Restoring a vacuumed
+    * version fails loudly — if `v`'s manifest is retained, its data
+    * dirs are still referenced and alive by the vacuum contract.
+    */
+  def restore(spark: SparkSession, table: String, v: Long): Long = {
+    require(store.exists(commitsDir(table), manifestName(v)),
+      s"version $v of $table was vacuumed or never existed")
+    commitDv(table, "restore", { base =>
+      requireInit(table, base, "restore")
+      (manifestSchema(table, v)
+        .getOrElse(asStored(rawRead(spark, table, v, manifestFiles(table, v)).schema)),
+        manifestFiles(table, v), manifestDvs(table, v))
+    })
+  }
+
+  /** DESCRIBE HISTORY: one row per retained version — (version, op,
+    * commit ts, data-file count, DV-file count). Driver-side manifest
+    * reads only; no data IO.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    versions(table).map(v => (v, manifestOp(table, v),
+        new java.sql.Timestamp(commitTimeMs(table, v)),
+        manifestFiles(table, v).size, manifestDvs(table, v).size))
+      .toDF("version", "op", "ts", "num_files", "num_dvs")
+  }
+
+  /** The version's committed data-file list (table-relative paths) —
+    * public so specs and operator queries can assert zero-copy
+    * commits (restore/clone) by file-list identity.
+    */
+  def snapshotFiles(table: String, version: Option[Long] = None): Seq[String] =
+    manifestFiles(table, version.getOrElse(versions(table).last))
+
+  /** SHALLOW CLONE: initialize `dst` as a zero-copy snapshot of
+    * `src` at version `v` (head by default) — the dev/test-branch
+    * primitive (Delta `CREATE TABLE ... SHALLOW CLONE`): the clone
+    * commits v1 referencing the SAME bytes, after which the two
+    * tables diverge independently (writes to either never touch the
+    * other — data dirs are immutable on both sides).
+    *
+    * Locally the reference is a HARD LINK per file (O(files) metadata
+    * ops, zero data bytes; `_stats.json` zone maps and DV files come
+    * along, so pruning and merge-on-read state survive the clone with
+    * no recompute) — and because links share the inode, a vacuum on
+    * the SOURCE cannot strand the clone, closing the dangling-file
+    * caveat Delta's path-reference shallow clones live with. On an
+    * object store (no link(2)) the same shape is a server-side COPY
+    * per object or a path-reference manifest; the commit protocol is
+    * unchanged either way. Requires src and dst on one filesystem.
+    */
+  def cloneTable(spark: SparkSession, src: String, dst: String,
+      version: Option[Long] = None): Long = {
+    val v = version.getOrElse {
+      val vs = versions(src)
+      require(vs.nonEmpty, s"no commits at $src")
+      vs.last
+    }
+    require(store.exists(commitsDir(src), manifestName(v)),
+      s"version $v of $src was vacuumed or never existed")
+    require(versions(dst).isEmpty, s"clone target $dst already has commits")
+    val files = manifestFiles(src, v)
+    val dvs = manifestDvs(src, v)
+    (files ++ dvs).map(f => f.substring(0, f.lastIndexOf('/'))).distinct.foreach { rel =>
+      val to = Paths.get(dst, rel)
+      Files.createDirectories(to)
+      ls(Paths.get(src, rel)).foreach { p =>
+        val t = to.resolve(p.getFileName.toString)
+        if (!Files.exists(t)) Files.createLink(t, p)
+      }
+    }
+    val schema = manifestSchema(src, v)
+      .getOrElse(asStored(rawRead(spark, src, v, files).schema))
+    commitDv(dst, "clone", { base =>
+      require(base == 0, s"clone target $dst gained commits mid-clone")
+      (schema, files, dvs)
+    })
+  }
 
   private[sources] def manifestDvs(table: String, v: Long): Seq[String] = {
     val txt = store.read(commitsDir(table), manifestName(v))
@@ -451,7 +570,8 @@ class VersionedTableOps(val store: CommitStore) {
     * merge-on-read mutations plan their DV carry explicitly.
     */
   private def commitDv(table: String, op: String,
-      planFor: Long => (org.apache.spark.sql.types.StructType, Seq[String], Seq[String])): Long = {
+      planFor: Long => (org.apache.spark.sql.types.StructType, Seq[String], Seq[String]),
+      txn: Option[(String, Long)] = None): Long = {
     val dir = commitsDir(table)
     var attempt = 0
     while (true) {
@@ -461,7 +581,7 @@ class VersionedTableOps(val store: CommitStore) {
         case _: java.nio.file.NoSuchFileException => None // base vacuumed under us
       }
       val won = plan.exists { case (schema, fs, dvs) =>
-        store.putIfAbsent(dir, manifestName(v), render(v, op, schema, fs, dvs)) }
+        store.putIfAbsent(dir, manifestName(v), render(v, op, schema, fs, dvs, txn)) }
       if (won) return v
       attempt += 1 // lost the race (or lost the base): re-read head, retry
       require(attempt < 100, s"commit contention on $table")
@@ -516,6 +636,66 @@ class VersionedTableOps(val store: CommitStore) {
       (unionSchema(headSchema, asStored(df.schema)),
         manifestFiles(table, base) ++ staged, manifestDvs(table, base))
     })
+  }
+
+  /** Newest transaction version committed under `appId`, from the
+    * RETAINED manifests (newest-first scan, O(versions) driver-side
+    * reads, no data IO). The idempotence horizon is therefore the
+    * vacuum retention: keep `retain` comfortably above the deepest
+    * replay a restarting writer can attempt (a streaming checkpoint
+    * replays at most its last batch) — the same contract Delta's
+    * txnAppId carries.
+    */
+  def lastTxn(table: String, appId: String): Option[Long] = {
+    val appPat = ("\"txnApp\": \"" + java.util.regex.Pattern.quote(escStr(appId)) +
+      "\",\\s*\"txnVer\": (\\d+)").r
+    versions(table).reverseIterator.map { v =>
+      appPat.findFirstMatchIn(store.read(commitsDir(table), manifestName(v)))
+        .map(_.group(1).toLong)
+    }.collectFirst { case Some(ver) => ver }
+  }
+
+  private object TxnAlreadyApplied extends Exception {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** IDEMPOTENT append: commit `df` tagged (`appId`, `txnVer`) —
+    * if a commit with this app's version ≥ `txnVer` is already in the
+    * retained log, the call is a NO-OP returning the current head
+    * (Delta's `txnAppId`/`txnVersion` idempotent-write contract).
+    * This is what makes a replayed foreachBatch EXACTLY-ONCE for
+    * appends: the batch id is the transaction version, so a restart
+    * that re-delivers the last micro-batch re-commits nothing — LWW
+    * merges get idempotence from their semilattice, appends get it
+    * here. The replay check runs INSIDE the commit closure too, so a
+    * race between two writers of the SAME app serializes on the
+    * fail-if-exists publish (the loser re-checks against the new
+    * head and backs off; its staged files become unreferenced
+    * garbage, never duplicate rows). Initializes the table on first
+    * use.
+    */
+  def appendIdempotent(spark: SparkSession, table: String, df: DataFrame,
+      appId: String, txnVer: Long): Long = {
+    def applied = lastTxn(table, appId).exists(_ >= txnVer)
+    if (applied) return versions(table).last // common replay path: stage nothing
+    val staged = stageData(table, df, "a")
+    try commitDv(table, "append", { base =>
+      if (applied) throw TxnAlreadyApplied
+      if (base == 0) (asStored(df.schema), staged, Nil)
+      else {
+        val headSchema = manifestSchema(table, base)
+          .getOrElse(asStored(read(spark, table, Some(base)).schema))
+        val stored = asStored(df.schema)
+        val conflicts = stored.flatMap(f => headSchema.find(_.name == f.name)
+          .filter(_.dataType != f.dataType).map(_.name))
+        require(conflicts.isEmpty,
+          s"append schema conflicts with $table head (types cannot evolve): " +
+            conflicts.mkString(", "))
+        (unionSchema(headSchema, stored),
+          manifestFiles(table, base) ++ staged, manifestDvs(table, base))
+      }
+    }, Some((appId, txnVer)))
+    catch { case TxnAlreadyApplied => versions(table).last }
   }
 
   /** MERGE upsert keyed by `key` (the q_upsert shape, now with a

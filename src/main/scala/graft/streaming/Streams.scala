@@ -184,6 +184,36 @@ object Streams {
       }
       .start()
 
+  /** EXACTLY-ONCE streaming append into a
+    * [[graft.sources.VersionedTable]]: each micro-batch commits
+    * through [[graft.sources.VersionedTableOps.appendIdempotent]]
+    * with the BATCH ID as the transaction version, so a checkpoint
+    * replay of the last batch after a crash/restart re-commits
+    * nothing (appends have no semilattice to hide behind — the
+    * manifest-recorded (appId, batchId) watermark is what closes
+    * exactly-once for them). Composed with
+    * [[graft.sources.VersionedStreamSource]] on the read side this
+    * is a full bronze → silver hop over the commit log: replayable
+    * versioned reads upstream, idempotent versioned appends
+    * downstream, each batch atomic and time-travelable.
+    */
+  def appendStreamVersioned(rows: DataFrame, table: String,
+      checkpointDir: String, appId: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // empty triggers commit nothing (same rationale as the CDC
+        // sink); skipping cannot break the txn watermark — a replayed
+        // batch is empty iff the original was
+        if (!batch.isEmpty) {
+          graft.sources.VersionedTable.appendIdempotent(
+            batch.sparkSession, table, batch, appId, batchId)
+        }
+        ()
+      }
+      .start()
+
   /** The read view over the snapshot: tombstones filtered, the
     * q_cdc_apply output shape.
     */

@@ -90,6 +90,48 @@ class VersionedStreamSpec extends SparkSpec {
     assert(got.agg(sum("v")).head.getLong(0) === (0L until 200L).map(_ * 10).sum)
   }
 
+  test("medallion hop: versioned read -> transform -> idempotent versioned append, exactly-once across restart") {
+    // bronze -> silver entirely over the commit log: the stream READS
+    // bronze versions (replayable — batches are pure functions of
+    // immutable manifests) and APPENDS to silver through the (appId,
+    // batchId) txn watermark, so the restart's replayed batch cannot
+    // double-append. Silver must equal the batch transform of bronze
+    // at every quiescent point.
+    val bronze = fresh("bronze")
+    val silver = fresh("silver")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-medallion-ck").toString
+    VersionedTable.overwrite(spark, bronze, dfRange(0, 100))
+    def silverExpected = VersionedTable.read(spark, bronze)
+      .filter(col("k") % 2 === 0).select(col("k"), (col("v") + 1).as("v1"))
+    def start() = {
+      val in = spark.readStream
+        .format("graft.sources.VersionedStreamProvider").option("path", bronze).load()
+        .filter(col("k") % 2 === 0).select(col("k"), (col("v") + 1).as("v1"))
+      graft.streaming.Streams.appendStreamVersioned(in, silver, ckpt, "medallion-test")
+    }
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      VersionedTable.append(spark, bronze, dfRange(100, 180))
+      q1.processAllAvailable()
+      val got = VersionedTable.read(spark, silver)
+      assert(got.count() === 90 && got.except(silverExpected).isEmpty &&
+        silverExpected.except(got).isEmpty, "silver == transform(bronze)")
+    } finally q1.stop()
+    // bronze advances while no stream runs; restart resumes from the
+    // checkpoint and the txn watermark guards any batch replay
+    VersionedTable.append(spark, bronze, dfRange(180, 240))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = VersionedTable.read(spark, silver)
+      assert(got.count() === 120, "missed or duplicated rows across restart")
+      assert(got.except(silverExpected).isEmpty && silverExpected.except(got).isEmpty)
+      assert(VersionedTable.lastTxn(silver, "medallion-test").nonEmpty,
+        "txn watermark recorded in the silver log")
+    } finally q2.stop()
+  }
+
   test("short name and user schema: format('graft-versioned') would need registration; class name works with explicit schema") {
     val t = fresh("schema")
     VersionedTable.overwrite(spark, t, dfRange(0, 10))
