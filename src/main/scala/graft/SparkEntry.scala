@@ -140,6 +140,8 @@ object SparkEntry {
     "q_count_meta" -> (operators.VersionedQueries.qCountMeta _),
     "q_restore" -> (operators.VersionedQueries.qRestore _),
     "q_clone" -> (operators.VersionedQueries.qClone _),
+    "q_mat_view" -> (operators.VersionedQueries.qMatView _),
+    "q_zone_map_nulls" -> (operators.VersionedQueries.qZoneMapNulls _),
     // §2.8: the DSv2 synthetic source under the oracle gate — filter
     // pushdown prunes generated partitions, column pruning means text
     // is never built (the aggregate touches only doc_id/lang)
@@ -1169,6 +1171,27 @@ object SparkEntry {
         |SELECT s_suppkey, s_nationkey,
         |       CAST(CAST(s_acctbal AS DECIMAL(12,2)) + 100.00 AS DECIMAL(12,2)) AS s_acctbal
         |FROM supplier WHERE s_suppkey % 7 = 0""".stripMargin,
+    // q_mat_view: incremental maintenance must be indistinguishable
+    // from a full recompute of the defining aggregate over the rows
+    // surviving the three commits (H1 overwrite, H2 append, < 50000
+    // delete)
+    "q_mat_view" ->
+      """SELECT o_custkey, count(*) AS mv_count,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(18,4))) AS DOUBLE) AS mv_sum
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND NOT (CAST(o_totalprice AS DECIMAL(12,2)) < 50000.00)
+        |GROUP BY 1""".stripMargin,
+    // q_zone_map_nulls: the IS NOT NULL survivors of the three
+    // nullness-clustered commits (all-null %4=0 slice excluded, %4=1
+    // fully kept, %4>=2 kept only where %3=0 made the value non-null)
+    "q_zone_map_nulls" ->
+      """SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+        |FROM customer WHERE c_custkey % 4 = 1
+        |UNION ALL
+        |SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+        |FROM customer WHERE c_custkey % 4 >= 2 AND c_custkey % 3 = 0""".stripMargin,
     // q_table_changes: the v1->v2 CDC delta; both EXCEPT ALL
     // directions replayed over the same merge the upsert committed
     "q_table_changes" ->

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.VersionedTable
+import graft.sources.{MaterializedView, VersionedTable}
 
 /** Oracle-checked queries that route the lakehouse-maintenance shapes
   * THROUGH the VersionedTable commit log (round-6: the layer existed
@@ -240,6 +240,37 @@ object VersionedQueries {
       s"the index's stats must exclude the outer commits (kept ${kept.size}/$total)")
     VersionedTable.readIndexed(spark, table, v)
       .filter(col("c_custkey").between(third + 1, 2 * third))
+  }
+
+  /** q_zone_map_nulls: NULL-COUNT zone maps under the oracle gate —
+    * customers land in three NULLNESS-clustered commits (balances all
+    * NULL / fully populated / mixed), and an `IS NOT NULL` read
+    * through the AUTOMATIC path must skip the all-null commit's files
+    * (which carry NO [min, max] interval at all — there is no
+    * non-null value to index; only the committed null count can skip
+    * them). Both probe directions asserted via the explicit
+    * filesForNullness probe; the oracle replays the nullness rule the
+    * skipping must be invisible to.
+    */
+  def qZoneMapNulls(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("zonenull")
+    val all = t(spark, dir, "customer").select(col("c_custkey"),
+      col("c_acctbal").cast("decimal(12,2)").as("c_acctbal"))
+    VersionedTable.overwrite(spark, table,
+      all.filter(col("c_custkey") % 4 === 0)
+        .withColumn("c_acctbal", lit(null).cast("decimal(12,2)")))
+    VersionedTable.append(spark, table, all.filter(col("c_custkey") % 4 === 1))
+    VersionedTable.append(spark, table,
+      all.filter(col("c_custkey") % 4 >= 2).withColumn("c_acctbal",
+        when(col("c_custkey") % 3 === 0, col("c_acctbal"))))
+    val v = Some(VersionedTable.versions(table).last)
+    val (keptNN, total) =
+      VersionedTable.filesForNullness(table, "c_acctbal", wantNull = false, v)
+    require(keptNN.size < total, "IS NOT NULL must skip the all-null commit")
+    val (keptN, _) =
+      VersionedTable.filesForNullness(table, "c_acctbal", wantNull = true, v)
+    require(keptN.size < total, "IS NULL must skip the fully-populated commit")
+    VersionedTable.readIndexed(spark, table, v).filter(col("c_acctbal").isNotNull)
   }
 
   /** q_table_changes: the CDC READ over the commit log — after the
@@ -493,6 +524,41 @@ object VersionedQueries {
     VersionedTable.compact(spark, src)
     VersionedTable.vacuum(src, retain = 1, graceMs = 0)
     VersionedTable.read(spark, dst)
+  }
+
+  /** q_mat_view: an INCREMENTALLY MAINTAINED materialized view under
+    * the oracle gate — 1997-H1 order spend per customer committed as
+    * the source's v1 and fully refreshed; H2 lands as an APPEND whose
+    * refresh reads only the appended files (the CDC fast path); a
+    * predicate DELETE then folds the small orders back OUT of the
+    * aggregate (counts/sums are abelian-group aggregates — they merge
+    * under deletion, no rescan). The returned frame is the view's
+    * committed head state; the oracle recomputes the defining
+    * aggregate from scratch over the surviving rows — incremental
+    * maintenance must be indistinguishable from full recompute.
+    */
+  def qMatView(spark: SparkSession, dir: String): DataFrame = {
+    val src = freshTable("mvsrc")
+    val view = freshTable("mvview")
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"),
+        col("o_orderdate"))
+    def half(lo: String, hi: String) = o
+      .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+        col("o_orderdate") < lit(hi).cast("timestamp"))
+      .drop("o_orderdate")
+    VersionedTable.overwrite(spark, src, half("1997-01-01", "1997-07-01"))
+    MaterializedView.refresh(spark, view, src, Seq("o_custkey"), Seq("o_totalprice"))
+    VersionedTable.append(spark, src, half("1997-07-01", "1998-01-01"))
+    MaterializedView.refresh(spark, view, src, Seq("o_custkey"), Seq("o_totalprice"))
+    VersionedTable.delete(spark, src, col("o_totalprice") < 50000.00)
+    MaterializedView.refresh(spark, view, src, Seq("o_custkey"), Seq("o_totalprice"))
+    require(MaterializedView.freshAsOf(view).contains(
+      VersionedTable.versions(src).last), "cursor must sit at the source head")
+    MaterializedView.read(spark, view)
+      .select(col("o_custkey"), col("mv_count"),
+        col("mv_sum_o_totalprice").cast("double").as("mv_sum"))
   }
 
   /** q_optimize_cluster: OPTIMIZE as layout maintenance — orders land

@@ -418,6 +418,7 @@ class VersionedTableOps(val store: CommitStore) {
         HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.toUri), conf))
       val agg = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Int)]
       val aggS = scala.collection.mutable.LinkedHashMap.empty[String, (String, String, Int)]
+      val aggN = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Int)]
       var nBlocks = 0
       var nRows = 0L
       try {
@@ -426,6 +427,16 @@ class VersionedTableOps(val store: CommitStore) {
           nRows += block.getRowCount
           for (c <- block.getColumns.asScala if c.getPath.size == 1) {
             val st = c.getStatistics
+            // null counts live on a separate branch: an ALL-NULL chunk
+            // has no min/max (hasNonNullValue=false) but a perfectly
+            // good null count — and it is exactly the chunk IS NOT
+            // NULL pruning wants to skip
+            if (st != null && !st.isEmpty && st.isNumNullsSet) {
+              val name = c.getPath.toDotString
+              val cur = aggN.get(name)
+              aggN(name) = (cur.fold(st.getNumNulls)(_._1 + st.getNumNulls),
+                cur.fold(1)(_._2 + 1))
+            }
             if (st != null && !st.isEmpty && st.hasNonNullValue) {
               val name = c.getPath.toDotString
               statBounds(c.getPrimitiveType, st).foreach { case (mi, ma) =>
@@ -458,6 +469,14 @@ class VersionedTableOps(val store: CommitStore) {
         // string intervals need no widening: the stats ARE the exact
         // min/max values (no lossy domain conversion happened)
         "\"" + c + "\": [\"" + escStr(mi) + "\", \"" + escStr(ma) + "\"]"
+      } ++ aggN.collect { case (c, (nn, n)) if n == nBlocks =>
+        // exact per-file null count ('#'-prefixed like "#rows", so the
+        // interval parsers can never mistake it for a column) — IS
+        // NULL probes skip files with 0, IS NOT NULL probes skip
+        // files where it equals "#rows"; emitted only when EVERY
+        // chunk recorded its count (a partial sum would under-count
+        // and wrongly skip)
+        "\"#nulls:" + c + "\": " + nn
       }
       if (nRows == 0L) { empty += f.getFileName.toString; None }
       else Some("  \"" + f.getFileName + "\": {" + entries.mkString(", ") + "}")
@@ -694,6 +713,24 @@ class VersionedTableOps(val store: CommitStore) {
         (unionSchema(headSchema, stored),
           manifestFiles(table, base) ++ staged, manifestDvs(table, base))
       }
+    }, Some((appId, txnVer)))
+    catch { case TxnAlreadyApplied => versions(table).last }
+  }
+
+  /** [[overwrite]] carrying the same (appId, txnVer) idempotence
+    * watermark as [[appendIdempotent]] — the primitive for
+    * exactly-once STATE REPLACEMENT (materialized-view refreshes,
+    * snapshot sinks): a replayed (app, ver) is a no-op, and the
+    * watermark commits atomically WITH the state it describes.
+    */
+  def overwriteTxn(spark: SparkSession, table: String, df: DataFrame,
+      appId: String, txnVer: Long): Long = {
+    def applied = lastTxn(table, appId).exists(_ >= txnVer)
+    if (applied) return versions(table).last
+    val staged = stageData(table, df, "w")
+    try commitDv(table, "overwrite", { _ =>
+      if (applied) throw TxnAlreadyApplied
+      (asStored(df.schema), staged, Nil)
     }, Some((appId, txnVer)))
     catch { case TxnAlreadyApplied => versions(table).last }
   }
@@ -1018,6 +1055,18 @@ class VersionedTableOps(val store: CommitStore) {
       version: Option[Long] = None): (Seq[String], Int) =
     filesForRanges(table, Seq((statsCol, lo, hi)), version)
 
+  /** NULLNESS probe on the committed per-file null counts: the files
+    * that may contain a NULL (`wantNull = true`) / a non-null
+    * (`false`) value of `statsCol`, and the snapshot's total file
+    * count. Files without committed null counts are always kept.
+    */
+  def filesForNullness(table: String, statsCol: String, wantNull: Boolean,
+      version: Option[Long] = None): (Seq[String], Int) = {
+    val v = version.getOrElse(versions(table).last)
+    val all = manifestFiles(table, v)
+    (keepByZoneMaps(table, all, Nil, Nil, Seq((statsCol, wantNull))), all.size)
+  }
+
   /** CONJUNCTIVE multi-column probe: files kept only if EVERY probed
     * column's committed interval intersects its range — the
     * `WHERE d BETWEEN … AND price BETWEEN …` scan shape, where each
@@ -1049,10 +1098,33 @@ class VersionedTableOps(val store: CommitStore) {
     * explicit probes ([[filesForRanges]]/[[filesForRangeString]]) and
     * by [[ZoneMapFileIndex]], which runs it INSIDE Catalyst planning.
     */
+  /** Per-file (row count, probed column's null count) for one data
+    * dir, from `_stats.json` — only files where BOTH scalars were
+    * committed appear (a file without them can never be skipped on
+    * nullness).
+    */
+  private def dirNullStats(table: String, relDir: String,
+      statsCol: String): Map[String, (Long, Long)] = {
+    val p = Paths.get(table, relDir, "_stats.json")
+    if (!Files.exists(p)) return Map.empty
+    val txt = Files.readString(p)
+    val fileRe = "\"([^\"]+\\.parquet)\": \\{([^}]*)\\}".r
+    val rowsRe = "\"#rows\": (\\d+)".r
+    val nullsRe = ("\"#nulls:" + java.util.regex.Pattern.quote(statsCol) +
+      "\": (\\d+)").r
+    fileRe.findAllMatchIn(txt).flatMap { m =>
+      for {
+        r <- rowsRe.findFirstMatchIn(m.group(2))
+        n <- nullsRe.findFirstMatchIn(m.group(2))
+      } yield m.group(1) -> (r.group(1).toLong, n.group(1).toLong)
+    }.toMap
+  }
+
   private[sources] def keepByZoneMaps(table: String, files: Seq[String],
       numRanges: Seq[(String, Double, Double)],
-      strRanges: Seq[(String, String, String)]): Seq[String] = {
-    if (numRanges.isEmpty && strRanges.isEmpty) return files
+      strRanges: Seq[(String, String, String)],
+      nullProbes: Seq[(String, Boolean)] = Nil): Seq[String] = {
+    if (numRanges.isEmpty && strRanges.isEmpty && nullProbes.isEmpty) return files
     val dirs = files.map(_.split('/').dropRight(1).mkString("/")).distinct
     val num: Map[(String, String), Map[String, (Double, Double)]] =
       (for (d <- dirs; (c, _, _) <- numRanges)
@@ -1060,12 +1132,21 @@ class VersionedTableOps(val store: CommitStore) {
     val str: Map[(String, String), Map[String, (String, String)]] =
       (for (d <- dirs; (c, _, _) <- strRanges)
         yield (d, c) -> dirStatsStr(table, d, c)).toMap
+    val nul: Map[(String, String), Map[String, (Long, Long)]] =
+      (for (d <- dirs; (c, _) <- nullProbes)
+        yield (d, c) -> dirNullStats(table, d, c)).toMap
     files.filter { f =>
       val (d, name) = (f.split('/').dropRight(1).mkString("/"), f.split('/').last)
       numRanges.forall { case (c, lo, hi) =>
         num((d, c)).get(name).forall { case (mi, ma) => ma >= lo && mi <= hi }
       } && strRanges.forall { case (c, lo, hi) =>
         str((d, c)).get(name).forall { case (mi, ma) => ma >= lo && mi <= hi }
+      } && nullProbes.forall { case (c, wantNull) =>
+        // IS NULL keeps files with ≥1 null; IS NOT NULL keeps files
+        // with ≥1 non-null row; unknown always keeps
+        nul((d, c)).get(name).forall { case (rows, nulls) =>
+          if (wantNull) nulls > 0 else nulls < rows
+        }
       }
     }
   }
@@ -1303,10 +1384,10 @@ class VersionedTableOps(val store: CommitStore) {
     val condExpr = snap.filter(cond).queryExecution.optimizedPlan.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
-    val (num, str) = ZoneMapFilters.constraints(condExpr.toSeq)
+    val (num, str, nul) = ZoneMapFilters.constraints(condExpr.toSeq)
     val touched =
-      if (num.isEmpty && str.isEmpty) all
-      else keepByZoneMaps(table, all, num, str)
+      if (num.isEmpty && str.isEmpty && nul.isEmpty) all
+      else keepByZoneMaps(table, all, num, str, nul)
     val touchedSet = touched.toSet
     (touched, all.filterNot(touchedSet))
   }

@@ -65,10 +65,10 @@ class ZoneMapFileIndex(spark: SparkSession, ops: VersionedTableOps,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val (num, str) = ZoneMapFilters.constraints(dataFilters)
+    val (num, str, nul) = ZoneMapFilters.constraints(dataFilters)
     val kept =
-      if (num.isEmpty && str.isEmpty) relFiles
-      else ops.keepByZoneMaps(table, relFiles, num, str)
+      if (num.isEmpty && str.isEmpty && nul.isEmpty) relFiles
+      else ops.keepByZoneMaps(table, relFiles, num, str, nul)
     val keptSet = kept.toSet
     Seq(PartitionDirectory(InternalRow.empty,
       statusByRel.collect { case (f, st) if keptSet(f) => st }.toArray))
@@ -84,16 +84,23 @@ class ZoneMapFileIndex(spark: SparkSession, ops: VersionedTableOps,
 private[sources] object ZoneMapFilters {
 
   /** One conjunctive interval per constrained column: numeric ranges
-    * in the stats double domain and string ranges in the printable-
-    * ASCII domain. Untranslatable predicates constrain nothing.
+    * in the stats double domain, string ranges in the printable-
+    * ASCII domain, and NULLNESS probes (col, wantNull) from IS NULL /
+    * IS NOT NULL conjuncts — skipped on the committed per-file null
+    * counts (a comparison filter's implied isnotnull skips ALL-NULL
+    * files; an explicit isNull probe skips every fully-populated
+    * file). Untranslatable predicates constrain nothing.
     */
   def constraints(filters: Seq[Expression]):
-      (Seq[(String, Double, Double)], Seq[(String, String, String)]) = {
+      (Seq[(String, Double, Double)], Seq[(String, String, String)],
+        Seq[(String, Boolean)]) = {
     val num = mutable.Map.empty[String, (Double, Double)]
     val str = mutable.Map.empty[String, (String, String)]
-    filters.foreach(collectConstraints(_, num, str))
+    val nul = mutable.Map.empty[String, Boolean]
+    filters.foreach(collectConstraints(_, num, str, nul))
     (num.map { case (c, (lo, hi)) => (c, lo, hi) }.toSeq,
-      str.map { case (c, (lo, hi)) => (c, lo, hi) }.toSeq)
+      str.map { case (c, (lo, hi)) => (c, lo, hi) }.toSeq,
+      nul.toSeq)
   }
 
   /** Literal → stats double domain (see VersionedTableOps.statBounds
@@ -125,7 +132,8 @@ private[sources] object ZoneMapFilters {
 
   private def collectConstraints(e: Expression,
       num: mutable.Map[String, (Double, Double)],
-      str: mutable.Map[String, (String, String)]): Unit = {
+      str: mutable.Map[String, (String, String)],
+      nul: mutable.Map[String, Boolean]): Unit = {
     def lower(a: AttributeReference, l: Literal): Unit = {
       litNum(l).foreach { d =>
         val lo = math.nextDown(d) // outward: boundary files always kept
@@ -150,7 +158,12 @@ private[sources] object ZoneMapFilters {
     }
     e match {
       case And(l, r) =>
-        collectConstraints(l, num, str); collectConstraints(r, num, str)
+        collectConstraints(l, num, str, nul); collectConstraints(r, num, str, nul)
+      // nullness probes: skipped on committed per-file null counts.
+      // A column probed BOTH ways in one conjunction is a contradiction
+      // (the predicate selects nothing); keeping either probe is sound
+      case IsNull(a: AttributeReference) => nul(a.name) = true
+      case IsNotNull(a: AttributeReference) => nul(a.name) = false
       // strict bounds relaxed to inclusive — pruning only, the exact
       // predicate still runs on the survivors
       case GreaterThan(a: AttributeReference, l: Literal) => lower(a, l)

@@ -312,6 +312,51 @@ class LakehouseSpec extends SparkSpec {
     assert(scannedFiles(pre) < all, "prefix interval must prune")
   }
 
+  test("null-count zone maps: IS NULL / IS NOT NULL probes skip on committed null counts") {
+    val t = fresh("nulls")
+    // three commits: all-null v, fully populated v, mixed
+    VersionedTable.overwrite(spark, t, spark.range(0, 300)
+      .select(col("id").as("k"), lit(null).cast("long").as("v")))
+    VersionedTable.append(spark, t, spark.range(300, 600)
+      .select(col("id").as("k"), col("id").as("v")))
+    VersionedTable.append(spark, t, spark.range(600, 900)
+      .select(col("id").as("k"), when(col("id") % 3 === 0, col("id")).as("v")))
+    def scannedFiles(d: org.apache.spark.sql.DataFrame): Long = {
+      d.collect()
+      val plan = d.queryExecution.executedPlan
+      val resolved = plan.collectFirst {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      }.getOrElse(plan)
+      resolved.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.get
+    }
+    val all = scannedFiles(VersionedTable.readIndexed(spark, t))
+    // IS NULL skips the fully-populated commit's files
+    val isNull = VersionedTable.readIndexed(spark, t).filter(col("v").isNull)
+    assert(isNull.count() === 500)
+    assert(scannedFiles(isNull) < all, "IS NULL must skip fully-populated files")
+    // IS NOT NULL skips the all-null commit's files
+    val notNull = VersionedTable.readIndexed(spark, t).filter(col("v").isNotNull)
+    assert(notNull.count() === 400)
+    assert(scannedFiles(notNull) < all, "IS NOT NULL must skip all-null files")
+    // the isnotnull Catalyst INFERS from a comparison prunes the
+    // all-null commit too — even though that commit has no [min, max]
+    // interval for v at all (no non-null value to index)
+    val cmp = VersionedTable.readIndexed(spark, t).filter(col("v") >= 0L)
+    assert(cmp.count() === 400)
+    assert(scannedFiles(cmp) < all,
+      "inferred isnotnull must skip the interval-less all-null files")
+    // COW delete of NULL rows rewrites only null-bearing files
+    val before = VersionedTable.snapshotFiles(t).toSet
+    VersionedTable.delete(spark, t, col("v").isNull)
+    val after = VersionedTable.snapshotFiles(t).toSet
+    assert(VersionedTable.read(spark, t).count() === 400)
+    assert((before & after).nonEmpty,
+      "the fully-populated commit's files must be carried by reference")
+  }
+
   test("optimize: row-preserving layout rewrite that makes zone maps skip") {
     val t = fresh("optim")
     // interleaved keys: every staged file spans the whole key domain,
