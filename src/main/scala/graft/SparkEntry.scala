@@ -198,6 +198,7 @@ object SparkEntry {
     "text_token_count" -> (TextAnalysis.tokenCount _),
     "text_langid" -> (TextAnalysis.langid _),
     "text_fingerprint" -> (TextAnalysis.fingerprintDocs _),
+    "text_feature_hash" -> (TextAnalysis.featureHash _),
     "text_tfidf" -> (TextAnalysis.tfidf _),
     "text_scrub" -> (TextAnalysis.scrub _),
     "text_contamination" -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
@@ -2285,6 +2286,18 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     // rolling fingerprint is plain modular arithmetic over UTF-8 bytes:
     // reproduced in DuckDB with HUGEINT (int128) + hex-decoded bytes
+    // text_feature_hash: the full token-hash kernel replay (shared
+    // recursive FNV/splitmix CTEs), low-6-bit dimension index, bit-6
+    // sign, signed counts with cancelled dims dropped
+    "text_feature_hash" ->
+      s"""WITH RECURSIVE toks AS (
+         |  $TokStreamSql),
+         |$tokenHashSql
+         |SELECT doc_id, CAST(h % 64 AS BIGINT) AS dim,
+         |  CAST(sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+         |FROM thash
+         |GROUP BY 1, 2
+         |HAVING sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) <> 0""".stripMargin,
     "text_fingerprint" ->
       """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
         |SELECT doc_id,

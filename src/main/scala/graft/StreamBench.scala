@@ -144,6 +144,15 @@ object StreamBench {
     val (r4b, w4b, l4b) = drive[SbChange](changeBatches, m =>
       Streams.cdcIngestVersioned(m.toDF(), tmp("cdcv") + "/table", tmp("cdcvchk")))
 
+    // 4c. EXACTLY-ONCE versioned APPEND sink (the medallion hop's
+    // write half): each micro-batch commits through the (appId,
+    // batchId) txn watermark — one atomic manifest publish + stats
+    // write per trigger, NO merge job (vs 4b's full LWW merge): the
+    // floor cost of making a streamed append atomic + replay-safe
+    val (r4c, w4c, l4c) = drive[Streams.Doc](docBatches, m =>
+      Streams.appendStreamVersioned(m.toDS().toDF(),
+        tmp("apnd") + "/table", tmp("apndchk"), "bench-append"))
+
     // 5./6. corpus ingest vs BATCH SIZE (round-7 item 4: 519 rows/s at
     // 625-row triggers was asserted, not shown, to be per-trigger
     // fixed cost). Same pipeline over a 10x replicated corpus — docs
@@ -174,10 +183,11 @@ object StreamBench {
       stats("cdc_ingest", r3, w3, l3),
       stats("session_window", r4, w4, l4),
       stats("cdc_ingest_versioned", r4b, w4b, l4b),
+      stats("append_versioned", r4c, w4c, l4c),
       stats("corpus_ingest_10x", r5, w5, l5),
       stats("corpus_ingest_1trigger", r6, w6, l6))
-    val totalRows = r1 + r2 + r3 + r4 + r4b + r5 + r6
-    val totalWall = w1 + w2 + w3 + w4 + w4b + w5 + w6
+    val totalRows = r1 + r2 + r3 + r4 + r4b + r4c + r5 + r6
+    val totalWall = w1 + w2 + w3 + w4 + w4b + w4c + w5 + w6
     println(s"""{"streams":{${parts.map(_._1).mkString(",")}},""" +
       s""""metric":"stream_rows_per_sec","unit":"rows/s","sf":"$sfDir",""" +
       s""""n_batches":$nBatches,"total_rows":$totalRows,"total_wall_s":$totalWall,""" +

@@ -223,6 +223,8 @@ object Signatures {
   val simhashUdf = udf((text: String) => simhash64(text)).asNondeterministic()
   def shinglesUdf(n: Int) = udf((text: String) => shingleStrings(text, n)).asNondeterministic()
 
+  val tokenHashesUdf = udf((text: String) => tokenHashes(text)).asNondeterministic()
+
   val fingerprintUdf = udf((text: String) => fingerprint64(text)).asNondeterministic()
   val splitmixUdf = udf((x: Long) => splitmix64(x))
 

@@ -296,4 +296,29 @@ object TextAnalysis {
       .groupBy("train_id")
       .agg(cnt.as("n_bench_hits"), max("n_common").as("max_overlap"))
   }
+
+  /** Hashing-trick featurization (the HashingVectorizer /
+    * Vowpal-Wabbit shape — fixed-width features with NO vocabulary
+    * table, the property that matters at 100 TB: featurization is a
+    * pure narrow map, no global dictionary build, no dictionary
+    * broadcast, new tokens never resize anything). Each token's
+    * 64-bit FNV-1a/splitmix hash (functions.Signatures.hashToken —
+    * the kernel the dedup oracles replay bit-for-bit in SQL) indexes
+    * one of 64 dimensions via its low 6 bits, signed ±1 by bit 6 (the
+    * signed hash trick: collision noise cancels in expectation);
+    * per-doc weights are the signed counts, zero-cancelled dims
+    * dropped (sparse output). One kernel pass + explode + one keyed
+    * aggregate — the shuffle carries (doc_id, dim, ±1), never text.
+    */
+  def featureHash(spark: SparkSession, dir: String): DataFrame = {
+    fanOut(spark, t(spark, dir, "documents"))
+      .select(col("doc_id"),
+        explode(graft.functions.Signatures.tokenHashesUdf(col("text"))).as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(64L)).as("dim"),
+        when(shiftright(col("h"), 6).bitwiseAND(1) === 0, 1L)
+          .otherwise(-1L).as("sign"))
+      .groupBy("doc_id", "dim")
+      .agg(sum("sign").as("weight"))
+      .filter(col("weight") =!= 0)
+  }
 }
