@@ -199,6 +199,7 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.langid _),
     "text_fingerprint" -> (TextAnalysis.fingerprintDocs _),
     "text_feature_hash" -> (TextAnalysis.featureHash _),
+    "text_chunk_dedup" -> (TextAnalysis.chunkDedup _),
     "text_tfidf" -> (TextAnalysis.tfidf _),
     "text_scrub" -> (TextAnalysis.scrub _),
     "text_contamination" -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
@@ -2286,6 +2287,85 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     // rolling fingerprint is plain modular arithmetic over UTF-8 bytes:
     // reproduced in DuckDB with HUGEINT (int128) + hex-decoded bytes
+    // text_chunk_dedup: FULL content-defined-chunking replay —
+    // hex-decoded UTF-8 bytes, recursive prefix hashes mod 2^61-1,
+    // 16-byte rolling windows, the %32 anchor rule, the bounded cut
+    // recursion over per-doc anchor lists, chunk hashes from the same
+    // prefix array, and the corpus-wide occurrence grouping.
+    // MATERIALIZED CTEs are load-bearing (the BPE lesson: plain CTEs
+    // re-inline per recursive iteration)
+    "text_chunk_dedup" ->
+      """WITH RECURSIVE
+        |h AS MATERIALIZED (
+        |  SELECT doc_id, hex(encode(text)) AS hx, length(hex(encode(text)))//2 AS n
+        |  FROM documents WHERE length(text) > 0),
+        |bytes AS MATERIALIZED (
+        |  SELECT doc_id, i,
+        |    CAST((strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
+        |       + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1) AS HUGEINT) AS b
+        |  FROM h, (SELECT unnest(range(1, (SELECT max(n) FROM h) + 1)) AS i) r
+        |  WHERE i <= n),
+        |pref(doc_id, i, p) AS (
+        |  SELECT doc_id, 0, CAST(0 AS HUGEINT) FROM h
+        |  UNION ALL
+        |  SELECT pref.doc_id, pref.i + 1,
+        |    (pref.p * 257 + b.b) % CAST(2305843009213693951 AS HUGEINT)
+        |  FROM pref JOIN bytes b ON b.doc_id = pref.doc_id AND b.i = pref.i + 1),
+        |prefm AS MATERIALIZED (SELECT * FROM pref),
+        |pow(k, v) AS (
+        |  SELECT 0, CAST(1 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT k + 1, (v * 257) % CAST(2305843009213693951 AS HUGEINT) FROM pow WHERE k < 128),
+        |powm AS MATERIALIZED (SELECT * FROM pow),
+        |alists AS MATERIALIZED (
+        |  SELECT h.doc_id, h.n,
+        |    coalesce(any_value(al.cs), []) AS cs
+        |  FROM h LEFT JOIN (
+        |    SELECT p2.doc_id, list(p2.i ORDER BY p2.i) AS cs
+        |    FROM prefm p2
+        |    JOIN prefm p1 ON p1.doc_id = p2.doc_id AND p1.i = p2.i - 16
+        |    JOIN powm ON powm.k = 16
+        |    WHERE p2.i >= 16
+        |      AND (((p2.p - (p1.p * powm.v) % CAST(2305843009213693951 AS HUGEINT))
+        |            % CAST(2305843009213693951 AS HUGEINT)
+        |            + CAST(2305843009213693951 AS HUGEINT))
+        |           % CAST(2305843009213693951 AS HUGEINT)) % 32 = 0
+        |    GROUP BY 1) al ON al.doc_id = h.doc_id
+        |  GROUP BY 1, 2),
+        |cuts(doc_id, c) AS (
+        |  SELECT doc_id, 0 FROM h
+        |  UNION ALL
+        |  SELECT cuts.doc_id,
+        |    coalesce(
+        |      list_min(list_filter(a.cs,
+        |        x -> x >= cuts.c + 24 AND x <= least(cuts.c + 128, a.n))),
+        |      least(cuts.c + 128, a.n))
+        |  FROM cuts JOIN alists a ON a.doc_id = cuts.doc_id
+        |  WHERE cuts.c < a.n),
+        |chunks AS MATERIALIZED (
+        |  SELECT doc_id, c AS s, e FROM (
+        |    SELECT doc_id, c, lead(c) OVER (PARTITION BY doc_id ORDER BY c) AS e
+        |    FROM cuts)
+        |  WHERE e IS NOT NULL),
+        |withHash AS MATERIALIZED (
+        |  SELECT ch.doc_id, ch.e - ch.s AS len,
+        |    (((pe.p - (ps.p * pw.v) % CAST(2305843009213693951 AS HUGEINT))
+        |      % CAST(2305843009213693951 AS HUGEINT)
+        |      + CAST(2305843009213693951 AS HUGEINT))
+        |     % CAST(2305843009213693951 AS HUGEINT)) AS hsh
+        |  FROM chunks ch
+        |  JOIN prefm ps ON ps.doc_id = ch.doc_id AND ps.i = ch.s
+        |  JOIN prefm pe ON pe.doc_id = ch.doc_id AND pe.i = ch.e
+        |  JOIN powm pw ON pw.k = ch.e - ch.s),
+        |occ AS (SELECT hsh, len, count(*) AS n_occ FROM withHash GROUP BY 1, 2)
+        |SELECT w.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN o.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+        |  CAST(sum(CASE WHEN o.n_occ >= 2 THEN w.len ELSE 0 END) AS BIGINT) AS dup_bytes,
+        |  CAST(sum(w.len) AS BIGINT) AS total_bytes,
+        |  CAST(CAST(sum(CASE WHEN o.n_occ >= 2 THEN w.len ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(w.len) AS BIGINT) AS DOUBLE) AS dup_ratio
+        |FROM withHash w JOIN occ o ON o.hsh = w.hsh AND o.len = w.len
+        |GROUP BY 1""".stripMargin,
     // text_feature_hash: the full token-hash kernel replay (shared
     // recursive FNV/splitmix CTEs), low-6-bit dimension index, bit-6
     // sign, signed counts with cancelled dims dropped

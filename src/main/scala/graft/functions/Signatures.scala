@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions.udf
   * Hash building blocks are the public-domain splitmix64 / xorshift64
   * mixers and FNV-1a.
   */
+/** One content-defined chunk: byte offset, byte length, polynomial
+  * hash of the chunk bytes. Top-level so the UDF encoder's generated
+  * code can construct it.
+  */
+case class CdcChunk(start: Int, len: Int, hash: Long)
+
 object Signatures {
 
   val NumHashes = 64
@@ -194,6 +200,64 @@ object Signatures {
     h
   }
 
+  /** Content-defined chunking (the FastCDC/rsync shape) over the
+    * document's UTF-8 bytes: a cut lands where the Rabin–Karp hash of
+    * the trailing `w`-byte window (same base-257 mod-2^61-1 family as
+    * [[fingerprint64]], so the oracle replays it in HUGEINT SQL) is
+    * ≡ 0 mod `div`, bounded to [minLen, maxLen] per chunk (the max
+    * bound forces a cut — standard CDC; content-definedness is lost
+    * only at forced cuts). Because cut positions depend ONLY on local
+    * content, two documents sharing a long byte run cut it at the
+    * SAME internal positions regardless of where the run sits — so
+    * chunk-level exact dedup detects shared substrings without any
+    * alignment search (the property suffix-array substring dedup
+    * buys with a global sort; here it costs one narrow pass).
+    * Each chunk carries its polynomial hash of the full chunk bytes:
+    * (P(e) − P(s)·257^(e−s)) mod 2^61−1 from one prefix-hash array.
+    */
+  def cdcChunks(text: String, w: Int = 16, div: Long = 32,
+      minLen: Int = 24, maxLen: Int = 128): Array[CdcChunk] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = bytes.length
+    val pref = new Array[Long](n + 1)
+    var i = 0
+    while (i < n) {
+      var h = mulmod61(pref(i), 257L) + (bytes(i) & 0xff)
+      if (h >= FpMod) h -= FpMod
+      pref(i + 1) = h
+      i += 1
+    }
+    val pow = new Array[Long](maxLen + 1)
+    pow(0) = 1L
+    i = 1
+    while (i <= maxLen) { pow(i) = mulmod61(pow(i - 1), 257L); i += 1 }
+    def rangeHash(s: Int, e: Int): Long = {
+      var r = pref(e) - mulmod61(pref(s), pow(e - s))
+      if (r < 0) r += FpMod
+      r
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[CdcChunk]
+    var c0 = 0
+    while (c0 < n) {
+      val lo = c0 + minLen
+      val hi = math.min(c0 + maxLen, n)
+      var cut = hi
+      if (lo < hi) {
+        var c = lo
+        var found = false
+        // minLen > w by contract, so the window [c-w, c) always exists
+        while (!found && c <= hi) {
+          if (rangeHash(c - w, c) % div == 0L) { cut = c; found = true }
+          c += 1
+        }
+      }
+      out += CdcChunk(c0, cut - c0, rangeHash(c0, cut))
+      c0 = cut
+    }
+    out.toArray
+  }
+
   /** splitmix64 of a long key — the deterministic per-row uniform for
     * sampling operators (same finalizer as hashToken; replayed in
     * oracle SQL with HUGEINT arithmetic).
@@ -224,6 +288,7 @@ object Signatures {
   def shinglesUdf(n: Int) = udf((text: String) => shingleStrings(text, n)).asNondeterministic()
 
   val tokenHashesUdf = udf((text: String) => tokenHashes(text)).asNondeterministic()
+  val cdcChunksUdf = udf((text: String) => cdcChunks(text)).asNondeterministic()
 
   val fingerprintUdf = udf((text: String) => fingerprint64(text)).asNondeterministic()
   val splitmixUdf = udf((x: Long) => splitmix64(x))

@@ -297,6 +297,38 @@ object TextAnalysis {
       .agg(cnt.as("n_bench_hits"), max("n_common").as("max_overlap"))
   }
 
+  /** Exact SUBSTRING-level duplication signal via content-defined
+    * chunking (functions.Signatures.cdcChunks — the FastCDC shape):
+    * each document splits at content-defined cut points, so two
+    * documents sharing a long byte run produce IDENTICAL interior
+    * chunks with no alignment search (the property suffix-array
+    * substring dedup pays a global sort for); chunk-level exact
+    * grouping then counts, per document, how many chunks (and bytes)
+    * also occur elsewhere in the corpus — the actionable signal of
+    * "Deduplicating Training Data"-style substring dedup. Scale:
+    * chunking is one narrow kernel pass; the only shuffle carries
+    * 16-byte (hash, len) chunk keys — never text — and the
+    * occurrence-count table is corpus-sized, so it is SHUFFLE-joined
+    * on the key it is already partitioned by (the tfidf df policy,
+    * never broadcast). dup_ratio = dup_bytes / total, one double
+    * division of exact longs.
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = fanOut(spark, t(spark, dir, "documents"))
+      .select(col("doc_id"),
+        explode(graft.functions.Signatures.cdcChunksUdf(col("text"))).as("c"))
+      .select(col("doc_id"), col("c.len").cast("long").as("len"), col("c.hash"))
+    val occ = chunks.groupBy("hash", "len").agg(cnt.as("n_occ"))
+    chunks.join(occ, Seq("hash", "len"))
+      .groupBy("doc_id")
+      .agg(cnt.as("n_chunks"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("n_occ") >= 2, col("len")).otherwise(0L)).as("dup_bytes"),
+        sum(col("len")).as("total_bytes"))
+      .withColumn("dup_ratio",
+        col("dup_bytes").cast("double") / col("total_bytes").cast("double"))
+  }
+
   /** Hashing-trick featurization (the HashingVectorizer /
     * Vowpal-Wabbit shape — fixed-width features with NO vocabulary
     * table, the property that matters at 100 TB: featurization is a

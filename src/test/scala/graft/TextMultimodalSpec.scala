@@ -161,6 +161,44 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("cdc chunks: partition the bytes, content-defined cuts align across docs, edits stay local") {
+    import graft.functions.Signatures
+    val rnd = new scala.util.Random(7)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = randText(400)
+    val a = randText(150) + shared + randText(130)
+    val b = randText(90) + shared + randText(200)
+    def chunksOf(t: String) = Signatures.cdcChunks(t)
+    // 1. chunks PARTITION the document: contiguous, full coverage,
+    // bounds respected (last chunk may undershoot minLen)
+    for (t <- Seq(a, b)) {
+      val cs = chunksOf(t)
+      assert(cs.head.start === 0)
+      assert(cs.map(c => c.start + c.len).last === t.getBytes("UTF-8").length)
+      cs.sliding(2).foreach { case Array(x, y) =>
+        assert(x.start + x.len === y.start); case _ => }
+      cs.dropRight(1).foreach(c => assert(c.len >= 24 && c.len <= 128))
+    }
+    // 2. the shared 400-byte run yields IDENTICAL interior chunks in
+    // both docs despite different offsets — the alignment-free
+    // property the operator's dedup rides on
+    val ha = chunksOf(a).map(c => (c.hash, c.len)).toSet
+    val common = chunksOf(b).map(c => (c.hash, c.len)).filter(ha)
+    assert(common.map(_._2).sum >= 150,
+      s"shared run must surface as shared chunks (got ${common.map(_._2).sum} bytes)")
+    // 3. a single-char edit changes only the chunks around it
+    val edited = a.updated(a.length / 2, '!')
+    val he = chunksOf(edited).map(c => (c.hash, c.len)).toSet
+    val survived = chunksOf(a).map(c => (c.hash, c.len)).count(he)
+    assert(survived >= chunksOf(a).length - 3,
+      "an edit must invalidate only the chunk(s) containing it")
+    // 4. determinism + hash == fingerprint of the chunk's bytes
+    val c0 = chunksOf(a)(1)
+    val sub = new String(a.getBytes("UTF-8").slice(c0.start, c0.start + c0.len), "UTF-8")
+    assert(Signatures.fingerprint64(sub) === c0.hash,
+      "chunk hash is the polynomial fingerprint of exactly its bytes")
+  }
+
   test("contamination flags the train copy of a bench doc; df cap gates candidates") {
     import TestSpark.spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-contamspec").toString
