@@ -314,10 +314,14 @@ object TextAnalysis {
     * division of exact longs.
     */
   def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    // two consumers (the occurrence count and the join side) — lazily
+    // checkpointed so the chunk kernel runs once, not per consumer
+    // (the ngramJaccard shingle-frame pattern)
     val chunks = fanOut(spark, t(spark, dir, "documents"))
       .select(col("doc_id"),
         explode(graft.functions.Signatures.cdcChunksUdf(col("text"))).as("c"))
       .select(col("doc_id"), col("c.len").cast("long").as("len"), col("c.hash"))
+      .localCheckpoint(false)
     val occ = chunks.groupBy("hash", "len").agg(cnt.as("n_occ"))
     chunks.join(occ, Seq("hash", "len"))
       .groupBy("doc_id")
