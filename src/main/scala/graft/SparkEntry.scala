@@ -190,6 +190,7 @@ object SparkEntry {
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
     "ann_quantized" -> ((s: SparkSession, d: String) => Ann.quantizedTopK(s, d)),
+    "ann_binary" -> ((s: SparkSession, d: String) => Ann.binaryTopK(s, d)),
     "ann_pq" -> ((s: SparkSession, d: String) => Ann.pqTopK(s, d)),
     "ann_ivfpq" -> ((s: SparkSession, d: String) => Ann.ivfpqTopK(s, d)),
     "knn_join" -> ((s: SparkSession, d: String) => Ann.knnJoin(s, d)),
@@ -2458,6 +2459,37 @@ object SparkEntry {
         |    SELECT q_id, vec_id,
         |      row_number() OVER (PARTITION BY q_id ORDER BY qscore DESC, vec_id) AS crk
         |    FROM scored) WHERE crk <= 20),
+        |rer AS (
+        |  SELECT cand.q_id, cand.vec_id, list_dot_product(ec.v, eq.v) AS cos
+        |  FROM cand
+        |  JOIN e ec ON cand.vec_id = ec.vec_id
+        |  JOIN e eq ON cand.q_id = eq.vec_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM rer)
+        |SELECT q_id, rk, vec_id AS neighbor_id, round(cos, 6) AS cosine
+        |FROM ranked WHERE rk <= 5""".stripMargin,
+    // ann_binary: sign/hamming/re-rank replay — hamming over sign
+    // bits computed positionally (count of differing-sign dims),
+    // mathematically identical to the engine's bit_count(w XOR qw)
+    // over the packed words, with the same (ham ASC, vec_id) cut
+    "ann_binary" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q_id, e.vec_id,
+        |    len(list_filter(range(1, 65), j -> (e.v[j] > 0) <> (qv[j] > 0))) AS ham
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+        |cand AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY ham ASC, vec_id) AS crk
+        |    FROM scored) WHERE crk <= 50),
         |rer AS (
         |  SELECT cand.q_id, cand.vec_id, list_dot_product(ec.v, eq.v) AS cos
         |  FROM cand

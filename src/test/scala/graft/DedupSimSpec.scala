@@ -82,6 +82,27 @@ class DedupSimSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("ann binary: sign-word hamming candidates recall >= 0.7 at top-5 vs bruteforce") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Ann.bruteforceTopK(spark, sf))
+    val bin = pairs(Ann.binaryTopK(spark, sf))
+    val recall = (brute intersect bin).size.toDouble / brute.size
+    // 1 bit/dim is the lossiest quantizer in the family — the top-50
+    // hamming cut re-ranks exactly, so recall is bounded by how often
+    // the true neighbor's sign pattern lands in the cut (deterministic
+    // on this corpus)
+    assert(recall >= 0.7, s"recall $recall")
+    // the packed word really is 1 bit/dim: 8 bytes/vector
+    val sess = spark
+    import sess.implicits._
+    val probe = Seq((1L, Seq(1.0, -2.0, 0.5, -0.1))).toDF("vec_id", "v")
+      .select(Ann.signBitsUdf(org.apache.spark.sql.functions.col("v")).as("w"))
+      .head.getLong(0)
+    assert(probe === ((1L << 0) | (1L << 2)), "bit set exactly where component > 0")
+  }
+
   test("native normalize matches the HOF formulation bit-for-bit") {
     import graft.functions.VectorFunctions
     import graft.plans.VectorExpressions

@@ -201,7 +201,12 @@ object ScaleProbe {
       for ((nm, f) <- Seq(
           ("ann_pq DEFAULTS", () => graft.similarity.Ann.pqTopK(spark, out)),
           ("ann_ivfpq DEFAULTS", () => graft.similarity.Ann.ivfpqTopK(spark, out)),
-          ("ann_ivf DEFAULTS", () => graft.similarity.Ann.ivfTopK(spark, out)))) {
+          ("ann_ivf DEFAULTS", () => graft.similarity.Ann.ivfTopK(spark, out)),
+          // 1 bit/dim with the 2.5%-of-N re-rank cut engaged (fixed
+          // nCand=50 would be 0.25% at this N)
+          ("ann_binary DEFAULTS", () => graft.similarity.Ann.binaryTopK(spark, out)),
+          ("ann_binary nCand=50 (fixed)", () =>
+            graft.similarity.Ann.binaryTopK(spark, out, nCand0 = 50)))) {
         val t1 = System.nanoTime()
         val got = f().select(col("q_id"), col("neighbor_id")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
