@@ -90,6 +90,35 @@ class VersionedStreamSpec extends SparkSpec {
     assert(got.agg(sum("v")).head.getLong(0) === (0L until 200L).map(_ * 10).sum)
   }
 
+  test("Trigger.AvailableNow: each run drains exactly to the head and terminates (incremental batch)") {
+    // the Delta "streaming as incremental batch" pattern: a scheduled
+    // job runs the stream with AvailableNow, consumes every version
+    // committed since its checkpoint, and EXITS — no long-running
+    // cluster, exactly-once across runs
+    val t = fresh("avnow")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-avnow-ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-avnow-out").toString + "/o"
+    VersionedTable.overwrite(spark, t, dfRange(0, 100))
+    VersionedTable.append(spark, t, dfRange(100, 150))
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.VersionedStreamProvider").option("path", t).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "AvailableNow must self-terminate")
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() === 150, "first run drains to the head")
+    // commits land between runs; the next run consumes ONLY the delta
+    VersionedTable.append(spark, t, dfRange(150, 210))
+    VersionedTable.compact(spark, t) // row-preserving rewrite: no rows
+    runOnce()
+    val got = spark.read.parquet(out)
+    assert(got.count() === 210, "second run drains the delta, nothing twice")
+    assert(got.select("k").distinct().count() === 210)
+  }
+
   test("medallion hop: versioned read -> transform -> idempotent versioned append, exactly-once across restart") {
     // bronze -> silver entirely over the commit log: the stream READS
     // bronze versions (replayable — batches are pure functions of
