@@ -405,6 +405,58 @@ object Ann {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Persisted sign-word index: (vec_id, w) rows — 16 B per vector,
+    * the most compact index in the family (the IVF-PQ codes-only
+    * lists are ~16 B too but need centroid state; this is ONE parquet
+    * of longs). The candidate scan reads only the index; full vectors
+    * are fetched by id for the re-rank survivors alone.
+    */
+  def buildBinaryIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
+    emb(spark, dir).select(col("vec_id"), signBitsUdf(col("v")).as("w"))
+      .write.mode("overwrite").parquet(indexPath)
+
+  /** Incremental append: sign ONLY the new batch (batch-sized work —
+    * no retrain exists to skip: sign bits have no trained state, so
+    * unlike IVF the appended index is IDENTICAL to a full rebuild,
+    * spec-pinned).
+    */
+  def appendToBinaryIndex(spark: SparkSession, indexPath: String, newVecs: DataFrame): Unit =
+    newVecs.select(col("vec_id"),
+        signBitsUdf(normalizeNative(col("embedding"))).as("w"))
+      .write.mode("append").parquet(indexPath)
+
+  /** Query the persisted sign-word index: hamming candidates from the
+    * 16 B/vector index scan (pure codegen xor+popcount), exact re-rank
+    * fetching full vectors by id for the ≤ nQueries×nCand survivors.
+    * Identical to the in-session [[binaryTopK]] (spec-pinned).
+    */
+  def binaryTopKIndexed(spark: SparkSession, dir: String, indexPath: String,
+      nQueries: Int = 10, k: Int = 5, nCand0: Int = -1): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+    val nCand = if (nCand0 > 0) nCand0 else nCandFor(idx.count())
+    val queries = idx.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("w").as("qw"))
+    val wc = Window.partitionBy("q_id").orderBy(col("ham").asc, col("vec_id").asc)
+    val cands = idx
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        bit_count(col("w").bitwiseXOR(col("qw"))).as("ham"))
+      .withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= nCand)
+      .select("q_id", "vec_id")
+    val corpus = emb(spark, dir)
+    val qv = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wr = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    cands.join(corpus.select("vec_id", "v"), "vec_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Batch k-NN join: one query set × corpus, k nearest per query —
     * the shape used for dataset-vs-dataset contamination checks.
     * Cosine rounded to 6 decimals in the output only (ranking at full

@@ -215,6 +215,29 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [cid"), plan.take(2000))
   }
 
+  test("persisted binary index: 16B rows, identical results, append == rebuild") {
+    import org.apache.spark.sql.functions.{col => c}
+    val idx = java.nio.file.Files.createTempDirectory("graft-bin-index").toString
+    similarity.Ann.buildBinaryIndex(spark, sf, idx)
+    // the index IS (vec_id, w) — one long of sign bits per vector
+    assert(spark.read.parquet(idx).schema.fieldNames.sorted.toSeq === Seq("vec_id", "w"))
+    val indexed = similarity.Ann.binaryTopKIndexed(spark, sf, idx)
+    val inSession = similarity.Ann.binaryTopK(spark, sf)
+    assert(indexed.collect().map(_.toSeq).toSet === inSession.collect().map(_.toSeq).toSet)
+    // sign bits have no trained state, so an appended index is
+    // IDENTICAL to a full rebuild — stronger than IVF's no-retrain
+    // approximation
+    val all = core.Tables.load(spark, sf, "embeddings")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bin-base").toString
+    all.filter(c("vec_id") >= 3).write.parquet(s"$tmp/embeddings.parquet")
+    val idx2 = java.nio.file.Files.createTempDirectory("graft-bin-append").toString
+    similarity.Ann.buildBinaryIndex(spark, tmp, idx2)
+    similarity.Ann.appendToBinaryIndex(spark, idx2, all.filter(c("vec_id") < 3))
+    val rebuilt = spark.read.parquet(idx).collect().map(_.toSeq).toSet
+    val appended = spark.read.parquet(idx2).collect().map(_.toSeq).toSet
+    assert(appended === rebuilt, "appended index == full rebuild, bit for bit")
+  }
+
   test("persisted IVF-PQ index: codes-only lists, pruned probes, identical results") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-index").toString
     similarity.Ann.buildIvfPqIndex(spark, sf, idx)
