@@ -142,6 +142,7 @@ object SparkEntry {
     "q_clone" -> (operators.VersionedQueries.qClone _),
     "q_mat_view" -> (operators.VersionedQueries.qMatView _),
     "q_zone_map_nulls" -> (operators.VersionedQueries.qZoneMapNulls _),
+    "q_check_constraint" -> (operators.VersionedQueries.qCheckConstraint _),
     // §2.8: the DSv2 synthetic source under the oracle gate — filter
     // pushdown prunes generated partitions, column pruning means text
     // is never built (the aggregate touches only doc_id/lang)
@@ -1195,6 +1196,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
         |FROM customer WHERE c_custkey % 4 >= 2 AND c_custkey % 3 = 0""".stripMargin,
+    // q_check_constraint: the head after the valid append — the
+    // violating append published nothing (asserted in-query)
+    "q_check_constraint" ->
+      """SELECT s_suppkey, CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+        |FROM supplier
+        |UNION ALL
+        |SELECT s_suppkey + 100000, CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+        |FROM supplier WHERE s_suppkey % 5 = 0""".stripMargin,
     // q_table_changes: the v1->v2 CDC delta; both EXCEPT ALL
     // directions replayed over the same merge the upsert committed
     "q_table_changes" ->

@@ -242,6 +242,38 @@ object VersionedQueries {
       .filter(col("c_custkey").between(third + 1, 2 * third))
   }
 
+  /** q_check_constraint: write-time CHECK constraints under the
+    * oracle gate — supplier committed as v1, a CHECK added (validated
+    * against the existing rows inside the commit closure), a VALID
+    * append lands, and a VIOLATING append must throw while publishing
+    * NOTHING (version and row count asserted unchanged — the
+    * atomic-failure contract). The returned head is what the oracle
+    * replays: base ∪ the valid batch, untouched by the failed write.
+    */
+  def qCheckConstraint(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("check")
+    val all = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_acctbal").cast("decimal(12,2)").as("s_acctbal"))
+    VersionedTable.overwrite(spark, table, all)
+    VersionedTable.addCheckConstraint(spark, table,
+      "key_and_balance", "s_suppkey >= 0 AND s_acctbal IS NOT NULL")
+    val vOk = VersionedTable.append(spark, table,
+      all.filter(col("s_suppkey") % 5 === 0)
+        .withColumn("s_suppkey", col("s_suppkey") + 100000L))
+    val rows = VersionedTable.read(spark, table).count()
+    val rejected =
+      try {
+        VersionedTable.append(spark, table,
+          all.limit(3).withColumn("s_suppkey", -col("s_suppkey") - 1))
+        false
+      } catch { case _: IllegalArgumentException => true }
+    require(rejected, "a violating append must throw")
+    require(VersionedTable.versions(table).last == vOk &&
+      VersionedTable.read(spark, table).count() == rows,
+      "the failed write must publish nothing")
+    VersionedTable.read(spark, table)
+  }
+
   /** q_zone_map_nulls: NULL-COUNT zone maps under the oracle gate —
     * customers land in three NULLNESS-clustered commits (balances all
     * NULL / fully populated / mixed), and an `IS NOT NULL` read

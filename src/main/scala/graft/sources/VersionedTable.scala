@@ -108,12 +108,18 @@ class VersionedTableOps(val store: CommitStore) {
 
   private def render(v: Long, op: String,
       schema: org.apache.spark.sql.types.StructType, files: Seq[String],
-      dvs: Seq[String], txn: Option[(String, Long)] = None): String = {
+      dvs: Seq[String], txn: Option[(String, Long)] = None,
+      cons: Seq[(String, String)] = Nil): String = {
     val txnSec = txn.map { case (app, ver) =>
       s"""  "txnApp": "${escStr(app)}",\n  "txnVer": $ver,\n""" }.getOrElse("")
+    val consSec =
+      if (cons.isEmpty) ""
+      else cons.map { case (n, e) =>
+        s"""    {"cname": "${escStr(n)}", "cexpr": "${escStr(e)}"}""" }
+        .mkString("  \"constraints\": [\n", ",\n", "\n  ],\n")
     val filesSec = files.map(f => "    \"" + f + "\"").mkString(
       s"""{\n  "version": $v,\n  "op": "$op",\n""" +
-        s"""  "ts": ${System.currentTimeMillis()},\n""" + txnSec +
+        s"""  "ts": ${System.currentTimeMillis()},\n""" + txnSec + consSec +
         s"""  "schema": "${escStr(schema.json)}",\n  "files": [\n""",
       ",\n",
       "\n  ]")
@@ -590,7 +596,8 @@ class VersionedTableOps(val store: CommitStore) {
     */
   private def commitDv(table: String, op: String,
       planFor: Long => (org.apache.spark.sql.types.StructType, Seq[String], Seq[String]),
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      consOverride: Option[Long => Seq[(String, String)]] = None): Long = {
     val dir = commitsDir(table)
     var attempt = 0
     while (true) {
@@ -599,8 +606,15 @@ class VersionedTableOps(val store: CommitStore) {
       val plan = try Some(planFor(base)) catch {
         case _: java.nio.file.NoSuchFileException => None // base vacuumed under us
       }
+      // constraints follow the table: every commit re-reads the BASE
+      // manifest's list (fresh per retry, so a racing ADD CONSTRAINT
+      // is carried by the retried commit), unless the constraint ops
+      // themselves supply the new list
+      val consList = consOverride.map(_(base)).getOrElse(
+        if (base == 0) Nil else checkConstraints(table, Some(base)))
       val won = plan.exists { case (schema, fs, dvs) =>
-        store.putIfAbsent(dir, manifestName(v), render(v, op, schema, fs, dvs, txn)) }
+        store.putIfAbsent(dir, manifestName(v),
+          render(v, op, schema, fs, dvs, txn, consList)) }
       if (won) return v
       attempt += 1 // lost the race (or lost the base): re-read head, retry
       require(attempt < 100, s"commit contention on $table")
@@ -611,8 +625,78 @@ class VersionedTableOps(val store: CommitStore) {
   private def requireInit(table: String, base: Long, op: String): Unit =
     require(base > 0, s"$op on uninitialized table $table (no commits)")
 
+  /** The CHECK constraints in force at `version` (head by default):
+    * (name, SQL expression) pairs from the manifest — constraints are
+    * manifest-carried, so time travel sees the constraint set that
+    * was in force at that version.
+    */
+  def checkConstraints(table: String, version: Option[Long] = None): Seq[(String, String)] = {
+    val v = version.getOrElse(versions(table).last)
+    val txt = store.read(commitsDir(table), manifestName(v))
+    "(?s)\"constraints\": \\[(.*?)\\]".r.findFirstMatchIn(txt).map(_.group(1))
+      .toSeq.flatMap { sec =>
+        "\\{\"cname\": \"((?:[^\"\\\\]|\\\\.)*)\", \"cexpr\": \"((?:[^\"\\\\]|\\\\.)*)\"\\}".r
+          .findAllMatchIn(sec)
+          .map(m => (unescStr(m.group(1)), unescStr(m.group(2)))).toSeq
+      }
+  }
+
+  /** ADD a CHECK constraint (SQL-standard semantics: a row violates
+    * only when the expression is FALSE — NULL passes; NOT NULL is
+    * `col IS NOT NULL`). The EXISTING data is validated inside the
+    * commit closure (a table that already violates the rule cannot
+    * gain it — the Delta ALTER TABLE ADD CONSTRAINT scan), and from
+    * this version on every data-adding commit enforces it atomically:
+    * a violating write throws and publishes NOTHING. The constraint
+    * list is manifest-carried, so it survives compaction/optimize and
+    * time travel sees the set in force at each version.
+    */
+  def addCheckConstraint(spark: SparkSession, table: String,
+      name: String, sqlExpr: String): Long =
+    commitDv(table, "set_constraint", { base =>
+      requireInit(table, base, "addCheckConstraint")
+      val cur = checkConstraints(table, Some(base))
+      require(!cur.exists(_._1 == name), s"constraint $name already exists on $table")
+      val bad = read(spark, table, Some(base))
+        .filter(!coalesce(expr(sqlExpr), lit(true))).count()
+      require(bad == 0,
+        s"cannot add CHECK $name: $bad existing rows of $table violate ($sqlExpr)")
+      val schema = manifestSchema(table, base)
+        .getOrElse(asStored(read(spark, table, Some(base)).schema))
+      (schema, manifestFiles(table, base), manifestDvs(table, base))
+    }, consOverride = Some(base =>
+      checkConstraints(table, Some(math.max(base, 1L))) :+ (name -> sqlExpr)))
+
+  /** DROP a CHECK constraint by name. */
+  def dropCheckConstraint(spark: SparkSession, table: String, name: String): Long = {
+    require(headConstraints(table).exists(_._1 == name), s"no constraint $name on $table")
+    commitDv(table, "set_constraint", { base =>
+      requireInit(table, base, "dropCheckConstraint")
+      val schema = manifestSchema(table, base)
+        .getOrElse(asStored(read(spark, table, Some(base)).schema))
+      (schema, manifestFiles(table, base), manifestDvs(table, base))
+    }, consOverride = Some(base =>
+      checkConstraints(table, Some(base)).filterNot(_._1 == name)))
+  }
+
+  /** Enforce the table's CHECK constraints on rows about to be
+    * committed — one aggregate over the batch per call; a violation
+    * throws BEFORE anything is staged or published.
+    */
+  private def enforceConstraints(table: String, df: DataFrame,
+      cons: Seq[(String, String)]): Unit =
+    cons.foreach { case (name, e) =>
+      val bad = df.filter(!coalesce(expr(e), lit(true))).count()
+      require(bad == 0,
+        s"CHECK constraint $name violated by $bad written rows on $table ($e)")
+    }
+
+  private def headConstraints(table: String): Seq[(String, String)] =
+    versions(table).lastOption.map(v => checkConstraints(table, Some(v))).getOrElse(Nil)
+
   /** Create (version 1) or fully overwrite the table with `df`. */
   def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
+    enforceConstraints(table, df, headConstraints(table))
     val staged = stageData(table, df, "w") // stage once; retries reuse it
     commit(table, "overwrite", _ => (asStored(df.schema), staged))
   }
@@ -646,6 +730,7 @@ class VersionedTableOps(val store: CommitStore) {
         s"append schema conflicts with $table head (types cannot evolve): " +
           conflicts.mkString("; "))
     }
+    enforceConstraints(table, df, headConstraints(table))
     val staged = stageData(table, df, "a")
     commitDv(table, "append", { base =>
       requireInit(table, base, "append")
@@ -697,6 +782,7 @@ class VersionedTableOps(val store: CommitStore) {
       appId: String, txnVer: Long): Long = {
     def applied = lastTxn(table, appId).exists(_ >= txnVer)
     if (applied) return versions(table).last // common replay path: stage nothing
+    enforceConstraints(table, df, headConstraints(table))
     val staged = stageData(table, df, "a")
     try commitDv(table, "append", { base =>
       if (applied) throw TxnAlreadyApplied
@@ -727,6 +813,7 @@ class VersionedTableOps(val store: CommitStore) {
       appId: String, txnVer: Long): Long = {
     def applied = lastTxn(table, appId).exists(_ >= txnVer)
     if (applied) return versions(table).last
+    enforceConstraints(table, df, headConstraints(table))
     val staged = stageData(table, df, "w")
     try commitDv(table, "overwrite", { _ =>
       if (applied) throw TxnAlreadyApplied
@@ -753,6 +840,9 @@ class VersionedTableOps(val store: CommitStore) {
         .select(cols.map(c =>
           if (c == key) col(key)
           else coalesce(col(s"u.$c"), col(s"t.$c")).as(c)): _*)
+      // the MERGED row is what lands (a partial update mixes old and
+      // new values), so that is what the constraints must hold on
+      enforceConstraints(table, merged, checkConstraints(table, Some(base)))
       (asStored(merged.schema), stageData(table, merged, "u"))
     })
 
@@ -1482,6 +1572,11 @@ class VersionedTableOps(val store: CommitStore) {
               s"assignment yields ${u.dataType.simpleString}"))
         require(drift.isEmpty,
           s"update may not change the schema of $table: ${drift.mkString("; ")}")
+        // the whole rewritten frame, not a re-filter by cond — cond
+        // evaluated on the UPDATED columns would miss exactly the rows
+        // whose update moved them out of the predicate; untouched rows
+        // satisfied the constraints when they were written
+        enforceConstraints(table, updated, checkConstraints(table, Some(base)))
         stageData(table, updated, "m")
       }
       (schema, carried ++ staged, manifestDvs(table, base))
@@ -1522,6 +1617,7 @@ class VersionedTableOps(val store: CommitStore) {
               s"assignment yields ${u.dataType.simpleString}"))
         require(drift.isEmpty,
           s"update may not change the schema of $table: ${drift.mkString("; ")}")
+        enforceConstraints(table, updated, checkConstraints(table, Some(base)))
         val dvNew = stageData(table,
           hit.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos")), "dv")
         val staged = stageData(table, updated, "a")

@@ -412,6 +412,55 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     assert(ops.read(spark, t).count() === n + 20)
   }
 
+  test(s"[$backend] CHECK constraints: write-time enforcement, atomic failure, manifest carry") {
+    val t = freshTable("check")
+    ops.overwrite(spark, t, base) // nation keys 0..24, names non-null
+    // adding a constraint the EXISTING data violates must fail
+    intercept[IllegalArgumentException] {
+      ops.addCheckConstraint(spark, t, "impossible", "k > 100")
+    }
+    ops.addCheckConstraint(spark, t, "k_range", "k >= 0 AND k < 1000")
+    ops.addCheckConstraint(spark, t, "v_not_null", "v IS NOT NULL")
+    assert(ops.checkConstraints(t).map(_._1).sorted === Seq("k_range", "v_not_null"))
+    val vOk = ops.append(spark, t,
+      spark.range(100, 105).select(col("id").as("k"), lit("OK").as("v")))
+    val rows = ops.read(spark, t).count()
+    // a violating append throws and publishes NOTHING
+    intercept[IllegalArgumentException] {
+      ops.append(spark, t,
+        spark.range(2000, 2002).select(col("id").as("k"), lit("BAD").as("v")))
+    }
+    assert(ops.versions(t).last === vOk && ops.read(spark, t).count() === rows,
+      "violating write must be atomic: no version, no rows")
+    // NULL passes a plain CHECK (SQL semantics) but fails the IS NOT NULL rule
+    intercept[IllegalArgumentException] {
+      ops.append(spark, t, spark.range(200, 201)
+        .select(col("id").as("k"), lit(null).cast("string").as("v")))
+    }
+    // upsert enforces on the MERGED row; update enforces on assignments
+    intercept[IllegalArgumentException] {
+      ops.upsert(spark, t, spark.range(3000, 3001)
+        .select(col("id").as("k"), lit("U").as("v")), "k")
+    }
+    intercept[IllegalArgumentException] {
+      ops.update(spark, t, col("k") === 3L, Seq("k" -> lit(-5L)))
+    }
+    // constraints survive row-preserving rewrites and bind afterwards
+    ops.compact(spark, t)
+    assert(ops.checkConstraints(t).size === 2, "constraints survive compaction")
+    intercept[IllegalArgumentException] {
+      ops.append(spark, t,
+        spark.range(5000, 5001).select(col("id").as("k"), lit("X").as("v")))
+    }
+    // time travel sees the set in force at each version; drop unbinds
+    assert(ops.checkConstraints(t, Some(1L)).isEmpty)
+    ops.dropCheckConstraint(spark, t, "k_range")
+    val after = ops.append(spark, t,
+      spark.range(5000, 5001).select(col("id").as("k"), lit("X").as("v")))
+    assert(after === ops.versions(t).last)
+    assert(ops.checkConstraints(t).map(_._1) === Seq("v_not_null"))
+  }
+
   test(s"[$backend] chaos: N writers x M commits with compaction and vacuum interleaved") {
     // The round-7 stress (verdict item 7): the OCC retry closure was
     // spec-tested for ONE race; this drives sustained contention with
