@@ -694,11 +694,34 @@ class VersionedTableOps(val store: CommitStore) {
   private def headConstraints(table: String): Seq[(String, String)] =
     versions(table).lastOption.map(v => checkConstraints(table, Some(v))).getOrElse(Nil)
 
+  /** Close the enforce-then-publish race: a constraint ADDED between
+    * the pre-stage validation and the fail-if-exists publish would
+    * otherwise slip an unvalidated batch through. The commit closure
+    * calls this with the list it already validated; any constraint
+    * present at the CLOSURE's base beyond that list is re-validated
+    * against the staged files read back — work happens only when the
+    * race actually occurred (or on a retry past a set_constraint
+    * commit), never on the common path.
+    */
+  private def enforceLate(spark: SparkSession, table: String, base: Long,
+      already: Seq[(String, String)], staged: Seq[String]): Unit = {
+    if (base == 0 || staged.isEmpty) return
+    val late = checkConstraints(table, Some(base)).filterNot(already.contains)
+    if (late.nonEmpty) {
+      val df = spark.read.parquet(staged.map(f => Paths.get(table, f).toString): _*)
+      enforceConstraints(table, df, late)
+    }
+  }
+
   /** Create (version 1) or fully overwrite the table with `df`. */
   def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
-    enforceConstraints(table, df, headConstraints(table))
+    val cons0 = headConstraints(table)
+    enforceConstraints(table, df, cons0)
     val staged = stageData(table, df, "w") // stage once; retries reuse it
-    commit(table, "overwrite", _ => (asStored(df.schema), staged))
+    commit(table, "overwrite", { base =>
+      enforceLate(spark, table, base, cons0, staged)
+      (asStored(df.schema), staged)
+    })
   }
 
   /** Append `df` as a new version (old files + new files). The new
@@ -730,10 +753,12 @@ class VersionedTableOps(val store: CommitStore) {
         s"append schema conflicts with $table head (types cannot evolve): " +
           conflicts.mkString("; "))
     }
-    enforceConstraints(table, df, headConstraints(table))
+    val cons0 = headConstraints(table)
+    enforceConstraints(table, df, cons0)
     val staged = stageData(table, df, "a")
     commitDv(table, "append", { base =>
       requireInit(table, base, "append")
+      enforceLate(spark, table, base, cons0, staged)
       val headSchema = manifestSchema(table, base)
         .getOrElse(asStored(read(spark, table, Some(base)).schema))
       // carried files keep their deletion vectors
@@ -782,10 +807,12 @@ class VersionedTableOps(val store: CommitStore) {
       appId: String, txnVer: Long): Long = {
     def applied = lastTxn(table, appId).exists(_ >= txnVer)
     if (applied) return versions(table).last // common replay path: stage nothing
-    enforceConstraints(table, df, headConstraints(table))
+    val cons0 = headConstraints(table)
+    enforceConstraints(table, df, cons0)
     val staged = stageData(table, df, "a")
     try commitDv(table, "append", { base =>
       if (applied) throw TxnAlreadyApplied
+      enforceLate(spark, table, base, cons0, staged)
       if (base == 0) (asStored(df.schema), staged, Nil)
       else {
         val headSchema = manifestSchema(table, base)
@@ -813,10 +840,12 @@ class VersionedTableOps(val store: CommitStore) {
       appId: String, txnVer: Long): Long = {
     def applied = lastTxn(table, appId).exists(_ >= txnVer)
     if (applied) return versions(table).last
-    enforceConstraints(table, df, headConstraints(table))
+    val cons0 = headConstraints(table)
+    enforceConstraints(table, df, cons0)
     val staged = stageData(table, df, "w")
-    try commitDv(table, "overwrite", { _ =>
+    try commitDv(table, "overwrite", { base =>
       if (applied) throw TxnAlreadyApplied
+      enforceLate(spark, table, base, cons0, staged)
       (asStored(df.schema), staged, Nil)
     }, Some((appId, txnVer)))
     catch { case TxnAlreadyApplied => versions(table).last }

@@ -461,6 +461,33 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     assert(ops.checkConstraints(t).map(_._1) === Seq("v_not_null"))
   }
 
+  test(s"[$backend] constraint-vs-append race: the head never violates its own constraints") {
+    // both orderings are legal — if the violating append wins, the ADD
+    // fails its existing-data validation; if the ADD wins, the append
+    // fails (pre-check, or the closure's late re-validation when the
+    // constraint landed between stage and publish). The invariant is
+    // that NO interleaving yields a head whose rows violate a
+    // constraint recorded in the head manifest.
+    for (i <- 1 to 5) {
+      val t = freshTable(s"race-cons-$i")
+      ops.overwrite(spark, t, base)
+      val bad = spark.range(9000 + i, 9003 + i)
+        .select((-col("id")).as("k"), lit("BAD").as("v"))
+      val th1 = new Thread(() => {
+        try ops.addCheckConstraint(spark, t, "pos", "k >= 0")
+        catch { case _: Throwable => () } })
+      val th2 = new Thread(() => {
+        try ops.append(spark, t, bad)
+        catch { case _: Throwable => () } })
+      th1.start(); th2.start(); th1.join(); th2.join()
+      for ((n, e) <- ops.checkConstraints(t)) {
+        assert(ops.read(spark, t)
+          .filter(!coalesce(expr(e), lit(true))).count() === 0,
+          s"head violates its own constraint $n after race (iter $i)")
+      }
+    }
+  }
+
   test(s"[$backend] chaos: N writers x M commits with compaction and vacuum interleaved") {
     // The round-7 stress (verdict item 7): the OCC retry closure was
     // spec-tested for ONE race; this drives sustained contention with
