@@ -143,6 +143,7 @@ object SparkEntry {
     "q_mat_view" -> (operators.VersionedQueries.qMatView _),
     "q_zone_map_nulls" -> (operators.VersionedQueries.qZoneMapNulls _),
     "q_check_constraint" -> (operators.VersionedQueries.qCheckConstraint _),
+    "q_drop_column" -> (operators.VersionedQueries.qDropColumn _),
     // §2.8: the DSv2 synthetic source under the oracle gate — filter
     // pushdown prunes generated partitions, column pruning means text
     // is never built (the aggregate touches only doc_id/lang)
@@ -1204,6 +1205,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT s_suppkey + 100000, CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
         |FROM supplier WHERE s_suppkey % 5 = 0""".stripMargin,
+    // q_drop_column: the head after the metadata-only drop + the
+    // narrowed-schema append (file identity asserted in-query)
+    "q_drop_column" ->
+      """SELECT s_suppkey, CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+        |FROM supplier
+        |UNION ALL
+        |SELECT s_suppkey + 100000, CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+        |FROM supplier WHERE s_suppkey % 3 = 0""".stripMargin,
     // q_table_changes: the v1->v2 CDC delta; both EXCEPT ALL
     // directions replayed over the same merge the upsert committed
     "q_table_changes" ->

@@ -274,6 +274,29 @@ object VersionedQueries {
     VersionedTable.read(spark, table)
   }
 
+  /** q_drop_column: DROP COLUMN as a metadata-only commit — supplier
+    * committed with three columns, one dropped (file list asserted
+    * IDENTICAL across the commit: zero data moved; the reader's
+    * manifest schema simply stops materializing the column), then a
+    * post-drop append lands with the narrowed schema. The oracle
+    * replays the surviving projection ∪ the appended batch.
+    */
+  def qDropColumn(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("dropc")
+    val all = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"),
+        col("s_acctbal").cast("decimal(12,2)").as("s_acctbal"))
+    val v1 = VersionedTable.overwrite(spark, table, all)
+    val v2 = VersionedTable.dropColumn(spark, table, "s_nationkey")
+    require(VersionedTable.snapshotFiles(table, Some(v2)) ==
+      VersionedTable.snapshotFiles(table, Some(v1)),
+      "drop must carry the data files by reference")
+    VersionedTable.append(spark, table,
+      all.filter(col("s_suppkey") % 3 === 0)
+        .select((col("s_suppkey") + 100000L).as("s_suppkey"), col("s_acctbal")))
+    VersionedTable.read(spark, table)
+  }
+
   /** q_zone_map_nulls: NULL-COUNT zone maps under the oracle gate —
     * customers land in three NULLNESS-clustered commits (balances all
     * NULL / fully populated / mixed), and an `IS NOT NULL` read

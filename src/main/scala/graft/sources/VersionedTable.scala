@@ -625,6 +625,48 @@ class VersionedTableOps(val store: CommitStore) {
   private def requireInit(table: String, base: Long, op: String): Unit =
     require(base > 0, s"$op on uninitialized table $table (no commits)")
 
+  /** DROP COLUMN as a metadata-only commit: the new manifest records
+    * the schema WITHOUT the column and carries the files + DVs by
+    * reference — zero data moves (reads apply the manifest schema, so
+    * parquet simply never materializes the dropped column's pages;
+    * column pruning makes the dead bytes free to keep until the next
+    * compaction rewrites them away). Pre-drop versions keep their
+    * schema — time travel still sees the column. Guards:
+    *  - a constraint referencing the column must be dropped first
+    *    (resolution-checked against the post-drop schema);
+    *  - the NAME cannot be re-added while any retained manifest still
+    *    records it ([[append]] enforces this): old files physically
+    *    carry the old values, so a name-based re-add would resurrect
+    *    dropped data into the new column — the poisoning Iceberg
+    *    prevents with column IDs; this layer prevents it by refusal,
+    *    which is the honest trade for name-based parquet mapping.
+    */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long =
+    commitDv(table, "drop_column", { base =>
+      requireInit(table, base, "dropColumn")
+      val schema = manifestSchema(table, base)
+        .getOrElse(asStored(read(spark, table, Some(base)).schema))
+      require(schema.fieldNames.contains(name), s"no column $name on $table")
+      require(schema.fields.length > 1, s"cannot drop the only column of $table")
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == name))
+      checkConstraints(table, Some(base)).foreach { case (cn, ce) =>
+        val resolves = scala.util.Try(
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            newSchema).filter(expr(ce)).queryExecution.analyzed).isSuccess
+        require(resolves,
+          s"cannot drop $name: CHECK constraint $cn references it ($ce) — drop the constraint first")
+      }
+      (newSchema, manifestFiles(table, base), manifestDvs(table, base))
+    })
+
+  /** Column names recorded by ANY retained manifest — the set a new
+    * append may not re-introduce (see [[dropColumn]]).
+    */
+  private def everRecordedColumns(table: String): Set[String] =
+    versions(table).flatMap(v => manifestSchema(table, v).toSeq
+      .flatMap(_.fieldNames)).toSet
+
   /** The CHECK constraints in force at `version` (head by default):
     * (name, SQL expression) pairs from the manifest — constraints are
     * manifest-carried, so time travel sees the constraint set that
@@ -752,6 +794,19 @@ class VersionedTableOps(val store: CommitStore) {
       require(conflicts.isEmpty,
         s"append schema conflicts with $table head (types cannot evolve): " +
           conflicts.mkString("; "))
+      // a column ADDED by this append may not reuse a name any
+      // retained manifest still records (i.e. a dropped column):
+      // pre-drop files physically carry the old values, so a
+      // name-based re-add would resurrect dropped data (dropColumn
+      // scaladoc — the poisoning Iceberg's column IDs exist to stop)
+      val added = df.schema.fieldNames.filterNot(headSchema.fieldNames.contains)
+      if (added.nonEmpty) {
+        val revived = added.filter(everRecordedColumns(table).contains)
+        require(revived.isEmpty,
+          s"cannot re-add dropped column(s) ${revived.mkString(", ")} to $table " +
+            "while pre-drop files are retained (their old values would resurrect); " +
+            "compact + vacuum the pre-drop history first, or use a new name")
+      }
     }
     val cons0 = headConstraints(table)
     enforceConstraints(table, df, cons0)

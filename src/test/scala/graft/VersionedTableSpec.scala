@@ -488,6 +488,49 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     }
   }
 
+  test(s"[$backend] drop column: metadata-only, time travel keeps it, name reuse refused") {
+    val t = freshTable("dropcol")
+    val df3 = spark.range(0, 50).select(col("id").as("k"),
+      lit("A").as("v"), (col("id") * 2).as("extra"))
+    val v1 = ops.overwrite(spark, t, df3)
+    val before = ops.snapshotFiles(t)
+    val v2 = ops.dropColumn(spark, t, "extra")
+    // zero data moved; head reads without the column
+    assert(ops.snapshotFiles(t, Some(v2)) === before, "drop carries files by reference")
+    assert(ops.read(spark, t).columns.sorted.toSeq === Seq("k", "v"))
+    assert(ops.read(spark, t).count() === 50)
+    // time travel still sees it, with its values
+    val old = ops.read(spark, t, Some(v1))
+    assert(old.columns.contains("extra") && old.agg(sum("extra")).head.getLong(0) === (0L until 50L).map(_ * 2).sum)
+    // CDC across the drop is an empty delta (no row-level change)
+    assert(ops.changesBetween(spark, t, v1, v2).isEmpty)
+    // appends with the remaining schema work; re-adding the dropped
+    // NAME is refused while pre-drop manifests are retained
+    ops.append(spark, t, spark.range(50, 60).select(col("id").as("k"), lit("B").as("v")))
+    intercept[IllegalArgumentException] {
+      ops.append(spark, t, spark.range(60, 61)
+        .select(col("id").as("k"), lit("C").as("v"), lit(99L).as("extra")))
+    }
+    // a FRESH name is fine (ordinary add-column evolution)
+    ops.append(spark, t, spark.range(60, 61)
+      .select(col("id").as("k"), lit("C").as("v"), lit(99L).as("extra2")))
+    assert(ops.read(spark, t).columns.sorted.toSeq === Seq("extra2", "k", "v"))
+    // after compaction rewrites with the current schema and vacuum
+    // drops the pre-drop manifests, the name frees up
+    ops.compact(spark, t)
+    ops.vacuum(t, retain = 1, graceMs = 0)
+    ops.append(spark, t, spark.range(61, 62)
+      .select(col("id").as("k"), lit("D").as("v"), lit(1L).as("extra2"), lit(7L).as("extra")))
+    assert(ops.read(spark, t).filter(col("extra").isNotNull).count() === 1,
+      "re-added column reads only the new rows (old files were rewritten clean)")
+    // a constraint referencing a column blocks its drop
+    ops.addCheckConstraint(spark, t, "v_nn", "v IS NOT NULL")
+    intercept[IllegalArgumentException] { ops.dropColumn(spark, t, "v") }
+    ops.dropCheckConstraint(spark, t, "v_nn")
+    ops.dropColumn(spark, t, "v")
+    assert(!ops.read(spark, t).columns.contains("v"))
+  }
+
   test(s"[$backend] chaos: N writers x M commits with compaction and vacuum interleaved") {
     // The round-7 stress (verdict item 7): the OCC retry closure was
     // spec-tested for ONE race; this drives sustained contention with
