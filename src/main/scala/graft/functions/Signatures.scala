@@ -217,6 +217,9 @@ object Signatures {
     */
   def cdcChunks(text: String, w: Int = 16, div: Long = 32,
       minLen: Int = 24, maxLen: Int = 128): Array[CdcChunk] = {
+    require(minLen > w && maxLen >= minLen && div > 0,
+      s"cdcChunks needs minLen > w (window must fit before the first cut), " +
+        s"got w=$w minLen=$minLen maxLen=$maxLen div=$div")
     if (text == null || text.isEmpty) return Array.empty
     val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = bytes.length

@@ -52,7 +52,17 @@ object MaterializedView {
       keyCols: Seq[String], sumCols: Seq[String],
       viewKey: String = "mv"): Long = {
     val head = VersionedTable.versions(source).last
-    val cursor = VersionedTable.lastTxn(view, appIdFor(viewKey))
+    // cursor AND state are pinned to ONE view snapshot (vView): a
+    // racing refresher that commits between our cursor read and our
+    // state read would otherwise hand us ITS post-delta state while
+    // we still merge from OUR older cursor — double-applying its
+    // delta. Pinned, the merge is (state@vView) + delta(cursor@vView
+    // -> head), which is correct under any interleaving; the txn
+    // watermark then makes whichever racer lands second a no-op or a
+    // correct re-derivation, never a double count.
+    val vView = VersionedTable.versions(view).lastOption
+    val cursor = vView.flatMap(v =>
+      VersionedTable.lastTxn(view, appIdFor(viewKey), upTo = Some(v)))
     if (cursor.exists(_ >= head)) return VersionedTable.versions(view).last
     val delta = cursor match {
       case Some(v) => VersionedTable.changesBetween(spark, source, v, head)
@@ -70,7 +80,7 @@ object MaterializedView {
     val merged = cursor match {
       case None => deltaAgg
       case Some(_) =>
-        VersionedTable.read(spark, view).as("s")
+        VersionedTable.read(spark, view, vView).as("s")
           .join(deltaAgg.as("d"), keyCols, "full_outer")
           .select(keyCols.map(col) ++ valCols.map { c =>
             val t = if (c == "mv_count") LongType else SumType

@@ -257,7 +257,8 @@ class VersionedTableOps(val store: CommitStore) {
     commitDv(dst, "clone", { base =>
       require(base == 0, s"clone target $dst gained commits mid-clone")
       (schema, files, dvs)
-    })
+    }, consOverride = // the branch inherits the source's schema
+      Some(_ => checkConstraints(src, Some(v)))) //   CONTRACT, not just its bytes
   }
 
   private[sources] def manifestDvs(table: String, v: Long): Seq[String] = {
@@ -667,6 +668,18 @@ class VersionedTableOps(val store: CommitStore) {
     versions(table).flatMap(v => manifestSchema(table, v).toSeq
       .flatMap(_.fieldNames)).toSet
 
+  private def requireNoRevivedColumns(table: String, df: DataFrame,
+      headCols: Seq[String]): Unit = {
+    val added = df.schema.fieldNames.filterNot(headCols.contains)
+    if (added.nonEmpty) {
+      val revived = added.filter(everRecordedColumns(table).contains)
+      require(revived.isEmpty,
+        s"cannot re-add dropped column(s) ${revived.mkString(", ")} to $table " +
+          "while pre-drop files are retained (their old values would resurrect); " +
+          "compact + vacuum the pre-drop history first, or use a new name")
+    }
+  }
+
   /** The CHECK constraints in force at `version` (head by default):
     * (name, SQL expression) pairs from the manifest — constraints are
     * manifest-carried, so time travel sees the constraint set that
@@ -675,12 +688,14 @@ class VersionedTableOps(val store: CommitStore) {
   def checkConstraints(table: String, version: Option[Long] = None): Seq[(String, String)] = {
     val v = version.getOrElse(versions(table).last)
     val txt = store.read(commitsDir(table), manifestName(v))
-    "(?s)\"constraints\": \\[(.*?)\\]".r.findFirstMatchIn(txt).map(_.group(1))
-      .toSeq.flatMap { sec =>
-        "\\{\"cname\": \"((?:[^\"\\\\]|\\\\.)*)\", \"cexpr\": \"((?:[^\"\\\\]|\\\\.)*)\"\\}".r
-          .findAllMatchIn(sec)
-          .map(m => (unescStr(m.group(1)), unescStr(m.group(2)))).toSeq
-      }
+    // match the constraint OBJECTS directly (the cname/cexpr key pair
+    // only the render emits) rather than a non-greedy section capture:
+    // a ']' inside an expression (array indexing, a string literal)
+    // would truncate the section and silently DROP every constraint —
+    // lost enforcement, not an error
+    "\\{\"cname\": \"((?:[^\"\\\\]|\\\\.)*)\", \"cexpr\": \"((?:[^\"\\\\]|\\\\.)*)\"\\}".r
+      .findAllMatchIn(txt)
+      .map(m => (unescStr(m.group(1)), unescStr(m.group(2)))).toSeq
   }
 
   /** ADD a CHECK constraint (SQL-standard semantics: a row violates
@@ -722,15 +737,23 @@ class VersionedTableOps(val store: CommitStore) {
   }
 
   /** Enforce the table's CHECK constraints on rows about to be
-    * committed — one aggregate over the batch per call; a violation
-    * throws BEFORE anything is staged or published.
+    * committed — ONE aggregate job over the batch for ALL constraints
+    * (a conditional-count column per rule); a violation throws BEFORE
+    * anything is staged or published.
     */
   private def enforceConstraints(table: String, df: DataFrame,
       cons: Seq[(String, String)]): Unit =
-    cons.foreach { case (name, e) =>
-      val bad = df.filter(!coalesce(expr(e), lit(true))).count()
-      require(bad == 0,
-        s"CHECK constraint $name violated by $bad written rows on $table ($e)")
+    if (cons.nonEmpty) {
+      val counts = df.agg(
+        count(lit(1)).as("__n"),
+        cons.map { case (name, e) =>
+          sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(name)
+        }: _*).head
+      cons.zipWithIndex.foreach { case ((name, e), i) =>
+        val bad = counts.getLong(i + 1)
+        require(bad == 0,
+          s"CHECK constraint $name violated by $bad written rows on $table ($e)")
+      }
     }
 
   private def headConstraints(table: String): Seq[(String, String)] =
@@ -799,14 +822,7 @@ class VersionedTableOps(val store: CommitStore) {
       // pre-drop files physically carry the old values, so a
       // name-based re-add would resurrect dropped data (dropColumn
       // scaladoc — the poisoning Iceberg's column IDs exist to stop)
-      val added = df.schema.fieldNames.filterNot(headSchema.fieldNames.contains)
-      if (added.nonEmpty) {
-        val revived = added.filter(everRecordedColumns(table).contains)
-        require(revived.isEmpty,
-          s"cannot re-add dropped column(s) ${revived.mkString(", ")} to $table " +
-            "while pre-drop files are retained (their old values would resurrect); " +
-            "compact + vacuum the pre-drop history first, or use a new name")
-      }
+      requireNoRevivedColumns(table, df, headSchema.fieldNames)
     }
     val cons0 = headConstraints(table)
     enforceConstraints(table, df, cons0)
@@ -830,10 +846,12 @@ class VersionedTableOps(val store: CommitStore) {
     * replays at most its last batch) — the same contract Delta's
     * txnAppId carries.
     */
-  def lastTxn(table: String, appId: String): Option[Long] = {
+  def lastTxn(table: String, appId: String,
+      upTo: Option[Long] = None): Option[Long] = {
     val appPat = ("\"txnApp\": \"" + java.util.regex.Pattern.quote(escStr(appId)) +
       "\",\\s*\"txnVer\": (\\d+)").r
-    versions(table).reverseIterator.map { v =>
+    val vs = upTo.fold(versions(table))(u => versions(table).filter(_ <= u))
+    vs.reverseIterator.map { v =>
       appPat.findFirstMatchIn(store.read(commitsDir(table), manifestName(v)))
         .map(_.group(1).toLong)
     }.collectFirst { case Some(ver) => ver }
@@ -878,6 +896,10 @@ class VersionedTableOps(val store: CommitStore) {
         require(conflicts.isEmpty,
           s"append schema conflicts with $table head (types cannot evolve): " +
             conflicts.mkString(", "))
+        // same dropped-name revival guard as append — a streaming
+        // append with an evolved upstream schema must not resurrect a
+        // dropped column's old values out of the carried files
+        requireNoRevivedColumns(table, df, headSchema.fieldNames)
         (unionSchema(headSchema, stored),
           manifestFiles(table, base) ++ staged, manifestDvs(table, base))
       }
@@ -1202,9 +1224,15 @@ class VersionedTableOps(val store: CommitStore) {
       val op = manifestOp(table, v)
       val prev = if (v == 1) Set.empty[String] else manifestFiles(table, v - 1).toSet
       op match {
-        case "overwrite" if v == 1 => manifestFiles(table, v)
+        case "overwrite" | "clone" if v == 1 => manifestFiles(table, v)
         case "append" => manifestFiles(table, v).filterNot(prev)
         case "compact" | "optimize" => Nil
+        // metadata-only commits carry the file list by reference —
+        // zero rows to emit (killing the stream over a constraint or
+        // schema change would be gratuitous); the guard keeps the
+        // classification honest if that ever stops holding
+        case "set_constraint" | "drop_column"
+            if manifestFiles(table, v).toSet == prev => Nil
         case _ if skipRewrites => Nil
         case other => throw new IllegalStateException(
           s"streaming read of $table hit a '$other' commit at v$v: rewrites are not " +

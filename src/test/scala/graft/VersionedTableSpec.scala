@@ -381,6 +381,18 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     assert(ops.read(spark, dst).count() === srcRows + 3,
       "clone survives source vacuum (links share inodes)")
     intercept[IllegalArgumentException] { ops.cloneTable(spark, src, dst) }
+    // the clone inherits the source's CHECK constraints (the branch
+    // carries the schema CONTRACT, not just the bytes)
+    val src2 = freshTable("clone-cons-src")
+    val dst2 = freshTable("clone-cons-dst")
+    ops.overwrite(spark, src2, base)
+    ops.addCheckConstraint(spark, src2, "k_pos", "k >= 0")
+    ops.cloneTable(spark, src2, dst2)
+    assert(ops.checkConstraints(dst2).map(_._1) === Seq("k_pos"))
+    intercept[IllegalArgumentException] {
+      ops.append(spark, dst2,
+        spark.range(1, 2).select((-col("id")).as("k"), lit("B").as("v")))
+    }
   }
 
   test(s"[$backend] idempotent append: (appId, txnVer) replay is a no-op") {
@@ -452,6 +464,16 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
       ops.append(spark, t,
         spark.range(5000, 5001).select(col("id").as("k"), lit("X").as("v")))
     }
+    // a ']' inside an expression must not truncate the parse (the
+    // review-found section-regex bug: every constraint silently lost)
+    ops.addCheckConstraint(spark, t, "no_bracket", "v != 'x]y'")
+    assert(ops.checkConstraints(t).map(_._1).sorted ===
+      Seq("k_range", "no_bracket", "v_not_null"))
+    intercept[IllegalArgumentException] {
+      ops.append(spark, t,
+        spark.range(300, 301).select(col("id").as("k"), lit("x]y").as("v")))
+    }
+    ops.dropCheckConstraint(spark, t, "no_bracket")
     // time travel sees the set in force at each version; drop unbinds
     assert(ops.checkConstraints(t, Some(1L)).isEmpty)
     ops.dropCheckConstraint(spark, t, "k_range")
@@ -510,6 +532,14 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     intercept[IllegalArgumentException] {
       ops.append(spark, t, spark.range(60, 61)
         .select(col("id").as("k"), lit("C").as("v"), lit(99L).as("extra")))
+    }
+    // the IDEMPOTENT append path enforces the same revival guard (a
+    // streaming append with an evolved upstream schema must not
+    // resurrect the dropped column either)
+    intercept[IllegalArgumentException] {
+      ops.appendIdempotent(spark, t, spark.range(60, 61)
+        .select(col("id").as("k"), lit("C").as("v"), lit(99L).as("extra")),
+        "revive-test", 0L)
     }
     // a FRESH name is fine (ordinary add-column evolution)
     ops.append(spark, t, spark.range(60, 61)
