@@ -45,6 +45,12 @@ class VersionedStreamProvider extends StreamSourceProvider with DataSourceRegist
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-versioned stream needs option 'path' (the table directory)"))
 
+  // Schema resolution happens at every (re)start against the table
+  // HEAD: a restart after add-column evolution therefore delivers the
+  // evolved schema for all batches, including a replayed one (pre-
+  // evolution files read the new columns as null). A long-lived
+  // pipeline that needs a byte-stable shape across evolution should
+  // pass an explicit .schema(...) — the projection is spec-pinned.
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     val t = tableDir(parameters)

@@ -626,6 +626,42 @@ class VersionedTableOps(val store: CommitStore) {
   private def requireInit(table: String, base: Long, op: String): Unit =
     require(base > 0, s"$op on uninitialized table $table (no commits)")
 
+  /** Thrown by a mutation closure whose plan changes NOTHING — caught
+    * at the entry point, which returns the current head instead of
+    * publishing a byte-identical 'delete'/'update' version (a no-op
+    * commit would gratuitously kill every streaming consumer of an
+    * otherwise append-only table and pollute history).
+    */
+  private object NoopMutation extends Exception {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** Shared UPDATE-assignment validation for the COW and MoR paths —
+    * runs UNCONDITIONALLY against an empty frame of the table schema,
+    * so an invalid statement fails identically whether or not the
+    * zone maps prune every file (type safety must not depend on the
+    * current data layout).
+    */
+  private def validateAssignments(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      set: Seq[(String, Column)]): Map[String, Column] = {
+    require(set.nonEmpty, "update needs at least one column assignment")
+    val setMap = set.toMap
+    val unknown = set.map(_._1).filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty, s"update of columns absent from $table: $unknown")
+    val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .select(schema.fieldNames.map(c =>
+        setMap.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+    val drift = schema.fields.flatMap(f =>
+      probe.schema.find(_.name == f.name).filter(_.dataType != f.dataType)
+        .map(u => s"${f.name}: table has ${f.dataType.simpleString}, " +
+          s"assignment yields ${u.dataType.simpleString}"))
+    require(drift.isEmpty,
+      s"update may not change the schema of $table: ${drift.mkString("; ")}")
+    setMap
+  }
+
   /** DROP COLUMN as a metadata-only commit: the new manifest records
     * the schema WITHOUT the column and carries the files + DVs by
     * reference — zero data moves (reads apply the manifest schema, so
@@ -1185,7 +1221,12 @@ class VersionedTableOps(val store: CommitStore) {
       val added = toFiles.filterNot(fromFiles)
       if (added.isEmpty)
         read(spark, table, Some(vTo)).limit(0).withColumn(change, lit("insert"))
-      else readFiles(spark, table, vTo, added).withColumn(change, lit("insert"))
+      else
+        // rawRead, not readFiles: DVs are IDENTICAL across the range,
+        // so every entry predates vFrom and can only name pre-existing
+        // files — the anti-join over the added files would be a
+        // provable no-op paid on the incremental hot path
+        rawRead(spark, table, vTo, added).withColumn(change, lit("insert"))
     } else {
       val a = read(spark, table, Some(vFrom))
       val b = read(spark, table, Some(vTo))
@@ -1224,7 +1265,10 @@ class VersionedTableOps(val store: CommitStore) {
       val op = manifestOp(table, v)
       val prev = if (v == 1) Set.empty[String] else manifestFiles(table, v - 1).toSet
       op match {
-        case "overwrite" | "clone" if v == 1 => manifestFiles(table, v)
+        // v1 is the table's INITIAL SNAPSHOT — expressible as inserts
+        // whatever op created it (overwrite, clone, a CDC sink's first
+        // merge); only LATER non-append commits rewrite rows
+        case _ if v == 1 => manifestFiles(table, v)
         case "append" => manifestFiles(table, v).filterNot(prev)
         case "compact" | "optimize" => Nil
         // metadata-only commits carry the file list by reference —
@@ -1602,20 +1646,20 @@ class VersionedTableOps(val store: CommitStore) {
     * split against the new head. Schema is unchanged by construction.
     */
   def delete(spark: SparkSession, table: String, cond: Column): Long =
-    commitDv(table, "delete", { base =>
+    try commitDv(table, "delete", { base =>
       requireInit(table, base, "delete")
       val schema = manifestSchema(table, base)
         .getOrElse(asStored(read(spark, table, Some(base)).schema))
       val (touched, carried) = cowSplit(spark, table, base, cond)
-      val staged = if (touched.isEmpty) Nil else {
-        val kept = readFiles(spark, table, base, touched)
-          .filter(!coalesce(cond, lit(false)))
-        stageData(table, kept, "d")
-      }
+      if (touched.isEmpty) throw NoopMutation
+      val part = readFiles(spark, table, base, touched)
+      if (part.filter(coalesce(cond, lit(false))).isEmpty) throw NoopMutation
+      val staged = stageData(table, part.filter(!coalesce(cond, lit(false))), "d")
       // carried files keep their DV entries; entries naming the
       // rewritten (now-dropped) files can never match a scanned row
       (schema, carried ++ staged, manifestDvs(table, base))
     })
+    catch { case NoopMutation => versions(table).last }
 
   /** [[delete]]'s MERGE-ON-READ twin: instead of rewriting the
     * touched files minus the matching rows, the commit stages a
@@ -1634,21 +1678,22 @@ class VersionedTableOps(val store: CommitStore) {
     * keeps the row), pinned by the shared battery.
     */
   def deleteMoR(spark: SparkSession, table: String, cond: Column): Long =
-    commitDv(table, "delete", { base =>
+    try commitDv(table, "delete", { base =>
       requireInit(table, base, "delete")
       val schema = manifestSchema(table, base)
         .getOrElse(asStored(read(spark, table, Some(base)).schema))
       val (touched, _) = cowSplit(spark, table, base, cond)
-      val dvNew = if (touched.isEmpty) Nil else {
-        // existing DVs are already subtracted here, so a re-delete of
-        // an already-deleted row can never double-write its position
-        val hits = readFilesWithPos(spark, table, base, touched)
-          .filter(coalesce(cond, lit(false)))
-          .select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
-        stageData(table, hits, "dv")
-      }
+      if (touched.isEmpty) throw NoopMutation
+      // existing DVs are already subtracted here, so a re-delete of
+      // an already-deleted row can never double-write its position
+      val hits = readFilesWithPos(spark, table, base, touched)
+        .filter(coalesce(cond, lit(false)))
+        .select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+      val dvNew = stageData(table, hits, "dv")
+      if (dvNew.isEmpty) throw NoopMutation // matched nothing
       (schema, manifestFiles(table, base), manifestDvs(table, base) ++ dvNew)
     })
+    catch { case NoopMutation => versions(table).last }
 
   /** Predicate UPDATE as a commit: rows where `cond` is TRUE get each
     * `set` column replaced by its expression (evaluated against the
@@ -1659,41 +1704,34 @@ class VersionedTableOps(val store: CommitStore) {
     * column's existing type (enforced, not silently cast).
     */
   def update(spark: SparkSession, table: String, cond: Column,
-      set: Seq[(String, Column)]): Long = {
-    require(set.nonEmpty, "update needs at least one column assignment")
-    commitDv(table, "update", { base =>
+      set: Seq[(String, Column)]): Long =
+    try commitDv(table, "update", { base =>
       requireInit(table, base, "update")
       val schema = manifestSchema(table, base)
         .getOrElse(asStored(read(spark, table, Some(base)).schema))
-      val setMap = set.toMap
-      val unknown = set.map(_._1).filterNot(schema.fieldNames.contains)
-      require(unknown.isEmpty, s"update of columns absent from $table: $unknown")
+      // validated against the SCHEMA, not the data: an invalid
+      // statement must fail even when the zone maps prune every file
+      val setMap = validateAssignments(spark, table, schema, set)
       val (touched, carried) = cowSplit(spark, table, base, cond)
-      val staged = if (touched.isEmpty) Nil else {
-        val part = readFiles(spark, table, base, touched)
-        val hit = coalesce(cond, lit(false))
-        val updated = part.select(part.columns.map { c =>
-          setMap.get(c) match {
-            case Some(e) => when(hit, e).otherwise(col(c)).as(c)
-            case None => col(c)
-          }
-        }: _*)
-        val drift = schema.fields.flatMap(f =>
-          updated.schema.find(_.name == f.name).filter(_.dataType != f.dataType)
-            .map(u => s"${f.name}: table has ${f.dataType.simpleString}, " +
-              s"assignment yields ${u.dataType.simpleString}"))
-        require(drift.isEmpty,
-          s"update may not change the schema of $table: ${drift.mkString("; ")}")
-        // the whole rewritten frame, not a re-filter by cond — cond
-        // evaluated on the UPDATED columns would miss exactly the rows
-        // whose update moved them out of the predicate; untouched rows
-        // satisfied the constraints when they were written
-        enforceConstraints(table, updated, checkConstraints(table, Some(base)))
-        stageData(table, updated, "m")
-      }
+      if (touched.isEmpty) throw NoopMutation
+      val part = readFiles(spark, table, base, touched)
+      val hit = coalesce(cond, lit(false))
+      if (part.filter(hit).isEmpty) throw NoopMutation
+      val updated = part.select(part.columns.map { c =>
+        setMap.get(c) match {
+          case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+      // the whole rewritten frame, not a re-filter by cond — cond
+      // evaluated on the UPDATED columns would miss exactly the rows
+      // whose update moved them out of the predicate; untouched rows
+      // satisfied the constraints when they were written
+      enforceConstraints(table, updated, checkConstraints(table, Some(base)))
+      val staged = stageData(table, updated, "m")
       (schema, carried ++ staged, manifestDvs(table, base))
     })
-  }
+    catch { case NoopMutation => versions(table).last }
 
   /** [[update]]'s MERGE-ON-READ twin: matching rows are tombstoned
     * with a deletion vector and their UPDATED images appended as a
@@ -1704,39 +1742,29 @@ class VersionedTableOps(val store: CommitStore) {
     * vectors and fold the appended images into the clustered layout.
     */
   def updateMoR(spark: SparkSession, table: String, cond: Column,
-      set: Seq[(String, Column)]): Long = {
-    require(set.nonEmpty, "update needs at least one column assignment")
-    commitDv(table, "update", { base =>
+      set: Seq[(String, Column)]): Long =
+    try commitDv(table, "update", { base =>
       requireInit(table, base, "update")
       val schema = manifestSchema(table, base)
         .getOrElse(asStored(read(spark, table, Some(base)).schema))
-      val setMap = set.toMap
-      val unknown = set.map(_._1).filterNot(schema.fieldNames.contains)
-      require(unknown.isEmpty, s"update of columns absent from $table: $unknown")
+      val setMap = validateAssignments(spark, table, schema, set)
       val (touched, _) = cowSplit(spark, table, base, cond)
+      if (touched.isEmpty) throw NoopMutation
       val files = manifestFiles(table, base)
       val dvs = manifestDvs(table, base)
-      if (touched.isEmpty) (schema, files, dvs)
-      else {
-        val hit = readFilesWithPos(spark, table, base, touched)
-          .filter(coalesce(cond, lit(false)))
-          .localCheckpoint() // one scan feeds both the DV and the images
-        val updated = hit.select(schema.fieldNames.map(c =>
-          setMap.get(c).map(_.as(c)).getOrElse(col(c))): _*)
-        val drift = schema.fields.flatMap(f =>
-          updated.schema.find(_.name == f.name).filter(_.dataType != f.dataType)
-            .map(u => s"${f.name}: table has ${f.dataType.simpleString}, " +
-              s"assignment yields ${u.dataType.simpleString}"))
-        require(drift.isEmpty,
-          s"update may not change the schema of $table: ${drift.mkString("; ")}")
-        enforceConstraints(table, updated, checkConstraints(table, Some(base)))
-        val dvNew = stageData(table,
-          hit.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos")), "dv")
-        val staged = stageData(table, updated, "a")
-        (schema, files ++ staged, dvs ++ dvNew)
-      }
+      val hit = readFilesWithPos(spark, table, base, touched)
+        .filter(coalesce(cond, lit(false)))
+        .localCheckpoint() // one scan feeds both the DV and the images
+      if (hit.isEmpty) throw NoopMutation
+      val updated = hit.select(schema.fieldNames.map(c =>
+        setMap.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+      enforceConstraints(table, updated, checkConstraints(table, Some(base)))
+      val dvNew = stageData(table,
+        hit.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos")), "dv")
+      val staged = stageData(table, updated, "a")
+      (schema, files ++ staged, dvs ++ dvNew)
     })
-  }
+    catch { case NoopMutation => versions(table).last }
 
   case class VacuumReport(keptVersions: Seq[Long], droppedVersions: Seq[Long],
       deletedDirs: Int, deletedBytes: Long)

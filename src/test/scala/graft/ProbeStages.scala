@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * parallelism (e.g. a broadcast build planning a 1-split scan with
   * no fan-out exchange, the lshTopK round-7 find — see ProbeLsh).
   *
-  * Run: `SPARK_GRAFT_SF_DIR=tmp/sf1 sbt "Test/runMain graft.ProbeStages q1 q2 ..."`.
+  * Run: `SPARK_GRAFT_SF_DIR=<sf dir, default /root/testdata/sf0.1> sbt "Test/runMain graft.ProbeStages q1 q2 ..."`.
   */
 object ProbeStages {
   def main(args: Array[String]): Unit = {

@@ -119,6 +119,29 @@ class VersionedStreamSpec extends SparkSpec {
     assert(got.select("k").distinct().count() === 210)
   }
 
+  test("a stream starts over a CDC-sink table: v1 is a snapshot whatever op created it") {
+    // the CDC sink's FIRST commit lands as op 'merge' via initOrMerge;
+    // v1 is the table's initial snapshot regardless of op name, so a
+    // consumer must be able to start there — only LATER merges rewrite
+    // rows and must fail the insert-only stream
+    val t = fresh("cdcv1")
+    val lww = (cur: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =>
+      cur.unionByName(b).groupBy("k").agg(max("v").as("v"))
+    VersionedTable.initOrMerge(spark, t, dfRange(0, 80), lww)
+    val q = spark.readStream.format("graft.sources.VersionedStreamProvider")
+      .option("path", t).load()
+      .writeStream.format("memory").queryName("cdcv1").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select count(*) from cdcv1").head.getLong(0) === 80,
+        "v1 'merge' snapshot must stream as inserts")
+      VersionedTable.initOrMerge(spark, t, dfRange(0, 10), lww) // a REAL merge
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+  }
+
   test("medallion hop: versioned read -> transform -> idempotent versioned append, exactly-once across restart") {
     // bronze -> silver entirely over the commit log: the stream READS
     // bronze versions (replayable — batches are pure functions of

@@ -561,6 +561,30 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     assert(!ops.read(spark, t).columns.contains("v"))
   }
 
+  test(s"[$backend] no-op mutations publish nothing; invalid assignments fail regardless of pruning") {
+    val t = freshTable("noop")
+    ops.overwrite(spark, t, base) // k 0..24 (long), v string
+    val v1 = ops.versions(t).last
+    // pruned-empty and matched-nothing mutations return the head with
+    // no new version (a byte-identical 'delete' commit would kill
+    // streaming consumers of an append-only table)
+    assert(ops.delete(spark, t, col("k") > 9999L) === v1)
+    assert(ops.delete(spark, t, col("k") % 2 === 98L) === v1,
+      "untranslatable predicate touches files but matches no row -> still a no-op")
+    assert(ops.deleteMoR(spark, t, col("k") > 9999L) === v1)
+    assert(ops.update(spark, t, col("k") > 9999L, Seq("v" -> lit("X"))) === v1)
+    assert(ops.updateMoR(spark, t, col("k") > 9999L, Seq("v" -> lit("X"))) === v1)
+    assert(ops.versions(t) === Seq(1L), "no versions published by no-ops")
+    // an invalid statement fails IDENTICALLY whether or not the zone
+    // maps prune every file — type safety is not data-dependent
+    intercept[IllegalArgumentException] {
+      ops.update(spark, t, col("k") > 9999L, Seq("v" -> lit(1L)))
+    }
+    intercept[IllegalArgumentException] {
+      ops.updateMoR(spark, t, col("k") > 9999L, Seq("nope" -> lit(1L)))
+    }
+  }
+
   test(s"[$backend] chaos: N writers x M commits with compaction and vacuum interleaved") {
     // The round-7 stress (verdict item 7): the OCC retry closure was
     // spec-tested for ONE race; this drives sustained contention with
