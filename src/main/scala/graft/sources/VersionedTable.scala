@@ -662,6 +662,28 @@ class VersionedTableOps(val store: CommitStore) {
     setMap
   }
 
+  /** DESCRIBE DETAIL: one row about the current (or pinned) snapshot
+    * — version, op, commit time, file/DV counts, total data bytes,
+    * exact row count (metadata-only), schema column count, and the
+    * number of CHECK constraints in force. Driver-side manifest +
+    * stats reads plus one file-size stat per data file; no Spark job.
+    */
+  def detail(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val v = version.getOrElse(versions(table).last)
+    val files = manifestFiles(table, v)
+    val bytes = files.map(f => Files.size(Paths.get(table, f))).sum
+    Seq((v, manifestOp(table, v),
+        new java.sql.Timestamp(commitTimeMs(table, v)),
+        files.size.toLong, manifestDvs(table, v).size.toLong, bytes,
+        rowCount(spark, table, Some(v)),
+        manifestSchema(table, v).map(_.fields.length).getOrElse(-1),
+        checkConstraints(table, Some(v)).size))
+      .toDF("version", "op", "ts", "num_files", "num_dvs", "size_bytes",
+        "num_rows", "num_columns", "num_constraints")
+  }
+
   /** DROP COLUMN as a metadata-only commit: the new manifest records
     * the schema WITHOUT the column and carries the files + DVs by
     * reference — zero data moves (reads apply the manifest schema, so

@@ -561,6 +561,22 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     assert(!ops.read(spark, t).columns.contains("v"))
   }
 
+  test(s"[$backend] detail: one driver-side row of snapshot facts") {
+    val t = freshTable("detail")
+    ops.overwrite(spark, t, base)
+    ops.addCheckConstraint(spark, t, "k_pos", "k >= 0")
+    ops.deleteMoR(spark, t, col("k") === 3L)
+    val d = ops.detail(spark, t).head
+    assert(d.getLong(0) === 3L && d.getString(1) === "delete")
+    assert(d.getLong(3) >= 1L && d.getLong(4) === 1L, "one DV after the MoR delete")
+    assert(d.getLong(5) > 0L, "on-disk bytes")
+    assert(d.getLong(6) === base.count() - 1, "metadata row count nets out the DV")
+    assert(d.getInt(7) === 2 && d.getInt(8) === 1)
+    // pinned to v1: pre-delete facts
+    val d1 = ops.detail(spark, t, Some(1L)).head
+    assert(d1.getLong(6) === base.count() && d1.getLong(4) === 0L)
+  }
+
   test(s"[$backend] no-op mutations publish nothing; invalid assignments fail regardless of pruning") {
     val t = freshTable("noop")
     ops.overwrite(spark, t, base) // k 0..24 (long), v string
