@@ -664,21 +664,29 @@ class VersionedTableOps(val store: CommitStore) {
 
   /** DESCRIBE DETAIL: one row about the current (or pinned) snapshot
     * — version, op, commit time, file/DV counts, total data bytes,
-    * exact row count (metadata-only), schema column count, and the
-    * number of CHECK constraints in force. Driver-side manifest +
-    * stats reads plus one file-size stat per data file; no Spark job.
+    * exact row count, schema column count, and the number of CHECK
+    * constraints in force. Cost: a handful of driver-side manifest /
+    * stats reads and one file-size stat per data file — plus
+    * [[rowCount]]'s one short Spark job WHEN deletion vectors are
+    * live (the subtraction reads the tiny vector files), and a footer
+    * read for legacy schema-less manifests.
     */
   def detail(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    val v = version.getOrElse(versions(table).last)
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no commits at $table")
+    val v = version.getOrElse(vs.last)
+    require(store.exists(commitsDir(table), manifestName(v)),
+      s"version $v of $table was vacuumed or never existed")
     val files = manifestFiles(table, v)
     val bytes = files.map(f => Files.size(Paths.get(table, f))).sum
+    val nCols = manifestSchema(table, v)
+      .getOrElse(asStored(rawRead(spark, table, v, files).schema)).fields.length
     Seq((v, manifestOp(table, v),
         new java.sql.Timestamp(commitTimeMs(table, v)),
         files.size.toLong, manifestDvs(table, v).size.toLong, bytes,
-        rowCount(spark, table, Some(v)),
-        manifestSchema(table, v).map(_.fields.length).getOrElse(-1),
+        rowCount(spark, table, Some(v)), nCols,
         checkConstraints(table, Some(v)).size))
       .toDF("version", "op", "ts", "num_files", "num_dvs", "size_bytes",
         "num_rows", "num_columns", "num_constraints")

@@ -575,6 +575,11 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     // pinned to v1: pre-delete facts
     val d1 = ops.detail(spark, t, Some(1L)).head
     assert(d1.getLong(6) === base.count() && d1.getLong(4) === 0L)
+    // the layer's error contract, not raw internal exceptions
+    intercept[IllegalArgumentException] { ops.detail(spark, t, Some(99L)) }
+    intercept[IllegalArgumentException] {
+      ops.detail(spark, freshTable("detail-empty"))
+    }
   }
 
   test(s"[$backend] no-op mutations publish nothing; invalid assignments fail regardless of pruning") {
