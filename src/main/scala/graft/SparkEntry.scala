@@ -144,6 +144,7 @@ object SparkEntry {
     "q_zone_map_nulls" -> (operators.VersionedQueries.qZoneMapNulls _),
     "q_check_constraint" -> (operators.VersionedQueries.qCheckConstraint _),
     "q_drop_column" -> (operators.VersionedQueries.qDropColumn _),
+    "q_rename_column" -> (operators.VersionedQueries.qRenameColumn _),
     // §2.8: the DSv2 synthetic source under the oracle gate — filter
     // pushdown prunes generated partitions, column pruning means text
     // is never built (the aggregate touches only doc_id/lang)
@@ -1205,6 +1206,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT s_suppkey + 100000, CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
         |FROM supplier WHERE s_suppkey % 5 = 0""".stripMargin,
+    // q_rename_column: the head after the metadata-only rename + an
+    // append under the new name (file identity asserted in-query);
+    // pre-rename files' physical column translates at read
+    "q_rename_column" ->
+      """SELECT s_suppkey, CAST(s_acctbal AS DECIMAL(12,2)) AS balance
+        |FROM supplier
+        |UNION ALL
+        |SELECT s_suppkey + 100000, CAST(s_acctbal AS DECIMAL(12,2)) AS balance
+        |FROM supplier WHERE s_suppkey % 4 = 0""".stripMargin,
     // q_drop_column: the head after the metadata-only drop + the
     // narrowed-schema append (file identity asserted in-query)
     "q_drop_column" ->

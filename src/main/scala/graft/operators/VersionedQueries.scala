@@ -297,6 +297,31 @@ object VersionedQueries {
     VersionedTable.read(spark, table)
   }
 
+  /** q_rename_column: RENAME COLUMN as a metadata-only commit —
+    * supplier committed, the balance column renamed (file list
+    * asserted IDENTICAL: zero data moved; files keep the original
+    * PHYSICAL name forever, the manifest maps it to the new logical
+    * name), then an append lands UNDER THE NEW NAME — so the head
+    * read merges pre-rename files (physical name translated) with
+    * post-rename files seamlessly. The oracle replays the projection
+    * under the new name ∪ the appended batch.
+    */
+  def qRenameColumn(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("renamec")
+    val all = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_acctbal").cast("decimal(12,2)").as("s_acctbal"))
+    val v1 = VersionedTable.overwrite(spark, table, all)
+    val v2 = VersionedTable.renameColumn(spark, table, "s_acctbal", "balance")
+    require(VersionedTable.snapshotFiles(table, Some(v2)) ==
+      VersionedTable.snapshotFiles(table, Some(v1)),
+      "rename must carry the data files by reference")
+    VersionedTable.append(spark, table,
+      all.filter(col("s_suppkey") % 4 === 0)
+        .select((col("s_suppkey") + 100000L).as("s_suppkey"),
+          col("s_acctbal").as("balance")))
+    VersionedTable.read(spark, table)
+  }
+
   /** q_zone_map_nulls: NULL-COUNT zone maps under the oracle gate —
     * customers land in three NULLNESS-clustered commits (balances all
     * NULL / fully populated / mixed), and an `IS NOT NULL` read

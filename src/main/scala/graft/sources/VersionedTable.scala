@@ -109,7 +109,8 @@ class VersionedTableOps(val store: CommitStore) {
   private def render(v: Long, op: String,
       schema: org.apache.spark.sql.types.StructType, files: Seq[String],
       dvs: Seq[String], txn: Option[(String, Long)] = None,
-      cons: Seq[(String, String)] = Nil): String = {
+      cons: Seq[(String, String)] = Nil,
+      renames: Map[String, String] = Map.empty): String = {
     val txnSec = txn.map { case (app, ver) =>
       s"""  "txnApp": "${escStr(app)}",\n  "txnVer": $ver,\n""" }.getOrElse("")
     val consSec =
@@ -117,9 +118,14 @@ class VersionedTableOps(val store: CommitStore) {
       else cons.map { case (n, e) =>
         s"""    {"cname": "${escStr(n)}", "cexpr": "${escStr(e)}"}""" }
         .mkString("  \"constraints\": [\n", ",\n", "\n  ],\n")
+    val renSec =
+      if (renames.isEmpty) ""
+      else renames.toSeq.sortBy(_._1).map { case (ph, lo) =>
+        s"""    {"rphys": "${escStr(ph)}", "rlog": "${escStr(lo)}"}""" }
+        .mkString("  \"renames\": [\n", ",\n", "\n  ],\n")
     val filesSec = files.map(f => "    \"" + f + "\"").mkString(
       s"""{\n  "version": $v,\n  "op": "$op",\n""" +
-        s"""  "ts": ${System.currentTimeMillis()},\n""" + txnSec + consSec +
+        s"""  "ts": ${System.currentTimeMillis()},\n""" + txnSec + consSec + renSec +
         s"""  "schema": "${escStr(schema.json)}",\n  "files": [\n""",
       ",\n",
       "\n  ]")
@@ -193,7 +199,8 @@ class VersionedTableOps(val store: CommitStore) {
       (manifestSchema(table, v)
         .getOrElse(asStored(rawRead(spark, table, v, manifestFiles(table, v)).schema)),
         manifestFiles(table, v), manifestDvs(table, v))
-    })
+    }, renOverride = // the undo restores the column-name map too
+      Some(_ => manifestRenames(table, v)))
   }
 
   /** DESCRIBE HISTORY: one row per retained version — (version, op,
@@ -258,7 +265,9 @@ class VersionedTableOps(val store: CommitStore) {
       require(base == 0, s"clone target $dst gained commits mid-clone")
       (schema, files, dvs)
     }, consOverride = // the branch inherits the source's schema
-      Some(_ => checkConstraints(src, Some(v)))) //   CONTRACT, not just its bytes
+      Some(_ => checkConstraints(src, Some(v))), //   CONTRACT, not just bytes:
+      renOverride = //                           constraints AND the name map
+        Some(_ => manifestRenames(src, v)))
   }
 
   private[sources] def manifestDvs(table: String, v: Long): Seq[String] = {
@@ -301,7 +310,17 @@ class VersionedTableOps(val store: CommitStore) {
   private def stageData(table: String, df: DataFrame, tag: String): Seq[String] = {
     val rel = s"data/$tag-${java.util.UUID.randomUUID().toString.take(8)}"
     val dir = Paths.get(table, rel)
-    df.write.parquet(dir.toString)
+    // writes always land under PHYSICAL names so files stay uniform
+    // across renames; DV stages carry internal (file, pos) columns and
+    // never translate. In-closure stagers re-run on retry, so a head
+    // moved by a concurrent rename re-resolves; pre-staged ops guard
+    // explicitly (requireRenamesUnchanged)
+    val ren = if (tag == "dv") Map.empty[String, String]
+      else versions(table).lastOption
+        .map(manifestRenames(table, _)).getOrElse(Map.empty)
+    val out = ren.foldLeft(df) { case (d, (ph, lo)) =>
+      if (d.columns.contains(lo)) d.withColumnRenamed(lo, ph) else d }
+    out.write.parquet(dir.toString)
     val emptyParts = writeFileStats(df.sparkSession, dir)
     // zero-row part files carry no data and no stats — dropped here so
     // they can never dodge every future zone-map probe (scaladoc on
@@ -598,7 +617,8 @@ class VersionedTableOps(val store: CommitStore) {
   private def commitDv(table: String, op: String,
       planFor: Long => (org.apache.spark.sql.types.StructType, Seq[String], Seq[String]),
       txn: Option[(String, Long)] = None,
-      consOverride: Option[Long => Seq[(String, String)]] = None): Long = {
+      consOverride: Option[Long => Seq[(String, String)]] = None,
+      renOverride: Option[Long => Map[String, String]] = None): Long = {
     val dir = commitsDir(table)
     var attempt = 0
     while (true) {
@@ -607,15 +627,17 @@ class VersionedTableOps(val store: CommitStore) {
       val plan = try Some(planFor(base)) catch {
         case _: java.nio.file.NoSuchFileException => None // base vacuumed under us
       }
-      // constraints follow the table: every commit re-reads the BASE
-      // manifest's list (fresh per retry, so a racing ADD CONSTRAINT
-      // is carried by the retried commit), unless the constraint ops
-      // themselves supply the new list
+      // constraints AND renames follow the table: every commit
+      // re-reads the BASE manifest's lists (fresh per retry, so a
+      // racing ADD CONSTRAINT / RENAME is carried by the retried
+      // commit), unless the metadata ops themselves supply new ones
       val consList = consOverride.map(_(base)).getOrElse(
         if (base == 0) Nil else checkConstraints(table, Some(base)))
+      val renMap = renOverride.map(_(base)).getOrElse(
+        if (base == 0) Map.empty[String, String] else manifestRenames(table, base))
       val won = plan.exists { case (schema, fs, dvs) =>
         store.putIfAbsent(dir, manifestName(v),
-          render(v, op, schema, fs, dvs, txn, consList)) }
+          render(v, op, schema, fs, dvs, txn, consList, renMap)) }
       if (won) return v
       attempt += 1 // lost the race (or lost the base): re-read head, retry
       require(attempt < 100, s"commit contention on $table")
@@ -661,6 +683,69 @@ class VersionedTableOps(val store: CommitStore) {
       s"update may not change the schema of $table: ${drift.mkString("; ")}")
     setMap
   }
+
+  /** The version's PHYSICAL→LOGICAL column-name map (empty when no
+    * rename ever happened — the identity fast path everywhere).
+    * Physical names are assigned when a column first appears and
+    * NEVER change; [[renameColumn]] only re-points the logical name,
+    * so every data file ever staged carries physical names uniformly.
+    */
+  private[sources] def manifestRenames(table: String, v: Long): Map[String, String] = {
+    val txt = store.read(commitsDir(table), manifestName(v))
+    "\\{\"rphys\": \"((?:[^\"\\\\]|\\\\.)*)\", \"rlog\": \"((?:[^\"\\\\]|\\\\.)*)\"\\}".r
+      .findAllMatchIn(txt)
+      .map(m => (unescStr(m.group(1)), unescStr(m.group(2)))).toMap
+  }
+
+  /** Logical column name → the physical name stored in data files. */
+  private[sources] def physicalName(renames: Map[String, String],
+      logical: String): String =
+    renames.collectFirst { case (ph, lo) if lo == logical => ph }.getOrElse(logical)
+
+  /** RENAME COLUMN as a metadata-only commit (Delta `ALTER TABLE ...
+    * RENAME COLUMN`): files and DVs are carried by reference — zero
+    * data moves. The PHYSICAL name inside every parquet file stays
+    * what it was when the column first appeared; the manifest records
+    * physical→logical, reads rename after the scan, writes rename
+    * before the stage, and zone-map probes translate — so the change
+    * is invisible everywhere except the schema. Guards mirror
+    * [[dropColumn]]: a CHECK constraint referencing the old name
+    * blocks the rename (its expression text cannot be rewritten
+    * safely), and the NEW name may not be one any retained manifest
+    * records (name-based files make reuse a data-resurrection hazard
+    * — the same refusal, and it frees up the same way after
+    * compact + vacuum).
+    */
+  def renameColumn(spark: SparkSession, table: String,
+      oldName: String, newName: String): Long =
+    commitDv(table, "rename_column", { base =>
+      requireInit(table, base, "renameColumn")
+      val schema = manifestSchema(table, base)
+        .getOrElse(asStored(read(spark, table, Some(base)).schema))
+      require(schema.fieldNames.contains(oldName), s"no column $oldName on $table")
+      require(!schema.fieldNames.contains(newName),
+        s"column $newName already exists on $table")
+      require(!everRecordedColumns(table).contains(newName),
+        s"cannot rename to $newName: a retained manifest records that name " +
+          "(reuse would risk resurrecting old data); compact + vacuum first " +
+          "or pick a fresh name")
+      checkConstraints(table, Some(base)).foreach { case (cn, ce) =>
+        val resolves = scala.util.Try(
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+              if (f.name == oldName) f.copy(name = newName) else f)))
+            .filter(expr(ce)).queryExecution.analyzed).isSuccess
+        require(resolves,
+          s"cannot rename $oldName: CHECK constraint $cn references it ($ce) — " +
+            "drop the constraint first")
+      }
+      (org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f)),
+        manifestFiles(table, base), manifestDvs(table, base))
+    }, renOverride = Some { base =>
+      val cur = manifestRenames(table, base)
+      cur - physicalName(cur, oldName) + (physicalName(cur, oldName) -> newName)
+    })
 
   /** DESCRIBE DETAIL: one row about the current (or pinned) snapshot
     * — version, op, commit time, file/DV counts, total data bytes,
@@ -725,7 +810,8 @@ class VersionedTableOps(val store: CommitStore) {
           s"cannot drop $name: CHECK constraint $cn references it ($ce) — drop the constraint first")
       }
       (newSchema, manifestFiles(table, base), manifestDvs(table, base))
-    })
+    }, renOverride = Some(base => // prune the dropped column's entry
+      manifestRenames(table, base).filterNot(_._2 == name)))
 
   /** Column names recorded by ANY retained manifest — the set a new
     * append may not re-introduce (see [[dropColumn]]).
@@ -734,15 +820,40 @@ class VersionedTableOps(val store: CommitStore) {
     versions(table).flatMap(v => manifestSchema(table, v).toSeq
       .flatMap(_.fieldNames)).toSet
 
+  /** Pre-staged writers (overwrite/append and their txn twins) stage
+    * data under the HEAD's physical-name mapping before the commit
+    * closure runs; if a concurrent RENAME lands in between, the
+    * staged files' names and the new head's logical view would split
+    * — fail loudly (Delta's concurrent-metadata-change conflict) so
+    * the caller re-stages against the new head. In-closure stagers
+    * re-resolve automatically on retry.
+    */
+  private def requireRenamesUnchanged(table: String, base: Long,
+      ren0: Map[String, String]): Unit = {
+    val now = if (base == 0) Map.empty[String, String]
+              else manifestRenames(table, base)
+    require(now == ren0,
+      s"concurrent column rename on $table while this write was staging; retry")
+  }
+
   private def requireNoRevivedColumns(table: String, df: DataFrame,
       headCols: Seq[String]): Unit = {
     val added = df.schema.fieldNames.filterNot(headCols.contains)
     if (added.nonEmpty) {
-      val revived = added.filter(everRecordedColumns(table).contains)
+      // blocked: any name a retained manifest records (dropped-column
+      // revival) AND any live PHYSICAL name (a renamed column keeps
+      // its original name inside every file forever — a new column
+      // with that name would collide physically even though the
+      // logical schema looks free)
+      val phys = versions(table).lastOption
+        .map(manifestRenames(table, _).keySet).getOrElse(Set.empty)
+      val revived = added.filter(n =>
+        everRecordedColumns(table).contains(n) || phys.contains(n))
       require(revived.isEmpty,
-        s"cannot re-add dropped column(s) ${revived.mkString(", ")} to $table " +
-          "while pre-drop files are retained (their old values would resurrect); " +
-          "compact + vacuum the pre-drop history first, or use a new name")
+        s"cannot add column(s) ${revived.mkString(", ")} to $table: the name is " +
+          "recorded by a retained manifest or is a renamed column's physical " +
+          "name (old file bytes would resurrect under it); compact + vacuum " +
+          "first, or use a fresh name")
     }
   }
 
@@ -847,9 +958,12 @@ class VersionedTableOps(val store: CommitStore) {
   /** Create (version 1) or fully overwrite the table with `df`. */
   def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
     val cons0 = headConstraints(table)
+    val ren0 = versions(table).lastOption
+      .map(manifestRenames(table, _)).getOrElse(Map.empty[String, String])
     enforceConstraints(table, df, cons0)
     val staged = stageData(table, df, "w") // stage once; retries reuse it
     commit(table, "overwrite", { base =>
+      requireRenamesUnchanged(table, base, ren0)
       enforceLate(spark, table, base, cons0, staged)
       (asStored(df.schema), staged)
     })
@@ -891,10 +1005,13 @@ class VersionedTableOps(val store: CommitStore) {
       requireNoRevivedColumns(table, df, headSchema.fieldNames)
     }
     val cons0 = headConstraints(table)
+    val ren0 = versions(table).lastOption
+      .map(manifestRenames(table, _)).getOrElse(Map.empty[String, String])
     enforceConstraints(table, df, cons0)
     val staged = stageData(table, df, "a")
     commitDv(table, "append", { base =>
       requireInit(table, base, "append")
+      requireRenamesUnchanged(table, base, ren0)
       enforceLate(spark, table, base, cons0, staged)
       val headSchema = manifestSchema(table, base)
         .getOrElse(asStored(read(spark, table, Some(base)).schema))
@@ -947,10 +1064,13 @@ class VersionedTableOps(val store: CommitStore) {
     def applied = lastTxn(table, appId).exists(_ >= txnVer)
     if (applied) return versions(table).last // common replay path: stage nothing
     val cons0 = headConstraints(table)
+    val ren0 = versions(table).lastOption
+      .map(manifestRenames(table, _)).getOrElse(Map.empty[String, String])
     enforceConstraints(table, df, cons0)
     val staged = stageData(table, df, "a")
     try commitDv(table, "append", { base =>
       if (applied) throw TxnAlreadyApplied
+      requireRenamesUnchanged(table, base, ren0)
       enforceLate(spark, table, base, cons0, staged)
       if (base == 0) (asStored(df.schema), staged, Nil)
       else {
@@ -984,10 +1104,13 @@ class VersionedTableOps(val store: CommitStore) {
     def applied = lastTxn(table, appId).exists(_ >= txnVer)
     if (applied) return versions(table).last
     val cons0 = headConstraints(table)
+    val ren0 = versions(table).lastOption
+      .map(manifestRenames(table, _)).getOrElse(Map.empty[String, String])
     enforceConstraints(table, df, cons0)
     val staged = stageData(table, df, "w")
     try commitDv(table, "overwrite", { base =>
       if (applied) throw TxnAlreadyApplied
+      requireRenamesUnchanged(table, base, ren0)
       enforceLate(spark, table, base, cons0, staged)
       (asStored(df.schema), staged, Nil)
     }, Some((appId, txnVer)))
@@ -1171,7 +1294,18 @@ class VersionedTableOps(val store: CommitStore) {
       files: Seq[String]): DataFrame = {
     val paths = files.map(f => Paths.get(table, f).toString)
     manifestSchema(table, v) match {
-      case Some(schema) => spark.read.schema(schema).parquet(paths: _*)
+      case Some(schema) =>
+        val ren = manifestRenames(table, v)
+        if (ren.isEmpty) spark.read.schema(schema).parquet(paths: _*)
+        else {
+          // data files carry PHYSICAL names at all times; request the
+          // physical schema and re-alias to the version's logical view
+          val phys = org.apache.spark.sql.types.StructType(
+            schema.fields.map(f => f.copy(name = physicalName(ren, f.name))))
+          ren.foldLeft(spark.read.schema(phys).parquet(paths: _*)) {
+            case (df, (ph, lo)) => df.withColumnRenamed(ph, lo)
+          }
+        }
       case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
   }
@@ -1258,8 +1392,18 @@ class VersionedTableOps(val store: CommitStore) {
         // provable no-op paid on the incremental hot path
         rawRead(spark, table, vTo, added).withColumn(change, lit("insert"))
     } else {
-      val a = read(spark, table, Some(vFrom))
+      val a0 = read(spark, table, Some(vFrom))
       val b = read(spark, table, Some(vTo))
+      // a RENAME between the versions changes logical names but not
+      // positions or types; align the FROM side to the TO side's
+      // names so the multiset difference compares the same columns
+      val a = if (a0.columns.sameElements(b.columns)) a0
+        else {
+          require(a0.schema.fields.map(_.dataType).sameElements(
+            b.schema.fields.map(_.dataType)),
+            s"changesBetween across an incompatible schema change on $table")
+          a0.toDF(b.columns: _*)
+        }
       b.exceptAll(a).withColumn(change, lit("insert"))
         .unionByName(a.exceptAll(b).withColumn(change, lit("delete")))
     }
@@ -1305,7 +1449,7 @@ class VersionedTableOps(val store: CommitStore) {
         // zero rows to emit (killing the stream over a constraint or
         // schema change would be gratuitous); the guard keeps the
         // classification honest if that ever stops holding
-        case "set_constraint" | "drop_column"
+        case "set_constraint" | "drop_column" | "rename_column"
             if manifestFiles(table, v).toSet == prev => Nil
         case _ if skipRewrites => Nil
         case other => throw new IllegalStateException(
@@ -1315,9 +1459,21 @@ class VersionedTableOps(val store: CommitStore) {
     }
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema)
+    else {
+      // the stream schema's names are logical-at-(re)start; files
+      // carry stable PHYSICAL names. physicalName resolves a current
+      // logical to its file name and passes an already-physical
+      // (pre-rename start) name through unchanged — so the stream
+      // keeps emitting under the names it started with across a
+      // mid-stream rename
+      val ren = manifestRenames(table, vTo)
+      val phys = org.apache.spark.sql.types.StructType(
+        schema.fields.map(f => f.copy(name = physicalName(ren, f.name))))
+      val raw = spark.read.schema(phys)
         .parquet(files.map(f => Paths.get(table, f).toString): _*)
+      schema.fields.zip(phys.fields).foldLeft(raw) { case (df, (lo, ph)) =>
+        if (lo.name == ph.name) df else df.withColumnRenamed(ph.name, lo.name) }
+    }
   }
 
   /** Manifest files of a version whose `_stats.json` zone maps can
@@ -1340,7 +1496,8 @@ class VersionedTableOps(val store: CommitStore) {
       version: Option[Long] = None): (Seq[String], Int) = {
     val v = version.getOrElse(versions(table).last)
     val all = manifestFiles(table, v)
-    (keepByZoneMaps(table, all, Nil, Nil, Seq((statsCol, wantNull))), all.size)
+    (keepByZoneMaps(table, all, Nil, Nil,
+      Seq((physicalName(manifestRenames(table, v), statsCol), wantNull))), all.size)
   }
 
   /** CONJUNCTIVE multi-column probe: files kept only if EVERY probed
@@ -1363,7 +1520,10 @@ class VersionedTableOps(val store: CommitStore) {
     require(store.exists(commitsDir(table), manifestName(v)),
       s"version $v of $table was vacuumed or never existed")
     val all = manifestFiles(table, v)
-    (keepByZoneMaps(table, all, ranges, Nil), all.size)
+    val ren = manifestRenames(table, v)
+    (keepByZoneMaps(table, all,
+      ranges.map { case (c, lo, hi) => (physicalName(ren, c), lo, hi) }, Nil),
+      all.size)
   }
 
   /** The shared pruning kernel: of `files`, those whose committed
@@ -1501,7 +1661,8 @@ class VersionedTableOps(val store: CommitStore) {
     require(store.exists(commitsDir(table), manifestName(v)),
       s"version $v of $table was vacuumed or never existed")
     val all = manifestFiles(table, v)
-    (keepByZoneMaps(table, all, Nil, Seq((statsCol, lo, hi))), all.size)
+    (keepByZoneMaps(table, all, Nil,
+      Seq((physicalName(manifestRenames(table, v), statsCol), lo, hi))), all.size)
   }
 
   /** [[readRange]] for a STRING column: manifest-level skipping on the
@@ -1536,15 +1697,25 @@ class VersionedTableOps(val store: CommitStore) {
     require(store.exists(commitsDir(table), manifestName(v)),
       s"version $v of $table was vacuumed or never existed")
     val files = manifestFiles(table, v)
-    val schema = manifestSchema(table, v)
+    val logical = manifestSchema(table, v)
       .getOrElse(readFiles(spark, table, v, files).schema)
+    // the SCAN runs over the files' PHYSICAL names; the logical view
+    // is a projection on top. Filters a user puts on logical columns
+    // rewrite through the aliases to the scan's physical attributes,
+    // so ZoneMapFileIndex receives filter names that already match
+    // the (physical) stats keys — no translation needed there
+    val ren = manifestRenames(table, v)
+    val schema = org.apache.spark.sql.types.StructType(
+      logical.fields.map(f => f.copy(name = physicalName(ren, f.name))))
     val idx = new ZoneMapFileIndex(spark, this, table, v, files, schema)
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       idx, new org.apache.spark.sql.types.StructType(), schema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       Map.empty[String, String])(spark)
-    val base = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .baseRelationToDataFrame(relation)
+    val base = ren.foldLeft(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .baseRelationToDataFrame(relation)) {
+      case (df, (ph, lo)) => df.withColumnRenamed(ph, lo) }
     // merge-on-read: subtract the version's deletion vectors, same
     // broadcast anti join as readFiles — filters on user columns
     // still reach the FileIndex (they sit below the join's stream
@@ -1660,7 +1831,12 @@ class VersionedTableOps(val store: CommitStore) {
     val condExpr = snap.filter(cond).queryExecution.optimizedPlan.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
-    val (num, str, nul) = ZoneMapFilters.constraints(condExpr.toSeq)
+    val (num0, str0, nul0) = ZoneMapFilters.constraints(condExpr.toSeq)
+    // the predicate names LOGICAL columns; stats are keyed physical
+    val ren = manifestRenames(table, base)
+    val num = num0.map { case (c, lo, hi) => (physicalName(ren, c), lo, hi) }
+    val str = str0.map { case (c, lo, hi) => (physicalName(ren, c), lo, hi) }
+    val nul = nul0.map { case (c, w) => (physicalName(ren, c), w) }
     val touched =
       if (num.isEmpty && str.isEmpty && nul.isEmpty) all
       else keepByZoneMaps(table, all, num, str, nul)

@@ -606,6 +606,51 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     }
   }
 
+  test(s"[$backend] rename column: metadata-only, reads/writes/probes translate, hazards refused") {
+    val t = freshTable("rename")
+    val df = spark.range(0, 200).select(col("id").as("k"),
+      (col("id") * 3).as("m"), lit("A").as("v"))
+    val v1 = ops.overwrite(spark, t, df)
+    val before = ops.snapshotFiles(t)
+    val v2 = ops.renameColumn(spark, t, "m", "metric")
+    assert(ops.snapshotFiles(t, Some(v2)) === before, "rename moves zero data")
+    // reads surface the new logical name with the SAME values
+    val head = ops.read(spark, t)
+    assert(head.columns.sorted.toSeq === Seq("k", "metric", "v"))
+    assert(head.agg(sum("metric")).head.getLong(0) === (0L until 200L).map(_ * 3).sum)
+    // time travel keeps the old name
+    assert(ops.read(spark, t, Some(v1)).columns.contains("m"))
+    // appends under the NEW name land and read back merged
+    ops.append(spark, t, spark.range(200, 260).select(col("id").as("k"),
+      (col("id") * 3).as("metric"), lit("B").as("v")))
+    assert(ops.read(spark, t).agg(sum("metric")).head.getLong(0) ===
+      (0L until 260L).map(_ * 3).sum, "pre- and post-rename files merge under one name")
+    // zone-map probes translate the logical name to the physical stats
+    val (kept, total) = ops.filesForRange(t, "metric", 0d, 30d)
+    assert(kept.size < total, "a selective probe on the RENAMED name must skip files")
+    // the automatic path prunes on a logical-name filter too
+    val cnt = ops.readIndexed(spark, t).filter(col("metric") < 30L).count()
+    assert(cnt === 10, "ids 0..9 of the first era have metric < 30")
+    // CDC across the rename: the rename itself is an empty delta;
+    // a range across it aligns names to the TO side
+    assert(ops.changesBetween(spark, t, v1, v2).isEmpty)
+    val delta = ops.changesBetween(spark, t, v1, ops.versions(t).last)
+    assert(delta.columns.contains("metric") && delta.count() === 60)
+    // hazards: renaming TO a recorded or physical name is refused, as
+    // is ADDING a column named like the renamed column's physical name
+    intercept[IllegalArgumentException] { ops.renameColumn(spark, t, "v", "m") }
+    intercept[IllegalArgumentException] {
+      ops.append(spark, t, spark.range(300, 301).select(col("id").as("k"),
+        (col("id") * 3).as("metric"), lit("C").as("v"), lit(9L).as("m")))
+    }
+    // constraints referencing the old name block the rename
+    ops.addCheckConstraint(spark, t, "v_nn", "v IS NOT NULL")
+    intercept[IllegalArgumentException] { ops.renameColumn(spark, t, "v", "label") }
+    // COW mutations on the renamed column work (predicate on logical)
+    ops.delete(spark, t, col("metric") > 700L)
+    assert(ops.read(spark, t).count() === 234, "rows with metric > 700 deleted")
+  }
+
   test(s"[$backend] chaos: N writers x M commits with compaction and vacuum interleaved") {
     // The round-7 stress (verdict item 7): the OCC retry closure was
     // spec-tested for ONE race; this drives sustained contention with
