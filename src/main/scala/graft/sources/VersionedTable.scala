@@ -320,6 +320,10 @@ class VersionedTableOps(val store: CommitStore) {
         .map(manifestRenames(table, _)).getOrElse(Map.empty)
     val out = ren.foldLeft(df) { case (d, (ph, lo)) =>
       if (d.columns.contains(lo)) d.withColumnRenamed(lo, ph) else d }
+    require(out.columns.distinct.length == out.columns.length,
+      s"staging for $table would produce duplicate physical columns " +
+        s"(${out.columns.mkString(", ")}): a written column collides with a " +
+        "renamed column's physical file name")
     out.write.parquet(dir.toString)
     val emptyParts = writeFileStats(df.sparkSession, dir)
     // zero-row part files carry no data and no stats — dropped here so
@@ -690,11 +694,24 @@ class VersionedTableOps(val store: CommitStore) {
     * NEVER change; [[renameColumn]] only re-points the logical name,
     * so every data file ever staged carries physical names uniformly.
     */
+  private val renamesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Map[String, String]]()
+
   private[sources] def manifestRenames(table: String, v: Long): Map[String, String] = {
+    // manifests are immutable once published — memoized so the hot
+    // read path of a never-renamed table pays the manifest regex once
+    // per (table, version), not per rawRead/probe/stage call
+    val key = (table, v)
+    val hit = renamesMemo.get(key)
+    if (hit != null) return hit
+    if (renamesMemo.size > 4096) renamesMemo.clear() // bounded, immutable content
     val txt = store.read(commitsDir(table), manifestName(v))
-    "\\{\"rphys\": \"((?:[^\"\\\\]|\\\\.)*)\", \"rlog\": \"((?:[^\"\\\\]|\\\\.)*)\"\\}".r
-      .findAllMatchIn(txt)
-      .map(m => (unescStr(m.group(1)), unescStr(m.group(2)))).toMap
+    val parsed =
+      "\\{\"rphys\": \"((?:[^\"\\\\]|\\\\.)*)\", \"rlog\": \"((?:[^\"\\\\]|\\\\.)*)\"\\}".r
+        .findAllMatchIn(txt)
+        .map(m => (unescStr(m.group(1)), unescStr(m.group(2)))).toMap
+    renamesMemo.put(key, parsed)
+    parsed
   }
 
   /** Logical column name → the physical name stored in data files. */
@@ -725,10 +742,11 @@ class VersionedTableOps(val store: CommitStore) {
       require(schema.fieldNames.contains(oldName), s"no column $oldName on $table")
       require(!schema.fieldNames.contains(newName),
         s"column $newName already exists on $table")
-      require(!everRecordedColumns(table).contains(newName),
-        s"cannot rename to $newName: a retained manifest records that name " +
-          "(reuse would risk resurrecting old data); compact + vacuum first " +
-          "or pick a fresh name")
+      require(!everRecordedColumns(table).contains(newName) &&
+          !manifestRenames(table, base).contains(newName),
+        s"cannot rename to $newName: a retained manifest records that name, " +
+          "or it is a live column's PHYSICAL file name (physical names never " +
+          "free up — compact rewrites under the same names); pick a fresh name")
       checkConstraints(table, Some(base)).foreach { case (cn, ce) =>
         val resolves = scala.util.Try(
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -809,9 +827,12 @@ class VersionedTableOps(val store: CommitStore) {
         require(resolves,
           s"cannot drop $name: CHECK constraint $cn references it ($ce) — drop the constraint first")
       }
+      // the rename map is deliberately NOT pruned: the entry is the
+      // only durable record that the dropped column's PHYSICAL name
+      // still lives inside carried files after older manifests are
+      // vacuumed — requireNoRevivedColumns keys off it
       (newSchema, manifestFiles(table, base), manifestDvs(table, base))
-    }, renOverride = Some(base => // prune the dropped column's entry
-      manifestRenames(table, base).filterNot(_._2 == name)))
+    })
 
   /** Column names recorded by ANY retained manifest — the set a new
     * append may not re-introduce (see [[dropColumn]]).
@@ -950,7 +971,13 @@ class VersionedTableOps(val store: CommitStore) {
     if (base == 0 || staged.isEmpty) return
     val late = checkConstraints(table, Some(base)).filterNot(already.contains)
     if (late.nonEmpty) {
-      val df = spark.read.parquet(staged.map(f => Paths.get(table, f).toString): _*)
+      // staged files carry PHYSICAL names; the constraint expressions
+      // name LOGICAL columns — re-alias before evaluating
+      val ren = manifestRenames(table, base)
+      val raw = spark.read.parquet(staged.map(f => Paths.get(table, f).toString): _*)
+      val df = ren.foldLeft(raw) { case (d, (ph, lo)) =>
+        if (d.columns.contains(ph) && !d.columns.contains(lo))
+          d.withColumnRenamed(ph, lo) else d }
       enforceConstraints(table, df, late)
     }
   }
@@ -1299,12 +1326,16 @@ class VersionedTableOps(val store: CommitStore) {
         if (ren.isEmpty) spark.read.schema(schema).parquet(paths: _*)
         else {
           // data files carry PHYSICAL names at all times; request the
-          // physical schema and re-alias to the version's logical view
+          // physical schema and re-alias PER SCHEMA FIELD (folding the
+          // whole map would mislabel columns when a stale entry's
+          // physical name is legitimately reused by a later overwrite)
           val phys = org.apache.spark.sql.types.StructType(
             schema.fields.map(f => f.copy(name = physicalName(ren, f.name))))
-          ren.foldLeft(spark.read.schema(phys).parquet(paths: _*)) {
-            case (df, (ph, lo)) => df.withColumnRenamed(ph, lo)
-          }
+          schema.fields.zip(phys.fields)
+            .foldLeft(spark.read.schema(phys).parquet(paths: _*)) {
+              case (df, (lo, ph)) =>
+                if (lo.name == ph.name) df else df.withColumnRenamed(ph.name, lo.name)
+            }
         }
       case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
@@ -1396,12 +1427,20 @@ class VersionedTableOps(val store: CommitStore) {
       val b = read(spark, table, Some(vTo))
       // a RENAME between the versions changes logical names but not
       // positions or types; align the FROM side to the TO side's
-      // names so the multiset difference compares the same columns
+      // names ONLY when the positional PHYSICAL names match — a mere
+      // reorder of same-typed columns must fail loudly, not silently
+      // swap labels
       val a = if (a0.columns.sameElements(b.columns)) a0
         else {
-          require(a0.schema.fields.map(_.dataType).sameElements(
-            b.schema.fields.map(_.dataType)),
-            s"changesBetween across an incompatible schema change on $table")
+          val renA = manifestRenames(table, vFrom)
+          val renB = manifestRenames(table, vTo)
+          val physA = a0.columns.map(physicalName(renA, _))
+          val physB = b.columns.map(physicalName(renB, _))
+          require(physA.sameElements(physB) &&
+            a0.schema.fields.map(_.dataType).sameElements(
+              b.schema.fields.map(_.dataType)),
+            s"changesBetween across an incompatible schema change on $table " +
+              "(columns differ by more than a rename)")
           a0.toDF(b.columns: _*)
         }
       b.exceptAll(a).withColumn(change, lit("insert"))
@@ -1461,14 +1500,24 @@ class VersionedTableOps(val store: CommitStore) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
       // the stream schema's names are logical-at-(re)start; files
-      // carry stable PHYSICAL names. physicalName resolves a current
-      // logical to its file name and passes an already-physical
-      // (pre-rename start) name through unchanged — so the stream
-      // keeps emitting under the names it started with across a
-      // mid-stream rename
+      // carry stable PHYSICAL names. Resolution order per field:
+      // current logical → its physical; a name that IS a physical
+      // (map key, or never renamed) passes through; an INTERMEDIATE
+      // logical (the column was renamed AGAIN mid-stream) resolves
+      // through the retained manifest that recorded it — without
+      // this, a twice-renamed column would silently read as NULL
       val ren = manifestRenames(table, vTo)
+      val vToFields = manifestSchema(table, vTo)
+        .map(_.fieldNames.toSet).getOrElse(Set.empty[String])
+      def resolvePhysical(f: String): String =
+        if (vToFields.contains(f) || vToFields.isEmpty) physicalName(ren, f)
+        else if (ren.contains(f)) f // already a physical name
+        else versions(table).filter(_ <= vTo).reverse.collectFirst {
+          case v0 if manifestSchema(table, v0).exists(_.fieldNames.contains(f)) =>
+            physicalName(manifestRenames(table, v0), f)
+        }.getOrElse(f) // the rare intermediate-name path only
       val phys = org.apache.spark.sql.types.StructType(
-        schema.fields.map(f => f.copy(name = physicalName(ren, f.name))))
+        schema.fields.map(f => f.copy(name = resolvePhysical(f.name))))
       val raw = spark.read.schema(phys)
         .parquet(files.map(f => Paths.get(table, f).toString): _*)
       schema.fields.zip(phys.fields).foldLeft(raw) { case (df, (lo, ph)) =>
@@ -1712,10 +1761,11 @@ class VersionedTableOps(val store: CommitStore) {
       idx, new org.apache.spark.sql.types.StructType(), schema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       Map.empty[String, String])(spark)
-    val base = ren.foldLeft(
+    val base = logical.fields.zip(schema.fields).foldLeft(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .baseRelationToDataFrame(relation)) {
-      case (df, (ph, lo)) => df.withColumnRenamed(ph, lo) }
+      case (df, (lo, ph)) =>
+        if (lo.name == ph.name) df else df.withColumnRenamed(ph.name, lo.name) }
     // merge-on-read: subtract the version's deletion vectors, same
     // broadcast anti join as readFiles — filters on user columns
     // still reach the FileIndex (they sit below the join's stream

@@ -142,6 +142,31 @@ class VersionedStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a column renamed TWICE mid-stream still delivers values under the stream's start-time name") {
+    val t = fresh("ren2")
+    VersionedTable.overwrite(spark, t, dfRange(0, 50)) // (k, v)
+    VersionedTable.renameColumn(spark, t, "v", "metric")
+    // stream starts AFTER the first rename: its pinned schema says
+    // 'metric', an INTERMEDIATE logical once the second rename lands
+    val q = spark.readStream.format("graft.sources.VersionedStreamProvider")
+      .option("path", t).load()
+      .writeStream.format("memory").queryName("ren2").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select sum(metric) from ren2").head.getLong(0) ===
+        (0L until 50L).map(_ * 10).sum)
+      VersionedTable.renameColumn(spark, t, "metric", "score")
+      VersionedTable.append(spark, t,
+        spark.range(50, 60).select(col("id").as("k"), (col("id") * 10).as("score")))
+      q.processAllAvailable()
+      // the appended batch must arrive with VALUES (resolved through
+      // the rename chain to the stable physical name), not nulls
+      assert(spark.sql("select sum(metric) from ren2").head.getLong(0) ===
+        (0L until 60L).map(_ * 10).sum,
+        "twice-renamed column must not silently read as NULL mid-stream")
+    } finally q.stop()
+  }
+
   test("medallion hop: versioned read -> transform -> idempotent versioned append, exactly-once across restart") {
     // bronze -> silver entirely over the commit log: the stream READS
     // bronze versions (replayable — batches are pure functions of

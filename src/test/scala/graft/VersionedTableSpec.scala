@@ -651,6 +651,54 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     assert(ops.read(spark, t).count() === 234, "rows with metric > 700 deleted")
   }
 
+  test(s"[$backend] rename edge cases: physical names never free, stale entries stay inert") {
+    // (a) drop after rename: the map entry SURVIVES the drop, so the
+    // physical name stays blocked even after vacuum erases the
+    // manifests that recorded the old logical names
+    val t = freshTable("ren-edge")
+    ops.overwrite(spark, t, spark.range(0, 40).select(col("id").as("k"),
+      (col("id") * 2).as("m"), lit("A").as("v")))
+    ops.renameColumn(spark, t, "m", "metric")
+    ops.dropColumn(spark, t, "metric")
+    ops.compact(spark, t)
+    ops.vacuum(t, retain = 1, graceMs = 0)
+    intercept[IllegalArgumentException] {
+      ops.append(spark, t, spark.range(40, 41)
+        .select(col("id").as("k"), lit("B").as("v"), lit(7L).as("m")))
+    }
+    // (b) renaming TO a live physical name is refused — compaction
+    // rewrites under the SAME physical names, so they never free up
+    val t2 = freshTable("ren-phys")
+    ops.overwrite(spark, t2, spark.range(0, 40).select(col("id").as("k"),
+      (col("id") * 2).as("m"), lit("A").as("v")))
+    ops.renameColumn(spark, t2, "m", "metric")
+    ops.compact(spark, t2)
+    ops.vacuum(t2, retain = 1, graceMs = 0)
+    intercept[IllegalArgumentException] { ops.renameColumn(spark, t2, "v", "m") }
+    // (c) an overwrite may legitimately reuse a stale entry's physical
+    // name as a NEW column — per-field aliasing keeps the label right
+    val t3 = freshTable("ren-stale")
+    ops.overwrite(spark, t3, spark.range(0, 10).select(col("id").as("k"),
+      (col("id") * 2).as("m")))
+    ops.renameColumn(spark, t3, "m", "metric")
+    ops.overwrite(spark, t3, spark.range(0, 10).select(col("id").as("k"),
+      (col("id") * 5).as("m")))
+    val r = ops.read(spark, t3)
+    assert(r.columns.sorted.toSeq === Seq("k", "m"),
+      "stale map entry must not relabel the reused name")
+    assert(r.agg(sum("m")).head.getLong(0) === (0L until 10L).map(_ * 5).sum)
+    // (d) changesBetween refuses a pure column REORDER loudly instead
+    // of silently swapping labels
+    val t4 = freshTable("ren-reorder")
+    val va = ops.overwrite(spark, t4, spark.range(0, 5)
+      .select(lit("s").as("src"), lit("d").as("dst")))
+    val vb = ops.overwrite(spark, t4, spark.range(0, 5)
+      .select(lit("d").as("dst"), lit("s").as("src")))
+    intercept[IllegalArgumentException] {
+      ops.changesBetween(spark, t4, va, vb).collect()
+    }
+  }
+
   test(s"[$backend] chaos: N writers x M commits with compaction and vacuum interleaved") {
     // The round-7 stress (verdict item 7): the OCC retry closure was
     // spec-tested for ONE race; this drives sustained contention with
