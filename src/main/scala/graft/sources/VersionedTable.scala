@@ -71,8 +71,23 @@ class VersionedTableOps(val store: CommitStore) {
     * `"files": [...]` section so the schema field (which may contain
     * arbitrary escaped column names) can never be misread as a path.
     */
+  /** Highest manifest format this reader understands. A manifest
+    * declaring a HIGHER format is refused loudly — a future writer's
+    * semantics (say, a new kind of deletion vector) silently ignored
+    * by an old reader would return WRONG ROWS, and a clear refusal is
+    * the cheap insurance against that. Manifests without the field
+    * (every format so far) read as format 1.
+    */
+  val SupportedManifestFormat = 1
+
   private[sources] def manifestFiles(table: String, v: Long): Seq[String] = {
     val txt = store.read(commitsDir(table), manifestName(v))
+    val fmt = "\"format\": (\\d+)".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(1)
+    require(fmt <= SupportedManifestFormat,
+      s"manifest v$v of $table declares format $fmt, newer than this " +
+        s"reader's $SupportedManifestFormat — refusing to guess at its " +
+        "semantics; upgrade the reader")
     val section = "(?s)\"files\": \\[(.*?)\\]".r.findFirstMatchIn(txt)
       .map(_.group(1)).getOrElse(txt) // legacy manifests: whole body
     // one quoted relative path per array element, paths contain no
@@ -124,7 +139,7 @@ class VersionedTableOps(val store: CommitStore) {
         s"""    {"rphys": "${escStr(ph)}", "rlog": "${escStr(lo)}"}""" }
         .mkString("  \"renames\": [\n", ",\n", "\n  ],\n")
     val filesSec = files.map(f => "    \"" + f + "\"").mkString(
-      s"""{\n  "version": $v,\n  "op": "$op",\n""" +
+      s"""{\n  "version": $v,\n  "format": 1,\n  "op": "$op",\n""" +
         s"""  "ts": ${System.currentTimeMillis()},\n""" + txnSec + consSec + renSec +
         s"""  "schema": "${escStr(schema.json)}",\n  "files": [\n""",
       ",\n",

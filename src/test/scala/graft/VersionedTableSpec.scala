@@ -699,6 +699,24 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     }
   }
 
+  test(s"[$backend] manifest format versioning: a future format is refused, legacy reads as format 1") {
+    val t = freshTable("fmt")
+    ops.overwrite(spark, t, base)
+    // simulate a FUTURE writer publishing a format this reader does
+    // not understand — every read of that version must refuse loudly
+    // instead of guessing at unknown semantics
+    val future = ops.read(spark, t) // force v1 manifest to exist first
+    assert(future.count() === base.count())
+    val commits = java.nio.file.Paths.get(t, "_commits")
+    ops.store.putIfAbsent(commits, "v00000002.json",
+      s"""{\n  "version": 2,\n  "format": 99,\n  "op": "append",\n""" +
+        s"""  "files": [\n  ]\n}\n""")
+    val e = intercept[IllegalArgumentException] { ops.read(spark, t).count() }
+    assert(e.getMessage.contains("format 99"), e.getMessage)
+    // pinned reads of the OLD version still work
+    assert(ops.read(spark, t, Some(1L)).count() === base.count())
+  }
+
   test(s"[$backend] chaos: N writers x M commits with compaction and vacuum interleaved") {
     // The round-7 stress (verdict item 7): the OCC retry closure was
     // spec-tested for ONE race; this drives sustained contention with
