@@ -48,9 +48,18 @@ object MaterializedView {
     * version (the current one if already fresh — refresh is
     * idempotent at every level).
     */
+  /** Optional `where`: a SQL predicate over the SOURCE columns that
+    * defines the view's row scope (`SELECT keys, count, sums FROM src
+    * WHERE ... GROUP BY keys`). Filters DISTRIBUTE over the version
+    * delta — an inserted/deleted row outside the scope simply
+    * contributes nothing — so incremental maintenance stays exact
+    * under every mutation with no extra machinery. SQL three-valued
+    * semantics: NULL-evaluating rows are out of scope, matching what
+    * the full recompute's WHERE would keep.
+    */
   def refresh(spark: SparkSession, view: String, source: String,
       keyCols: Seq[String], sumCols: Seq[String],
-      viewKey: String = "mv"): Long = {
+      viewKey: String = "mv", where: Option[String] = None): Long = {
     val head = VersionedTable.versions(source).last
     // cursor AND state are pinned to ONE view snapshot (vView): a
     // racing refresher that commits between our cursor read and our
@@ -64,12 +73,13 @@ object MaterializedView {
     val cursor = vView.flatMap(v =>
       VersionedTable.lastTxn(view, appIdFor(viewKey), upTo = Some(v)))
     if (cursor.exists(_ >= head)) return VersionedTable.versions(view).last
-    val delta = cursor match {
+    val delta0 = cursor match {
       case Some(v) => VersionedTable.changesBetween(spark, source, v, head)
       case None => // first refresh: the head snapshot, all inserts
         VersionedTable.read(spark, source, Some(head))
           .withColumn("_change", lit("insert"))
     }
+    val delta = where.fold(delta0)(w => delta0.filter(expr(w)))
     val del = col("_change") === "delete"
     val aggs =
       sum(when(del, lit(-1L)).otherwise(lit(1L))).cast(LongType).as("mv_count") +:

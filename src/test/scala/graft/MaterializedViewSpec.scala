@@ -80,6 +80,36 @@ class MaterializedViewSpec extends SparkSpec {
     assertFresh(view, src, "after compaction")
   }
 
+  test("a WHERE-scoped view maintains exactly under append, delete, and upsert") {
+    val src = fresh("srcw")
+    val view = fresh("vieww")
+    def scoped = VersionedTable.read(spark, src).filter(col("v") >= 30.0)
+      .groupBy("k").agg(
+        count(lit(1)).cast("long").as("mv_count"),
+        sum(col("v").cast("decimal(18,4)")).cast("decimal(28,4)").as("mv_sum_v"))
+    def refreshIt(): Unit = MaterializedView.refresh(
+      spark, view, src, Seq("k"), Seq("v"), where = Some("v >= 30.0"))
+    def check(clue: String): Unit = {
+      val got = MaterializedView.read(spark, view)
+      assert(got.except(scoped).isEmpty && scoped.except(got).isEmpty,
+        s"$clue: scoped view != scoped recompute")
+    }
+    VersionedTable.overwrite(spark, src, rows(0, 100))
+    refreshIt(); check("initial")
+    VersionedTable.append(spark, src, rows(100, 140))
+    refreshIt(); check("after append (some rows out of scope)")
+    // a delete of IN-SCOPE rows subtracts; out-of-scope deletes are
+    // invisible to the view — both in one commit
+    VersionedTable.delete(spark, src, col("v") < 50.0)
+    refreshIt(); check("after delete straddling the scope boundary")
+    // an upsert that moves rows ACROSS the boundary: the old image
+    // leaves the scope (delete side) and the new one enters it
+    VersionedTable.upsert(spark, src,
+      rows(0, 140).filter(col("id").between(60, 69))
+        .withColumn("v", (col("v") * 100).cast("decimal(12,2)")), "id")
+    refreshIt(); check("after upsert moving rows across the scope")
+  }
+
   test("a fully deleted key leaves the view; view state is itself time-travelable") {
     val src = fresh("src2")
     val view = fresh("view2")
