@@ -1085,19 +1085,22 @@ object SparkEntry {
         |WHERE CAST(o_orderdate AS DATE)
         |  BETWEEN DATE '1997-07-01' AND DATE '1998-06-30'""".stripMargin,
     "q_zone_map_decimal" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price FROM orders
         |WHERE CAST(o_totalprice AS DECIMAL(12,2))
         |  BETWEEN 60000.00 AND 140000.00""".stripMargin,
     // q_optimize_cluster/zorder went through OPTIMIZE rewrites (sort
     // / Z-order layouts); the queries assert the file skipping, the
     // oracles are the plain filters a layout change must not affect
     "q_optimize_cluster" ->
-      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
         |FROM orders
         |WHERE CAST(o_totalprice AS DECIMAL(12,2))
         |  BETWEEN 60000.00 AND 140000.00""".stripMargin,
     "q_optimize_zorder" ->
-      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
         |FROM orders
         |WHERE o_custkey <= (SELECT max(o_custkey) // 4 FROM orders)
         |  AND CAST(o_totalprice AS DECIMAL(12,2)) <= 80000.00""".stripMargin,
@@ -1106,7 +1109,7 @@ object SparkEntry {
     // eliminated files); oracle = the plain two-predicate filter
     "q_zone_map_multi" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
-        |  CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price FROM orders
         |WHERE CAST(o_orderdate AS DATE)
         |    BETWEEN DATE '1997-07-01' AND DATE '1998-06-30'
         |  AND CAST(o_totalprice AS DECIMAL(12,2))
@@ -1138,7 +1141,7 @@ object SparkEntry {
       """SELECT o_orderkey,
         |  CASE WHEN CAST(o_totalprice AS DECIMAL(12,2)) > 200000.00
         |    THEN 'X-' || o_orderpriority ELSE o_orderpriority END AS o_orderpriority,
-        |  CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
         |FROM orders""".stripMargin,
     // q_delete_mor / q_update_mor: the merge-on-read twins — same
     // surviving-row semantics as the COW queries (the oracle can't
@@ -1154,7 +1157,7 @@ object SparkEntry {
       """SELECT o_orderkey,
         |  CASE WHEN CAST(o_totalprice AS DECIMAL(12,2)) > 200000.00
         |    THEN 'X-' || o_orderpriority ELSE o_orderpriority END AS o_orderpriority,
-        |  CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
         |FROM orders""".stripMargin,
     // q_count_meta: COUNT(*) from manifest + stats metadata (plus the
     // tiny deletion vector) — no data-file scan on the Spark side
@@ -1165,17 +1168,18 @@ object SparkEntry {
     // exactly the even-key v1 slice (file-list identity asserted
     // in-query — the restore moved zero data)
     "q_restore" ->
-      """SELECT s_suppkey, CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+      """SELECT s_suppkey, CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS s_acctbal
         |FROM supplier WHERE s_suppkey % 2 = 0""".stripMargin,
     // q_clone: the clone's head after divergence = the full base
     // snapshot (unaffected by src's later delete) plus the appended
     // +100.00 batch; zero-copy + vacuum-survival asserted in-query
     "q_clone" ->
-      """SELECT s_suppkey, s_nationkey, CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+      """SELECT s_suppkey, s_nationkey,
+        |       CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS s_acctbal
         |FROM supplier
         |UNION ALL
         |SELECT s_suppkey, s_nationkey,
-        |       CAST(CAST(s_acctbal AS DECIMAL(12,2)) + 100.00 AS DECIMAL(12,2)) AS s_acctbal
+        |       CAST(CAST(CAST(s_acctbal AS DECIMAL(12,2)) + 100.00 AS DECIMAL(12,2)) AS DOUBLE) AS s_acctbal
         |FROM supplier WHERE s_suppkey % 7 = 0""".stripMargin,
     // q_mat_view: incremental maintenance must be indistinguishable
     // from a full recompute of the defining aggregate over the rows
@@ -1193,35 +1197,38 @@ object SparkEntry {
     // nullness-clustered commits (all-null %4=0 slice excluded, %4=1
     // fully kept, %4>=2 kept only where %3=0 made the value non-null)
     "q_zone_map_nulls" ->
-      """SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+      """SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal
         |FROM customer WHERE c_custkey % 4 = 1
         |UNION ALL
-        |SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+        |SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal
         |FROM customer WHERE c_custkey % 4 >= 2 AND c_custkey % 3 = 0""".stripMargin,
     // q_check_constraint: the head after the valid append — the
     // violating append published nothing (asserted in-query)
     "q_check_constraint" ->
-      """SELECT s_suppkey, CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+      """SELECT s_suppkey, CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS s_acctbal
         |FROM supplier
         |UNION ALL
-        |SELECT s_suppkey + 100000, CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+        |SELECT s_suppkey + 100000,
+        |       CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS s_acctbal
         |FROM supplier WHERE s_suppkey % 5 = 0""".stripMargin,
     // q_rename_column: the head after the metadata-only rename + an
     // append under the new name (file identity asserted in-query);
     // pre-rename files' physical column translates at read
     "q_rename_column" ->
-      """SELECT s_suppkey, CAST(s_acctbal AS DECIMAL(12,2)) AS balance
+      """SELECT s_suppkey, CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS balance
         |FROM supplier
         |UNION ALL
-        |SELECT s_suppkey + 100000, CAST(s_acctbal AS DECIMAL(12,2)) AS balance
+        |SELECT s_suppkey + 100000,
+        |       CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS balance
         |FROM supplier WHERE s_suppkey % 4 = 0""".stripMargin,
     // q_drop_column: the head after the metadata-only drop + the
     // narrowed-schema append (file identity asserted in-query)
     "q_drop_column" ->
-      """SELECT s_suppkey, CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+      """SELECT s_suppkey, CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS s_acctbal
         |FROM supplier
         |UNION ALL
-        |SELECT s_suppkey + 100000, CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+        |SELECT s_suppkey + 100000,
+        |       CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS s_acctbal
         |FROM supplier WHERE s_suppkey % 3 = 0""".stripMargin,
     // q_table_changes: the v1->v2 CDC delta; both EXCEPT ALL
     // directions replayed over the same merge the upsert committed

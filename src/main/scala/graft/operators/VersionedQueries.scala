@@ -4,6 +4,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.{MaterializedView, VersionedTable}
 
+/** Output-boundary convention (round-8): DECIMAL math stays INTERNAL
+  * (the zone-map probes and native-literal residuals need the decimal
+  * column type in the committed files), but every decimal column that
+  * reaches the RETURNED frame is cast to double — the driver's gate
+  * hashes Spark output through pyarrow→pandas, where a DECIMAL column
+  * lands as dtype `object` (java.math.BigDecimal → decimal.Decimal)
+  * while the DuckDB oracle's .df() yields float64: equal values,
+  * unequal hash (the round-7 12-query regression class). The oracle
+  * SQL mirrors with CAST(... AS DOUBLE) on the same columns.
+  */
+
 /** Oracle-checked queries that route the lakehouse-maintenance shapes
   * THROUGH the VersionedTable commit log (round-6: the layer existed
   * but no query path used it — a real user's MERGE wants the
@@ -20,6 +31,20 @@ object VersionedQueries {
 
   private def freshTable(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-vq-$tag").toString + "/t"
+
+  /** The output boundary: every DECIMAL column in the frame a query
+    * RETURNS is cast to double (see the file header — representation
+    * stability under the driver's pyarrow→pandas hash). Internal
+    * frames are never passed through this.
+    */
+  private def outBoundary(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.DecimalType =>
+          d.withColumn(f.name, col(f.name).cast("double"))
+        case _ => d
+      }
+    }
 
   /** The target dim slice committed as version 1: customer keys not
     * divisible by 3 (so the upsert has genuine INSERTs), with their
@@ -150,7 +175,7 @@ object VersionedQueries {
     val (kept, total) = VersionedTable.filesForRange(table, "price", 60000d, 140000d, v)
     require(kept.size < total,
       s"decimal zone maps must skip the outer price bands (kept ${kept.size}/$total)")
-    VersionedTable.readRange(spark, table, "price", 60000d, 140000d, v)
+    outBoundary(VersionedTable.readRange(spark, table, "price", 60000d, 140000d, v))
   }
 
   /** q_zone_map_multi: CONJUNCTIVE multi-column skipping — orders
@@ -188,7 +213,7 @@ object VersionedQueries {
     require(kept.size < keptDate.size && kept.size < keptPrice.size,
       s"both predicates must eliminate files (multi ${kept.size} vs date " +
         s"${keptDate.size} / price ${keptPrice.size} of $total)")
-    VersionedTable.readRanges(spark, table, ranges, v)
+    outBoundary(VersionedTable.readRanges(spark, table, ranges, v))
   }
 
   /** q_zone_map_string: the STRING zone-map domain — orders committed
@@ -271,7 +296,7 @@ object VersionedQueries {
     require(VersionedTable.versions(table).last == vOk &&
       VersionedTable.read(spark, table).count() == rows,
       "the failed write must publish nothing")
-    VersionedTable.read(spark, table)
+    outBoundary(VersionedTable.read(spark, table))
   }
 
   /** q_drop_column: DROP COLUMN as a metadata-only commit — supplier
@@ -294,7 +319,7 @@ object VersionedQueries {
     VersionedTable.append(spark, table,
       all.filter(col("s_suppkey") % 3 === 0)
         .select((col("s_suppkey") + 100000L).as("s_suppkey"), col("s_acctbal")))
-    VersionedTable.read(spark, table)
+    outBoundary(VersionedTable.read(spark, table))
   }
 
   /** q_rename_column: RENAME COLUMN as a metadata-only commit —
@@ -319,7 +344,7 @@ object VersionedQueries {
       all.filter(col("s_suppkey") % 4 === 0)
         .select((col("s_suppkey") + 100000L).as("s_suppkey"),
           col("s_acctbal").as("balance")))
-    VersionedTable.read(spark, table)
+    outBoundary(VersionedTable.read(spark, table))
   }
 
   /** q_zone_map_nulls: NULL-COUNT zone maps under the oracle gate —
@@ -350,7 +375,8 @@ object VersionedQueries {
     val (keptN, _) =
       VersionedTable.filesForNullness(table, "c_acctbal", wantNull = true, v)
     require(keptN.size < total, "IS NULL must skip the fully-populated commit")
-    VersionedTable.readIndexed(spark, table, v).filter(col("c_acctbal").isNotNull)
+    outBoundary(
+      VersionedTable.readIndexed(spark, table, v).filter(col("c_acctbal").isNotNull))
   }
 
   /** q_table_changes: the CDC READ over the commit log — after the
@@ -461,8 +487,8 @@ object VersionedQueries {
       Seq("o_orderpriority" -> concat(lit("X-"), col("o_orderpriority"))))
     require(lowerBands(v1) == lowerBands(v0),
       "COW update must carry the untouched price bands' files by reference")
-    VersionedTable.read(spark, table, Some(v1))
-      .select(col("o_orderkey"), col("o_orderpriority"), col("price"))
+    outBoundary(VersionedTable.read(spark, table, Some(v1))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("price")))
   }
 
   /** q_delete_mor: [[qDeleteVersioned]]'s MERGE-ON-READ twin — the
@@ -523,8 +549,8 @@ object VersionedQueries {
       "MoR update must carry every original data file")
     require(VersionedTable.deletionVectors(table, Some(v1)).nonEmpty,
       "MoR update must tombstone the old images through a deletion vector")
-    VersionedTable.read(spark, table, Some(v1))
-      .select(col("o_orderkey"), col("o_orderpriority"), col("price"))
+    outBoundary(VersionedTable.read(spark, table, Some(v1))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("price")))
   }
 
   /** q_count_meta: COUNT(*) answered from manifests + committed file
@@ -562,7 +588,7 @@ object VersionedQueries {
     require(files(v3) == files(v1), "restore must republish v1's exact file list")
     require(VersionedTable.read(spark, table, Some(v2)).count() == all.count(),
       "the undone commit stays time-travelable")
-    VersionedTable.read(spark, table) // head == the restored snapshot
+    outBoundary(VersionedTable.read(spark, table)) // head == the restored snapshot
   }
 
   /** q_clone: SHALLOW CLONE as a dev-branch — supplier committed to
@@ -603,7 +629,7 @@ object VersionedQueries {
     // clone's hard links keep the shared bytes alive
     VersionedTable.compact(spark, src)
     VersionedTable.vacuum(src, retain = 1, graceMs = 0)
-    VersionedTable.read(spark, dst)
+    outBoundary(VersionedTable.read(spark, dst))
   }
 
   /** q_mat_view: an INCREMENTALLY MAINTAINED materialized view under
@@ -665,8 +691,8 @@ object VersionedQueries {
     val (kept, total) = VersionedTable.filesForRange(table, "price", 60000d, 140000d, v)
     require(kept.size < total,
       s"optimize must make the price probe skip files (kept ${kept.size}/$total)")
-    VersionedTable.readIndexed(spark, table, v)
-      .filter(col("price").between(lit(BigDecimal(60000)), lit(BigDecimal(140000))))
+    outBoundary(VersionedTable.readIndexed(spark, table, v)
+      .filter(col("price").between(lit(BigDecimal(60000)), lit(BigDecimal(140000)))))
   }
 
   /** q_optimize_zorder: Z-ORDER layout — orders rewritten with bit-
@@ -694,8 +720,8 @@ object VersionedQueries {
     val (keptP, totP) = VersionedTable.filesForRange(table, "price", 0d, 80000d, v)
     require(keptP.size < totP,
       s"z-order must skip on the price dimension (kept ${keptP.size}/$totP)")
-    VersionedTable.readIndexed(spark, table, v)
+    outBoundary(VersionedTable.readIndexed(spark, table, v)
       .filter(col("o_custkey") <= mx / 4 &&
-        col("price") <= lit(BigDecimal(80000)))
+        col("price") <= lit(BigDecimal(80000))))
   }
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, LongType, NumericType}
 
 /** Incrementally maintained materialized aggregate views over a
   * [[VersionedTable]] — the "incremental ETL" composition of the
@@ -80,11 +80,62 @@ object MaterializedView {
           .withColumn("_change", lit("insert"))
     }
     val delta = where.fold(delta0)(w => delta0.filter(expr(w)))
+    // OVERFLOW GUARDS (round-7 advisory): the per-row cast to the
+    // fixed sum type silently yields NULL under non-ANSI semantics
+    // when |value| >= 10^24 — sum() would skip the NULL while
+    // mv_count still counts the row, silently diverging from a full
+    // recompute. Three layers close it:
+    //  1. statically reject source types that cannot fit SumType
+    //     (wide decimals; non-numeric columns);
+    //  2. for float/double columns (the only in-range types whose
+    //     values can exceed 10^24), probe the DELTA for cast-overflow
+    //     rows — one cheap aggregate over rows the refresh scans
+    //     anyway — and fail loudly (integers/longs fit by range);
+    //  3. the merge-side re-cast raises instead of nulling (below).
+    sumCols.foreach { c =>
+      delta.schema(c).dataType match {
+        case d: DecimalType =>
+          require(d.precision - d.scale <= SumType.precision - SumType.scale,
+            s"sum column $c: ${d.simpleString} cannot be maintained exactly in " +
+              s"${SumType.simpleString}; narrow the source or widen the view type")
+        case _: NumericType => ()
+        case other => throw new IllegalArgumentException(
+          s"sum column $c has non-numeric type ${other.simpleString}")
+      }
+    }
+    val floaty = sumCols.filter(c => delta.schema(c).dataType match {
+      case DoubleType | FloatType => true
+      case _ => false
+    })
+    if (floaty.nonEmpty) {
+      // try_cast: NULL on overflow under BOTH ANSI and legacy modes —
+      // the probe itself must never throw mid-job, it must count
+      val probe = delta.agg(
+        count(lit(1)).as("__n"),
+        floaty.map(c => sum(when(col(c).isNotNull && col(c).try_cast(SumType).isNull,
+          1L).otherwise(0L)).as(c)): _*).head
+      floaty.zipWithIndex.foreach { case (c, i) =>
+        require(probe.getLong(i + 1) == 0L,
+          s"sum column $c: ${probe.getLong(i + 1)} delta rows overflow " +
+            s"${SumType.simpleString}; refusing a silently-divergent view")
+      }
+    }
     val del = col("_change") === "delete"
+    // per-row try_cast: the probe above proved no row overflows, so a
+    // NULL here can only be a source NULL — and under ANSI mode a
+    // plain cast of a probe-passed row cannot throw either
     val aggs =
       sum(when(del, lit(-1L)).otherwise(lit(1L))).cast(LongType).as("mv_count") +:
-        sumCols.map(c => sum(when(del, -col(c)).otherwise(col(c))
-          .cast(DecimalType(18, 4))).cast(SumType).as(s"mv_sum_$c"))
+        sumCols.map { c =>
+          val s = sum(when(del, -col(c)).otherwise(col(c)).try_cast(SumType))
+          // the sum itself widens to DECIMAL(38,4); a GROUP total past
+          // SumType's range must raise, not null (a legitimate NULL is
+          // s itself null: every value in the group was NULL)
+          when(s.isNotNull && s.try_cast(SumType).isNull,
+            raise_error(lit(s"materialized-view sum $c overflowed " +
+              s"${SumType.simpleString} in a delta group")))
+            .otherwise(s.try_cast(SumType)).as(s"mv_sum_$c")
+        }
     val deltaAgg = delta.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val valCols = "mv_count" +: sumCols.map(c => s"mv_sum_$c")
     val merged = cursor match {
@@ -94,8 +145,16 @@ object MaterializedView {
           .join(deltaAgg.as("d"), keyCols, "full_outer")
           .select(keyCols.map(col) ++ valCols.map { c =>
             val t = if (c == "mv_count") LongType else SumType
-            (coalesce(col(s"s.$c"), lit(0)) + coalesce(col(s"d.$c"), lit(0)))
-              .cast(t).as(c)
+            val added = coalesce(col(s"s.$c"), lit(0)) + coalesce(col(s"d.$c"), lit(0))
+            // the coalesces make `added` non-null, so a null try_cast
+            // can ONLY be overflow — raise instead of silently
+            // nulling the group's sum (guard layer 3; try_cast keeps
+            // the detection mode-independent)
+            val casted = added.try_cast(t)
+            when(casted.isNull,
+              raise_error(lit(s"materialized-view sum $c overflowed " +
+                s"${SumType.simpleString} on merge")))
+              .otherwise(casted).as(c)
           }: _*)
     }
     // a key whose rows are all deleted leaves the view entirely —

@@ -643,18 +643,23 @@ class VersionedTableOps(val store: CommitStore) {
     while (true) {
       val base = versions(table).lastOption.getOrElse(0L)
       val v = base + 1
-      val plan = try Some(planFor(base)) catch {
-        case _: java.nio.file.NoSuchFileException => None // base vacuumed under us
-      }
       // constraints AND renames follow the table: every commit
       // re-reads the BASE manifest's lists (fresh per retry, so a
       // racing ADD CONSTRAINT / RENAME is carried by the retried
-      // commit), unless the metadata ops themselves supply new ones
-      val consList = consOverride.map(_(base)).getOrElse(
-        if (base == 0) Nil else checkConstraints(table, Some(base)))
-      val renMap = renOverride.map(_(base)).getOrElse(
-        if (base == 0) Map.empty[String, String] else manifestRenames(table, base))
-      val won = plan.exists { case (schema, fs, dvs) =>
+      // commit), unless the metadata ops themselves supply new ones.
+      // The cons/ren reads sit INSIDE the same vacuumed-base guard as
+      // planFor: a vacuum racing this commit can surface
+      // NoSuchFileException from ANY base-manifest read, and the
+      // documented contract is retry-against-the-fresh-head, not crash
+      val plan = try Some((planFor(base),
+        consOverride.map(_(base)).getOrElse(
+          if (base == 0) Nil else checkConstraints(table, Some(base))),
+        renOverride.map(_(base)).getOrElse(
+          if (base == 0) Map.empty[String, String] else manifestRenames(table, base))))
+      catch {
+        case _: java.nio.file.NoSuchFileException => None // base vacuumed under us
+      }
+      val won = plan.exists { case ((schema, fs, dvs), consList, renMap) =>
         store.putIfAbsent(dir, manifestName(v),
           render(v, op, schema, fs, dvs, txn, consList, renMap)) }
       if (won) return v
@@ -957,7 +962,19 @@ class VersionedTableOps(val store: CommitStore) {
   private def enforceConstraints(table: String, df: DataFrame,
       cons: Seq[(String, String)]): Unit =
     if (cons.nonEmpty) {
-      val counts = df.agg(
+      // align the batch to the head schema first: an append may
+      // legitimately omit an evolved column (the committed read
+      // materializes it as NULL), and SQL CHECK three-valued semantics
+      // pass on NULL — without the typed-NULL fill, a constraint
+      // naming the omitted column would throw an unresolved-column
+      // AnalysisException on a batch the committed table would accept
+      val headFields = versions(table).lastOption
+        .flatMap(v => manifestSchema(table, v))
+        .map(_.fields.toSeq).getOrElse(Seq.empty)
+      val present = df.columns.toSet
+      val aligned = headFields.filterNot(f => present.contains(f.name))
+        .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+      val counts = aligned.agg(
         count(lit(1)).as("__n"),
         cons.map { case (name, e) =>
           sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(name)
@@ -1533,8 +1550,23 @@ class VersionedTableOps(val store: CommitStore) {
         }.getOrElse(f) // the rare intermediate-name path only
       val phys = org.apache.spark.sql.types.StructType(
         schema.fields.map(f => f.copy(name = resolvePhysical(f.name))))
-      val raw = spark.read.schema(phys)
-        .parquet(files.map(f => Paths.get(table, f).toString): _*)
+      def pinned(fs: Seq[String]): DataFrame = spark.read.schema(phys)
+        .parquet(fs.map(f => Paths.get(table, f).toString): _*)
+      // v1 can CARRY deletion vectors: cloneTable republishes the
+      // source's manifest verbatim, live MoR tombstones included — the
+      // initial snapshot is then NOT the raw files' rows, and emitting
+      // them unsubtracted would resurrect the deleted rows downstream.
+      // Subtract exactly like the batch read does. Later commits in
+      // the interval cannot introduce DVs here (a MoR delete/update is
+      // a rewrite op — refused or skipped by the match above).
+      val v1Dvs = if (adds.contains(1L)) manifestDvs(table, 1L) else Seq.empty[String]
+      val raw = if (v1Dvs.isEmpty) pinned(files) else {
+        val v1Files = manifestFiles(table, 1L)
+        val v1Part = dvAnti(spark, table, dvKeyed(pinned(v1Files)), v1Dvs)
+          .drop(DvFileCol, DvPosCol)
+        val rest = files.filterNot(v1Files.toSet)
+        if (rest.isEmpty) v1Part else v1Part.unionByName(pinned(rest))
+      }
       schema.fields.zip(phys.fields).foldLeft(raw) { case (df, (lo, ph)) =>
         if (lo.name == ph.name) df else df.withColumnRenamed(ph.name, lo.name) }
     }

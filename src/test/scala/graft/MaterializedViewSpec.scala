@@ -34,6 +34,36 @@ class MaterializedViewSpec extends SparkSpec {
       s"$clue: view != full recompute")
   }
 
+  test("overflow guards: a 10^24 delta row and a too-wide decimal both fail loudly") {
+    val src = fresh("ovf-src")
+    val view = fresh("ovf-view")
+    VersionedTable.overwrite(spark, src,
+      spark.range(0, 10).select((col("id") % 3).as("k"), (col("id") * 1.5).as("v")))
+    MaterializedView.refresh(spark, view, src, Seq("k"), Seq("v"))
+    val vBefore = VersionedTable.versions(view).last
+    // a double beyond DECIMAL(28,4)'s range would cast to NULL per row
+    // under non-ANSI semantics — sum() would skip it while mv_count
+    // still counted the row, silently diverging from a full recompute
+    VersionedTable.append(spark, src,
+      spark.range(0, 1).select(lit(99L).as("k"), lit(1e25).as("v")))
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.refresh(spark, view, src, Seq("k"), Seq("v"))
+    }
+    assert(e.getMessage.contains("overflow"))
+    assert(VersionedTable.versions(view).last === vBefore,
+      "the refused refresh must publish nothing")
+    // a source decimal too wide for the state type is rejected
+    // STATICALLY, before any data is scanned
+    val src2 = fresh("ovf-wide")
+    val view2 = fresh("ovf-wide-view")
+    VersionedTable.overwrite(spark, src2, spark.range(0, 5)
+      .select((col("id") % 2).as("k"), col("id").cast("decimal(30,0)").as("v")))
+    val e2 = intercept[IllegalArgumentException] {
+      MaterializedView.refresh(spark, view2, src2, Seq("k"), Seq("v"))
+    }
+    assert(e2.getMessage.contains("decimal(30,0)"))
+  }
+
   test("refresh tracks append, COW delete, MoR delete, upsert, compaction; replay is a no-op") {
     val src = fresh("src")
     val view = fresh("view")

@@ -48,6 +48,33 @@ class VersionedStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a clone carrying live MoR deletion vectors streams without resurrecting rows") {
+    val src = fresh("clonesrc")
+    val dst = fresh("clonedst")
+    VersionedTable.overwrite(spark, src, dfRange(0, 100))
+    VersionedTable.deleteMoR(spark, src, col("k") < 20)
+    // cloneTable republishes the source's manifest as dst's v1 —
+    // deletion vectors INCLUDED; the stream's initial-snapshot batch
+    // must subtract them (the round-7 advisory resurrection path)
+    VersionedTable.cloneTable(spark, src, dst)
+    assert(VersionedTable.deletionVectors(dst).nonEmpty,
+      "precondition: the clone's v1 carries the source's deletion vectors")
+    val q = spark.readStream.format("graft.sources.VersionedStreamProvider")
+      .option("path", dst).load()
+      .writeStream.format("memory").queryName("vclonedv").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select * from vclonedv").count() === 80,
+        "the v1 snapshot batch must subtract the inherited deletion vectors")
+      assert(spark.sql("select * from vclonedv where k < 20").count() === 0,
+        "no MoR-deleted row may be resurrected")
+      // appends after the clone still stream normally alongside the fix
+      VersionedTable.append(spark, dst, dfRange(100, 110))
+      q.processAllAvailable()
+      assert(spark.sql("select * from vclonedv").count() === 90)
+    } finally q.stop()
+  }
+
   test("skipRewrites skips non-append commits; startingVersion bounds the tail") {
     val t = fresh("skip")
     VersionedTable.overwrite(spark, t, dfRange(0, 50))

@@ -424,6 +424,31 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     assert(ops.read(spark, t).count() === n + 20)
   }
 
+  test(s"[$backend] CHECK naming an evolved column accepts a batch that omits it (NULL passes)") {
+    val t = freshTable("check-evolved")
+    ops.overwrite(spark, t, base) // columns (k, v)
+    // evolve: an append ADDS column w; older files read it as NULL
+    ops.append(spark, t, spark.range(500, 503)
+      .select(col("id").as("k"), lit("E").as("v"), (col("id") * 2).as("w")))
+    // the constraint names the evolved column — adding it validates the
+    // head (pre-evolution rows read w as NULL, and NULL passes CHECK)
+    ops.addCheckConstraint(spark, t, "w_big", "w > 100")
+    // the round-7 advisory path: a batch that legitimately OMITS w must
+    // be accepted (the committed read materializes w as NULL for its
+    // rows — same three-valued CHECK outcome), not die on an
+    // unresolved-column AnalysisException
+    val v = ops.append(spark, t,
+      spark.range(600, 602).select(col("id").as("k"), lit("O").as("v")))
+    assert(ops.versions(t).last === v)
+    assert(ops.read(spark, t).filter(col("k") >= 600 && col("w").isNull).count() === 2,
+      "the omitted column reads NULL for the new rows")
+    // and a batch that SUPPLIES a violating value still fails loudly
+    intercept[IllegalArgumentException] {
+      ops.append(spark, t, spark.range(700, 701)
+        .select(col("id").as("k"), lit("B").as("v"), lit(5L).as("w")))
+    }
+  }
+
   test(s"[$backend] CHECK constraints: write-time enforcement, atomic failure, manifest carry") {
     val t = freshTable("check")
     ops.overwrite(spark, t, base) // nation keys 0..24, names non-null

@@ -6,6 +6,7 @@ a tiny float report). Usage: check.py <sfdir> <verify_outdir>
 """
 import sys, os, json, math
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -31,17 +32,29 @@ def main(sfdir, outdir):
     names = sorted(d for d in os.listdir(outdir) if os.path.isdir(f"{outdir}/{d}"))
     n_pass = n_fail = 0
     for name in names:
-        # fetch each side ONCE as a pandas frame (the driver hashes via
-        # pandas, so both the values and the dtypes come from the same
-        # representation it sees); rows are derived from the frame, NULL
-        # floats arrive as NaN on both sides symmetrically
+        # GATE-FIDELITY RULE (round-8, after the round-7 12-query miss):
+        # the SPARK side must be read the way the DRIVER reads it —
+        # pyarrow → pandas — NOT through DuckDB. Reading both sides
+        # through DuckDB collapses e.g. a Spark DECIMAL output column to
+        # float64 on both sides, hiding exactly the representation
+        # divergence the driver hashes on (pyarrow gives dtype `object`
+        # holding decimal.Decimal; the DuckDB oracle's .df() gives
+        # float64 → hash_match=false despite equal values). The ORACLE
+        # side stays on DuckDB .df(), which is also the driver's path.
+        def rows_of(df):
+            return [tuple(None if v is None else v
+                          for v in r) for r in df.itertuples(index=False, name=None)]
+        def norm_types(df):
+            # datetime64 resolution (ns vs us) is storage detail shared
+            # by both readers' value space, not a divergence class
+            return {c: ("datetime64" if str(t).startswith("datetime64") else str(t))
+                    for c, t in df.dtypes.items()}
         def frame(sql):
             df = con.execute(sql).df()
-            rows = [tuple(None if v is None else v
-                          for v in r) for r in df.itertuples(index=False, name=None)]
-            return rows, list(df.columns), {c: str(t) for c, t in df.dtypes.items()}
+            return rows_of(df), list(df.columns), norm_types(df)
         try:
-            grows, gcols, gtypes = frame(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+            gdf = pq.read_table(f"{outdir}/{name}").to_pandas(date_as_object=False)
+            grows, gcols, gtypes = rows_of(gdf), list(gdf.columns), norm_types(gdf)
         except Exception as e:
             print(f"FAIL {name}: cannot read spark output: {e}"); n_fail += 1; continue
         if name not in oracle:
