@@ -141,6 +141,7 @@ object SparkEntry {
     "q_restore" -> (operators.VersionedQueries.qRestore _),
     "q_clone" -> (operators.VersionedQueries.qClone _),
     "q_mat_view" -> (operators.VersionedQueries.qMatView _),
+    "q_mat_view_join" -> (operators.VersionedQueries.qMatViewJoin _),
     "q_zone_map_nulls" -> (operators.VersionedQueries.qZoneMapNulls _),
     "q_check_constraint" -> (operators.VersionedQueries.qCheckConstraint _),
     "q_drop_column" -> (operators.VersionedQueries.qDropColumn _),
@@ -1189,6 +1190,18 @@ object SparkEntry {
       """SELECT o_custkey, count(*) AS mv_count,
         |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(18,4))) AS DOUBLE) AS mv_sum
         |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND NOT (CAST(o_totalprice AS DECIMAL(12,2)) < 50000.00)
+        |GROUP BY 1""".stripMargin,
+    // q_mat_view_join: the joined view's delta-join maintenance must
+    // land exactly at the from-scratch join-aggregate over the FINAL
+    // state of both sides (1997 fact minus the deleted small orders,
+    // the COMPLETE dim after its second append)
+    "q_mat_view_join" ->
+      """SELECT c_mktsegment, count(*) AS mv_count,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS DOUBLE) AS mv_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |  AND NOT (CAST(o_totalprice AS DECIMAL(12,2)) < 50000.00)

@@ -667,6 +667,54 @@ object VersionedQueries {
         col("mv_sum_o_totalprice").cast("double").as("mv_sum"))
   }
 
+  /** q_mat_view_join: an incrementally maintained JOINED materialized
+    * view under the oracle gate — the delta-join (DBToaster) shape:
+    * per-market-segment order spend, where orders (fact) and customers
+    * (dim) are SEPARATE versioned tables mutated independently. H1
+    * orders and a PARTIAL customer dim commit first (full refresh);
+    * H2 orders land as a fact-side append (ΔA ⋈ dim@cursor); the
+    * missing customers land as a dim-side append whose refresh joins
+    * the previously-DANGLING orders in (fact@head ⋈ ΔB); a predicate
+    * delete then folds small orders back out through the signed
+    * delta. Both source cursors commit atomically with each refresh
+    * (asserted). The oracle recomputes the defining join-aggregate
+    * from scratch over the final state of both sides — incremental
+    * delta-join maintenance must be indistinguishable from it.
+    */
+  def qMatViewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = freshTable("mvjfact")
+    val dim = freshTable("mvjdim")
+    val view = freshTable("mvjview")
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"),
+        col("o_orderdate"))
+    def half(lo: String, hi: String) = o
+      .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+        col("o_orderdate") < lit(hi).cast("timestamp"))
+      .drop("o_orderdate")
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    def refreshIt(): Long = MaterializedView.refreshJoin(spark, view, fact, dim,
+      Seq("custkey"), Seq("c_mktsegment"), Seq("o_totalprice"))
+    VersionedTable.overwrite(spark, fact, half("1997-01-01", "1997-07-01"))
+    VersionedTable.overwrite(spark, dim, c.filter(col("custkey") % 3 =!= 0))
+    refreshIt()
+    VersionedTable.append(spark, fact, half("1997-07-01", "1998-01-01"))
+    refreshIt()
+    VersionedTable.append(spark, dim, c.filter(col("custkey") % 3 === 0))
+    refreshIt()
+    VersionedTable.delete(spark, fact, col("o_totalprice") < 50000.00)
+    refreshIt()
+    require(MaterializedView.freshAsOfJoin(view) ==
+      ((Some(VersionedTable.versions(fact).last),
+        Some(VersionedTable.versions(dim).last))),
+      "both cursors must sit at their source heads")
+    MaterializedView.read(spark, view)
+      .select(col("c_mktsegment"), col("mv_count"),
+        col("mv_sum_o_totalprice").cast("double").as("mv_sum"))
+  }
+
   /** q_optimize_cluster: OPTIMIZE as layout maintenance — orders land
     * UNCLUSTERED (generator row order: every file's o_totalprice
     * interval spans the whole domain, so a range probe before

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, LongType, NumericType}
 
 /** Incrementally maintained materialized aggregate views over a
-  * [[VersionedTable]] — the "incremental ETL" composition of the
-  * lakehouse layer's own pieces, and the operational form of what
+  * [[VersionedTableOps]] table — the "incremental ETL" composition of
+  * the lakehouse layer's own pieces, and the operational form of what
   * q_incremental_agg demonstrates as a query shape:
   *
   *  - the DELTA comes from [[VersionedTableOps.changesBetween]], so a
@@ -15,16 +15,19 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, LongType,
   *    can afford to keep fresh and one you cannot), and a refresh
   *    after a DELETE/UPDATE commit folds the removed rows back OUT of
   *    the aggregate (counts and sums are abelian-group aggregates:
-  *    they merge under insertion AND deletion; min/max are
-  *    deliberately not offered — they are only semilattice-mergeable
-  *    and cannot be maintained under deletes without re-scanning);
+  *    they merge under insertion AND deletion; min/max are maintained
+  *    separately — see [[MaterializedViewOps.refreshMinMax]] — because
+  *    they are only semilattice-mergeable and need a delta-scoped
+  *    recompute when a delete touches the current extremum);
   *  - the REFRESH CURSOR is the view table's own (appId, txnVer)
   *    manifest watermark ([[VersionedTableOps.lastTxn]]): the source
   *    version a refresh consumed commits atomically WITH the
   *    refreshed state, so a crashed-and-rerun refresh is a no-op and
   *    two racing refreshers serialize on the fail-if-exists publish —
   *    exactly the idempotent-append machinery, reused as exactly-once
-  *    view maintenance;
+  *    view maintenance. A JOINED view carries BOTH source cursors in
+  *    ONE commit ([[VersionedTableOps.overwriteTxns]]) — no crash
+  *    window where the view is fresh against one source only;
   *  - the view STATE is itself a versioned table: atomic refreshes,
   *    time travel over past refresh states, vacuum — for free.
   *
@@ -34,7 +37,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, LongType,
   * group cardinality where that dominates, partition the view table
   * and upsert touched partitions instead (the delta names them).
   */
-object MaterializedView {
+class MaterializedViewOps(val vt: VersionedTableOps) {
 
   private val SumType = DecimalType(28, 4)
 
@@ -47,8 +50,8 @@ object MaterializedView {
     * as its transaction watermark. Returns the view's committed
     * version (the current one if already fresh — refresh is
     * idempotent at every level).
-    */
-  /** Optional `where`: a SQL predicate over the SOURCE columns that
+    *
+    * Optional `where`: a SQL predicate over the SOURCE columns that
     * defines the view's row scope (`SELECT keys, count, sums FROM src
     * WHERE ... GROUP BY keys`). Filters DISTRIBUTE over the version
     * delta — an inserted/deleted row outside the scope simply
@@ -60,7 +63,7 @@ object MaterializedView {
   def refresh(spark: SparkSession, view: String, source: String,
       keyCols: Seq[String], sumCols: Seq[String],
       viewKey: String = "mv", where: Option[String] = None): Long = {
-    val head = VersionedTable.versions(source).last
+    val head = vt.versions(source).last
     // cursor AND state are pinned to ONE view snapshot (vView): a
     // racing refresher that commits between our cursor read and our
     // state read would otherwise hand us ITS post-delta state while
@@ -69,17 +72,97 @@ object MaterializedView {
     // -> head), which is correct under any interleaving; the txn
     // watermark then makes whichever racer lands second a no-op or a
     // correct re-derivation, never a double count.
-    val vView = VersionedTable.versions(view).lastOption
+    val vView = vt.versions(view).lastOption
     val cursor = vView.flatMap(v =>
-      VersionedTable.lastTxn(view, appIdFor(viewKey), upTo = Some(v)))
-    if (cursor.exists(_ >= head)) return VersionedTable.versions(view).last
+      vt.lastTxn(view, appIdFor(viewKey), upTo = Some(v)))
+    if (cursor.exists(_ >= head)) return vt.versions(view).last
     val delta0 = cursor match {
-      case Some(v) => VersionedTable.changesBetween(spark, source, v, head)
+      case Some(v) => vt.changesBetween(spark, source, v, head)
       case None => // first refresh: the head snapshot, all inserts
-        VersionedTable.read(spark, source, Some(head))
+        vt.read(spark, source, Some(head))
           .withColumn("_change", lit("insert"))
     }
     val delta = where.fold(delta0)(w => delta0.filter(expr(w)))
+    foldDelta(spark, view, vView, cursor.isDefined, delta, keyCols, sumCols,
+      Seq(appIdFor(viewKey) -> head))
+  }
+
+  /** A JOINED view definition — the delta-join (DBToaster) shape:
+    *
+    * {{{ SELECT keys, count(*), sum(sumCols...)
+    *     FROM left JOIN right USING (joinKeys) [WHERE ...]
+    *     GROUP BY keys }}}
+    *
+    * maintained incrementally from BOTH sources' version deltas via
+    * the signed decomposition
+    *
+    * {{{ Δ(A ⋈ B) = ΔA ⋈ B@oldR  ∪  A@newL ⋈ ΔB }}}
+    *
+    * (the ΔA ⋈ ΔB cross term lives inside A@newL ⋈ ΔB; each joined
+    * row carries its delta row's insert/delete sign, and the fold is
+    * the same abelian count/sum merge as the single-table view). Cost
+    * per refresh: each delta joined against ONE snapshot of the other
+    * side — the deltas are small on the append fast path, so AQE
+    * broadcasts them against the big snapshot; never snapshot ⋈
+    * snapshot after the first refresh. Both source cursors commit
+    * atomically in the view's manifest ([[VersionedTableOps
+    * .overwriteTxns]]). Reading `right@oldR` requires the cursor
+    * version to still be retained — keep vacuum retention above the
+    * view's refresh lag, the same contract changesBetween carries.
+    *
+    * `left`/`right` columns must be disjoint apart from `joinKeys`
+    * (checked); `where` may reference columns of either side.
+    */
+  def refreshJoin(spark: SparkSession, view: String,
+      left: String, right: String, joinKeys: Seq[String],
+      keyCols: Seq[String], sumCols: Seq[String],
+      viewKey: String = "mvj", where: Option[String] = None): Long = {
+    val appL = s"${appIdFor(viewKey)}:left"
+    val appR = s"${appIdFor(viewKey)}:right"
+    val headL = vt.versions(left).last
+    val headR = vt.versions(right).last
+    val vView = vt.versions(view).lastOption
+    val curL = vView.flatMap(v => vt.lastTxn(view, appL, upTo = Some(v)))
+    val curR = vView.flatMap(v => vt.lastTxn(view, appR, upTo = Some(v)))
+    if (curL.exists(_ >= headL) && curR.exists(_ >= headR))
+      return vt.versions(view).last
+    // a view with commits but no join-cursor pair was maintained by
+    // something else (e.g. the single-source refresh) — silently
+    // adopting its state would merge deltas into an unrelated
+    // aggregate; only an EMPTY view can start a join history
+    require(vView.isEmpty || (curL.isDefined && curR.isDefined),
+      s"view $view has commits without this viewKey's cursor pair — " +
+        "not (yet) a refreshJoin view; start from an empty view table")
+    val lCols = vt.read(spark, left, Some(headL)).columns.toSet
+    val rCols = vt.read(spark, right, Some(headR)).columns.toSet
+    require((lCols intersect rCols) == joinKeys.toSet,
+      s"left/right columns must be disjoint apart from the join keys; " +
+        s"shared: ${(lCols intersect rCols).toSeq.sorted}")
+    val delta0 =
+      if (curL.isEmpty) {
+        vt.read(spark, left, Some(headL))
+          .join(vt.read(spark, right, Some(headR)), joinKeys)
+          .withColumn("_change", lit("insert"))
+      } else {
+        val dL = vt.changesBetween(spark, left, curL.get, headL)
+        val dR = vt.changesBetween(spark, right, curR.get, headR)
+        val part1 = dL.join(vt.read(spark, right, Some(curR.get)), joinKeys)
+        val part2 = vt.read(spark, left, Some(headL)).join(dR, joinKeys)
+        part1.unionByName(part2)
+      }
+    val delta = where.fold(delta0)(w => delta0.filter(expr(w)))
+    foldDelta(spark, view, vView, curL.isDefined, delta, keyCols, sumCols,
+      Seq(appL -> headL, appR -> headR))
+  }
+
+  /** Guard, aggregate and merge a SIGNED delta (`_change` column:
+    * insert/delete) into the view's pinned state, committing with the
+    * given watermarks — the shared core of every refresh flavor.
+    */
+  private def foldDelta(spark: SparkSession, view: String,
+      vView: Option[Long], hasState: Boolean, delta: DataFrame,
+      keyCols: Seq[String], sumCols: Seq[String],
+      txns: Seq[(String, Long)]): Long = {
     // OVERFLOW GUARDS (round-7 advisory): the per-row cast to the
     // fixed sum type silently yields NULL under non-ANSI semantics
     // when |value| >= 10^24 — sum() would skip the NULL while
@@ -91,7 +174,7 @@ object MaterializedView {
     //     values can exceed 10^24), probe the DELTA for cast-overflow
     //     rows — one cheap aggregate over rows the refresh scans
     //     anyway — and fail loudly (integers/longs fit by range);
-    //  3. the merge-side re-cast raises instead of nulling (below).
+    //  3. the group/merge re-casts raise instead of nulling (below).
     sumCols.foreach { c =>
       delta.schema(c).dataType match {
         case d: DecimalType =>
@@ -138,30 +221,27 @@ object MaterializedView {
         }
     val deltaAgg = delta.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val valCols = "mv_count" +: sumCols.map(c => s"mv_sum_$c")
-    val merged = cursor match {
-      case None => deltaAgg
-      case Some(_) =>
-        VersionedTable.read(spark, view, vView).as("s")
-          .join(deltaAgg.as("d"), keyCols, "full_outer")
-          .select(keyCols.map(col) ++ valCols.map { c =>
-            val t = if (c == "mv_count") LongType else SumType
-            val added = coalesce(col(s"s.$c"), lit(0)) + coalesce(col(s"d.$c"), lit(0))
-            // the coalesces make `added` non-null, so a null try_cast
-            // can ONLY be overflow — raise instead of silently
-            // nulling the group's sum (guard layer 3; try_cast keeps
-            // the detection mode-independent)
-            val casted = added.try_cast(t)
-            when(casted.isNull,
-              raise_error(lit(s"materialized-view sum $c overflowed " +
-                s"${SumType.simpleString} on merge")))
-              .otherwise(casted).as(c)
-          }: _*)
-    }
+    val merged =
+      if (!hasState) deltaAgg
+      else vt.read(spark, view, vView).as("s")
+        .join(deltaAgg.as("d"), keyCols, "full_outer")
+        .select(keyCols.map(col) ++ valCols.map { c =>
+          val t = if (c == "mv_count") LongType else SumType
+          val added = coalesce(col(s"s.$c"), lit(0)) + coalesce(col(s"d.$c"), lit(0))
+          // the coalesces make `added` non-null, so a null try_cast
+          // can ONLY be overflow — raise instead of silently
+          // nulling the group's sum (guard layer 3; try_cast keeps
+          // the detection mode-independent)
+          val casted = added.try_cast(t)
+          when(casted.isNull,
+            raise_error(lit(s"materialized-view sum $c overflowed " +
+              s"${SumType.simpleString} on merge")))
+            .otherwise(casted).as(c)
+        }: _*)
     // a key whose rows are all deleted leaves the view entirely —
     // count 0 is "no rows", which an aggregate over the source would
     // never emit
-    VersionedTable.overwriteTxn(spark, view,
-      merged.filter(col("mv_count") > 0), appIdFor(viewKey), head)
+    vt.overwriteTxns(spark, view, merged.filter(col("mv_count") > 0), txns)
   }
 
   /** The current view state (or a past refresh via `version` — the
@@ -169,11 +249,19 @@ object MaterializedView {
     */
   def read(spark: SparkSession, view: String,
       version: Option[Long] = None): DataFrame =
-    VersionedTable.read(spark, view, version)
+    vt.read(spark, view, version)
 
   /** Source version the view is consistent as of (None before the
     * first refresh).
     */
   def freshAsOf(view: String, viewKey: String = "mv"): Option[Long] =
-    VersionedTable.lastTxn(view, appIdFor(viewKey))
+    vt.lastTxn(view, appIdFor(viewKey))
+
+  /** The joined view's per-source freshness (left, right). */
+  def freshAsOfJoin(view: String,
+      viewKey: String = "mvj"): (Option[Long], Option[Long]) =
+    (vt.lastTxn(view, s"${appIdFor(viewKey)}:left"),
+      vt.lastTxn(view, s"${appIdFor(viewKey)}:right"))
 }
+
+object MaterializedView extends MaterializedViewOps(VersionedTable)

@@ -123,11 +123,22 @@ class VersionedTableOps(val store: CommitStore) {
 
   private def render(v: Long, op: String,
       schema: org.apache.spark.sql.types.StructType, files: Seq[String],
-      dvs: Seq[String], txn: Option[(String, Long)] = None,
+      dvs: Seq[String], txn: Seq[(String, Long)] = Nil,
       cons: Seq[(String, String)] = Nil,
       renames: Map[String, String] = Map.empty): String = {
-    val txnSec = txn.map { case (app, ver) =>
-      s"""  "txnApp": "${escStr(app)}",\n  "txnVer": $ver,\n""" }.getOrElse("")
+    // one watermark keeps the legacy top-level form byte-compatible;
+    // several (a joined materialized view committing BOTH source
+    // cursors atomically) render as a "txns" array whose objects carry
+    // the same adjacent txnApp/txnVer pair shape [[lastTxn]] scans for
+    // — old readers resolve either form, format stays 1 (additive)
+    val txnSec = txn match {
+      case Seq() => ""
+      case Seq((app, ver)) =>
+        s"""  "txnApp": "${escStr(app)}",\n  "txnVer": $ver,\n"""
+      case many => many.map { case (app, ver) =>
+        s"""    {"txnApp": "${escStr(app)}", "txnVer": $ver}""" }
+        .mkString("  \"txns\": [\n", ",\n", "\n  ],\n")
+    }
     val consSec =
       if (cons.isEmpty) ""
       else cons.map { case (n, e) =>
@@ -635,7 +646,7 @@ class VersionedTableOps(val store: CommitStore) {
     */
   private def commitDv(table: String, op: String,
       planFor: Long => (org.apache.spark.sql.types.StructType, Seq[String], Seq[String]),
-      txn: Option[(String, Long)] = None,
+      txn: Seq[(String, Long)] = Nil,
       consOverride: Option[Long => Seq[(String, String)]] = None,
       renOverride: Option[Long => Map[String, String]] = None): Long = {
     val dir = commitsDir(table)
@@ -1148,7 +1159,7 @@ class VersionedTableOps(val store: CommitStore) {
         (unionSchema(headSchema, stored),
           manifestFiles(table, base) ++ staged, manifestDvs(table, base))
       }
-    }, Some((appId, txnVer)))
+    }, Seq(appId -> txnVer))
     catch { case TxnAlreadyApplied => versions(table).last }
   }
 
@@ -1159,8 +1170,27 @@ class VersionedTableOps(val store: CommitStore) {
     * watermark commits atomically WITH the state it describes.
     */
   def overwriteTxn(spark: SparkSession, table: String, df: DataFrame,
-      appId: String, txnVer: Long): Long = {
-    def applied = lastTxn(table, appId).exists(_ >= txnVer)
+      appId: String, txnVer: Long): Long =
+    overwriteTxns(spark, table, df, Seq(appId -> txnVer))
+
+  /** [[overwriteTxn]] carrying SEVERAL (appId, txnVer) watermarks in
+    * the one commit — the primitive a JOINED materialized view needs:
+    * its state is consistent as of a cursor PAIR (one per source), and
+    * the pair must land atomically with the state (two separate
+    * commits would leave a crash window where the view claims
+    * freshness against one source but not the other). Replay rule:
+    * the write is a no-op only when EVERY watermark is already at or
+    * past its version — a partial match means new work from the other
+    * source and must commit (monotonicity of each appId's version is
+    * the caller's contract, as with [[appendIdempotent]]).
+    */
+  def overwriteTxns(spark: SparkSession, table: String, df: DataFrame,
+      txns: Seq[(String, Long)]): Long = {
+    require(txns.nonEmpty, "overwriteTxns needs at least one watermark")
+    require(txns.map(_._1).distinct.size == txns.size,
+      s"duplicate txn appIds: ${txns.map(_._1)}")
+    def applied = txns.forall { case (app, ver) =>
+      lastTxn(table, app).exists(_ >= ver) }
     if (applied) return versions(table).last
     val cons0 = headConstraints(table)
     val ren0 = versions(table).lastOption
@@ -1172,7 +1202,7 @@ class VersionedTableOps(val store: CommitStore) {
       requireRenamesUnchanged(table, base, ren0)
       enforceLate(spark, table, base, cons0, staged)
       (asStored(df.schema), staged, Nil)
-    }, Some((appId, txnVer)))
+    }, txns)
     catch { case TxnAlreadyApplied => versions(table).last }
   }
 

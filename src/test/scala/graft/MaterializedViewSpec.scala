@@ -2,18 +2,23 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.sources.{MaterializedView, VersionedTable}
+import graft.sources.{InMemoryCommitStore, MaterializedView, MaterializedViewOps, VersionedTableOps}
 
 /** Incrementally maintained materialized views (SURVEY §2.7): every
   * refresh must land the view EXACTLY at the full recompute of its
-  * defining aggregate over the source head — across append, predicate
-  * (copy-on-write) delete, MoR delete, upsert, and compaction commits
-  * — while the refresh cursor makes replays no-ops.
+  * defining aggregate over the source head(s) — across append,
+  * predicate (copy-on-write) delete, MoR delete, upsert, and
+  * compaction commits — while the refresh cursor makes replays
+  * no-ops. Backend-abstract: the IDENTICAL battery runs against the
+  * POSIX link store and the object-store conditional-put store.
   */
-class MaterializedViewSpec extends SparkSpec {
+abstract class MaterializedViewBattery(backend: String, mv: MaterializedViewOps)
+    extends SparkSpec {
+
+  private val vt = mv.vt
 
   private def fresh(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft-mv-$tag").toString + "/t"
+    java.nio.file.Files.createTempDirectory(s"graft-mv-$backend-$tag").toString + "/t"
 
   private def rows(lo: Long, hi: Long) =
     spark.range(lo, hi).select(
@@ -23,139 +28,247 @@ class MaterializedViewSpec extends SparkSpec {
 
   /** The view's defining aggregate, recomputed from scratch. */
   private def full(source: String): DataFrame =
-    VersionedTable.read(spark, source).groupBy("k").agg(
+    vt.read(spark, source).groupBy("k").agg(
       count(lit(1)).cast("long").as("mv_count"),
       sum(col("v").cast("decimal(18,4)")).cast("decimal(28,4)").as("mv_sum_v"))
 
   private def assertFresh(view: String, source: String, clue: String): Unit = {
-    val got = MaterializedView.read(spark, view)
+    val got = mv.read(spark, view)
     val want = full(source)
     assert(got.except(want).isEmpty && want.except(got).isEmpty,
       s"$clue: view != full recompute")
   }
 
-  test("overflow guards: a 10^24 delta row and a too-wide decimal both fail loudly") {
+  test(s"[$backend] overflow guards: a 10^24 delta row and a too-wide decimal both fail loudly") {
     val src = fresh("ovf-src")
     val view = fresh("ovf-view")
-    VersionedTable.overwrite(spark, src,
+    vt.overwrite(spark, src,
       spark.range(0, 10).select((col("id") % 3).as("k"), (col("id") * 1.5).as("v")))
-    MaterializedView.refresh(spark, view, src, Seq("k"), Seq("v"))
-    val vBefore = VersionedTable.versions(view).last
+    mv.refresh(spark, view, src, Seq("k"), Seq("v"))
+    val vBefore = vt.versions(view).last
     // a double beyond DECIMAL(28,4)'s range would cast to NULL per row
     // under non-ANSI semantics — sum() would skip it while mv_count
     // still counted the row, silently diverging from a full recompute
-    VersionedTable.append(spark, src,
+    vt.append(spark, src,
       spark.range(0, 1).select(lit(99L).as("k"), lit(1e25).as("v")))
     val e = intercept[IllegalArgumentException] {
-      MaterializedView.refresh(spark, view, src, Seq("k"), Seq("v"))
+      mv.refresh(spark, view, src, Seq("k"), Seq("v"))
     }
     assert(e.getMessage.contains("overflow"))
-    assert(VersionedTable.versions(view).last === vBefore,
+    assert(vt.versions(view).last === vBefore,
       "the refused refresh must publish nothing")
     // a source decimal too wide for the state type is rejected
     // STATICALLY, before any data is scanned
     val src2 = fresh("ovf-wide")
     val view2 = fresh("ovf-wide-view")
-    VersionedTable.overwrite(spark, src2, spark.range(0, 5)
+    vt.overwrite(spark, src2, spark.range(0, 5)
       .select((col("id") % 2).as("k"), col("id").cast("decimal(30,0)").as("v")))
     val e2 = intercept[IllegalArgumentException] {
-      MaterializedView.refresh(spark, view2, src2, Seq("k"), Seq("v"))
+      mv.refresh(spark, view2, src2, Seq("k"), Seq("v"))
     }
     assert(e2.getMessage.contains("decimal(30,0)"))
   }
 
-  test("refresh tracks append, COW delete, MoR delete, upsert, compaction; replay is a no-op") {
+  test(s"[$backend] refresh tracks append, COW delete, MoR delete, upsert, compaction; replay is a no-op") {
     val src = fresh("src")
     val view = fresh("view")
-    VersionedTable.overwrite(spark, src, rows(0, 100))
-    MaterializedView.refresh(spark, view, src, Seq("k"), Seq("v"))
+    vt.overwrite(spark, src, rows(0, 100))
+    mv.refresh(spark, view, src, Seq("k"), Seq("v"))
     assertFresh(view, src, "initial full refresh")
-    assert(MaterializedView.freshAsOf(view) === Some(1L))
+    assert(mv.freshAsOf(view) === Some(1L))
 
     // replay: already fresh — no new view version
-    val vBefore = VersionedTable.versions(view).last
-    MaterializedView.refresh(spark, view, src, Seq("k"), Seq("v"))
-    assert(VersionedTable.versions(view).last === vBefore, "fresh refresh must be a no-op")
+    val vBefore = vt.versions(view).last
+    mv.refresh(spark, view, src, Seq("k"), Seq("v"))
+    assert(vt.versions(view).last === vBefore, "fresh refresh must be a no-op")
 
     // append: delta is the appended files only (fast path)
-    VersionedTable.append(spark, src, rows(100, 160))
-    MaterializedView.refresh(spark, view, src, Seq("k"), Seq("v"))
+    vt.append(spark, src, rows(100, 160))
+    mv.refresh(spark, view, src, Seq("k"), Seq("v"))
     assertFresh(view, src, "after append")
 
     // predicate COW delete folds rows OUT of the aggregate
-    VersionedTable.delete(spark, src, col("v") < 30.0)
-    MaterializedView.refresh(spark, view, src, Seq("k"), Seq("v"))
+    vt.delete(spark, src, col("v") < 30.0)
+    mv.refresh(spark, view, src, Seq("k"), Seq("v"))
     assertFresh(view, src, "after COW delete")
 
     // MoR delete (deletion vector, same file list) must not read as an
     // empty delta
-    VersionedTable.deleteMoR(spark, src, col("v") > 150.0)
-    MaterializedView.refresh(spark, view, src, Seq("k"), Seq("v"))
+    vt.deleteMoR(spark, src, col("v") > 150.0)
+    mv.refresh(spark, view, src, Seq("k"), Seq("v"))
     assertFresh(view, src, "after MoR delete")
 
     // upsert rewrites values: delta carries delete(old)+insert(new)
-    VersionedTable.upsert(spark, src,
+    vt.upsert(spark, src,
       rows(0, 160).filter(col("id").between(39, 48))
         .withColumn("v", (col("v") * 2).cast("decimal(12,2)")), "id")
-    MaterializedView.refresh(spark, view, src, Seq("k"), Seq("v"))
+    mv.refresh(spark, view, src, Seq("k"), Seq("v"))
     assertFresh(view, src, "after upsert")
 
     // a row-preserving compaction yields an EMPTY delta: the view
     // version may advance its cursor but the state must not change
-    val stateBefore = MaterializedView.read(spark, view).collect().toSet
-    VersionedTable.compact(spark, src)
-    MaterializedView.refresh(spark, view, src, Seq("k"), Seq("v"))
-    assert(MaterializedView.read(spark, view).collect().toSet === stateBefore,
+    val stateBefore = mv.read(spark, view).collect().toSet
+    vt.compact(spark, src)
+    mv.refresh(spark, view, src, Seq("k"), Seq("v"))
+    assert(mv.read(spark, view).collect().toSet === stateBefore,
       "compaction must not move the view state")
     assertFresh(view, src, "after compaction")
   }
 
-  test("a WHERE-scoped view maintains exactly under append, delete, and upsert") {
+  test(s"[$backend] a WHERE-scoped view maintains exactly under append, delete, and upsert") {
     val src = fresh("srcw")
     val view = fresh("vieww")
-    def scoped = VersionedTable.read(spark, src).filter(col("v") >= 30.0)
+    def scoped = vt.read(spark, src).filter(col("v") >= 30.0)
       .groupBy("k").agg(
         count(lit(1)).cast("long").as("mv_count"),
         sum(col("v").cast("decimal(18,4)")).cast("decimal(28,4)").as("mv_sum_v"))
-    def refreshIt(): Unit = MaterializedView.refresh(
+    def refreshIt(): Unit = mv.refresh(
       spark, view, src, Seq("k"), Seq("v"), where = Some("v >= 30.0"))
     def check(clue: String): Unit = {
-      val got = MaterializedView.read(spark, view)
+      val got = mv.read(spark, view)
       assert(got.except(scoped).isEmpty && scoped.except(got).isEmpty,
         s"$clue: scoped view != scoped recompute")
     }
-    VersionedTable.overwrite(spark, src, rows(0, 100))
+    vt.overwrite(spark, src, rows(0, 100))
     refreshIt(); check("initial")
-    VersionedTable.append(spark, src, rows(100, 140))
+    vt.append(spark, src, rows(100, 140))
     refreshIt(); check("after append (some rows out of scope)")
     // a delete of IN-SCOPE rows subtracts; out-of-scope deletes are
     // invisible to the view — both in one commit
-    VersionedTable.delete(spark, src, col("v") < 50.0)
+    vt.delete(spark, src, col("v") < 50.0)
     refreshIt(); check("after delete straddling the scope boundary")
     // an upsert that moves rows ACROSS the boundary: the old image
     // leaves the scope (delete side) and the new one enters it
-    VersionedTable.upsert(spark, src,
+    vt.upsert(spark, src,
       rows(0, 140).filter(col("id").between(60, 69))
         .withColumn("v", (col("v") * 100).cast("decimal(12,2)")), "id")
     refreshIt(); check("after upsert moving rows across the scope")
   }
 
-  test("a fully deleted key leaves the view; view state is itself time-travelable") {
+  test(s"[$backend] a fully deleted key leaves the view; view state is itself time-travelable") {
     val src = fresh("src2")
     val view = fresh("view2")
     // two keys; key 1's rows will all be deleted
-    VersionedTable.overwrite(spark, src,
+    vt.overwrite(spark, src,
       spark.range(0, 20).select((col("id") % 2).as("k"),
         (col("id") + 1).cast("decimal(12,2)").as("v")))
-    MaterializedView.refresh(spark, view, src, Seq("k"), Seq("v"))
-    assert(MaterializedView.read(spark, view).count() === 2)
-    VersionedTable.delete(spark, src, col("k") === 1L)
-    MaterializedView.refresh(spark, view, src, Seq("k"), Seq("v"))
-    val got = MaterializedView.read(spark, view)
+    mv.refresh(spark, view, src, Seq("k"), Seq("v"))
+    assert(mv.read(spark, view).count() === 2)
+    vt.delete(spark, src, col("k") === 1L)
+    mv.refresh(spark, view, src, Seq("k"), Seq("v"))
+    val got = mv.read(spark, view)
     assert(got.count() === 1 && got.head.getLong(0) === 0L,
       "key with zero remaining rows must leave the view")
     // the first refresh's state is still readable at its version
-    val v1 = MaterializedView.read(spark, view, Some(1L))
+    val v1 = mv.read(spark, view, Some(1L))
     assert(v1.count() === 2, "past refresh states time-travel")
   }
+
+  // ---- joined views (delta-join maintenance) ----
+
+  private def lrows(lo: Long, hi: Long) =
+    spark.range(lo, hi).select(
+      col("id"),
+      (col("id") % 10).as("fk"),
+      (col("id") + 1).cast("decimal(12,2)").as("v"))
+
+  private def rrows(fks: Seq[Long], segOf: Long => Long) =
+    spark.createDataFrame(fks.map(f => (f, segOf(f)))).toDF("fk", "seg")
+
+  private def fullJoin(left: String, right: String): DataFrame =
+    vt.read(spark, left).join(vt.read(spark, right), "fk")
+      .groupBy("seg").agg(
+        count(lit(1)).cast("long").as("mv_count"),
+        sum(col("v").cast("decimal(18,4)")).cast("decimal(28,4)").as("mv_sum_v"))
+
+  test(s"[$backend] joined view: delta-join maintenance across mutations of EITHER side") {
+    val left = fresh("jl")
+    val right = fresh("jr")
+    val view = fresh("jv")
+    def refreshIt(): Long =
+      mv.refreshJoin(spark, view, left, right, Seq("fk"), Seq("seg"), Seq("v"))
+    def check(clue: String): Unit = {
+      val got = mv.read(spark, view)
+      val want = fullJoin(left, right)
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"$clue: joined view != full recompute of the join")
+    }
+    // right starts PARTIAL: left rows with fk 7..9 dangle (inner join)
+    vt.overwrite(spark, left, lrows(0, 100))
+    vt.overwrite(spark, right, rrows(0L to 6L, _ % 3))
+    refreshIt(); check("initial full join")
+    // both cursors land atomically in ONE commit
+    assert(mv.freshAsOfJoin(view) === (Some(1L), Some(1L)),
+      "one refresh commit must carry BOTH source watermarks")
+
+    // replay: fresh against both heads — no new version
+    val vBefore = vt.versions(view).last
+    refreshIt()
+    assert(vt.versions(view).last === vBefore, "fresh refreshJoin must be a no-op")
+
+    // ΔA path: left append joins against right@cursor
+    vt.append(spark, left, lrows(100, 150))
+    refreshIt(); check("after left append")
+
+    // ΔB path: the dangling fks appear — their left rows must join IN
+    vt.append(spark, right, rrows(7L to 9L, _ % 3))
+    refreshIt(); check("after right append (dangling rows join in)")
+
+    // signed delete on the left folds joined rows OUT
+    vt.delete(spark, left, col("v") < 30.0)
+    refreshIt(); check("after left COW delete")
+
+    // an upsert on the RIGHT reclassifies groups: delta carries
+    // delete(old seg)+insert(new seg) per touched fk, and every joined
+    // left row moves group — the A@new ⋈ ΔB term at work
+    vt.upsert(spark, right, rrows(0L to 2L, _ => 99L), "fk")
+    refreshIt(); check("after right upsert (group reclassification)")
+
+    // MoR delete on the right: fk 5's rows all leave the join
+    vt.deleteMoR(spark, right, col("fk") === 5L)
+    refreshIt(); check("after right MoR delete")
+
+    // row-preserving compaction of either side: empty delta, state fixed
+    val stateBefore = mv.read(spark, view).collect().toSet
+    vt.compact(spark, left)
+    vt.compact(spark, right)
+    refreshIt()
+    assert(mv.read(spark, view).collect().toSet === stateBefore,
+      "compaction of either side must not move the view state")
+    check("after compaction of both sides")
+  }
+
+  test(s"[$backend] joined view: a half-cursor view is refused, overlapping columns are refused") {
+    val left = fresh("jrl")
+    val right = fresh("jrr")
+    vt.overwrite(spark, left, lrows(0, 20))
+    vt.overwrite(spark, right, rrows(0L to 9L, _ % 3))
+    // a view maintained by the SINGLE-source refresh must not be
+    // silently adopted by refreshJoin (its state would not match the
+    // join) — the cursor-pair check refuses it
+    val view = fresh("jrv")
+    mv.refresh(spark, view, left, Seq("fk"), Seq("v"))
+    intercept[IllegalArgumentException] {
+      mv.refreshJoin(spark, view, left, right, Seq("fk"), Seq("seg"), Seq("v"))
+    }
+    // shared non-key columns are ambiguous downstream — refused
+    val right2 = fresh("jrr2")
+    vt.overwrite(spark, right2,
+      rrows(0L to 9L, _ % 3).withColumn("v", lit(1L)))
+    val view2 = fresh("jrv2")
+    intercept[IllegalArgumentException] {
+      mv.refreshJoin(spark, view2, left, right2, Seq("fk"), Seq("seg"), Seq("v"))
+    }
+  }
 }
+
+/** The default POSIX deployment: publish via hard link. */
+class MaterializedViewSpec
+  extends MaterializedViewBattery("link", MaterializedView)
+
+/** Object-store semantics: the same battery over the conditional-put
+  * manifest namespace.
+  */
+class MaterializedViewObjectStoreSpec
+  extends MaterializedViewBattery("objectstore",
+    new MaterializedViewOps(new VersionedTableOps(new InMemoryCommitStore)))
