@@ -142,6 +142,7 @@ object SparkEntry {
     "q_clone" -> (operators.VersionedQueries.qClone _),
     "q_mat_view" -> (operators.VersionedQueries.qMatView _),
     "q_mat_view_join" -> (operators.VersionedQueries.qMatViewJoin _),
+    "q_mat_view_minmax" -> (operators.VersionedQueries.qMatViewMinMax _),
     "q_zone_map_nulls" -> (operators.VersionedQueries.qZoneMapNulls _),
     "q_check_constraint" -> (operators.VersionedQueries.qCheckConstraint _),
     "q_drop_column" -> (operators.VersionedQueries.qDropColumn _),
@@ -1193,6 +1194,18 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |  AND NOT (CAST(o_totalprice AS DECIMAL(12,2)) < 50000.00)
+        |GROUP BY 1""".stripMargin,
+    // q_mat_view_minmax: semilattice merges (append) + delta-scoped
+    // recompute (top-band delete touched the stored maxima) must land
+    // exactly at the from-scratch extrema over the surviving rows
+    "q_mat_view_minmax" ->
+      """SELECT o_custkey, count(*) AS mv_count,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS mv_min,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS mv_max
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND NOT (CAST(o_totalprice AS DECIMAL(12,2)) > 300000.00)
         |GROUP BY 1""".stripMargin,
     // q_mat_view_join: the joined view's delta-join maintenance must
     // land exactly at the from-scratch join-aggregate over the FINAL

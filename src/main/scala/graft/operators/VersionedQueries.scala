@@ -667,6 +667,41 @@ object VersionedQueries {
         col("mv_sum_o_totalprice").cast("double").as("mv_sum"))
   }
 
+  /** q_mat_view_minmax: the MIN/MAX materialized view under the
+    * oracle gate — 1997-H1 per-customer order-price extrema committed
+    * and refreshed; H2 lands as an append (pure semilattice merge, no
+    * rescan); a predicate DELETE then removes the TOP price band — the
+    * exact case min/max cannot absorb as state math: the touched
+    * groups' maxima recompute delta-scoped against the head snapshot
+    * while untouched groups keep their stored extrema. The oracle
+    * recomputes count/min/max from scratch over the surviving rows —
+    * the two maintenance regimes must be indistinguishable from it.
+    */
+  def qMatViewMinMax(spark: SparkSession, dir: String): DataFrame = {
+    val src = freshTable("mvxsrc")
+    val view = freshTable("mvxview")
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"),
+        col("o_orderdate"))
+    def half(lo: String, hi: String) = o
+      .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+        col("o_orderdate") < lit(hi).cast("timestamp"))
+      .drop("o_orderdate")
+    VersionedTable.overwrite(spark, src, half("1997-01-01", "1997-07-01"))
+    MaterializedView.refreshMinMax(spark, view, src, Seq("o_custkey"), Seq("o_totalprice"))
+    VersionedTable.append(spark, src, half("1997-07-01", "1998-01-01"))
+    MaterializedView.refreshMinMax(spark, view, src, Seq("o_custkey"), Seq("o_totalprice"))
+    VersionedTable.delete(spark, src, col("o_totalprice") > 300000.00)
+    MaterializedView.refreshMinMax(spark, view, src, Seq("o_custkey"), Seq("o_totalprice"))
+    require(MaterializedView.freshAsOf(view, "mvx").contains(
+      VersionedTable.versions(src).last), "cursor must sit at the source head")
+    MaterializedView.read(spark, view)
+      .select(col("o_custkey"), col("mv_count"),
+        col("mv_min_o_totalprice").cast("double").as("mv_min"),
+        col("mv_max_o_totalprice").cast("double").as("mv_max"))
+  }
+
   /** q_mat_view_join: an incrementally maintained JOINED materialized
     * view under the oracle gate — the delta-join (DBToaster) shape:
     * per-market-segment order spend, where orders (fact) and customers

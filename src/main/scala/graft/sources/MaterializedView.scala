@@ -244,6 +244,111 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
     vt.overwriteTxns(spark, view, merged.filter(col("mv_count") > 0), txns)
   }
 
+  /** A MIN/MAX view: per-`keyCols` `mv_count`, `mv_min_c`, `mv_max_c`
+    * for each of `cols` — the aggregates [[refresh]] deliberately does
+    * not offer, because they are only SEMILATTICE-mergeable: an insert
+    * can only improve an extremum (`least`/`greatest` merge, no
+    * rescan), but a delete of the current extremum invalidates it and
+    * no amount of stored state can answer "what is the runner-up"
+    * without looking at the data again.
+    *
+    * Maintenance rule per (group, refresh):
+    *  - inserts: extrema merge in as `least(stored, min(inserted))` /
+    *    `greatest(stored, max(inserted))` — pure state math;
+    *  - deletes: a group needs a recompute ONLY when a deleted value
+    *    TOUCHES its stored extremum (`deleted_min <= stored_min` or
+    *    `deleted_max >= stored_max`); all other deletes provably leave
+    *    the extrema alone. Recompute is DELTA-SCOPED: one aggregate
+    *    over `source@head` semi-joined to just the touched groups —
+    *    at 100 TB that scan carries the source's zone maps (a
+    *    key-clustered layout prunes it to the touched groups' files),
+    *    and a refresh after pure appends never rescans anything.
+    *
+    * Counts ride along (same abelian fold as [[refresh]]), so the
+    * fully-deleted-group rule stays: count 0 leaves the view. `where`
+    * scopes rows exactly as in [[refresh]], including the recompute
+    * scan. `cols` must be orderable scalar types.
+    */
+  def refreshMinMax(spark: SparkSession, view: String, source: String,
+      keyCols: Seq[String], cols: Seq[String],
+      viewKey: String = "mvx", where: Option[String] = None): Long = {
+    import org.apache.spark.sql.types._
+    val head = vt.versions(source).last
+    val vView = vt.versions(view).lastOption
+    val cursor = vView.flatMap(v =>
+      vt.lastTxn(view, appIdFor(viewKey), upTo = Some(v)))
+    if (cursor.exists(_ >= head)) return vt.versions(view).last
+    val delta0 = cursor match {
+      case Some(v) => vt.changesBetween(spark, source, v, head)
+      case None => vt.read(spark, source, Some(head))
+        .withColumn("_change", lit("insert"))
+    }
+    val delta = where.fold(delta0)(w => delta0.filter(expr(w)))
+    cols.foreach { c =>
+      delta.schema(c).dataType match {
+        case _: NumericType | StringType | DateType | TimestampType | BooleanType => ()
+        case other => throw new IllegalArgumentException(
+          s"min/max column $c has non-orderable-scalar type ${other.simpleString}")
+      }
+    }
+    val del = col("_change") === "delete"
+    val aggs =
+      sum(when(del, lit(-1L)).otherwise(lit(1L))).cast(LongType).as("mv_count") +:
+        cols.flatMap(c => Seq(
+          min(when(!del, col(c))).as(s"__ins_min_$c"),
+          max(when(!del, col(c))).as(s"__ins_max_$c"),
+          min(when(del, col(c))).as(s"__del_min_$c"),
+          max(when(del, col(c))).as(s"__del_max_$c")))
+    val deltaAgg = delta.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val txns = Seq(appIdFor(viewKey) -> head)
+    if (cursor.isEmpty) {
+      // first refresh: the head snapshot IS the state — deltas are all
+      // inserts, extrema are the plain group min/max
+      val init = deltaAgg.select(keyCols.map(col) ++ (col("mv_count") +:
+        cols.flatMap(c => Seq(
+          col(s"__ins_min_$c").as(s"mv_min_$c"),
+          col(s"__ins_max_$c").as(s"mv_max_$c")))): _*)
+        .filter(col("mv_count") > 0)
+      return vt.overwriteTxns(spark, view, init, txns)
+    }
+    // a delete touches a group's extremum iff its deleted-side min/max
+    // reaches the stored one; everything else merges as pure state
+    val touches = cols.map(c =>
+      (col(s"d.__del_min_$c").isNotNull && col(s"s.mv_min_$c").isNotNull &&
+        col(s"d.__del_min_$c") <= col(s"s.mv_min_$c")) ||
+      (col(s"d.__del_max_$c").isNotNull && col(s"s.mv_max_$c").isNotNull &&
+        col(s"d.__del_max_$c") >= col(s"s.mv_max_$c"))).reduce(_ || _)
+    val cand = vt.read(spark, view, vView).as("s")
+      .join(deltaAgg.as("d"), keyCols, "full_outer")
+      .select(keyCols.map(col) ++ (Seq(
+        (coalesce(col("s.mv_count"), lit(0L)) + coalesce(col("d.mv_count"), lit(0L)))
+          .cast(LongType).as("mv_count"),
+        coalesce(touches, lit(false)).as("__recompute")) ++
+        cols.flatMap(c => Seq(
+          least(col(s"s.mv_min_$c"), col(s"d.__ins_min_$c")).as(s"mv_min_$c"),
+          greatest(col(s"s.mv_max_$c"), col(s"d.__ins_max_$c")).as(s"mv_max_$c")))): _*)
+      .filter(col("mv_count") > 0)
+      // consumed twice (recompute key set + final merge): pin the plan
+      .localCheckpoint(false)
+    val needKeys = cand.filter(col("__recompute")).select(keyCols.map(col): _*)
+    val srcHead = where.fold(vt.read(spark, source, Some(head)))(w =>
+      vt.read(spark, source, Some(head)).filter(expr(w)))
+    val recAggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"__rec_min_$c"),
+      max(col(c)).as(s"__rec_max_$c")))
+    val rec = srcHead.join(needKeys, keyCols, "left_semi")
+      .groupBy(keyCols.map(col): _*)
+      .agg(recAggs.head, recAggs.tail: _*)
+    val fin = cand.as("c").join(rec.as("r"), keyCols, "left_outer")
+      .select(keyCols.map(col) ++ (col("c.mv_count").as("mv_count") +:
+        cols.flatMap(c => Seq(
+          when(col("c.__recompute"), col(s"r.__rec_min_$c"))
+            .otherwise(col(s"c.mv_min_$c")).as(s"mv_min_$c"),
+          when(col("c.__recompute"), col(s"r.__rec_max_$c"))
+            .otherwise(col(s"c.mv_max_$c")).as(s"mv_max_$c")))): _*)
+    vt.overwriteTxns(spark, view, fin, txns)
+  }
+
   /** The current view state (or a past refresh via `version` — the
     * state table is versioned like any other).
     */

@@ -164,6 +164,94 @@ abstract class MaterializedViewBattery(backend: String, mv: MaterializedViewOps)
     assert(v1.count() === 2, "past refresh states time-travel")
   }
 
+  // ---- min/max views (semilattice + delta-scoped recompute) ----
+
+  private def fullMinMax(source: String): DataFrame =
+    vt.read(spark, source).groupBy("k").agg(
+      count(lit(1)).cast("long").as("mv_count"),
+      min("v").as("mv_min_v"),
+      max("v").as("mv_max_v"))
+
+  test(s"[$backend] min/max view == recompute across the COW/MoR delete battery") {
+    val src = fresh("mmsrc")
+    val view = fresh("mmview")
+    def refreshIt(): Long =
+      mv.refreshMinMax(spark, view, src, Seq("k"), Seq("v"))
+    def check(clue: String): Unit = {
+      val got = mv.read(spark, view)
+      val want = fullMinMax(src)
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"$clue: min/max view != full recompute")
+    }
+    vt.overwrite(spark, src, rows(0, 100))
+    refreshIt(); check("initial")
+
+    // pure append: extrema merge as a semilattice — max improves
+    vt.append(spark, src, rows(100, 160))
+    refreshIt(); check("after append improving maxima")
+
+    // a NULL-valued row: count moves, extrema don't
+    vt.append(spark, src, spark.range(0, 1).select(
+      lit(900L).as("id"), lit(1L).as("k"),
+      lit(null).cast("decimal(12,2)").as("v")))
+    refreshIt(); check("after a NULL-valued append")
+
+    // interior COW delete: touches NO extremum — pure state math
+    vt.delete(spark, src, col("v").between(50.0, 60.0))
+    refreshIt(); check("after interior delete (no extremum touched)")
+
+    // delete OF the minima: the touched groups recompute, delta-scoped
+    vt.delete(spark, src, col("v") < 10.0)
+    refreshIt(); check("after deleting the minima")
+
+    // MoR delete of the maxima: same rule through a deletion vector
+    vt.deleteMoR(spark, src, col("v") > 150.0)
+    refreshIt(); check("after MoR-deleting the maxima")
+
+    // upsert that MOVES an extremum (delete old image + insert new)
+    vt.upsert(spark, src,
+      rows(0, 160).filter(col("id").between(70, 75))
+        .withColumn("v", (col("v") * 3).cast("decimal(12,2)")), "id")
+    refreshIt(); check("after upsert moving extrema")
+
+    // a fully deleted key leaves the view
+    vt.delete(spark, src, col("k") === 3L)
+    refreshIt(); check("after deleting every row of one key")
+    assert(mv.read(spark, view).filter(col("k") === 3L).count() === 0)
+
+    // compaction: empty delta, state fixed; replay: no-op
+    val stateBefore = mv.read(spark, view).collect().toSet
+    vt.compact(spark, src)
+    refreshIt()
+    assert(mv.read(spark, view).collect().toSet === stateBefore)
+    val vBefore = vt.versions(view).last
+    refreshIt()
+    assert(vt.versions(view).last === vBefore, "fresh refresh must be a no-op")
+  }
+
+  test(s"[$backend] a WHERE-scoped min/max view recomputes inside its scope only") {
+    val src = fresh("mmw-src")
+    val view = fresh("mmw-view")
+    def scoped = vt.read(spark, src).filter(col("v") >= 20.0)
+      .groupBy("k").agg(
+        count(lit(1)).cast("long").as("mv_count"),
+        min("v").as("mv_min_v"), max("v").as("mv_max_v"))
+    def refreshIt(): Unit = mv.refreshMinMax(
+      spark, view, src, Seq("k"), Seq("v"), where = Some("v >= 20.0"))
+    def check(clue: String): Unit = {
+      val got = mv.read(spark, view)
+      assert(got.except(scoped).isEmpty && scoped.except(got).isEmpty,
+        s"$clue: scoped min/max view != scoped recompute")
+    }
+    vt.overwrite(spark, src, rows(0, 100))
+    refreshIt(); check("initial")
+    // the scope boundary IS the stored minimum (v=20 rows): deleting
+    // it must recompute against the SCOPED source, not the full one —
+    // an unscoped recompute would resurrect v<20 values as minima
+    vt.delete(spark, src, col("v").between(20.0, 25.0))
+    refreshIt(); check("after deleting the scoped minima")
+  }
+
   // ---- joined views (delta-join maintenance) ----
 
   private def lrows(lo: Long, hi: Long) =
