@@ -143,6 +143,8 @@ object SparkEntry {
     "q_mat_view" -> (operators.VersionedQueries.qMatView _),
     "q_mat_view_join" -> (operators.VersionedQueries.qMatViewJoin _),
     "q_mat_view_minmax" -> (operators.VersionedQueries.qMatViewMinMax _),
+    "q_drop_partition" -> (operators.VersionedQueries.qDropPartition _),
+    "q_multi_commit" -> (operators.VersionedQueries.qMultiCommit _),
     "q_zone_map_nulls" -> (operators.VersionedQueries.qZoneMapNulls _),
     "q_check_constraint" -> (operators.VersionedQueries.qCheckConstraint _),
     "q_drop_column" -> (operators.VersionedQueries.qDropColumn _),
@@ -1195,6 +1197,21 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |  AND NOT (CAST(o_totalprice AS DECIMAL(12,2)) < 50000.00)
         |GROUP BY 1""".stripMargin,
+    // q_multi_commit: after two atomic multi-table transactions, the
+    // catalog-pinned join must equal the plain join over the complete
+    // source tables (the protocol asserts live in-query)
+    "q_multi_commit" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS DOUBLE) AS spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    // q_drop_partition: after the metadata-only drop of the 3-MEDIUM
+    // value directory, the head reads exactly the other priorities'
+    // rows (file-subtraction identity asserted in-query)
+    "q_drop_partition" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderpriority <> '3-MEDIUM'""".stripMargin,
     // q_mat_view_minmax: semilattice merges (append) + delta-scoped
     // recompute (top-band delete touched the stored maxima) must land
     // exactly at the from-scratch extrema over the surviving rows

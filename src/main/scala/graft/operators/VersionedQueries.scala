@@ -667,6 +667,75 @@ object VersionedQueries {
         col("mv_sum_o_totalprice").cast("double").as("mv_sum"))
   }
 
+  /** q_multi_commit: MULTI-TABLE atomic transactions under the oracle
+    * gate — a fact (orders) and a dim (customer) table enrolled in one
+    * catalog, written by two `appendAll` transactions (the second
+    * touches only the fact side, so the dim's pin must CARRY). The
+    * returned frame reads BOTH tables through the catalog snapshot's
+    * pinned versions — the consistent cross-table read the catalog
+    * exists for — and joins them into a per-segment spend aggregate
+    * the oracle replays over the complete source tables. In-query
+    * asserts pin the protocol: one catalog version per transaction,
+    * snapshot pins at the member heads.
+    */
+  def qMultiCommit(spark: SparkSession, dir: String): DataFrame = {
+    val fact = freshTable("mcfact")
+    val dim = freshTable("mcdim")
+    val cat = freshTable("mccat")
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    val c = t(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    VersionedTable.overwrite(spark, fact, o.filter(col("o_custkey") % 3 === 0))
+    VersionedTable.overwrite(spark, dim, c.filter(col("c_custkey") % 2 === 0))
+    VersionedTable.appendAll(spark, cat, Seq(
+      fact -> o.filter(col("o_custkey") % 3 === 1),
+      dim -> c.filter(col("c_custkey") % 2 =!= 0)))
+    VersionedTable.appendAll(spark, cat, Seq(
+      fact -> o.filter(col("o_custkey") % 3 === 2)))
+    require(VersionedTable.catalogVersions(cat) == Seq(1L, 2L),
+      "one catalog version per transaction")
+    val pins = VersionedTable.catalogSnapshot(cat).toMap
+    require(pins(fact) == VersionedTable.versions(fact).last &&
+      pins(dim) == VersionedTable.versions(dim).last,
+      "snapshot pins must sit at the member heads (dim's pin carried)")
+    VersionedTable.read(spark, fact, Some(pins(fact)))
+      .join(VersionedTable.read(spark, dim, Some(pins(dim))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price").cast("decimal(28,4)")).cast("double").as("spend"))
+  }
+
+  /** q_drop_partition: hive-style partition columns as a MANIFEST
+    * surface — orders created PARTITIONED by o_orderpriority (writes
+    * route rows into value directories while the column stays in the
+    * data files), an append lands auto-routed, a partition-scoped
+    * probe must open only its value directory's files (asserted), and
+    * DROP PARTITION retires the 3-MEDIUM slice as a pure file-list
+    * subtraction — the surviving files carried BY REFERENCE (asserted:
+    * zero data moved, the retention operation a 100 TB table runs
+    * daily). The oracle replays the `<> '3-MEDIUM'` row set the drop
+    * must resolve to.
+    */
+  def qDropPartition(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("droppart")
+    val all = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    VersionedTable.overwritePartitioned(spark, table,
+      all.filter(col("o_orderkey") % 2 === 0), Seq("o_orderpriority"))
+    VersionedTable.append(spark, table, all.filter(col("o_orderkey") % 2 =!= 0))
+    val (kept, total) = VersionedTable.filesForPartition(table, "o_orderpriority", "1-URGENT")
+    require(kept.nonEmpty && kept.size < total,
+      s"the partition probe must open only its value directory (kept ${kept.size}/$total)")
+    val before = VersionedTable.snapshotFiles(table).toSet
+    val v1 = VersionedTable.dropPartition(spark, table, "o_orderpriority", "3-MEDIUM")
+    val after = VersionedTable.snapshotFiles(table, Some(v1)).toSet
+    require(after.subsetOf(before), "DROP PARTITION must stage nothing — metadata only")
+    outBoundary(VersionedTable.read(spark, table, Some(v1)))
+  }
+
   /** q_mat_view_minmax: the MIN/MAX materialized view under the
     * oracle gate — 1997-H1 per-customer order-price extrema committed
     * and refreshed; H2 lands as an append (pure semilattice merge, no

@@ -95,6 +95,26 @@ class VersionedTableOps(val store: CommitStore) {
     "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(section).map(_.group(1)).toSeq
   }
 
+  /** The version's PARTITION SPEC (physical column names, in routing
+    * order) — empty for unpartitioned tables and legacy manifests.
+    * Carried forward by every commit like constraints/renames, so a
+    * table partitioned at creation stays partitioned across appends,
+    * mutations, compaction and OPTIMIZE (staging itself routes).
+    */
+  def partitionSpec(table: String, version: Option[Long] = None): Seq[String] =
+    versions(table).lastOption match {
+      case None => Nil
+      case Some(last) => manifestPartitionBy(table, version.getOrElse(last))
+    }
+
+  private[sources] def manifestPartitionBy(table: String, v: Long): Seq[String] = {
+    val txt = store.read(commitsDir(table), manifestName(v))
+    "\"partitionBy\": \\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+      .map(m => "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1))
+        .map(g => unescStr(g.group(1))).toSeq)
+      .getOrElse(Nil)
+  }
+
   /** The operation that produced version `v`, as recorded in its
     * manifest ("overwrite" / "append" / "upsert" / "compact" /
     * "optimize" / ...); "unknown" for legacy manifests without the
@@ -125,7 +145,8 @@ class VersionedTableOps(val store: CommitStore) {
       schema: org.apache.spark.sql.types.StructType, files: Seq[String],
       dvs: Seq[String], txn: Seq[(String, Long)] = Nil,
       cons: Seq[(String, String)] = Nil,
-      renames: Map[String, String] = Map.empty): String = {
+      renames: Map[String, String] = Map.empty,
+      partitionBy: Seq[String] = Nil): String = {
     // one watermark keeps the legacy top-level form byte-compatible;
     // several (a joined materialized view committing BOTH source
     // cursors atomically) render as a "txns" array whose objects carry
@@ -149,9 +170,17 @@ class VersionedTableOps(val store: CommitStore) {
       else renames.toSeq.sortBy(_._1).map { case (ph, lo) =>
         s"""    {"rphys": "${escStr(ph)}", "rlog": "${escStr(lo)}"}""" }
         .mkString("  \"renames\": [\n", ",\n", "\n  ],\n")
+    // additive like renames/constraints: a partition SPEC only changes
+    // how writes are ROUTED and which metadata ops exist — an old
+    // reader ignoring it still reads every row (values stay in the
+    // data files); format stays 1
+    val partSec =
+      if (partitionBy.isEmpty) ""
+      else partitionBy.map(c => s""""${escStr(c)}"""")
+        .mkString("  \"partitionBy\": [", ", ", "],\n")
     val filesSec = files.map(f => "    \"" + f + "\"").mkString(
       s"""{\n  "version": $v,\n  "format": 1,\n  "op": "$op",\n""" +
-        s"""  "ts": ${System.currentTimeMillis()},\n""" + txnSec + consSec + renSec +
+        s"""  "ts": ${System.currentTimeMillis()},\n""" + txnSec + consSec + renSec + partSec +
         s"""  "schema": "${escStr(schema.json)}",\n  "files": [\n""",
       ",\n",
       "\n  ]")
@@ -333,7 +362,18 @@ class VersionedTableOps(val store: CommitStore) {
     * rounded on the double conversion can never shrink the interval
     * and wrongly skip a file holding boundary rows.
     */
-  private def stageData(table: String, df: DataFrame, tag: String): Seq[String] = {
+  /** The directory-segment suffix marking a routed partition value:
+    * `<physical-col>__pv=<value>`. The `__pv` shadow keeps the real
+    * column IN the data files (so reads, schema resolution, zone maps
+    * and renames are untouched by partitioning) while Spark's
+    * partitionBy writer routes rows into value directories the
+    * metadata ops ([[dropPartition]], [[filesForPartition]]) match on
+    * pure path segments.
+    */
+  private def partSeg(physCol: String): String = physCol + "__pv"
+
+  private def stageData(table: String, df: DataFrame, tag: String,
+      partsOverride: Option[Seq[String]] = None): Seq[String] = {
     val rel = s"data/$tag-${java.util.UUID.randomUUID().toString.take(8)}"
     val dir = Paths.get(table, rel)
     // writes always land under PHYSICAL names so files stay uniform
@@ -350,16 +390,48 @@ class VersionedTableOps(val store: CommitStore) {
       s"staging for $table would produce duplicate physical columns " +
         s"(${out.columns.mkString(", ")}): a written column collides with a " +
         "renamed column's physical file name")
-    out.write.parquet(dir.toString)
-    val emptyParts = writeFileStats(df.sparkSession, dir)
-    // zero-row part files carry no data and no stats — dropped here so
-    // they can never dodge every future zone-map probe (scaladoc on
-    // writeFileStats); deleting pre-publish is safe, nothing refs them
-    emptyParts.foreach(n => Files.delete(dir.resolve(n)))
-    ls(dir)
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(p => s"$rel/${p.getFileName}")
-      .sorted
+    // partition routing follows the table like renames do: every stage
+    // of a partitioned table (append, COW rewrite, compact, OPTIMIZE)
+    // lands value-routed, so the drop-partition invariant (every file
+    // carries its partition segments) self-maintains. DV stages carry
+    // internal (file, pos) rows and never route.
+    val parts: Seq[String] =
+      if (tag == "dv") Nil
+      else partsOverride.getOrElse(versions(table).lastOption
+        .map(manifestPartitionBy(table, _)).getOrElse(Nil))
+    if (parts.isEmpty) {
+      out.write.parquet(dir.toString)
+      val emptyParts = writeFileStats(df.sparkSession, dir)
+      // zero-row part files carry no data and no stats — dropped here so
+      // they can never dodge every future zone-map probe (scaladoc on
+      // writeFileStats); deleting pre-publish is safe, nothing refs them
+      emptyParts.foreach(n => Files.delete(dir.resolve(n)))
+      ls(dir)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => s"$rel/${p.getFileName}")
+        .sorted
+    } else {
+      parts.foreach(p => require(out.columns.contains(p),
+        s"partition column $p missing from the batch written to $table"))
+      parts.foreach(p => require(!out.columns.contains(partSeg(p)),
+        s"column ${partSeg(p)} collides with $table's partition shadow"))
+      val routed = parts.foldLeft(out)((d, p) => d.withColumn(partSeg(p), col(p)))
+      routed.write.partitionBy(parts.map(partSeg): _*).parquet(dir.toString)
+      // one _stats.json per LEAF value directory: the zone-map/row-count
+      // consumers key stats by (parent dir, file name) and need no
+      // structural knowledge of partitioning
+      def leafDirs(p: Path): Seq[Path] = {
+        val subs = ls(p).filter(Files.isDirectory(_))
+        if (subs.isEmpty) Seq(p) else subs.flatMap(leafDirs)
+      }
+      leafDirs(dir).flatMap { leaf =>
+        val emptyParts = writeFileStats(df.sparkSession, leaf)
+        emptyParts.foreach(n => Files.delete(leaf.resolve(n)))
+        ls(leaf)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => dir.getParent.getParent.relativize(p).toString)
+      }.sorted
+    }
   }
 
   /** Footer statistics of one column chunk, normalized to the
@@ -648,7 +720,8 @@ class VersionedTableOps(val store: CommitStore) {
       planFor: Long => (org.apache.spark.sql.types.StructType, Seq[String], Seq[String]),
       txn: Seq[(String, Long)] = Nil,
       consOverride: Option[Long => Seq[(String, String)]] = None,
-      renOverride: Option[Long => Map[String, String]] = None): Long = {
+      renOverride: Option[Long => Map[String, String]] = None,
+      partsOverride: Option[Long => Seq[String]] = None): Long = {
     val dir = commitsDir(table)
     var attempt = 0
     while (true) {
@@ -666,13 +739,15 @@ class VersionedTableOps(val store: CommitStore) {
         consOverride.map(_(base)).getOrElse(
           if (base == 0) Nil else checkConstraints(table, Some(base))),
         renOverride.map(_(base)).getOrElse(
-          if (base == 0) Map.empty[String, String] else manifestRenames(table, base))))
+          if (base == 0) Map.empty[String, String] else manifestRenames(table, base)),
+        partsOverride.map(_(base)).getOrElse(
+          if (base == 0) Nil else manifestPartitionBy(table, base))))
       catch {
         case _: java.nio.file.NoSuchFileException => None // base vacuumed under us
       }
-      val won = plan.exists { case ((schema, fs, dvs), consList, renMap) =>
+      val won = plan.exists { case ((schema, fs, dvs), consList, renMap, partsList) =>
         store.putIfAbsent(dir, manifestName(v),
-          render(v, op, schema, fs, dvs, txn, consList, renMap)) }
+          render(v, op, schema, fs, dvs, txn, consList, renMap, partsList)) }
       if (won) return v
       attempt += 1 // lost the race (or lost the base): re-read head, retry
       require(attempt < 100, s"commit contention on $table")
@@ -1024,6 +1099,115 @@ class VersionedTableOps(val store: CommitStore) {
       enforceConstraints(table, df, late)
     }
   }
+
+  /** Create the table PARTITIONED by `partCols` (hive-style value
+    * directories as a manifest surface): rows route into
+    * `<col>__pv=<value>/` directories at every stage from here on —
+    * appends, mutation rewrites, compaction and OPTIMIZE included —
+    * while the partition columns STAY in the data files, so the read
+    * path, schema evolution and zone maps are untouched (a partition
+    * column gets min=max zone maps per file for free, making plain
+    * range filters prune partition-exactly through [[readIndexed]]).
+    * What the routing buys beyond zone maps is the METADATA surface:
+    * [[dropPartition]] is a pure file-list subtraction (the most
+    * common retention operation on a 100 TB table costs one manifest
+    * write, zero data IO), and [[filesForPartition]]/[[readPartition]]
+    * give exact partition-scoped scans on any value type, path-proven
+    * rather than stats-proven. Only table CREATION takes a spec —
+    * repartitioning an existing table is a rewrite, not a metadata
+    * edit.
+    */
+  def overwritePartitioned(spark: SparkSession, table: String, df: DataFrame,
+      partCols: Seq[String]): Long = {
+    require(partCols.nonEmpty, "partition spec must name at least one column")
+    require(versions(table).isEmpty,
+      s"$table already has commits: a partition spec is set at creation " +
+        "(repartitioning an existing table rewrites data, not metadata)")
+    partCols.foreach(c => require(df.columns.contains(c),
+      s"partition column $c absent from the dataframe"))
+    val staged = stageData(table, df, "w", Some(partCols))
+    commitDv(table, "overwrite", { base =>
+      require(base == 0, s"$table gained commits mid-create")
+      (asStored(df.schema), staged, Nil)
+    }, partsOverride = Some(_ => partCols))
+  }
+
+  /** DROP PARTITION as a metadata-only commit: the files under
+    * `<col>__pv=<value>/` leave the manifest, untouched files carry by
+    * reference — zero data bytes move (the dropColumn shape, applied
+    * to retention). Requires every snapshot file to be value-routed
+    * (true for tables created via [[overwritePartitioned]]; stageData
+    * keeps it true across every later write). Deletion vectors carry
+    * unchanged: entries naming dropped files key on paths no reader
+    * opens again, so they are inert by construction.
+    */
+  def dropPartition(spark: SparkSession, table: String, colName: String,
+      value: String): Long = {
+    requireLiteralPartitionValue(value)
+    try commitDv(table, "drop_partition", { base =>
+      requireInit(table, base, "dropPartition")
+      val parts = manifestPartitionBy(table, base)
+      val ph = physicalName(manifestRenames(table, base), colName)
+      require(parts.contains(ph),
+        s"$colName is not a partition column of $table (spec: $parts)")
+      val seg = s"${partSeg(ph)}=$value"
+      val files = manifestFiles(table, base)
+      val unrouted = files.filterNot(_.split('/').exists(_.startsWith(partSeg(ph) + "=")))
+      require(unrouted.isEmpty,
+        s"${unrouted.size} files of $table predate the partition routing for " +
+          s"$colName and may hold rows of any value — DROP PARTITION would " +
+          "silently under-delete; use delete() or rewrite the table first")
+      val keep = files.filterNot(_.split('/').contains(seg))
+      if (keep.size == files.size) throw NoopMutation
+      val schema = manifestSchema(table, base)
+        .getOrElse(asStored(read(spark, table, Some(base)).schema))
+      (schema, keep, manifestDvs(table, base))
+    })
+    catch { case NoopMutation => versions(table).last }
+  }
+
+  /** Snapshot files inside / total — the partition-pruning probe
+    * (path-segment proof, works for every value type including ones
+    * zone maps leave unindexed).
+    */
+  def filesForPartition(table: String, colName: String, value: String,
+      version: Option[Long] = None): (Seq[String], Int) = {
+    requireLiteralPartitionValue(value)
+    val v = version.getOrElse {
+      val vs = versions(table)
+      require(vs.nonEmpty, s"no commits at $table")
+      vs.last
+    }
+    val ph = physicalName(manifestRenames(table, v), colName)
+    require(manifestPartitionBy(table, v).contains(ph),
+      s"$colName is not a partition column of $table")
+    val all = manifestFiles(table, v)
+    val seg = s"${partSeg(ph)}=$value"
+    (all.filter(_.split('/').contains(seg)), all.size)
+  }
+
+  /** Partition-scoped read: opens only the value directory's files
+    * (deletion vectors subtracted like any read).
+    */
+  def readPartition(spark: SparkSession, table: String, colName: String,
+      value: String, version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(versions(table).last)
+    val (kept, _) = filesForPartition(table, colName, value, Some(v))
+    if (kept.isEmpty) read(spark, table, Some(v)).limit(0)
+    else readFiles(spark, table, v, kept)
+  }
+
+  /** Probe/drop values must BE the path segment Spark's writer
+    * produced. Restricting to the charset the writer never escapes
+    * sidesteps re-implementing hive path escaping; values outside it
+    * (spaces, '/', '%', ...) are refused loudly rather than silently
+    * matching nothing.
+    */
+  private def requireLiteralPartitionValue(value: String): Unit =
+    require(value.nonEmpty && value.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"partition value '$value' contains characters the path writer escapes; " +
+        "only [A-Za-z0-9._-] values can be addressed by segment")
 
   /** Create (version 1) or fully overwrite the table with `df`. */
   def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
@@ -1430,7 +1614,13 @@ class VersionedTableOps(val store: CommitStore) {
     */
   private def dvKeyed(df: DataFrame): DataFrame = df
     .withColumn(DvFileCol,
-      regexp_extract(col("_metadata.file_path"), "(data/[^/]+/[^/]+\\.parquet)$", 1))
+      // stage dir, then ZERO OR MORE `name=value` partition segments
+      // (only routed value dirs contain '='; stage dirs and file names
+      // never do), then the file — anchors the table-relative key for
+      // flat AND partitioned layouts without matching into the table's
+      // own absolute path
+      regexp_extract(col("_metadata.file_path"),
+        "(data/[^/=]+(?:/[^/]+=[^/]*)*/[^/=]+\\.parquet)$", 1))
     .withColumn(DvPosCol, col("_metadata.row_index"))
 
   private def dvAnti(spark: SparkSession, table: String, keyed: DataFrame,
@@ -2099,6 +2289,167 @@ class VersionedTableOps(val store: CommitStore) {
     })
     catch { case NoopMutation => versions(table).last }
 
+  // ===== catalog: MULTI-TABLE atomic commits =====================
+
+  private def catalogDir(catalog: String): Path = Paths.get(catalog, "_catalog")
+
+  /** Committed catalog versions, ascending. */
+  def catalogVersions(catalog: String): Seq[Long] =
+    store.list(catalogDir(catalog))
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .sorted
+
+  /** One catalog entry: a member table pinned at `tversion`;
+    * `manifest` is the FULL rendered per-table manifest for entries
+    * this catalog commit is PUBLISHING (roll-forward applies it), or
+    * empty for pins carried forward from the previous catalog version.
+    */
+  private case class CatEntry(table: String, tversion: Long, manifest: String)
+
+  private def catEntries(catalog: String, vc: Long): Seq[CatEntry] = {
+    val txt = store.read(catalogDir(catalog), manifestName(vc))
+    ("\\{\"table\": \"((?:[^\"\\\\]|\\\\.)*)\", \"tversion\": (\\d+), " +
+      "\"manifest\": \"((?:[^\"\\\\]|\\\\.)*)\"\\}").r
+      .findAllMatchIn(txt).map(m => CatEntry(
+        unescStr(m.group(1)), m.group(2).toLong, unescStr(m.group(3)))).toSeq
+  }
+
+  private def renderCatalog(vc: Long, entries: Seq[CatEntry]): String =
+    entries.map(e =>
+      s"""    {"table": "${escStr(e.table)}", "tversion": ${e.tversion}, """ +
+        s""""manifest": "${escStr(e.manifest)}"}""")
+      .mkString(
+        s"""{\n  "version": $vc,\n  "format": 1,\n  "op": "multi_commit",\n""" +
+          s"""  "ts": ${System.currentTimeMillis()},\n  "entries": [\n""",
+        ",\n", "\n  ]\n}\n")
+
+  /** FIRST PHASE of a multi-table atomic commit: stage every batch,
+    * then publish ONE catalog manifest that pins each written table at
+    * its next version and EMBEDS the per-table manifest bytes. The
+    * fail-if-exists catalog publish is the transaction's single commit
+    * point: before it, nothing is visible anywhere; after it, the
+    * transaction is durable — per-table manifests are published by
+    * [[multiRollForward]] (called by [[appendAll]] immediately, by
+    * every later catalog operation as crash recovery, and by
+    * [[catalogSnapshot]] before reading). A crash between the two
+    * phases therefore delays visibility, never splits it: no reader
+    * path exposes table A's half without table B's.
+    *
+    * THE CATALOG CONTRACT: member tables are written ONLY through
+    * their catalog. The catalog's own fail-if-exists publish then
+    * serializes all multi-table writers (losers re-plan against fresh
+    * heads), and per-table version collisions cannot happen. A rogue
+    * direct write to a member table IS detected — roll-forward finds
+    * a foreign manifest at a pinned version and fails loudly rather
+    * than silently dropping either side's rows.
+    *
+    * Entries carry forward: a catalog commit that writes 2 of 3
+    * member tables re-pins the third at its previous version, so
+    * [[catalogSnapshot]] is always a COMPLETE consistent cross-table
+    * snapshot. At 100 TB the costs stay O(metadata): staging is the
+    * same data write a single-table append pays; the commit point is
+    * one small manifest PUT.
+    */
+  def multiPrepare(spark: SparkSession, catalog: String,
+      writes: Seq[(String, DataFrame)]): Long = {
+    require(writes.nonEmpty, "multiPrepare needs at least one (table, batch)")
+    require(writes.map(_._1).distinct.size == writes.size,
+      s"duplicate tables in one multi-table commit: ${writes.map(_._1)}")
+    // same write-time checks as a single-table append, per table
+    val staged = writes.map { case (table, df) =>
+      require(versions(table).nonEmpty,
+        s"$table is uninitialized — create member tables before enrolling them")
+      val head = versions(table).last
+      val headSchema = manifestSchema(table, head)
+        .getOrElse(asStored(read(spark, table, Some(head)).schema))
+      val conflicts = df.schema.flatMap(f => headSchema.find(_.name == f.name)
+        .filter(_.dataType != f.dataType)
+        .map(h => s"${f.name}: table has ${h.dataType.simpleString}, " +
+          s"append has ${f.dataType.simpleString}"))
+      require(conflicts.isEmpty,
+        s"append schema conflicts with $table head: ${conflicts.mkString("; ")}")
+      requireNoRevivedColumns(table, df, headSchema.fieldNames)
+      enforceConstraints(table, df, headConstraints(table))
+      (table, df, stageData(table, df, "m"))
+    }
+    var attempt = 0
+    while (true) {
+      multiRollForward(catalog) // complete any crashed predecessor first
+      val prevPins: Map[String, Long] = catalogVersions(catalog).lastOption
+        .map(vc => catEntries(catalog, vc).map(e => e.table -> e.tversion).toMap)
+        .getOrElse(Map.empty)
+      val written = staged.map { case (table, df, files) =>
+        val base = versions(table).last
+        prevPins.get(table).foreach(p => require(base == p,
+          s"member table $table moved from its catalog pin v$p to v$base " +
+            "outside the catalog — the catalog contract requires all writes " +
+            "to member tables to go through the catalog"))
+        val headSchema = manifestSchema(table, base)
+          .getOrElse(asStored(read(spark, table, Some(base)).schema))
+        CatEntry(table, base + 1,
+          render(base + 1, "append",
+            unionSchema(headSchema, asStored(df.schema)),
+            manifestFiles(table, base) ++ files,
+            manifestDvs(table, base),
+            cons = checkConstraints(table, Some(base)),
+            renames = manifestRenames(table, base),
+            partitionBy = manifestPartitionBy(table, base)))
+      }
+      val carried = (prevPins -- written.map(_.table))
+        .map { case (t, v) => CatEntry(t, v, "") }.toSeq.sortBy(_.table)
+      val vc = catalogVersions(catalog).lastOption.getOrElse(0L) + 1
+      if (store.putIfAbsent(catalogDir(catalog), manifestName(vc),
+          renderCatalog(vc, written ++ carried))) return vc
+      attempt += 1
+      require(attempt < 100, s"catalog commit contention on $catalog")
+    }
+    -1 // unreachable
+  }
+
+  /** SECOND PHASE / crash recovery: publish the catalog head's pending
+    * per-table manifests. Idempotent — an entry already published with
+    * IDENTICAL bytes (a concurrent roll-forward) is fine; different
+    * bytes mean a write bypassed the catalog, which fails loudly (the
+    * contract above).
+    */
+  def multiRollForward(catalog: String): Unit =
+    catalogVersions(catalog).lastOption.foreach { vc =>
+      catEntries(catalog, vc).filter(_.manifest.nonEmpty).foreach { e =>
+        val dir = commitsDir(e.table)
+        val name = manifestName(e.tversion)
+        if (!store.exists(dir, name)) store.putIfAbsent(dir, name, e.manifest)
+        // whatever happened (we published, a concurrent roll-forward
+        // did, or something else is squatting), the bytes must be OURS
+        require(store.read(dir, name) == e.manifest,
+          s"catalog $catalog: ${e.table} v${e.tversion} holds a commit the " +
+            "catalog did not publish — a write bypassed the catalog; refusing " +
+            "to guess which side's rows to keep")
+      }
+    }
+
+  /** Atomically append each batch to its table: both phases. Returns
+    * the catalog version (the transaction id).
+    */
+  def appendAll(spark: SparkSession, catalog: String,
+      writes: Seq[(String, DataFrame)]): Long = {
+    val vc = multiPrepare(spark, catalog, writes)
+    multiRollForward(catalog)
+    vc
+  }
+
+  /** A CONSISTENT cross-table snapshot: the catalog head's complete
+    * (table → version) pin map, pending publishes rolled forward
+    * first. Readers that pin each table at its snapshot version see
+    * every multi-table transaction entirely or not at all.
+    */
+  def catalogSnapshot(catalog: String): Seq[(String, Long)] = {
+    multiRollForward(catalog)
+    catalogVersions(catalog).lastOption
+      .map(vc => catEntries(catalog, vc).map(e => e.table -> e.tversion))
+      .getOrElse(Nil)
+  }
+
   case class VacuumReport(keptVersions: Seq[Long], droppedVersions: Seq[Long],
       deletedDirs: Int, deletedBytes: Long)
 
@@ -2139,19 +2490,25 @@ class VersionedTableOps(val store: CommitStore) {
     val vs = versions(table)
     val (dropped, kept) = vs.splitAt(math.max(0, vs.size - retain))
     if (kept.isEmpty) return VacuumReport(kept, Nil, 0, 0L) // uninitialized: all in-flight
+    // reference tracking is per STAGE DIR (data/<tag>-<uuid>), the
+    // reclaim unit — a partitioned stage nests value directories below
+    // it, and any referenced leaf keeps the whole stage alive
     val referenced = kept.flatMap(v => manifestFiles(table, v) ++ manifestDvs(table, v))
-      .map(_.split('/').dropRight(1).mkString("/")).toSet
+      .map(_.split('/').take(2).mkString("/")).toSet
     val headManifestTime = store.modifiedMs(commitsDir(table), manifestName(kept.last))
     val cutoff = math.min(System.currentTimeMillis() - graceMs, headManifestTime)
     // manifests first (see crash ordering above)
     dropped.foreach(v => store.delete(commitsDir(table), manifestName(v)))
     var dirs = 0
     var bytes = 0L
+    def rmTree(p: Path): Unit = {
+      if (Files.isDirectory(p)) { ls(p).foreach(rmTree); Files.delete(p) }
+      else { bytes += Files.size(p); Files.delete(p) }
+    }
     for (d <- ls(Paths.get(table, "data")) if Files.isDirectory(d)) {
       val rel = s"data/${d.getFileName}"
       if (!referenced.contains(rel) && Files.getLastModifiedTime(d).toMillis < cutoff) {
-        for (f <- ls(d)) { bytes += Files.size(f); Files.delete(f) }
-        Files.delete(d)
+        rmTree(d)
         dirs += 1
       }
     }

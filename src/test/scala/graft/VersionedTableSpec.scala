@@ -424,6 +424,155 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     assert(ops.read(spark, t).count() === n + 20)
   }
 
+  test(s"[$backend] multi-table atomic commit: all-or-nothing across crash, carry, and bypass") {
+    val a = freshTable("cat-a")
+    val b = freshTable("cat-b")
+    val cat = freshTable("cat-log")
+    ops.overwrite(spark, a, base)
+    ops.overwrite(spark, b, base)
+    def batch(lo: Long, tag: String) = spark.range(lo, lo + 5)
+      .select(col("id").as("k"), lit(tag).as("v"))
+
+    // happy path: one transaction, both tables advance together
+    val vc1 = ops.appendAll(spark, cat, Seq(a -> batch(1000, "A1"), b -> batch(1000, "B1")))
+    assert(vc1 === 1L)
+    assert(ops.read(spark, a).filter(col("v") === "A1").count() === 5)
+    assert(ops.read(spark, b).filter(col("v") === "B1").count() === 5)
+    assert(ops.catalogSnapshot(cat).toMap === Map(a -> 2L, b -> 2L))
+
+    // crashed writer: the catalog publish landed, roll-forward did not.
+    // Nothing is visible on the tables yet — and the FIRST catalog read
+    // completes the transaction (durable, atomic, just delayed)
+    val headA = ops.versions(a).last
+    val headB = ops.versions(b).last
+    ops.multiPrepare(spark, cat, Seq(a -> batch(2000, "A2"), b -> batch(2000, "B2")))
+    assert(ops.versions(a).last === headA && ops.versions(b).last === headB,
+      "prepare publishes NOTHING to the member tables")
+    assert(ops.catalogSnapshot(cat).toMap === Map(a -> 3L, b -> 3L),
+      "the catalog read recovers the crashed transaction")
+    assert(ops.read(spark, a).filter(col("v") === "A2").count() === 5)
+    assert(ops.read(spark, b).filter(col("v") === "B2").count() === 5)
+
+    // partial-member write: the untouched table's pin CARRIES, so the
+    // snapshot stays complete
+    ops.appendAll(spark, cat, Seq(a -> batch(3000, "A3")))
+    assert(ops.catalogSnapshot(cat).toMap === Map(a -> 4L, b -> 3L))
+
+    // a write that bypasses the catalog is detected, not absorbed
+    ops.append(spark, b, batch(4000, "ROGUE"))
+    val e = intercept[IllegalArgumentException] {
+      ops.appendAll(spark, cat, Seq(b -> batch(5000, "B5")))
+    }
+    assert(e.getMessage.contains("outside the catalog"))
+  }
+
+  test(s"[$backend] racing multi-table commits serialize on the catalog publish; none lost") {
+    val a = freshTable("catrace-a")
+    val b = freshTable("catrace-b")
+    val cat = freshTable("catrace-log")
+    ops.overwrite(spark, a, base)
+    ops.overwrite(spark, b, base)
+    val nWriters = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = (0 until nWriters).map { i =>
+      scala.concurrent.Future {
+        ops.appendAll(spark, cat, Seq(
+          a -> spark.range(1000L + i, 1001L + i).select(col("id").as("k"), lit(s"A$i").as("v")),
+          b -> spark.range(1000L + i, 1001L + i).select(col("id").as("k"), lit(s"B$i").as("v"))))
+      }
+    }
+    val committed = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration(180, "s"))
+    pool.shutdown()
+    assert(committed.toSet.size === nWriters, "every transaction got a distinct catalog version")
+    assert(ops.catalogVersions(cat) === (1L to nWriters.toLong), "contiguous catalog log")
+    assert(ops.read(spark, a).filter(col("k") >= 1000).count() === nWriters.toLong,
+      "no transaction's A-side lost")
+    assert(ops.read(spark, b).filter(col("k") >= 1000).count() === nWriters.toLong,
+      "no transaction's B-side lost")
+    val pins = ops.catalogSnapshot(cat).toMap
+    assert(pins(a) === ops.versions(a).last && pins(b) === ops.versions(b).last,
+      "snapshot pins sit at the member heads")
+  }
+
+  test(s"[$backend] partition columns: routed writes, pruned reads, metadata-only DROP PARTITION") {
+    val t = freshTable("part")
+    val df = spark.range(0, 300).select(
+      col("id").as("k"),
+      concat(lit("P"), (col("id") % 3).cast("string")).as("p"),
+      (col("id") * 2).as("v"))
+    // creation takes the spec; a second spec-set is refused
+    ops.overwritePartitioned(spark, t, df, Seq("p"))
+    assert(ops.partitionSpec(t) === Seq("p"))
+    intercept[IllegalArgumentException] {
+      ops.overwritePartitioned(spark, t, df, Seq("p"))
+    }
+    // every file is value-routed; reads see ALL rows with p intact
+    assert(ops.snapshotFiles(t).forall(_.split('/').exists(_.startsWith("p__pv="))))
+    assert(ops.read(spark, t).count() === 300)
+    assert(ops.read(spark, t).filter(col("p") === "P1").count() === 100)
+
+    // appends route automatically (the spec follows the table)
+    ops.append(spark, t, spark.range(300, 360).select(
+      col("id").as("k"),
+      concat(lit("P"), (col("id") % 3).cast("string")).as("p"),
+      (col("id") * 2).as("v")))
+    assert(ops.snapshotFiles(t).forall(_.split('/').exists(_.startsWith("p__pv="))),
+      "append stages must stay value-routed")
+    assert(ops.read(spark, t).count() === 360)
+
+    // partition-pruned read: opens only the value directory's files
+    val (kept, total) = ops.filesForPartition(t, "p", "P2")
+    assert(kept.nonEmpty && kept.size < total,
+      s"partition probe must skip the other values (kept ${kept.size}/$total)")
+    val part = ops.readPartition(spark, t, "p", "P2")
+    val want = ops.read(spark, t).filter(col("p") === "P2")
+    assert(part.except(want).isEmpty && want.except(part).isEmpty)
+
+    // DROP PARTITION: file-list subtraction — untouched files carry by
+    // reference, zero data moved
+    val before = ops.snapshotFiles(t)
+    val vDrop = ops.dropPartition(spark, t, "p", "P1")
+    val after = ops.snapshotFiles(t, Some(vDrop))
+    assert(after.toSet.subsetOf(before.toSet), "drop must not stage any new file")
+    assert(after === before.filterNot(_.split('/').contains("p__pv=P1")))
+    assert(ops.read(spark, t).filter(col("p") === "P1").count() === 0)
+    assert(ops.read(spark, t).count() === 240)
+    // time travel still sees the dropped partition
+    assert(ops.read(spark, t, Some(vDrop - 1)).filter(col("p") === "P1").count() === 120)
+    // dropping a value with no files is a no-op commit (nothing published)
+    assert(ops.dropPartition(spark, t, "p", "P9") === vDrop)
+    // values the path writer would escape are refused, not mismatched
+    intercept[IllegalArgumentException] { ops.dropPartition(spark, t, "p", "a/b") }
+
+    // a MoR delete inside a partitioned layout: DV keys must anchor on
+    // the routed paths (regression guard for the dvKeyed pattern)
+    val vMor = ops.deleteMoR(spark, t, col("k") % 2 === 0L && col("p") === "P2")
+    assert(ops.deletionVectors(t, Some(vMor)).nonEmpty)
+    assert(ops.read(spark, t).count() === 240 - 60,
+      "MoR delete must subtract exactly the matching routed rows")
+
+    // compaction restages routed and PURGES the dropped value's bytes
+    // from the new stage; a vacuum then reclaims the old stages
+    ops.compact(spark, t, nFiles = 2)
+    assert(ops.snapshotFiles(t).forall(_.split('/').exists(_.startsWith("p__pv="))),
+      "compaction must stay value-routed")
+    assert(ops.read(spark, t).count() === 180)
+    val report = ops.vacuum(t, retain = 1, graceMs = 0)
+    assert(report.deletedDirs > 0, "vacuum must reclaim the pre-compaction stages")
+    assert(ops.read(spark, t).count() === 180, "post-vacuum head intact")
+
+    // unrouted legacy files block DROP PARTITION loudly
+    val t2 = freshTable("part-legacy")
+    ops.overwrite(spark, t2, df) // NOT partitioned
+    intercept[IllegalArgumentException] {
+      ops.dropPartition(spark, t2, "p", "P0")
+    }
+  }
+
   test(s"[$backend] CHECK naming an evolved column accepts a batch that omits it (NULL passes)") {
     val t = freshTable("check-evolved")
     ops.overwrite(spark, t, base) // columns (k, v)
