@@ -19,14 +19,16 @@ object BenchFew {
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 3).map { _ =>
+      val times = (1 to n).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      println(f"[benchfew] $name median=${times(1)}%.2f all=${times.map(t => f"$t%.2f").mkString(",")}")
+      println(f"[benchfew] $name min=${times.head}%.2f median=${times(n / 2)}%.2f " +
+        s"all=${times.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   }
