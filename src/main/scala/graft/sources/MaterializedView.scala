@@ -144,11 +144,17 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
           .join(vt.read(spark, right, Some(headR)), joinKeys)
           .withColumn("_change", lit("insert"))
       } else {
-        val dL = vt.changesBetween(spark, left, curL.get, headL)
-        val dR = vt.changesBetween(spark, right, curR.get, headR)
-        val part1 = dL.join(vt.read(spark, right, Some(curR.get)), joinKeys)
-        val part2 = vt.read(spark, left, Some(headL)).join(dR, joinKeys)
-        part1.unionByName(part2)
+        // a side with no new commits contributes an EMPTY delta — skip
+        // its term entirely rather than planning snapshot ⋈ empty (the
+        // common fact-append refresh must not touch the fact snapshot
+        // at all: its cost is ΔA ⋈ dim, nothing else)
+        val part1 = if (curL.get >= headL) None else Some(
+          vt.changesBetween(spark, left, curL.get, headL)
+            .join(vt.read(spark, right, Some(curR.get)), joinKeys))
+        val part2 = if (curR.get >= headR) None else Some(
+          vt.read(spark, left, Some(headL))
+            .join(vt.changesBetween(spark, right, curR.get, headR), joinKeys))
+        (part1.toSeq ++ part2.toSeq).reduce(_ unionByName _)
       }
     val delta = where.fold(delta0)(w => delta0.filter(expr(w)))
     foldDelta(spark, view, vView, curL.isDefined, delta, keyCols, sumCols,
@@ -331,21 +337,45 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
       // consumed twice (recompute key set + final merge): pin the plan
       .localCheckpoint(false)
     val needKeys = cand.filter(col("__recompute")).select(keyCols.map(col): _*)
-    val srcHead = where.fold(vt.read(spark, source, Some(head)))(w =>
-      vt.read(spark, source, Some(head)).filter(expr(w)))
-    val recAggs = cols.flatMap(c => Seq(
-      min(col(c)).as(s"__rec_min_$c"),
-      max(col(c)).as(s"__rec_max_$c")))
-    val rec = srcHead.join(needKeys, keyCols, "left_semi")
-      .groupBy(keyCols.map(col): _*)
-      .agg(recAggs.head, recAggs.tail: _*)
-    val fin = cand.as("c").join(rec.as("r"), keyCols, "left_outer")
-      .select(keyCols.map(col) ++ (col("c.mv_count").as("mv_count") +:
-        cols.flatMap(c => Seq(
-          when(col("c.__recompute"), col(s"r.__rec_min_$c"))
-            .otherwise(col(s"c.mv_min_$c")).as(s"mv_min_$c"),
-          when(col("c.__recompute"), col(s"r.__rec_max_$c"))
-            .otherwise(col(s"c.mv_max_$c")).as(s"mv_max_$c")))): _*)
+    val outCols = keyCols.map(col) ++ (col("mv_count") +:
+      cols.flatMap(c => Seq(col(s"mv_min_$c"), col(s"mv_max_$c"))))
+    // the pure-append refresh (no delete touched any extremum) must
+    // not open the source at all — that absence of a rescan IS the
+    // semilattice payoff; the check is one action on the O(groups)
+    // checkpointed candidate frame
+    val fin = if (needKeys.isEmpty) cand.select(outCols: _*) else {
+      // the recompute scan goes through the zone-map-indexed read with
+      // the touched groups' KEY RANGE as a plain filter: on a
+      // key-clustered layout the FileIndex prunes to the touched
+      // files, so the rescan is file-local, not O(snapshot) — the
+      // "zone maps can prove it usually doesn't" half of the design.
+      // The range is a superset of the key set; the semi join below
+      // stays the exact scope. Single-key views only (the common
+      // shape); compound keys fall back to the full scan.
+      val srcBase = vt.readIndexed(spark, source, Some(head))
+      val srcScoped =
+        if (keyCols.size != 1) srcBase
+        else {
+          val k = keyCols.head
+          val b = needKeys.agg(min(col(k)).as("lo"), max(col(k)).as("hi")).head
+          if (b.isNullAt(0)) srcBase
+          else srcBase.filter(col(k) >= lit(b.get(0)) && col(k) <= lit(b.get(1)))
+        }
+      val srcHead = where.fold(srcScoped)(w => srcScoped.filter(expr(w)))
+      val recAggs = cols.flatMap(c => Seq(
+        min(col(c)).as(s"__rec_min_$c"),
+        max(col(c)).as(s"__rec_max_$c")))
+      val rec = srcHead.join(needKeys, keyCols, "left_semi")
+        .groupBy(keyCols.map(col): _*)
+        .agg(recAggs.head, recAggs.tail: _*)
+      cand.as("c").join(rec.as("r"), keyCols, "left_outer")
+        .select(keyCols.map(col) ++ (col("c.mv_count").as("mv_count") +:
+          cols.flatMap(c => Seq(
+            when(col("c.__recompute"), col(s"r.__rec_min_$c"))
+              .otherwise(col(s"c.mv_min_$c")).as(s"mv_min_$c"),
+            when(col("c.__recompute"), col(s"r.__rec_max_$c"))
+              .otherwise(col(s"c.mv_max_$c")).as(s"mv_max_$c")))): _*)
+    }
     vt.overwriteTxns(spark, view, fin, txns)
   }
 

@@ -110,7 +110,7 @@ class VersionedTableOps(val store: CommitStore) {
   private[sources] def manifestPartitionBy(table: String, v: Long): Seq[String] = {
     val txt = store.read(commitsDir(table), manifestName(v))
     "\"partitionBy\": \\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
-      .map(m => "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1))
+      .map(m => "\"((?:[^\"\\\\]++|\\\\.)*+)\"".r.findAllMatchIn(m.group(1))
         .map(g => unescStr(g.group(1))).toSeq)
       .getOrElse(Nil)
   }
@@ -135,7 +135,7 @@ class VersionedTableOps(val store: CommitStore) {
   private[sources] def manifestSchema(table: String, v: Long):
       Option[org.apache.spark.sql.types.StructType] = {
     val txt = store.read(commitsDir(table), manifestName(v))
-    "\"schema\": \"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(txt).map { m =>
+    "\"schema\": \"((?:[^\"\\\\]++|\\\\.)*+)\"".r.findFirstMatchIn(txt).map { m =>
       org.apache.spark.sql.types.DataType.fromJson(unescStr(m.group(1)))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
@@ -813,7 +813,7 @@ class VersionedTableOps(val store: CommitStore) {
     if (renamesMemo.size > 4096) renamesMemo.clear() // bounded, immutable content
     val txt = store.read(commitsDir(table), manifestName(v))
     val parsed =
-      "\\{\"rphys\": \"((?:[^\"\\\\]|\\\\.)*)\", \"rlog\": \"((?:[^\"\\\\]|\\\\.)*)\"\\}".r
+      "\\{\"rphys\": \"((?:[^\"\\\\]++|\\\\.)*+)\", \"rlog\": \"((?:[^\"\\\\]++|\\\\.)*+)\"\\}".r
         .findAllMatchIn(txt)
         .map(m => (unescStr(m.group(1)), unescStr(m.group(2)))).toMap
     renamesMemo.put(key, parsed)
@@ -997,7 +997,7 @@ class VersionedTableOps(val store: CommitStore) {
     // a ']' inside an expression (array indexing, a string literal)
     // would truncate the section and silently DROP every constraint —
     // lost enforcement, not an error
-    "\\{\"cname\": \"((?:[^\"\\\\]|\\\\.)*)\", \"cexpr\": \"((?:[^\"\\\\]|\\\\.)*)\"\\}".r
+    "\\{\"cname\": \"((?:[^\"\\\\]++|\\\\.)*+)\", \"cexpr\": \"((?:[^\"\\\\]++|\\\\.)*+)\"\\}".r
       .findAllMatchIn(txt)
       .map(m => (unescStr(m.group(1)), unescStr(m.group(2)))).toSeq
   }
@@ -1660,11 +1660,39 @@ class VersionedTableOps(val store: CommitStore) {
       return read(spark, table, Some(vFrom)).limit(0).withColumn(change, lit("insert"))
     val fromFiles = manifestFiles(table, vFrom).toSet
     val toFiles = manifestFiles(table, vTo)
-    // the fast path also requires UNCHANGED deletion vectors: a MoR
-    // delete republishes the same file list while removing rows, and
-    // an appends-only delta would wrongly report it as empty
-    if (fromFiles.subsetOf(toFiles.toSet) &&
-        manifestDvs(table, vFrom).toSet == manifestDvs(table, vTo).toSet) {
+    val dvFrom = manifestDvs(table, vFrom).toSet
+    val dvTo = manifestDvs(table, vTo)
+    // MoR-DELETE FAST PATH: identical file list, deletion vectors only
+    // GREW — the interval is pure merge-on-read deletes, and the delta
+    // is exactly the newly tombstoned rows read back from the files
+    // the new vectors touch: O(touched files + vector rows), no
+    // symmetric difference of two snapshots. This is what makes
+    // incremental consumers (CDC readers, materialized-view refreshes)
+    // affordable after a narrow MoR delete at 100 TB — the COW twin
+    // inherently pays the general path, because rewritten bytes carry
+    // no row-level journal. A row is tombstoned at most once
+    // (deleteMoR/updateMoR stage vectors from the VISIBLE snapshot),
+    // so the new vectors can never name already-dead rows.
+    if (fromFiles == toFiles.toSet && dvFrom.subsetOf(dvTo.toSet) &&
+        dvFrom != dvTo.toSet) {
+      val newDvs = dvTo.filterNot(dvFrom)
+      val newDv = spark.read.schema("file STRING, pos BIGINT")
+        .parquet(newDvs.map(f => Paths.get(table, f).toString): _*)
+      // driver-side list of TOUCHED files — file-count-sized metadata,
+      // like every manifest operation here
+      val touched = newDv.select("file").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      val keyed = dvKeyed(rawRead(spark, table, vTo, touched))
+      return keyed.join(broadcast(newDv),
+          keyed(DvFileCol) === newDv("file") && keyed(DvPosCol) === newDv("pos"),
+          "left_semi")
+        .drop(DvFileCol, DvPosCol)
+        .withColumn(change, lit("delete"))
+    }
+    // the append fast path also requires UNCHANGED deletion vectors: a
+    // MoR delete republishes the same file list while removing rows,
+    // and an appends-only delta would wrongly report it as empty
+    if (fromFiles.subsetOf(toFiles.toSet) && dvFrom == dvTo.toSet) {
       val added = toFiles.filterNot(fromFiles)
       if (added.isEmpty)
         read(spark, table, Some(vTo)).limit(0).withColumn(change, lit("insert"))
@@ -1950,7 +1978,7 @@ class VersionedTableOps(val store: CommitStore) {
     val txt = Files.readString(p)
     val fileRe = "\"([^\"]+\\.parquet)\": \\{([^}]*)\\}".r
     val colRe = ("\"" + java.util.regex.Pattern.quote(statsCol) +
-      "\": \\[\"((?:[^\"\\\\]|\\\\.)*)\", \"((?:[^\"\\\\]|\\\\.)*)\"\\]").r
+      "\": \\[\"((?:[^\"\\\\]++|\\\\.)*+)\", \"((?:[^\"\\\\]++|\\\\.)*+)\"\\]").r
     fileRe.findAllMatchIn(txt).flatMap { m =>
       colRe.findFirstMatchIn(m.group(2))
         .map(c => m.group(1) -> (unescStr(c.group(1)), unescStr(c.group(2))))
@@ -2309,8 +2337,8 @@ class VersionedTableOps(val store: CommitStore) {
 
   private def catEntries(catalog: String, vc: Long): Seq[CatEntry] = {
     val txt = store.read(catalogDir(catalog), manifestName(vc))
-    ("\\{\"table\": \"((?:[^\"\\\\]|\\\\.)*)\", \"tversion\": (\\d+), " +
-      "\"manifest\": \"((?:[^\"\\\\]|\\\\.)*)\"\\}").r
+    ("\\{\"table\": \"((?:[^\"\\\\]++|\\\\.)*+)\", \"tversion\": (\\d+), " +
+      "\"manifest\": \"((?:[^\"\\\\]++|\\\\.)*+)\"\\}").r
       .findAllMatchIn(txt).map(m => CatEntry(
         unescStr(m.group(1)), m.group(2).toLong, unescStr(m.group(3)))).toSeq
   }

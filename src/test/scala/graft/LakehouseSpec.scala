@@ -217,6 +217,38 @@ class LakehouseSpec extends SparkSpec {
     assert(d2.filter(col("_change") === "delete").count() === 5)
   }
 
+  test("changesBetween: MoR-delete fast path reads ONLY the tombstone-touched files") {
+    val t = fresh("cdcmor")
+    // three key-clustered commits -> three disjoint file groups
+    val v1 = VersionedTable.overwrite(spark, t,
+      spark.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("v")))
+    VersionedTable.append(spark, t,
+      spark.range(100, 200).select(col("id").as("k"), (col("id") * 2).as("v")))
+    val v3 = VersionedTable.append(spark, t,
+      spark.range(200, 300).select(col("id").as("k"), (col("id") * 2).as("v")))
+    // a narrow MoR delete inside the FIRST cluster only
+    val v4 = VersionedTable.deleteMoR(spark, t, col("k") < 10)
+    val d = VersionedTable.changesBetween(spark, t, v3, v4)
+    assert(d.filter(col("_change") === "delete").count() === 10)
+    assert(d.filter(col("_change") === "insert").count() === 0)
+    assert(d.collect().map(_.getLong(0)).toSet === (0L until 10L).toSet)
+    // scan evidence: the delta's DATA scan opens only the first
+    // cluster's files (the fast path's whole point — no snapshot
+    // symmetric difference; the dv-* parquet is the vector itself)
+    val cluster1 = VersionedTable.read(spark, t, Some(v1)).inputFiles.toSet
+    val dataScanned = d.inputFiles.toSet.filterNot(_.contains("/data/dv-"))
+    assert(dataScanned.nonEmpty && dataScanned.subsetOf(cluster1),
+      s"MoR fast path must open only tombstone-touched files, got $dataScanned")
+    // two consecutive MoR deletes: the second interval's delta is only
+    // ITS rows (a row is tombstoned at most once)
+    val v5 = VersionedTable.deleteMoR(spark, t, col("k") < 20)
+    val d2 = VersionedTable.changesBetween(spark, t, v4, v5)
+    assert(d2.collect().map(_.getLong(0)).toSet === (10L until 20L).toSet)
+    // and the cumulative interval spans both vectors
+    assert(VersionedTable.changesBetween(spark, t, v3, v5)
+      .filter(col("_change") === "delete").count() === 20)
+  }
+
   test("schema evolution: appended columns merge at the head, time travel keeps the old schema") {
     val t = fresh("evolve")
     val v1 = VersionedTable.overwrite(spark, t,
