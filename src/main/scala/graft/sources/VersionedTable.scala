@@ -2343,14 +2343,19 @@ class VersionedTableOps(val store: CommitStore) {
         unescStr(m.group(1)), m.group(2).toLong, unescStr(m.group(3)))).toSeq
   }
 
-  private def renderCatalog(vc: Long, entries: Seq[CatEntry]): String =
+  private def renderCatalog(vc: Long, entries: Seq[CatEntry],
+      txn: Option[(String, Long)] = None): String = {
+    val txnSec = txn.map { case (app, ver) =>
+      s"""  "txnApp": "${escStr(app)}",\n  "txnVer": $ver,\n""" }.getOrElse("")
     entries.map(e =>
       s"""    {"table": "${escStr(e.table)}", "tversion": ${e.tversion}, """ +
         s""""manifest": "${escStr(e.manifest)}"}""")
       .mkString(
         s"""{\n  "version": $vc,\n  "format": 1,\n  "op": "multi_commit",\n""" +
-          s"""  "ts": ${System.currentTimeMillis()},\n  "entries": [\n""",
+          s"""  "ts": ${System.currentTimeMillis()},\n""" + txnSec +
+          s"""  "entries": [\n""",
         ",\n", "\n  ]\n}\n")
+  }
 
   /** FIRST PHASE of a multi-table atomic commit: stage every batch,
     * then publish ONE catalog manifest that pins each written table at
@@ -2380,34 +2385,55 @@ class VersionedTableOps(val store: CommitStore) {
     * one small manifest PUT.
     */
   def multiPrepare(spark: SparkSession, catalog: String,
-      writes: Seq[(String, DataFrame)]): Long = {
-    require(writes.nonEmpty, "multiPrepare needs at least one (table, batch)")
-    require(writes.map(_._1).distinct.size == writes.size,
-      s"duplicate tables in one multi-table commit: ${writes.map(_._1)}")
-    // same write-time checks as a single-table append, per table
-    val staged = writes.map { case (table, df) =>
-      require(versions(table).nonEmpty,
-        s"$table is uninitialized — create member tables before enrolling them")
-      val head = versions(table).last
-      val headSchema = manifestSchema(table, head)
-        .getOrElse(asStored(read(spark, table, Some(head)).schema))
-      val conflicts = df.schema.flatMap(f => headSchema.find(_.name == f.name)
-        .filter(_.dataType != f.dataType)
-        .map(h => s"${f.name}: table has ${h.dataType.simpleString}, " +
-          s"append has ${f.dataType.simpleString}"))
-      require(conflicts.isEmpty,
-        s"append schema conflicts with $table head: ${conflicts.mkString("; ")}")
-      requireNoRevivedColumns(table, df, headSchema.fieldNames)
-      enforceConstraints(table, df, headConstraints(table))
-      (table, df, stageData(table, df, "m"))
+      writes: Seq[(String, DataFrame)]): Long =
+    multiPrepareWrites(spark, catalog,
+      writes.map { case (t, df) => CatAppend(t, df) }, None)
+
+  private def multiPrepareWrites(spark: SparkSession, catalog: String,
+      writes: Seq[CatalogWrite], txn: Option[(String, Long)]): Long = {
+    require(writes.nonEmpty, "multi-table commit needs at least one write")
+    require(writes.map(_.table).distinct.size == writes.size,
+      s"duplicate tables in one multi-table commit: ${writes.map(_.table)}")
+    txn.foreach { case (app, ver) =>
+      if (lastCatalogTxn(catalog, app).exists(_ >= ver))
+        return catalogVersions(catalog).last // replay: already applied
+    }
+    // appends: same write-time checks as a single-table append, staged
+    // ONCE (reuse across retries); upserts must merge against the
+    // retry-fresh base, so they stage inside the loop
+    val stagedAppends: Map[String, Seq[String]] = writes.collect {
+      case CatAppend(table, df) =>
+        require(versions(table).nonEmpty,
+          s"$table is uninitialized — create member tables before enrolling them")
+        val head = versions(table).last
+        val headSchema = manifestSchema(table, head)
+          .getOrElse(asStored(read(spark, table, Some(head)).schema))
+        val conflicts = df.schema.flatMap(f => headSchema.find(_.name == f.name)
+          .filter(_.dataType != f.dataType)
+          .map(h => s"${f.name}: table has ${h.dataType.simpleString}, " +
+            s"append has ${f.dataType.simpleString}"))
+        require(conflicts.isEmpty,
+          s"append schema conflicts with $table head: ${conflicts.mkString("; ")}")
+        requireNoRevivedColumns(table, df, headSchema.fieldNames)
+        enforceConstraints(table, df, headConstraints(table))
+        table -> stageData(table, df, "m")
+    }.toMap
+    writes.collect { case u: CatUpsert => u }.foreach { u =>
+      require(versions(u.table).nonEmpty,
+        s"${u.table} is uninitialized — create member tables before enrolling them")
     }
     var attempt = 0
     while (true) {
       multiRollForward(catalog) // complete any crashed predecessor first
+      txn.foreach { case (app, ver) =>
+        if (lastCatalogTxn(catalog, app).exists(_ >= ver))
+          return catalogVersions(catalog).last // race: the replayer lost
+      }
       val prevPins: Map[String, Long] = catalogVersions(catalog).lastOption
         .map(vc => catEntries(catalog, vc).map(e => e.table -> e.tversion).toMap)
         .getOrElse(Map.empty)
-      val written = staged.map { case (table, df, files) =>
+      val written = writes.map { w =>
+        val table = w.table
         val base = versions(table).last
         prevPins.get(table).foreach(p => require(base == p,
           s"member table $table moved from its catalog pin v$p to v$base " +
@@ -2415,24 +2441,56 @@ class VersionedTableOps(val store: CommitStore) {
             "to member tables to go through the catalog"))
         val headSchema = manifestSchema(table, base)
           .getOrElse(asStored(read(spark, table, Some(base)).schema))
-        CatEntry(table, base + 1,
-          render(base + 1, "append",
-            unionSchema(headSchema, asStored(df.schema)),
-            manifestFiles(table, base) ++ files,
-            manifestDvs(table, base),
-            cons = checkConstraints(table, Some(base)),
-            renames = manifestRenames(table, base),
-            partitionBy = manifestPartitionBy(table, base)))
+        w match {
+          case CatAppend(_, df) =>
+            CatEntry(table, base + 1,
+              render(base + 1, "append",
+                unionSchema(headSchema, asStored(df.schema)),
+                manifestFiles(table, base) ++ stagedAppends(table),
+                manifestDvs(table, base),
+                cons = checkConstraints(table, Some(base)),
+                renames = manifestRenames(table, base),
+                partitionBy = manifestPartitionBy(table, base)))
+          case CatUpsert(_, updates, key) =>
+            val cur = read(spark, table, Some(base))
+            val cols = cur.columns
+            val merged = cur.as("t").join(updates.as("u"), Seq(key), "full_outer")
+              .select(cols.map(c =>
+                if (c == key) col(key)
+                else coalesce(col(s"u.$c"), col(s"t.$c")).as(c)): _*)
+            enforceConstraints(table, merged, checkConstraints(table, Some(base)))
+            CatEntry(table, base + 1,
+              render(base + 1, "upsert",
+                asStored(merged.schema), stageData(table, merged, "m"),
+                Nil, // a rewrite purges deletion vectors, like upsert
+                cons = checkConstraints(table, Some(base)),
+                renames = manifestRenames(table, base),
+                partitionBy = manifestPartitionBy(table, base)))
+        }
       }
       val carried = (prevPins -- written.map(_.table))
         .map { case (t, v) => CatEntry(t, v, "") }.toSeq.sortBy(_.table)
       val vc = catalogVersions(catalog).lastOption.getOrElse(0L) + 1
       if (store.putIfAbsent(catalogDir(catalog), manifestName(vc),
-          renderCatalog(vc, written ++ carried))) return vc
+          renderCatalog(vc, written ++ carried, txn))) return vc
       attempt += 1
       require(attempt < 100, s"catalog commit contention on $catalog")
     }
     -1 // unreachable
+  }
+
+  /** Newest catalog transaction version committed under `appId` —
+    * the catalog-level twin of [[lastTxn]]: the idempotence horizon
+    * for exactly-once MULTI-TABLE sinks (a replayed foreachBatch
+    * commits N tables once or not at all).
+    */
+  def lastCatalogTxn(catalog: String, appId: String): Option[Long] = {
+    val appPat = ("\"txnApp\": \"" + java.util.regex.Pattern.quote(escStr(appId)) +
+      "\",\\s*\"txnVer\": (\\d+)").r
+    catalogVersions(catalog).reverseIterator.map { vc =>
+      appPat.findFirstMatchIn(store.read(catalogDir(catalog), manifestName(vc)))
+        .map(_.group(1).toLong)
+    }.collectFirst { case Some(ver) => ver }
   }
 
   /** SECOND PHASE / crash recovery: publish the catalog head's pending
@@ -2460,8 +2518,22 @@ class VersionedTableOps(val store: CommitStore) {
     * the catalog version (the transaction id).
     */
   def appendAll(spark: SparkSession, catalog: String,
-      writes: Seq[(String, DataFrame)]): Long = {
-    val vc = multiPrepare(spark, catalog, writes)
+      writes: Seq[(String, DataFrame)]): Long =
+    commitAll(spark, catalog, writes.map { case (t, df) => CatAppend(t, df) })
+
+  /** The general multi-table transaction: any mix of [[CatAppend]]s
+    * and [[CatUpsert]]s lands atomically, optionally tagged with an
+    * (appId, txnVer) idempotence watermark — a replayed transaction
+    * (crash-restarted foreachBatch, racing duplicate writer) is a
+    * no-op returning the current catalog head, so a streaming sink
+    * fanning one micro-batch into N tables is EXACTLY-ONCE across
+    * all of them: the batch id is the transaction version, and the
+    * catalog's single publish point means no interleaving can apply
+    * half of it.
+    */
+  def commitAll(spark: SparkSession, catalog: String,
+      writes: Seq[CatalogWrite], txn: Option[(String, Long)] = None): Long = {
+    val vc = multiPrepareWrites(spark, catalog, writes, txn)
     multiRollForward(catalog)
     vc
   }
@@ -2543,6 +2615,18 @@ class VersionedTableOps(val store: CommitStore) {
     VacuumReport(kept, dropped, dirs, bytes)
   }
 }
+
+/** One member-table write inside a multi-table transaction. */
+sealed trait CatalogWrite { def table: String }
+/** Append `df` to `table` (staged once; retries re-plan metadata only). */
+final case class CatAppend(table: String, df: DataFrame) extends CatalogWrite
+/** MERGE upsert keyed by `key` — same semantics as the single-table
+  * upsert (updates win, inserts land, unmatched rows kept); the merge
+  * re-runs per retry against the fresh base, like its single-table
+  * twin's commit closure.
+  */
+final case class CatUpsert(table: String, df: DataFrame, key: String)
+  extends CatalogWrite
 
 /** The default deployment: manifests published with link(2). Every
   * production call site uses this object; the class exists so the

@@ -466,6 +466,44 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     assert(e.getMessage.contains("outside the catalog"))
   }
 
+  test(s"[$backend] catalog transactions: mixed append+upsert, exactly-once replay") {
+    import graft.sources.{CatAppend, CatUpsert}
+    val a = freshTable("cattx-a")
+    val b = freshTable("cattx-b")
+    val cat = freshTable("cattx-log")
+    ops.overwrite(spark, a, base)
+    ops.overwrite(spark, b, base)
+    // one transaction mixes an append and a MERGE upsert, tagged with
+    // an idempotence watermark — the N-table exactly-once sink shape
+    def w1 = Seq(
+      CatAppend(a, spark.range(1000, 1005).select(col("id").as("k"), lit("A").as("v"))),
+      CatUpsert(b, spark.range(0, 3).select(col("id").as("k"), lit("UP").as("v")), "k"))
+    val vc1 = ops.commitAll(spark, cat, w1, Some("app" -> 1L))
+    assert(ops.read(spark, a).filter(col("v") === "A").count() === 5)
+    assert(ops.read(spark, b).filter(col("v") === "UP").count() === 3)
+    assert(ops.read(spark, b).count() === base.count(),
+      "upsert of existing keys adds no rows")
+    // the REPLAYED transaction is a no-op at every level: same catalog
+    // head, same member heads, no duplicate rows
+    val (headA, headB) = (ops.versions(a).last, ops.versions(b).last)
+    assert(ops.commitAll(spark, cat, w1, Some("app" -> 1L)) === vc1)
+    assert(ops.versions(a).last === headA && ops.versions(b).last === headB)
+    assert(ops.read(spark, a).filter(col("v") === "A").count() === 5,
+      "replay must not duplicate the appended batch")
+    assert(ops.lastCatalogTxn(cat, "app") === Some(1L))
+    // the NEXT transaction version advances normally
+    val vc2 = ops.commitAll(spark, cat, Seq(
+      CatUpsert(b, spark.range(100, 106)
+        .select(col("id").as("k"), lit("NEW").as("v")), "k")), Some("app" -> 2L))
+    assert(vc2 === vc1 + 1)
+    assert(ops.read(spark, b).filter(col("v") === "NEW").count() === 6,
+      "unmatched upsert keys insert")
+    assert(ops.lastCatalogTxn(cat, "app") === Some(2L))
+    // pins stay complete across the b-only transaction
+    assert(ops.catalogSnapshot(cat).toMap ===
+      Map(a -> ops.versions(a).last, b -> ops.versions(b).last))
+  }
+
   test(s"[$backend] racing multi-table commits serialize on the catalog publish; none lost") {
     val a = freshTable("catrace-a")
     val b = freshTable("catrace-b")
