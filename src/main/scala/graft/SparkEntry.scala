@@ -145,6 +145,7 @@ object SparkEntry {
     "q_mat_view_minmax" -> (operators.VersionedQueries.qMatViewMinMax _),
     "q_drop_partition" -> (operators.VersionedQueries.qDropPartition _),
     "q_multi_commit" -> (operators.VersionedQueries.qMultiCommit _),
+    "q_mat_view_stats" -> (operators.VersionedQueries.qMatViewStats _),
     "q_zone_map_nulls" -> (operators.VersionedQueries.qZoneMapNulls _),
     "q_check_constraint" -> (operators.VersionedQueries.qCheckConstraint _),
     "q_drop_column" -> (operators.VersionedQueries.qDropColumn _),
@@ -1197,6 +1198,25 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |  AND NOT (CAST(o_totalprice AS DECIMAL(12,2)) < 50000.00)
         |GROUP BY 1""".stripMargin,
+    // q_mat_view_stats: abelian count/sum/sum-of-squares maintenance
+    // must land exactly at the from-scratch aggregate; avg/var derive
+    // in double with the SAME op order on both sides (exact decimal
+    // components -> identical doubles)
+    "q_mat_view_stats" ->
+      """WITH s AS (
+        |  SELECT o_custkey, count(*) AS mv_count,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sumsq_d,
+        |    CAST(count(o_totalprice) AS DOUBLE) AS n
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND NOT (CAST(o_totalprice AS DECIMAL(12,2)) < 50000.00)
+        |  GROUP BY 1)
+        |SELECT o_custkey, mv_count, sum_d AS mv_sum,
+        |  sum_d / n AS mv_avg,
+        |  sumsq_d / n - (sum_d / n) * (sum_d / n) AS mv_var
+        |FROM s""".stripMargin,
     // q_multi_commit: after two atomic multi-table transactions, the
     // catalog-pinned join must equal the plain join over the complete
     // source tables (the protocol asserts live in-query)

@@ -667,6 +667,38 @@ object VersionedQueries {
         col("mv_sum_o_totalprice").cast("double").as("mv_sum"))
   }
 
+  /** q_mat_view_stats: the STATS materialized view under the oracle
+    * gate — per-customer count / exact decimal sum / sum-of-squares
+    * maintained across an H2 append and a predicate delete (all three
+    * state columns abelian: no rescan on any path), with avg and
+    * population variance DERIVED at read time in double with a fixed
+    * operation order the oracle replays term-for-term (exact decimal
+    * components → identical doubles, hash-stable).
+    */
+  def qMatViewStats(spark: SparkSession, dir: String): DataFrame = {
+    val src = freshTable("mvssrc")
+    val view = freshTable("mvsview")
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"),
+        col("o_orderdate"))
+    def half(lo: String, hi: String) = o
+      .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+        col("o_orderdate") < lit(hi).cast("timestamp"))
+      .drop("o_orderdate")
+    VersionedTable.overwrite(spark, src, half("1997-01-01", "1997-07-01"))
+    MaterializedView.refreshStats(spark, view, src, Seq("o_custkey"), Seq("o_totalprice"))
+    VersionedTable.append(spark, src, half("1997-07-01", "1998-01-01"))
+    MaterializedView.refreshStats(spark, view, src, Seq("o_custkey"), Seq("o_totalprice"))
+    VersionedTable.delete(spark, src, col("o_totalprice") < 50000.00)
+    MaterializedView.refreshStats(spark, view, src, Seq("o_custkey"), Seq("o_totalprice"))
+    MaterializedView.readStats(spark, view, Seq("o_custkey"), Seq("o_totalprice"))
+      .select(col("o_custkey"), col("mv_count"),
+        col("mv_sum_o_totalprice").cast("double").as("mv_sum"),
+        col("mv_avg_o_totalprice").as("mv_avg"),
+        col("mv_var_o_totalprice").as("mv_var"))
+  }
+
   /** q_multi_commit: MULTI-TABLE atomic transactions under the oracle
     * gate — a fact (orders) and a dim (customer) table enrolled in one
     * catalog, written by two `appendAll` transactions (the second

@@ -250,6 +250,103 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
     vt.overwriteTxns(spark, view, merged.filter(col("mv_count") > 0), txns)
   }
 
+  private def sqName(c: String) = s"${c}_sq"
+
+  /** A STATS view: per-`keyCols` `mv_count`, `mv_sum_c` and
+    * `mv_sum_c_sq` (sum of squares) for each of `cols` — everything
+    * avg, variance and stddev derive from EXACTLY at read time
+    * ([[readStats]]), all three state columns abelian (they merge
+    * under insertion AND deletion, so the whole mutation surface
+    * maintains with no rescan, unlike min/max).
+    *
+    * Exactness rule: squares are kept in the same DECIMAL(28,4) state
+    * as sums, so inputs must be EXACT types whose squares fit —
+    * decimals with scale ≤ 2 and ≤ 12 integer digits, or integrals
+    * probed to |v| ≤ 10^12 over the delta. Floats are REFUSED: their
+    * squares cannot be represented exactly at any fixed scale, and a
+    * quantized sum-of-squares silently corrupts small-magnitude
+    * variances — cast to a decimal at ingestion instead.
+    */
+  def refreshStats(spark: SparkSession, view: String, source: String,
+      keyCols: Seq[String], cols: Seq[String],
+      viewKey: String = "mvs", where: Option[String] = None): Long = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    val head = vt.versions(source).last
+    val vView = vt.versions(view).lastOption
+    val cursor = vView.flatMap(v =>
+      vt.lastTxn(view, appIdFor(viewKey), upTo = Some(v)))
+    if (cursor.exists(_ >= head)) return vt.versions(view).last
+    val delta0 = cursor match {
+      case Some(v) => vt.changesBetween(spark, source, v, head)
+      case None => vt.read(spark, source, Some(head))
+        .withColumn("_change", lit("insert"))
+    }
+    val delta1 = where.fold(delta0)(w => delta0.filter(expr(w)))
+    val integrals = cols.filter { c =>
+      delta1.schema(c).dataType match {
+        case d: DecimalType =>
+          require(d.scale <= 2 && d.precision - d.scale <= 12,
+            s"stats column $c: ${d.simpleString} squares cannot be held exactly " +
+              s"in ${SumType.simpleString}; keep scale <= 2 and <= 12 integer digits")
+          false
+        case ByteType | ShortType | IntegerType | LongType => true
+        case other => throw new IllegalArgumentException(
+          s"stats column $c has type ${other.simpleString}; stats views need " +
+            "exact types (decimal scale <= 2 or integral) — cast at ingestion")
+      }
+    }
+    if (integrals.nonEmpty) {
+      val lim = 1000000000000L // |v| <= 10^12: squares fit DECIMAL(28,4)
+      val probe = delta1.agg(count(lit(1)).as("__n"),
+        integrals.map(c => sum(when(abs(col(c)) > lim, 1L).otherwise(0L)).as(c)): _*)
+        .head
+      integrals.zipWithIndex.foreach { case (c, i) =>
+        require(probe.getLong(i + 1) == 0L,
+          s"stats column $c: ${probe.getLong(i + 1)} delta rows exceed |v| <= 1e12; " +
+            "their squares cannot be held exactly") }
+    }
+    // squares and per-column NON-NULL counts ride as ADDITIONAL
+    // abelian sums ((28,4)×(28,4) squares of probed inputs are exact
+    // and fit the final (28,4) state; the nn count gives the SQL
+    // AVG/VAR denominator — NULLs contribute to neither numerator nor
+    // denominator, matching the aggregate a recompute would run)
+    val delta = cols.foldLeft(delta1)((d, c) => d
+      .withColumn(sqName(c),
+        (col(c).cast(SumType) * col(c).cast(SumType)).cast(SumType))
+      .withColumn(nnName(c),
+        when(col(c).isNotNull, lit(1L)).otherwise(lit(null).cast("long"))))
+    foldDelta(spark, view, vView, cursor.isDefined, delta,
+      keyCols, cols ++ cols.map(sqName) ++ cols.map(nnName),
+      Seq(appIdFor(viewKey) -> head))
+  }
+
+  private def nnName(c: String) = s"${c}_nn"
+
+  /** The stats view with avg / population variance / stddev DERIVED
+    * from the exact state, computed in double with a fixed operation
+    * order (stable across refresh histories and engines). A group
+    * whose values were all NULL derives NULL.
+    */
+  def readStats(spark: SparkSession, view: String, keyCols: Seq[String],
+      cols: Seq[String], version: Option[Long] = None): DataFrame = {
+    val st = vt.read(spark, view, version)
+    val derived = cols.flatMap { c =>
+      // SQL aggregate semantics: the denominator is the NON-NULL
+      // count; an all-NULL group derives NULL (never 0/0 — the merge
+      // path stores such a group's sums as 0, the first refresh as
+      // NULL; both normalize here)
+      val nRaw = col(s"mv_sum_${nnName(c)}")
+      val n = when(nRaw.isNull || nRaw === 0, lit(null).cast("double"))
+        .otherwise(nRaw.cast("double"))
+      val avg = col(s"mv_sum_$c").cast("double") / n
+      val varp = col(s"mv_sum_${sqName(c)}").cast("double") / n - avg * avg
+      Seq(avg.as(s"mv_avg_$c"), varp.as(s"mv_var_$c"),
+        sqrt(varp).as(s"mv_std_$c"))
+    }
+    st.select(keyCols.map(col) ++ (col("mv_count") +:
+      cols.map(c => col(s"mv_sum_$c"))) ++ derived: _*)
+  }
+
   /** A MIN/MAX view: per-`keyCols` `mv_count`, `mv_min_c`, `mv_max_c`
     * for each of `cols` — the aggregates [[refresh]] deliberately does
     * not offer, because they are only SEMILATTICE-mergeable: an insert

@@ -214,6 +214,36 @@ object Streams {
       }
       .start()
 
+  /** Fan ONE micro-batch into N versioned tables ATOMICALLY — the
+    * multi-table exactly-once sink: each batch lands as one catalog
+    * transaction tagged (appId, batchId)
+    * ([[graft.sources.VersionedTableOps.commitAll]]), so a
+    * crash-replayed batch commits to ALL routed tables or to none —
+    * never to a subset, which per-table idempotent appends alone
+    * cannot promise (a crash between two single-table commits leaves
+    * the fan-out half-applied until the replay, visible to readers
+    * in between). `routes` maps each target to its per-batch
+    * transform; the batch is pinned once and shared across routes.
+    */
+  def fanoutStreamCatalog(rows: DataFrame, catalog: String,
+      routes: Seq[(String, DataFrame => DataFrame)],
+      checkpointDir: String, appId: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val pinned = batch.localCheckpoint(true) // staged once per route
+          try {
+            graft.sources.VersionedTable.commitAll(batch.sparkSession, catalog,
+              routes.map { case (t, f) => graft.sources.CatAppend(t, f(pinned)) },
+              Some(appId -> batchId))
+          } finally pinned.unpersist()
+        }
+        ()
+      }
+      .start()
+
   /** The read view over the snapshot: tombstones filtered, the
     * q_cdc_apply output shape.
     */

@@ -252,6 +252,73 @@ abstract class MaterializedViewBattery(backend: String, mv: MaterializedViewOps)
     refreshIt(); check("after deleting the scoped minima")
   }
 
+  // ---- stats views (count/sum/sum-of-squares; derived avg/var/std) ----
+
+  private def fullStats(source: String): DataFrame = {
+    val v28 = col("v").cast("decimal(28,4)")
+    val s = sum(v28).cast("double")
+    val sq = sum((v28 * v28).cast("decimal(28,4)")).cast("double")
+    val n = count(col("v")).cast("double")
+    val avg = s / n
+    vt.read(spark, source).groupBy("k").agg(
+      count(lit(1)).cast("long").as("mv_count"),
+      sum(v28).as("mv_sum_v"),
+      avg.as("mv_avg_v"),
+      (sq / n - avg * avg).as("mv_var_v"))
+  }
+
+  test(s"[$backend] stats view: derived avg/var == recompute across the mutation battery") {
+    val src = fresh("stsrc")
+    val view = fresh("stview")
+    def refreshIt(): Unit = mv.refreshStats(spark, view, src, Seq("k"), Seq("v"))
+    def check(clue: String): Unit = {
+      val got = mv.readStats(spark, view, Seq("k"), Seq("v"))
+        .select("k", "mv_count", "mv_sum_v", "mv_avg_v", "mv_var_v")
+      val want = fullStats(src)
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"$clue: stats view != full recompute (exact doubles, same op order)")
+    }
+    vt.overwrite(spark, src, rows(0, 100))
+    refreshIt(); check("initial")
+    vt.append(spark, src, rows(100, 160))
+    refreshIt(); check("after append")
+    vt.delete(spark, src, col("v") < 30.0)
+    refreshIt(); check("after COW delete")
+    vt.deleteMoR(spark, src, col("v") > 150.0)
+    refreshIt(); check("after MoR delete")
+    vt.upsert(spark, src,
+      rows(0, 160).filter(col("id").between(39, 48))
+        .withColumn("v", (col("v") * 2).cast("decimal(12,2)")), "id")
+    refreshIt(); check("after upsert")
+    // replay no-op
+    val vBefore = vt.versions(view).last
+    refreshIt()
+    assert(vt.versions(view).last === vBefore)
+    // an all-NULL group derives NULL avg/var, not 0/0
+    vt.append(spark, src, spark.range(0, 2).select(
+      (col("id") + 700).as("id"), lit(99L).as("k"),
+      lit(null).cast("decimal(12,2)").as("v")))
+    refreshIt()
+    val g99 = mv.readStats(spark, view, Seq("k"), Seq("v"))
+      .filter(col("k") === 99L).head
+    assert(g99.getLong(1) === 2L && g99.isNullAt(3) && g99.isNullAt(4),
+      "all-NULL group: count moves, derived stats stay NULL")
+    // floats are refused (quantized squares corrupt small variances)
+    val srcF = fresh("stsrc-f")
+    vt.overwrite(spark, srcF, spark.range(0, 5)
+      .select((col("id") % 2).as("k"), (col("id") * 1.5).as("v")))
+    intercept[IllegalArgumentException] {
+      mv.refreshStats(spark, fresh("stview-f"), srcF, Seq("k"), Seq("v"))
+    }
+    // integrals past |v| <= 1e12 are refused (squares would overflow)
+    val srcI = fresh("stsrc-i")
+    vt.overwrite(spark, srcI, spark.range(0, 3)
+      .select((col("id") % 2).as("k"), (col("id") + 2000000000000L).as("v")))
+    intercept[IllegalArgumentException] {
+      mv.refreshStats(spark, fresh("stview-i"), srcI, Seq("k"), Seq("v"))
+    }
+  }
+
   // ---- joined views (delta-join maintenance) ----
 
   private def lrows(lo: Long, hi: Long) =

@@ -194,6 +194,55 @@ class VersionedStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("atomic fan-out: one micro-batch into TWO tables via a catalog txn, exactly-once across restart") {
+    val bronze = fresh("fan-bronze")
+    val evens = fresh("fan-evens")
+    val odds = fresh("fan-odds")
+    val cat = fresh("fan-cat")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fan-ck").toString
+    VersionedTable.overwrite(spark, bronze, dfRange(0, 100))
+    // targets must exist before enrollment (catalog contract)
+    VersionedTable.overwrite(spark, evens, dfRange(0, 2).filter(col("k") % 2 === 0))
+    VersionedTable.overwrite(spark, odds, dfRange(0, 2).filter(col("k") % 2 === 1))
+    def start() = {
+      val in = spark.readStream
+        .format("graft.sources.VersionedStreamProvider")
+        .option("path", bronze).option("startingVersion", "1").load()
+      graft.streaming.Streams.fanoutStreamCatalog(in, cat, Seq(
+        evens -> ((b: org.apache.spark.sql.DataFrame) => b.filter(col("k") % 2 === 0)),
+        odds -> ((b: org.apache.spark.sql.DataFrame) => b.filter(col("k") % 2 === 1))),
+        ckpt, "fanout-test")
+    }
+    val q1 = start()
+    try {
+      VersionedTable.append(spark, bronze, dfRange(100, 160))
+      q1.processAllAvailable()
+      assert(VersionedTable.read(spark, evens).count() === 1 + 30)
+      assert(VersionedTable.read(spark, odds).count() === 1 + 30)
+      // both tables' pins advanced in the SAME catalog transactions
+      val pins = VersionedTable.catalogSnapshot(cat).toMap
+      assert(pins.keySet === Set(evens, odds))
+    } finally q1.stop()
+    // bronze advances while no stream runs; the restart replays from
+    // the checkpoint and the catalog watermark absorbs the replay —
+    // exactly-once across BOTH tables simultaneously
+    VersionedTable.append(spark, bronze, dfRange(160, 200))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(VersionedTable.read(spark, evens).count() === 1 + 50,
+        "missed or duplicated even rows across restart")
+      assert(VersionedTable.read(spark, odds).count() === 1 + 50,
+        "missed or duplicated odd rows across restart")
+      assert(VersionedTable.lastCatalogTxn(cat, "fanout-test").nonEmpty,
+        "catalog txn watermark recorded")
+      val pins = VersionedTable.catalogSnapshot(cat).toMap
+      assert(pins(evens) === VersionedTable.versions(evens).last &&
+        pins(odds) === VersionedTable.versions(odds).last,
+        "catalog pins sit at both member heads")
+    } finally q2.stop()
+  }
+
   test("medallion hop: versioned read -> transform -> idempotent versioned append, exactly-once across restart") {
     // bronze -> silver entirely over the commit log: the stream READS
     // bronze versions (replayable — batches are pure functions of
