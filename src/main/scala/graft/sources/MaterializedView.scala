@@ -296,13 +296,17 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
       }
     }
     if (integrals.nonEmpty) {
-      val lim = 1000000000000L // |v| <= 10^12: squares fit DECIMAL(28,4)
+      // STRICT bound: |v| < 10^12 — v = ±10^12 itself squares to
+      // exactly 10^24, which needs 25 integer digits and does NOT fit
+      // DECIMAL(28,4)'s 24 (the decimal rule above is strict the same
+      // way: <= 12 integer digits means < 10^12)
+      val lim = 1000000000000L
       val probe = delta1.agg(count(lit(1)).as("__n"),
-        integrals.map(c => sum(when(abs(col(c)) > lim, 1L).otherwise(0L)).as(c)): _*)
+        integrals.map(c => sum(when(abs(col(c)) >= lim, 1L).otherwise(0L)).as(c)): _*)
         .head
       integrals.zipWithIndex.foreach { case (c, i) =>
         require(probe.getLong(i + 1) == 0L,
-          s"stats column $c: ${probe.getLong(i + 1)} delta rows exceed |v| <= 1e12; " +
+          s"stats column $c: ${probe.getLong(i + 1)} delta rows at or past |v| = 1e12; " +
             "their squares cannot be held exactly") }
     }
     // squares and per-column NON-NULL counts ride as ADDITIONAL

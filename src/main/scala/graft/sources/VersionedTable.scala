@@ -321,8 +321,10 @@ class VersionedTableOps(val store: CommitStore) {
       (schema, files, dvs)
     }, consOverride = // the branch inherits the source's schema
       Some(_ => checkConstraints(src, Some(v))), //   CONTRACT, not just bytes:
-      renOverride = //                           constraints AND the name map
-        Some(_ => manifestRenames(src, v)))
+      renOverride = //                           constraints, the name map,
+        Some(_ => manifestRenames(src, v)), //   AND the partition spec (the
+      partsOverride = //                        clone's appends must keep
+        Some(_ => manifestPartitionBy(src, v))) // routing, its drops working)
   }
 
   private[sources] def manifestDvs(table: String, v: Long): Seq[String] = {
@@ -924,6 +926,12 @@ class VersionedTableOps(val store: CommitStore) {
         .getOrElse(asStored(read(spark, table, Some(base)).schema))
       require(schema.fieldNames.contains(name), s"no column $name on $table")
       require(schema.fields.length > 1, s"cannot drop the only column of $table")
+      // a dropped PARTITION column would brick every later write (the
+      // routing spec requires the column in each batch) — refuse, like
+      // the other self-inflicted hazards this op guards
+      require(!manifestPartitionBy(table, base)
+        .contains(physicalName(manifestRenames(table, base), name)),
+        s"cannot drop $name: it is a partition column of $table")
       val newSchema = org.apache.spark.sql.types.StructType(
         schema.fields.filterNot(_.name == name))
       checkConstraints(table, Some(base)).foreach { case (cn, ce) =>

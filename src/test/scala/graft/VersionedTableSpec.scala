@@ -603,6 +603,18 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     assert(report.deletedDirs > 0, "vacuum must reclaim the pre-compaction stages")
     assert(ops.read(spark, t).count() === 180, "post-vacuum head intact")
 
+    // a shallow clone inherits the partition spec (its appends keep
+    // routing, its drops keep working); dropping a partition COLUMN
+    // would brick every later write — refused
+    val tClone = freshTable("part-clone")
+    ops.cloneTable(spark, t, tClone)
+    assert(ops.partitionSpec(tClone) === Seq("p"))
+    ops.append(spark, tClone, spark.range(900, 905).select(
+      col("id").as("k"), lit("P9").as("p"), (col("id") * 2).as("v")))
+    assert(ops.snapshotFiles(tClone).forall(_.split('/').exists(_.startsWith("p__pv="))),
+      "the clone's appends stay value-routed")
+    intercept[IllegalArgumentException] { ops.dropColumn(spark, t, "p") }
+
     // unrouted legacy files block DROP PARTITION loudly
     val t2 = freshTable("part-legacy")
     ops.overwrite(spark, t2, df) // NOT partitioned
