@@ -146,6 +146,7 @@ object SparkEntry {
     "q_drop_partition" -> (operators.VersionedQueries.qDropPartition _),
     "q_multi_commit" -> (operators.VersionedQueries.qMultiCommit _),
     "q_mat_view_stats" -> (operators.VersionedQueries.qMatViewStats _),
+    "q_partition_join" -> (operators.VersionedQueries.qPartitionJoin _),
     "q_zone_map_nulls" -> (operators.VersionedQueries.qZoneMapNulls _),
     "q_check_constraint" -> (operators.VersionedQueries.qCheckConstraint _),
     "q_drop_column" -> (operators.VersionedQueries.qDropColumn _),
@@ -1198,6 +1199,15 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |  AND NOT (CAST(o_totalprice AS DECIMAL(12,2)) < 50000.00)
         |GROUP BY 1""".stripMargin,
+    // q_partition_join: the value-pair-aligned join over two
+    // partitioned tables (dim's 5-LOW partition dropped — pruned at
+    // the manifest on the fact side too) must equal the plain join
+    "q_partition_join" ->
+      """SELECT o_orderpriority, substr(o_orderpriority, 1, 1) AS pr,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS DOUBLE) AS spend
+        |FROM orders WHERE o_orderpriority <> '5-LOW'
+        |GROUP BY 1, 2""".stripMargin,
     // q_mat_view_stats: abelian count/sum/sum-of-squares maintenance
     // must land exactly at the from-scratch aggregate; avg/var derive
     // in double with the SAME op order on both sides (exact decimal

@@ -667,6 +667,38 @@ object VersionedQueries {
         col("mv_sum_o_totalprice").cast("double").as("mv_sum"))
   }
 
+  /** q_partition_join: the PARTITION-ALIGNED join — fact (orders) and
+    * dim (per-priority attributes) both partitioned by
+    * o_orderpriority; the dim then DROPS its 5-LOW partition, and the
+    * aligned join must (a) prune that value at the MANIFEST — no pair
+    * is planned for it, its fact files never open (asserted via the
+    * common-value count) — and (b) agree exactly with the plain SQL
+    * join over the surviving dim, which is what the oracle replays.
+    */
+  def qPartitionJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = freshTable("pjfact")
+    val dim = freshTable("pjdim")
+    val all = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    VersionedTable.overwritePartitioned(spark, fact, all, Seq("o_orderpriority"))
+    VersionedTable.overwritePartitioned(spark, dim,
+      all.select(col("o_orderpriority")).distinct()
+        .withColumn("pr", substring(col("o_orderpriority"), 1, 1)),
+      Seq("o_orderpriority"))
+    VersionedTable.dropPartition(spark, dim, "o_orderpriority", "5-LOW")
+    val joined = VersionedTable.joinPartitioned(spark, fact, dim,
+      Seq("o_orderpriority"))
+    require(VersionedTable.filesForPartition(fact, "o_orderpriority", "5-LOW")
+      ._1.nonEmpty, "precondition: the fact side HAS 5-LOW files to prune")
+    require(!joined.inputFiles.exists(_.contains("o_orderpriority__pv=5-LOW")),
+      "manifest-level join pruning: the dropped dim value's fact files " +
+        "must never be opened")
+    outBoundary(joined.groupBy(col("o_orderpriority"), col("pr"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price").cast("decimal(28,4)")).cast("double").as("spend")))
+  }
+
   /** q_mat_view_stats: the STATS materialized view under the oracle
     * gate — per-customer count / exact decimal sum / sum-of-squares
     * maintained across an H2 append and a predicate delete (all three

@@ -282,6 +282,12 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
         .withColumn("_change", lit("insert"))
     }
     val delta1 = where.fold(delta0)(w => delta0.filter(expr(w)))
+    // the derived state columns are keyed by suffix — a source column
+    // that IS another's square/nn name would collide in the state
+    val reserved = cols.flatMap(c => Seq(sqName(c), nnName(c))).toSet
+    require(cols.forall(c => !reserved.contains(c)),
+      s"stats columns collide with derived-state names: " +
+        cols.filter(reserved.contains).mkString(", "))
     val integrals = cols.filter { c =>
       delta1.schema(c).dataType match {
         case d: DecimalType =>

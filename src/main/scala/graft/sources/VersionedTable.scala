@@ -1205,6 +1205,76 @@ class VersionedTableOps(val store: CommitStore) {
     else readFiles(spark, table, v, kept)
   }
 
+  /** The distinct partition-value segments present in a snapshot
+    * (raw path-encoded form, the exact strings the writer produced —
+    * byte-comparable across tables because the encoding is
+    * deterministic). Metadata-only: derived from the manifest's file
+    * paths, no IO.
+    */
+  private def partitionSegValues(table: String, physCol: String,
+      v: Long): Set[String] = {
+    val pre = partSeg(physCol) + "="
+    manifestFiles(table, v)
+      .flatMap(_.split('/').find(_.startsWith(pre)))
+      .map(_.stripPrefix(pre)).toSet
+  }
+
+  /** Files of one RAW partition segment value (the internal twin of
+    * [[filesForPartition]] without the literal-charset restriction —
+    * callers pass values read back from paths, already encoded).
+    */
+  private def filesForSeg(table: String, physCol: String, rawValue: String,
+      v: Long): Seq[String] =
+    manifestFiles(table, v)
+      .filter(_.split('/').contains(s"${partSeg(physCol)}=$rawValue"))
+
+  /** PARTITION-ALIGNED inner equi-join of two tables partitioned by
+    * the same column: the join is planned as one VALUE-PAIR join per
+    * partition value PRESENT ON BOTH SIDES, unioned — so values
+    * missing from either side are pruned at the MANIFEST (their files
+    * are never opened, the join-pruning a catalog-level partition
+    * spec exists for), each pair scans only its two value
+    * directories, and a small pair side broadcasts where the global
+    * join would have shuffled everything. The null partition
+    * (`__HIVE_DEFAULT_PARTITION__`) is excluded on both sides — NULL
+    * keys never match an inner equi-join. Beyond `maxBranches`
+    * common values the plan would degenerate into a huge union, so
+    * it falls back to the plain snapshot join (same semantics, no
+    * pruning) — honest about where the technique stops paying.
+    * `on` must include the partition column; extra key columns join
+    * within each pair.
+    */
+  def joinPartitioned(spark: SparkSession, left: String, right: String,
+      on: Seq[String], vLeft: Option[Long] = None, vRight: Option[Long] = None,
+      maxBranches: Int = 64): DataFrame = {
+    val vl = vLeft.getOrElse(versions(left).last)
+    val vr = vRight.getOrElse(versions(right).last)
+    val specL = manifestPartitionBy(left, vl)
+    val specR = manifestPartitionBy(right, vr)
+    require(specL.nonEmpty && specR.nonEmpty,
+      s"joinPartitioned needs BOTH tables partitioned ($left: $specL, $right: $specR)")
+    val phL = specL.head
+    val phR = specR.head
+    val logL = manifestRenames(left, vl).getOrElse(phL, phL)
+    val logR = manifestRenames(right, vr).getOrElse(phR, phR)
+    require(logL == logR && on.contains(logL),
+      s"the leading partition columns must agree and be joined on " +
+        s"($left: $logL, $right: $logR, on: $on)")
+    val nullSeg = "__HIVE_DEFAULT_PARTITION__"
+    val valsL = partitionSegValues(left, phL, vl) - nullSeg
+    val valsR = partitionSegValues(right, phR, vr) - nullSeg
+    val common = (valsL intersect valsR).toSeq.sorted
+    if (common.isEmpty)
+      read(spark, left, Some(vl)).join(read(spark, right, Some(vr)), on).limit(0)
+    else if (common.size > maxBranches)
+      read(spark, left, Some(vl)).join(read(spark, right, Some(vr)), on)
+    else
+      common.map { value =>
+        readFiles(spark, left, vl, filesForSeg(left, phL, value, vl))
+          .join(readFiles(spark, right, vr, filesForSeg(right, phR, value, vr)), on)
+      }.reduce(_ unionByName _)
+  }
+
   /** Probe/drop values must BE the path segment Spark's writer
     * produced. Restricting to the charset the writer never escapes
     * sidesteps re-implementing hive path escaping; values outside it

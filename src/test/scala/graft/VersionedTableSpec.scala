@@ -623,6 +623,44 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     }
   }
 
+  test(s"[$backend] partition-aligned join: value-pair plan, manifest pruning, fallbacks") {
+    val a = freshTable("pj-a")
+    val b = freshTable("pj-b")
+    def rowsA = spark.range(0, 300).select(
+      col("id").as("k"),
+      concat(lit("P"), (col("id") % 5).cast("string")).as("p"),
+      (col("id") * 2).as("v"))
+    // b covers only P0..P2 — P3/P4 must prune at the manifest
+    def rowsB = spark.range(0, 3).select(
+      concat(lit("P"), col("id").cast("string")).as("p"),
+      (col("id") * 100).as("w"))
+    ops.overwritePartitioned(spark, a, rowsA, Seq("p"))
+    ops.overwritePartitioned(spark, b, rowsB, Seq("p"))
+    val j = ops.joinPartitioned(spark, a, b, Seq("p"))
+    val want = ops.read(spark, a).join(ops.read(spark, b), Seq("p"))
+    assert(j.except(want).isEmpty && want.except(j).isEmpty,
+      "aligned join == plain join")
+    assert(j.count() === 180, "P0..P2 of a (60 rows each) x one dim row")
+    assert(!j.inputFiles.exists(f => f.contains("p__pv=P3") || f.contains("p__pv=P4")),
+      "values absent from one side must never open the other side's files")
+    // a MoR delete inside a joined partition subtracts through the pair read
+    ops.deleteMoR(spark, a, col("p") === "P1" && col("k") % 2 === 0L)
+    val j2 = ops.joinPartitioned(spark, a, b, Seq("p"))
+    assert(j2.count() === 180 - 30, "pair reads must subtract deletion vectors")
+    // disjoint value sets: empty result, correct schema
+    val c = freshTable("pj-c")
+    ops.overwritePartitioned(spark, c,
+      spark.range(0, 2).select(lit("QX").as("p"), col("id").as("w2")), Seq("p"))
+    assert(ops.joinPartitioned(spark, a, c, Seq("p")).count() === 0)
+    // beyond maxBranches the plan falls back to the plain join — same rows
+    val jWide = ops.joinPartitioned(spark, a, b, Seq("p"), maxBranches = 1)
+    assert(jWide.count() === j2.count(), "fallback preserves semantics")
+    // unpartitioned sides are refused
+    val u = freshTable("pj-u")
+    ops.overwrite(spark, u, rowsB)
+    intercept[IllegalArgumentException] { ops.joinPartitioned(spark, a, u, Seq("p")) }
+  }
+
   test(s"[$backend] CHECK naming an evolved column accepts a batch that omits it (NULL passes)") {
     val t = freshTable("check-evolved")
     ops.overwrite(spark, t, base) // columns (k, v)
