@@ -2628,6 +2628,27 @@ class VersionedTableOps(val store: CommitStore) {
       .getOrElse(Nil)
   }
 
+  /** Catalog retention vacuum: drop all but the newest `retain`
+    * catalog manifests. Safe by the protocol's own invariants: only
+    * the HEAD can hold unpublished per-table manifests (every
+    * prepare/read rolls the head forward before building on it), the
+    * head is rolled forward here FIRST so even that cannot be lost,
+    * and member-table history/data retention is governed by each
+    * table's own [[vacuum]] — dropping old catalog manifests forgets
+    * old cross-table PIN SETS (and their txn watermarks past the
+    * retained horizon), nothing else. Keep `retain` comfortably above
+    * the deepest transaction replay a restarting writer can attempt,
+    * the same contract [[lastTxn]] documents.
+    */
+  def catalogVacuum(catalog: String, retain: Int = 2): Seq[Long] = {
+    require(retain >= 1, "retain at least the catalog head")
+    multiRollForward(catalog)
+    val vs = catalogVersions(catalog)
+    val dropped = vs.dropRight(retain)
+    dropped.foreach(v => store.delete(catalogDir(catalog), manifestName(v)))
+    dropped
+  }
+
   case class VacuumReport(keptVersions: Seq[Long], droppedVersions: Seq[Long],
       deletedDirs: Int, deletedBytes: Long)
 

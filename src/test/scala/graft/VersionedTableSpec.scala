@@ -502,6 +502,22 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     // pins stay complete across the b-only transaction
     assert(ops.catalogSnapshot(cat).toMap ===
       Map(a -> ops.versions(a).last, b -> ops.versions(b).last))
+    // catalog vacuum drops old pin sets, keeps the head snapshot and
+    // the retained watermark horizon working
+    val vc3 = ops.commitAll(spark, cat, Seq(
+      CatAppend(a, spark.range(2000, 2002).select(col("id").as("k"), lit("C").as("v")))),
+      Some("app" -> 3L))
+    val dropped = ops.catalogVacuum(cat, retain = 1)
+    assert(dropped === (1L until vc3))
+    assert(ops.catalogVersions(cat) === Seq(vc3))
+    assert(ops.catalogSnapshot(cat).toMap ===
+      Map(a -> ops.versions(a).last, b -> ops.versions(b).last),
+      "the head pin set survives the vacuum")
+    assert(ops.lastCatalogTxn(cat, "app") === Some(3L),
+      "the retained horizon still answers the watermark")
+    // and the log moves on
+    assert(ops.commitAll(spark, cat, Seq(
+      CatAppend(b, spark.range(3000, 3001).select(col("id").as("k"), lit("D").as("v"))))) === vc3 + 1)
   }
 
   test(s"[$backend] racing multi-table commits serialize on the catalog publish; none lost") {
