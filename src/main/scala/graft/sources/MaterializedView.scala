@@ -43,6 +43,23 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
 
   private def appIdFor(viewKey: String) = s"mv:$viewKey"
 
+  /** NULL-SAFE state↔delta merge plumbing (round-8 advisory): a GROUP
+    * BY treats NULL as one ordinary group, so the view's state can
+    * legitimately hold a NULL-keyed row — but a plain equi-join (and
+    * Spark's USING-column join) never matches NULL to NULL, which
+    * would leave the state row and the delta row as TWO view rows
+    * (and a min/max recompute would never find the group's rows).
+    * Every state-merge join therefore goes through `<=>`; the view
+    * DEFINITION joins ([[refreshJoin]]'s joinKeys) stay non-null-safe
+    * on purpose — SQL `JOIN USING` drops NULL keys, and the view must
+    * match what its defining query computes.
+    */
+  private def nsCond(l: String, r: String, keys: Seq[String]): org.apache.spark.sql.Column =
+    keys.map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
+
+  private def nsKeys(l: String, r: String, keys: Seq[String]) =
+    keys.map(k => coalesce(col(s"$l.$k"), col(s"$r.$k")).as(k))
+
   /** Bring `view` up to date with `source`'s head: compute the
     * version delta since the last refresh (full snapshot on first
     * refresh), fold it into the per-`keyCols` counts and `sumCols`
@@ -230,8 +247,8 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
     val merged =
       if (!hasState) deltaAgg
       else vt.read(spark, view, vView).as("s")
-        .join(deltaAgg.as("d"), keyCols, "full_outer")
-        .select(keyCols.map(col) ++ valCols.map { c =>
+        .join(deltaAgg.as("d"), nsCond("s", "d", keyCols), "full_outer")
+        .select(nsKeys("s", "d", keyCols) ++ valCols.map { c =>
           val t = if (c == "mv_count") LongType else SumType
           val added = coalesce(col(s"s.$c"), lit(0)) + coalesce(col(s"d.$c"), lit(0))
           // the coalesces make `added` non-null, so a null try_cast
@@ -432,8 +449,8 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
       (col(s"d.__del_max_$c").isNotNull && col(s"s.mv_max_$c").isNotNull &&
         col(s"d.__del_max_$c") >= col(s"s.mv_max_$c"))).reduce(_ || _)
     val cand = vt.read(spark, view, vView).as("s")
-      .join(deltaAgg.as("d"), keyCols, "full_outer")
-      .select(keyCols.map(col) ++ (Seq(
+      .join(deltaAgg.as("d"), nsCond("s", "d", keyCols), "full_outer")
+      .select(nsKeys("s", "d", keyCols) ++ (Seq(
         (coalesce(col("s.mv_count"), lit(0L)) + coalesce(col("d.mv_count"), lit(0L)))
           .cast(LongType).as("mv_count"),
         coalesce(touches, lit(false)).as("__recompute")) ++
@@ -464,19 +481,30 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
         if (keyCols.size != 1) srcBase
         else {
           val k = keyCols.head
-          val b = needKeys.agg(min(col(k)).as("lo"), max(col(k)).as("hi")).head
-          if (b.isNullAt(0)) srcBase
-          else srcBase.filter(col(k) >= lit(b.get(0)) && col(k) <= lit(b.get(1)))
+          // the range bound ignores a NULL-keyed touched group (min/max
+          // skip NULLs), so its presence is probed alongside and keeps
+          // an IS NULL disjunct in the scope filter — the null-count
+          // zone maps still let the FileIndex skip all-non-null files
+          val b = needKeys.agg(min(col(k)).as("lo"), max(col(k)).as("hi"),
+            max(when(col(k).isNull, 1).otherwise(0)).as("hasNull")).head
+          val hasNullKey = !b.isNullAt(2) && b.getInt(2) == 1
+          if (b.isNullAt(0))
+            if (hasNullKey) srcBase.filter(col(k).isNull) else srcBase
+          else {
+            val rng = col(k) >= lit(b.get(0)) && col(k) <= lit(b.get(1))
+            srcBase.filter(if (hasNullKey) rng || col(k).isNull else rng)
+          }
         }
       val srcHead = where.fold(srcScoped)(w => srcScoped.filter(expr(w)))
       val recAggs = cols.flatMap(c => Seq(
         min(col(c)).as(s"__rec_min_$c"),
         max(col(c)).as(s"__rec_max_$c")))
-      val rec = srcHead.join(needKeys, keyCols, "left_semi")
+      val rec = srcHead.as("src")
+        .join(needKeys.as("k"), nsCond("src", "k", keyCols), "left_semi")
         .groupBy(keyCols.map(col): _*)
         .agg(recAggs.head, recAggs.tail: _*)
-      cand.as("c").join(rec.as("r"), keyCols, "left_outer")
-        .select(keyCols.map(col) ++ (col("c.mv_count").as("mv_count") +:
+      cand.as("c").join(rec.as("r"), nsCond("c", "r", keyCols), "left_outer")
+        .select(keyCols.map(k => col(s"c.$k").as(k)) ++ (col("c.mv_count").as("mv_count") +:
           cols.flatMap(c => Seq(
             when(col("c.__recompute"), col(s"r.__rec_min_$c"))
               .otherwise(col(s"c.mv_min_$c")).as(s"mv_min_$c"),

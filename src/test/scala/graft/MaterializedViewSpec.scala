@@ -415,6 +415,68 @@ abstract class MaterializedViewBattery(backend: String, mv: MaterializedViewOps)
       mv.refreshJoin(spark, view2, left, right2, Seq("fk"), Seq("seg"), Seq("v"))
     }
   }
+
+  test(s"[$backend] NULL grouping keys merge null-safely across every refresh flavor") {
+    // GROUP BY keeps NULL as one ordinary group, so the state can hold
+    // a NULL-keyed row — the round-8 advisory: a non-null-safe merge
+    // join would leave the state row and the delta row as TWO view
+    // rows, and the min/max recompute would never find the group
+    def nrows(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"),
+      when(col("id") % 5 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 3).as("k"),
+      (col("id") + 1).cast("decimal(12,2)").as("v"))
+    def fullN(source: String) = vt.read(spark, source).groupBy("k").agg(
+      count(lit(1)).cast("long").as("mv_count"),
+      sum(col("v").cast("decimal(18,4)")).cast("decimal(28,4)").as("mv_sum_v"))
+    def sameAs(got: DataFrame, want: DataFrame, clue: String): Unit =
+      assert(got.except(want).isEmpty && want.except(got).isEmpty, clue)
+
+    val src = fresh("null-src")
+    val view = fresh("null-view")
+    vt.overwrite(spark, src, nrows(0, 40))
+    mv.refresh(spark, view, src, Seq("k"), Seq("v"))
+    vt.append(spark, src, nrows(40, 80)) // appends rows INTO the NULL group
+    mv.refresh(spark, view, src, Seq("k"), Seq("v"))
+    sameAs(mv.read(spark, view), fullN(src),
+      "count/sum: NULL-keyed state and delta rows must merge into ONE view row")
+    assert(mv.read(spark, view).filter(col("k").isNull).count() === 1L,
+      "exactly one NULL-keyed view row")
+    vt.delete(spark, src, col("id") % 10 === 0) // deletes from the NULL group
+    mv.refresh(spark, view, src, Seq("k"), Seq("v"))
+    sameAs(mv.read(spark, view), fullN(src), "count/sum after NULL-group delete")
+
+    // min/max: deleting the NULL group's current MAX forces the
+    // delta-scoped recompute, whose semi join and key-range scope must
+    // both find the NULL-keyed group
+    val srcX = fresh("null-xsrc")
+    val viewX = fresh("null-xview")
+    vt.overwrite(spark, srcX, nrows(0, 60))
+    mv.refreshMinMax(spark, viewX, srcX, Seq("k"), Seq("v"))
+    val maxNull = vt.read(spark, srcX).filter(col("k").isNull)
+      .agg(max(col("v"))).head.getDecimal(0)
+    vt.delete(spark, srcX, col("k").isNull && col("v") === maxNull)
+    mv.refreshMinMax(spark, viewX, srcX, Seq("k"), Seq("v"))
+    val wantX = vt.read(spark, srcX).groupBy("k").agg(
+      count(lit(1)).cast("long").as("mv_count"),
+      min(col("v")).as("mv_min_v"), max(col("v")).as("mv_max_v"))
+    sameAs(mv.read(spark, viewX), wantX,
+      "min/max: the recompute must re-derive the NULL group's extremum")
+
+    // stats: the NULL group's derived avg/var must match the recompute
+    val srcS = fresh("null-ssrc")
+    val viewS = fresh("null-sview")
+    vt.overwrite(spark, srcS, nrows(0, 40).withColumn("v", col("id")))
+    mv.refreshStats(spark, viewS, srcS, Seq("k"), Seq("v"))
+    vt.append(spark, srcS, nrows(40, 70).withColumn("v", col("id")))
+    mv.refreshStats(spark, viewS, srcS, Seq("k"), Seq("v"))
+    val gotS = mv.readStats(spark, viewS, Seq("k"), Seq("v"))
+      .select(col("k"), col("mv_count"), round(col("mv_avg_v"), 6).as("a"))
+    val wantS = vt.read(spark, srcS).groupBy("k").agg(
+      count(lit(1)).cast("long").as("mv_count"),
+      round(avg(col("v")), 6).as("a"))
+    sameAs(gotS, wantS, "stats: NULL-keyed group's count/avg must merge into one row")
+  }
 }
 
 /** The default POSIX deployment: publish via hard link. */
