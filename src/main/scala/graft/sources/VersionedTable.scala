@@ -2422,18 +2422,36 @@ class VersionedTableOps(val store: CommitStore) {
   }
 
   private def renderCatalog(vc: Long, entries: Seq[CatEntry],
-      txn: Option[(String, Long)] = None): String = {
-    val txnSec = txn.map { case (app, ver) =>
-      s"""  "txnApp": "${escStr(app)}",\n  "txnVer": $ver,\n""" }.getOrElse("")
+      txns: Seq[(String, Long)] = Nil, op: String = "multi_commit"): String = {
+    // one watermark renders as the legacy top-level pair; several (a
+    // vacuum-carry head preserving every app's high-water mark) as a
+    // "txns" array of the same adjacent txnApp/txnVer object shape —
+    // [[lastCatalogTxn]]'s scan resolves either form, format stays 1
+    val txnSec = txns match {
+      case Seq() => ""
+      case Seq((app, ver)) =>
+        s"""  "txnApp": "${escStr(app)}",\n  "txnVer": $ver,\n"""
+      case many => many.map { case (app, ver) =>
+        s"""    {"txnApp": "${escStr(app)}", "txnVer": $ver}""" }
+        .mkString("  \"txns\": [\n", ",\n", "\n  ],\n")
+    }
     entries.map(e =>
       s"""    {"table": "${escStr(e.table)}", "tversion": ${e.tversion}, """ +
         s""""manifest": "${escStr(e.manifest)}"}""")
       .mkString(
-        s"""{\n  "version": $vc,\n  "format": 1,\n  "op": "multi_commit",\n""" +
+        s"""{\n  "version": $vc,\n  "format": 1,\n  "op": "$op",\n""" +
           s"""  "ts": ${System.currentTimeMillis()},\n""" + txnSec +
           s"""  "entries": [\n""",
         ",\n", "\n  ]\n}\n")
   }
+
+  /** EVERY (appId, txnVer) watermark a catalog manifest carries —
+    * the top-level pair and the "txns" array form both parse.
+    */
+  private def catalogTxnsAt(catalog: String, vc: Long): Seq[(String, Long)] =
+    ("\"txnApp\": \"((?:[^\"\\\\]++|\\\\.)*+)\",\\s*\"txnVer\": (\\d+)").r
+      .findAllMatchIn(store.read(catalogDir(catalog), manifestName(vc)))
+      .map(m => (unescStr(m.group(1)), m.group(2).toLong)).toSeq
 
   /** FIRST PHASE of a multi-table atomic commit: stage every batch,
     * then publish ONE catalog manifest that pins each written table at
@@ -2550,7 +2568,7 @@ class VersionedTableOps(val store: CommitStore) {
         .map { case (t, v) => CatEntry(t, v, "") }.toSeq.sortBy(_.table)
       val vc = catalogVersions(catalog).lastOption.getOrElse(0L) + 1
       if (store.putIfAbsent(catalogDir(catalog), manifestName(vc),
-          renderCatalog(vc, written ++ carried, txn))) return vc
+          renderCatalog(vc, written ++ carried, txn.toSeq))) return vc
       attempt += 1
       require(attempt < 100, s"catalog commit contention on $catalog")
     }
@@ -2635,18 +2653,113 @@ class VersionedTableOps(val store: CommitStore) {
     * head is rolled forward here FIRST so even that cannot be lost,
     * and member-table history/data retention is governed by each
     * table's own [[vacuum]] — dropping old catalog manifests forgets
-    * old cross-table PIN SETS (and their txn watermarks past the
-    * retained horizon), nothing else. Keep `retain` comfortably above
-    * the deepest transaction replay a restarting writer can attempt,
-    * the same contract [[lastTxn]] documents.
+    * old cross-table PIN SETS, nothing else.
+    *
+    * TXN WATERMARKS SURVIVE (round-8 advisory): before the vacuum was
+    * watermark-aware, dropping the manifest that carried some appId's
+    * NEWEST (appId, txnVer) would silently reopen the exactly-once
+    * window — a restarting [[graft.streaming]] fan-out replaying a
+    * batch older than the retained horizon would re-commit it,
+    * duplicating rows across every routed table. Now, when any app's
+    * high-water mark lives only in manifests about to drop, the vacuum
+    * first publishes a WATERMARK-CARRY head (op `vacuum_carry`: the
+    * same pin set, plus EVERY app's high-water mark in a "txns"
+    * array), so [[lastCatalogTxn]] keeps answering from the retained
+    * log no matter how deep the replay reaches. O(retained+dropped)
+    * driver-side manifest reads; no data IO.
     */
   def catalogVacuum(catalog: String, retain: Int = 2): Seq[Long] = {
     require(retain >= 1, "retain at least the catalog head")
-    multiRollForward(catalog)
-    val vs = catalogVersions(catalog)
-    val dropped = vs.dropRight(retain)
-    dropped.foreach(v => store.delete(catalogDir(catalog), manifestName(v)))
-    dropped
+    var attempt = 0
+    while (true) {
+      multiRollForward(catalog)
+      val vs = catalogVersions(catalog)
+      val dropped = vs.dropRight(retain)
+      if (dropped.isEmpty) return Nil
+      def highWater(vers: Seq[Long]): Map[String, Long] =
+        vers.flatMap(v => catalogTxnsAt(catalog, v))
+          .groupMapReduce(_._1)(_._2)(math.max)
+      val all = highWater(vs)
+      val kept = highWater(vs.takeRight(retain))
+      val orphaned = all.exists { case (app, ver) =>
+        !kept.get(app).exists(_ >= ver) }
+      if (!orphaned) {
+        dropped.foreach(v => store.delete(catalogDir(catalog), manifestName(v)))
+        return dropped
+      }
+      // carry every app's high-water mark into a new head; a racing
+      // multi-table commit can win the version — loop and recompute
+      val head = vs.last
+      val entries = catEntries(catalog, head).map(_.copy(manifest = ""))
+      store.putIfAbsent(catalogDir(catalog), manifestName(head + 1),
+        renderCatalog(head + 1, entries, all.toSeq.sortBy(_._1),
+          op = "vacuum_carry"))
+      attempt += 1
+      require(attempt < 100, s"catalog vacuum contention on $catalog")
+    }
+    Nil // unreachable
+  }
+
+  /** REPAIR a diverged catalog pin: adopt `table`'s current head as
+    * its new pin in a fresh catalog commit (op `repair`). This is the
+    * explicit operator escape hatch for a DIRECT write that bypassed
+    * the catalog on a carried member — without it, the loud-failure
+    * contract ([[multiPrepareWrites]]'s pin check) makes every later
+    * catalog commit touching that table fail permanently, with
+    * hand-editing manifests the only way out. Repair is a deliberate
+    * operator decision to bless the out-of-band commits as part of
+    * the catalog history; it can NOT repair an embedded-manifest
+    * collision (two writers claimed the same table version — roll-
+    * forward keeps failing loudly there, because adopting either side
+    * silently drops the other's rows). Returns the repair commit's
+    * catalog version (the current head when nothing diverged).
+    */
+  def catalogRepin(catalog: String, table: String): Long = {
+    var attempt = 0
+    while (true) {
+      multiRollForward(catalog)
+      val vs = catalogVersions(catalog)
+      require(vs.nonEmpty, s"catalog $catalog has no commits")
+      val head = vs.last
+      val entries = catEntries(catalog, head)
+      require(entries.exists(_.table == table),
+        s"$table is not a member of catalog $catalog")
+      val cur = versions(table).last
+      if (entries.find(_.table == table).get.tversion == cur) return head
+      val repinned = entries.map(e =>
+        if (e.table == table) CatEntry(table, cur, "") else e.copy(manifest = ""))
+      if (store.putIfAbsent(catalogDir(catalog), manifestName(head + 1),
+          renderCatalog(head + 1, repinned, op = "repair"))) return head + 1
+      attempt += 1
+      require(attempt < 100, s"catalog commit contention on $catalog")
+    }
+    -1 // unreachable
+  }
+
+  /** EVICT a member from the catalog's pin set (op `evict`): later
+    * snapshots no longer cover the table and the catalog stops
+    * policing its writes — the other recovery shape for a member that
+    * has permanently left catalog governance. The table itself is
+    * untouched (its own manifests, data and history stay); re-enroll
+    * it later by simply writing it through the catalog again.
+    */
+  def catalogEvict(catalog: String, table: String): Long = {
+    var attempt = 0
+    while (true) {
+      multiRollForward(catalog)
+      val vs = catalogVersions(catalog)
+      require(vs.nonEmpty, s"catalog $catalog has no commits")
+      val head = vs.last
+      val entries = catEntries(catalog, head)
+      require(entries.exists(_.table == table),
+        s"$table is not a member of catalog $catalog")
+      val kept = entries.filterNot(_.table == table).map(_.copy(manifest = ""))
+      if (store.putIfAbsent(catalogDir(catalog), manifestName(head + 1),
+          renderCatalog(head + 1, kept, op = "evict"))) return head + 1
+      attempt += 1
+      require(attempt < 100, s"catalog commit contention on $catalog")
+    }
+    -1 // unreachable
   }
 
   case class VacuumReport(keptVersions: Seq[Long], droppedVersions: Seq[Long],

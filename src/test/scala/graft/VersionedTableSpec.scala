@@ -520,6 +520,86 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
       CatAppend(b, spark.range(3000, 3001).select(col("id").as("k"), lit("D").as("v"))))) === vc3 + 1)
   }
 
+  test(s"[$backend] catalog vacuum carries txn watermarks: a deep replay stays exactly-once") {
+    import graft.sources.CatAppend
+    val a = freshTable("catvw-a")
+    val b = freshTable("catvw-b")
+    val cat = freshTable("catvw-log")
+    ops.overwrite(spark, a, base)
+    ops.overwrite(spark, b, base)
+    def w(i: Long) = Seq(
+      CatAppend(a, spark.range(1000 * i, 1000 * i + 2).select(col("id").as("k"), lit(s"A$i").as("v"))),
+      CatAppend(b, spark.range(1000 * i, 1000 * i + 2).select(col("id").as("k"), lit(s"B$i").as("v"))))
+    // app "fan" commits batch 1, then an UNTAGGED commit takes the head
+    ops.commitAll(spark, cat, w(1), Some("fan" -> 1L))
+    ops.commitAll(spark, cat, Seq(
+      CatAppend(a, spark.range(5000, 5001).select(col("id").as("k"), lit("X").as("v")))))
+    // vacuum to retain=1 would drop the ONLY manifest carrying fan->1;
+    // the vacuum must publish a watermark-carry head first
+    val dropped = ops.catalogVacuum(cat, retain = 1)
+    assert(dropped.nonEmpty)
+    assert(ops.lastCatalogTxn(cat, "fan") === Some(1L),
+      "the app's high-water mark must survive the vacuum")
+    // the deep replay (a restarted fan-out re-delivering batch 1) is
+    // STILL a no-op — this is the row-duplication hazard the advisory
+    // named, now closed
+    val rowsA = ops.read(spark, a).count()
+    val headCat = ops.catalogVersions(cat).last
+    assert(ops.commitAll(spark, cat, w(1), Some("fan" -> 1L)) === headCat)
+    assert(ops.read(spark, a).count() === rowsA,
+      "replaying the vacuumed-horizon batch must not duplicate rows")
+    // new work from the same app still lands
+    ops.commitAll(spark, cat, w(2), Some("fan" -> 2L))
+    assert(ops.lastCatalogTxn(cat, "fan") === Some(2L))
+    // and a second vacuum (nothing orphaned now) still drops history
+    assert(ops.catalogVacuum(cat, retain = 1).nonEmpty)
+    assert(ops.lastCatalogTxn(cat, "fan") === Some(2L))
+  }
+
+  test(s"[$backend] catalogRepin adopts an out-of-band write; catalogEvict removes the member") {
+    val a = freshTable("catrp-a")
+    val b = freshTable("catrp-b")
+    val cat = freshTable("catrp-log")
+    ops.overwrite(spark, a, base)
+    ops.overwrite(spark, b, base)
+    def batch(lo: Long, tag: String) = spark.range(lo, lo + 3)
+      .select(col("id").as("k"), lit(tag).as("v"))
+    ops.appendAll(spark, cat, Seq(a -> batch(1000, "A1"), b -> batch(1000, "B1")))
+    // poison: a direct write bypasses the catalog on b (a CARRIED
+    // member after this a-only commit)
+    ops.appendAll(spark, cat, Seq(a -> batch(2000, "A2")))
+    ops.append(spark, b, batch(9000, "ROGUE"))
+    val e = intercept[IllegalArgumentException] {
+      ops.appendAll(spark, cat, Seq(b -> batch(3000, "B3")))
+    }
+    assert(e.getMessage.contains("outside the catalog"))
+    // the poisoned catalog is RECOVERABLE: repin blesses the rogue head
+    val vRepair = ops.catalogRepin(cat, b)
+    assert(ops.catalogSnapshot(cat).toMap.apply(b) === ops.versions(b).last)
+    assert(vRepair === ops.catalogVersions(cat).last)
+    ops.appendAll(spark, cat, Seq(b -> batch(3000, "B3")))
+    assert(ops.read(spark, b).filter(col("v") === "B3").count() === 3,
+      "post-repair catalog writes work again")
+    assert(ops.read(spark, b).filter(col("v") === "ROGUE").count() === 3,
+      "the blessed out-of-band rows are part of history")
+    // repin with nothing diverged is a no-op returning the head
+    assert(ops.catalogRepin(cat, b) === ops.catalogVersions(cat).last)
+    // evict: the member leaves the pin set; its table is untouched
+    val headB = ops.versions(b).last
+    ops.catalogEvict(cat, b)
+    assert(!ops.catalogSnapshot(cat).toMap.contains(b))
+    assert(ops.versions(b).last === headB)
+    // the evicted table is free of catalog governance...
+    ops.append(spark, b, batch(9500, "FREE"))
+    ops.appendAll(spark, cat, Seq(a -> batch(4000, "A4")))
+    // ...and can re-enroll by being written through the catalog again
+    ops.appendAll(spark, cat, Seq(b -> batch(5000, "B5")))
+    assert(ops.catalogSnapshot(cat).toMap.apply(b) === ops.versions(b).last)
+    intercept[IllegalArgumentException] {
+      ops.catalogEvict(cat, freshTable("never-a-member"))
+    }
+  }
+
   test(s"[$backend] racing multi-table commits serialize on the catalog publish; none lost") {
     val a = freshTable("catrace-a")
     val b = freshTable("catrace-b")
