@@ -145,6 +145,7 @@ object SparkEntry {
     "q_mat_view_minmax" -> (operators.VersionedQueries.qMatViewMinMax _),
     "q_drop_partition" -> (operators.VersionedQueries.qDropPartition _),
     "q_multi_commit" -> (operators.VersionedQueries.qMultiCommit _),
+    "q_multi_mutate" -> (operators.VersionedQueries.qMultiMutate _),
     "q_mat_view_stats" -> (operators.VersionedQueries.qMatViewStats _),
     "q_partition_join" -> (operators.VersionedQueries.qPartitionJoin _),
     "q_zone_map_nulls" -> (operators.VersionedQueries.qZoneMapNulls _),
@@ -1235,6 +1236,16 @@ object SparkEntry {
         |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS DOUBLE) AS spend
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+    // q_multi_mutate: a cross-table DELETE+UPDATE transaction must
+    // resolve to the plain NOT(pred) / CASE rewrite of the sources
+    "q_multi_mutate" ->
+      """SELECT c_mktsegment,
+        |  CASE WHEN c_custkey % 10 = 3 THEN 'erased' ELSE 'live' END AS status,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS DOUBLE) AS spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE NOT (CAST(o_totalprice AS DECIMAL(12,2)) < 10000.00)
+        |GROUP BY 1, 2""".stripMargin,
     // q_drop_partition: after the metadata-only drop of the 3-MEDIUM
     // value directory, the head reads exactly the other priorities'
     // rows (file-subtraction identity asserted in-query)

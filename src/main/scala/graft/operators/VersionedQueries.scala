@@ -771,6 +771,50 @@ object VersionedQueries {
         sum(col("price").cast("decimal(28,4)")).cast("double").as("spend"))
   }
 
+  /** q_multi_mutate: cross-table predicate DELETE + UPDATE as ONE
+    * atomic catalog transaction — the GDPR-erasure shape (purge a
+    * band of fact rows while tombstoning the matching dim rows, with
+    * no interleaving where a reader sees one side done and the other
+    * not). The mutations reuse the single-table COW planners; their
+    * rendered manifests EMBED in the catalog publish, so both rewrites
+    * become durable at one commit point. In-query asserts pin the
+    * protocol: the tagged replay is a no-op on every member, and the
+    * catalog snapshot reads both post-mutation heads. The oracle
+    * replays the delete as NOT(pred) and the update as a CASE over the
+    * complete source tables.
+    */
+  def qMultiMutate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{CatDelete, CatUpdate}
+    val fact = freshTable("mmfact")
+    val dim = freshTable("mmdim")
+    val cat = freshTable("mmcat")
+    val o = t(spark, dir, "orders").select(col("o_custkey"),
+      col("o_totalprice").cast("decimal(12,2)").as("price"))
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("status", lit("live"))
+    VersionedTable.overwrite(spark, fact, o)
+    VersionedTable.overwrite(spark, dim, c)
+    def txn = Seq(
+      CatDelete(fact, col("price") < 10000.00),
+      CatUpdate(dim, col("c_custkey") % 10 === 3,
+        Seq("status" -> lit("erased"))))
+    val vc = VersionedTable.commitAll(spark, cat, txn, Some("mm" -> 1L))
+    val (hf, hd) = (VersionedTable.versions(fact).last,
+      VersionedTable.versions(dim).last)
+    require(VersionedTable.commitAll(spark, cat, txn, Some("mm" -> 1L)) == vc &&
+      VersionedTable.versions(fact).last == hf &&
+      VersionedTable.versions(dim).last == hd,
+      "the replayed transaction must be a no-op on every member")
+    val pins = VersionedTable.catalogSnapshot(cat).toMap
+    outBoundary(VersionedTable.read(spark, fact, Some(pins(fact)))
+      .join(VersionedTable.read(spark, dim, Some(pins(dim))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price").cast("decimal(28,4)")).cast("double").as("spend")))
+  }
+
   /** q_drop_partition: hive-style partition columns as a MANIFEST
     * surface — orders created PARTITIONED by o_orderpriority (writes
     * route rows into value directories while the column stays in the

@@ -2276,19 +2276,31 @@ class VersionedTableOps(val store: CommitStore) {
     */
   def delete(spark: SparkSession, table: String, cond: Column): Long =
     try commitDv(table, "delete", { base =>
-      requireInit(table, base, "delete")
-      val schema = manifestSchema(table, base)
-        .getOrElse(asStored(read(spark, table, Some(base)).schema))
-      val (touched, carried) = cowSplit(spark, table, base, cond)
-      if (touched.isEmpty) throw NoopMutation
-      val part = readFiles(spark, table, base, touched)
-      if (part.filter(coalesce(cond, lit(false))).isEmpty) throw NoopMutation
-      val staged = stageData(table, part.filter(!coalesce(cond, lit(false))), "d")
-      // carried files keep their DV entries; entries naming the
-      // rewritten (now-dropped) files can never match a scanned row
-      (schema, carried ++ staged, manifestDvs(table, base))
+      planDelete(spark, table, base, cond).getOrElse(throw NoopMutation)
     })
     catch { case NoopMutation => versions(table).last }
+
+  /** The COW rewrite plan of a predicate DELETE against `base`:
+    * (schema, new file list, carried DVs), or None when the predicate
+    * provably or actually matches nothing — shared by [[delete]]
+    * (which publishes it as a single-table commit) and [[CatDelete]]
+    * (which embeds it in a multi-table catalog transaction).
+    */
+  private def planDelete(spark: SparkSession, table: String, base: Long,
+      cond: Column): Option[(org.apache.spark.sql.types.StructType,
+        Seq[String], Seq[String])] = {
+    requireInit(table, base, "delete")
+    val schema = manifestSchema(table, base)
+      .getOrElse(asStored(read(spark, table, Some(base)).schema))
+    val (touched, carried) = cowSplit(spark, table, base, cond)
+    if (touched.isEmpty) return None
+    val part = readFiles(spark, table, base, touched)
+    if (part.filter(coalesce(cond, lit(false))).isEmpty) return None
+    val staged = stageData(table, part.filter(!coalesce(cond, lit(false))), "d")
+    // carried files keep their DV entries; entries naming the
+    // rewritten (now-dropped) files can never match a scanned row
+    Some((schema, carried ++ staged, manifestDvs(table, base)))
+  }
 
   /** [[delete]]'s MERGE-ON-READ twin: instead of rewriting the
     * touched files minus the matching rows, the commit stages a
@@ -2335,32 +2347,42 @@ class VersionedTableOps(val store: CommitStore) {
   def update(spark: SparkSession, table: String, cond: Column,
       set: Seq[(String, Column)]): Long =
     try commitDv(table, "update", { base =>
-      requireInit(table, base, "update")
-      val schema = manifestSchema(table, base)
-        .getOrElse(asStored(read(spark, table, Some(base)).schema))
-      // validated against the SCHEMA, not the data: an invalid
-      // statement must fail even when the zone maps prune every file
-      val setMap = validateAssignments(spark, table, schema, set)
-      val (touched, carried) = cowSplit(spark, table, base, cond)
-      if (touched.isEmpty) throw NoopMutation
-      val part = readFiles(spark, table, base, touched)
-      val hit = coalesce(cond, lit(false))
-      if (part.filter(hit).isEmpty) throw NoopMutation
-      val updated = part.select(part.columns.map { c =>
-        setMap.get(c) match {
-          case Some(e) => when(hit, e).otherwise(col(c)).as(c)
-          case None => col(c)
-        }
-      }: _*)
-      // the whole rewritten frame, not a re-filter by cond — cond
-      // evaluated on the UPDATED columns would miss exactly the rows
-      // whose update moved them out of the predicate; untouched rows
-      // satisfied the constraints when they were written
-      enforceConstraints(table, updated, checkConstraints(table, Some(base)))
-      val staged = stageData(table, updated, "m")
-      (schema, carried ++ staged, manifestDvs(table, base))
+      planUpdate(spark, table, base, cond, set).getOrElse(throw NoopMutation)
     })
     catch { case NoopMutation => versions(table).last }
+
+  /** The COW rewrite plan of a predicate UPDATE against `base` —
+    * [[planDelete]]'s update twin, shared by [[update]] and
+    * [[CatUpdate]]. None when nothing matches.
+    */
+  private def planUpdate(spark: SparkSession, table: String, base: Long,
+      cond: Column, set: Seq[(String, Column)]):
+      Option[(org.apache.spark.sql.types.StructType, Seq[String], Seq[String])] = {
+    requireInit(table, base, "update")
+    val schema = manifestSchema(table, base)
+      .getOrElse(asStored(read(spark, table, Some(base)).schema))
+    // validated against the SCHEMA, not the data: an invalid
+    // statement must fail even when the zone maps prune every file
+    val setMap = validateAssignments(spark, table, schema, set)
+    val (touched, carried) = cowSplit(spark, table, base, cond)
+    if (touched.isEmpty) return None
+    val part = readFiles(spark, table, base, touched)
+    val hit = coalesce(cond, lit(false))
+    if (part.filter(hit).isEmpty) return None
+    val updated = part.select(part.columns.map { c =>
+      setMap.get(c) match {
+        case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    // the whole rewritten frame, not a re-filter by cond — cond
+    // evaluated on the UPDATED columns would miss exactly the rows
+    // whose update moved them out of the predicate; untouched rows
+    // satisfied the constraints when they were written
+    enforceConstraints(table, updated, checkConstraints(table, Some(base)))
+    val staged = stageData(table, updated, "m")
+    Some((schema, carried ++ staged, manifestDvs(table, base)))
+  }
 
   /** [[update]]'s MERGE-ON-READ twin: matching rows are tombstoned
     * with a deletion vector and their UPDATED images appended as a
@@ -2514,9 +2536,9 @@ class VersionedTableOps(val store: CommitStore) {
         enforceConstraints(table, df, headConstraints(table))
         table -> stageData(table, df, "m")
     }.toMap
-    writes.collect { case u: CatUpsert => u }.foreach { u =>
-      require(versions(u.table).nonEmpty,
-        s"${u.table} is uninitialized — create member tables before enrolling them")
+    writes.filterNot(_.isInstanceOf[CatAppend]).foreach { w =>
+      require(versions(w.table).nonEmpty,
+        s"${w.table} is uninitialized — create member tables before enrolling them")
     }
     var attempt = 0
     while (true) {
@@ -2562,6 +2584,34 @@ class VersionedTableOps(val store: CommitStore) {
                 cons = checkConstraints(table, Some(base)),
                 renames = manifestRenames(table, base),
                 partitionBy = manifestPartitionBy(table, base)))
+          // predicate mutations reuse the single-table COW planners and
+          // EMBED the rendered manifest: the rewrite's rows become
+          // durable only at the catalog's one publish point, so a
+          // cross-table erasure (delete a customer's rows from N
+          // tables) lands all-or-nothing. A predicate that matches
+          // nothing carries the member's pin unchanged (a byte-
+          // identical no-op version would gratuitously wake streaming
+          // consumers, same rule as the single-table entry points).
+          case CatDelete(_, cond) =>
+            planDelete(spark, table, base, cond) match {
+              case Some((schema, fs, dvs)) =>
+                CatEntry(table, base + 1,
+                  render(base + 1, "delete", schema, fs, dvs,
+                    cons = checkConstraints(table, Some(base)),
+                    renames = manifestRenames(table, base),
+                    partitionBy = manifestPartitionBy(table, base)))
+              case None => CatEntry(table, base, "")
+            }
+          case CatUpdate(_, cond, set) =>
+            planUpdate(spark, table, base, cond, set) match {
+              case Some((schema, fs, dvs)) =>
+                CatEntry(table, base + 1,
+                  render(base + 1, "update", schema, fs, dvs,
+                    cons = checkConstraints(table, Some(base)),
+                    renames = manifestRenames(table, base),
+                    partitionBy = manifestPartitionBy(table, base)))
+              case None => CatEntry(table, base, "")
+            }
         }
       }
       val carried = (prevPins -- written.map(_.table))
@@ -2839,6 +2889,17 @@ final case class CatAppend(table: String, df: DataFrame) extends CatalogWrite
   */
 final case class CatUpsert(table: String, df: DataFrame, key: String)
   extends CatalogWrite
+/** Predicate DELETE inside a multi-table transaction — the COW
+  * rewrite of [[VersionedTableOps.delete]], embedded so a cross-table
+  * erasure lands atomically; matching nothing carries the pin.
+  */
+final case class CatDelete(table: String, cond: Column) extends CatalogWrite
+/** Predicate UPDATE inside a multi-table transaction —
+  * [[VersionedTableOps.update]] semantics (assignments see the OLD
+  * row, schema may not drift), embedded like [[CatDelete]].
+  */
+final case class CatUpdate(table: String, cond: Column,
+    set: Seq[(String, Column)]) extends CatalogWrite
 
 /** The default deployment: manifests published with link(2). Every
   * production call site uses this object; the class exists so the

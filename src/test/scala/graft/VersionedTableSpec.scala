@@ -520,6 +520,62 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
       CatAppend(b, spark.range(3000, 3001).select(col("id").as("k"), lit("D").as("v"))))) === vc3 + 1)
   }
 
+  test(s"[$backend] catalog transactions: cross-table DELETE/UPDATE lands atomically") {
+    import graft.sources.{CatAppend, CatDelete, CatUpdate}
+    val a = freshTable("catmut-a")
+    val b = freshTable("catmut-b")
+    val cat = freshTable("catmut-log")
+    def rows(n: Long) = spark.range(0, n).select(
+      col("id").as("k"), (col("id") % 10).as("cust"), lit("live").as("v"))
+    ops.overwrite(spark, a, rows(100))
+    ops.overwrite(spark, b, rows(50))
+    ops.appendAll(spark, cat, Seq(
+      a -> rows(0).limit(0), b -> rows(0).limit(0))) // enroll both
+    val (headA, headB) = (ops.versions(a).last, ops.versions(b).last)
+
+    // the GDPR shape: erase cust 3 from a, tombstone it in b — one txn
+    val vc = ops.commitAll(spark, cat, Seq(
+      CatDelete(a, col("cust") === 3),
+      CatUpdate(b, col("cust") === 3, Seq("v" -> lit("erased")))),
+      Some("gdpr" -> 1L))
+    assert(ops.read(spark, a).filter(col("cust") === 3).count() === 0)
+    assert(ops.read(spark, b).filter(col("v") === "erased").count() === 5)
+    assert(ops.read(spark, a).count() === 90)
+    assert(ops.read(spark, b).count() === 50, "update adds no rows")
+    assert(ops.versions(a).last === headA + 1 && ops.versions(b).last === headB + 1)
+    // manifests record the mutation ops (history is honest about what happened)
+    assert(ops.history(spark, a).filter(col("op") === "delete").count() >= 1)
+    assert(ops.history(spark, b).filter(col("op") === "update").count() >= 1)
+
+    // replay is a no-op across BOTH members
+    assert(ops.commitAll(spark, cat, Seq(
+      CatDelete(a, col("cust") === 3),
+      CatUpdate(b, col("cust") === 3, Seq("v" -> lit("erased")))),
+      Some("gdpr" -> 1L)) === vc)
+    assert(ops.versions(a).last === headA + 1 && ops.versions(b).last === headB + 1)
+
+    // a match-nothing mutation carries the pin instead of publishing a
+    // no-op version; the other member's write still lands in the txn
+    val va = ops.versions(a).last
+    ops.commitAll(spark, cat, Seq(
+      CatDelete(a, col("cust") === 999),
+      CatAppend(b, rows(5).withColumn("v", lit("new")))))
+    assert(ops.versions(a).last === va, "match-nothing delete publishes nothing")
+    assert(ops.read(spark, b).filter(col("v") === "new").count() === 5)
+    assert(ops.catalogSnapshot(cat).toMap.apply(a) === va,
+      "the carried pin stays complete")
+
+    // an invalid UPDATE (schema drift) fails the WHOLE transaction
+    val (ha, hb) = (ops.versions(a).last, ops.versions(b).last)
+    intercept[IllegalArgumentException] {
+      ops.commitAll(spark, cat, Seq(
+        CatAppend(a, rows(2)),
+        CatUpdate(b, col("cust") === 1, Seq("v" -> lit(42)))))
+    }
+    assert(ops.versions(a).last === ha && ops.versions(b).last === hb,
+      "a failed transaction publishes nothing anywhere")
+  }
+
   test(s"[$backend] catalog vacuum carries txn watermarks: a deep replay stays exactly-once") {
     import graft.sources.CatAppend
     val a = freshTable("catvw-a")
