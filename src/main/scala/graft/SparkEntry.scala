@@ -142,6 +142,8 @@ object SparkEntry {
     "q_clone" -> (operators.VersionedQueries.qClone _),
     "q_mat_view" -> (operators.VersionedQueries.qMatView _),
     "q_mat_view_join" -> (operators.VersionedQueries.qMatViewJoin _),
+    "q_mat_view_chain" -> (operators.VersionedQueries.qMatViewChain _),
+    "q_mat_view_nested" -> (operators.VersionedQueries.qMatViewNested _),
     "q_mat_view_minmax" -> (operators.VersionedQueries.qMatViewMinMax _),
     "q_drop_partition" -> (operators.VersionedQueries.qDropPartition _),
     "q_multi_commit" -> (operators.VersionedQueries.qMultiCommit _),
@@ -1276,6 +1278,32 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |  AND NOT (CAST(o_totalprice AS DECIMAL(12,2)) < 50000.00)
+        |GROUP BY 1""".stripMargin,
+    // q_mat_view_chain: the 3-table chain view's telescoping
+    // maintenance must land exactly at the from-scratch 3-way join
+    // aggregate over the FINAL state of all sides (full fact, mid
+    // minus the %7 customers, dim minus nations >= 20)
+    "q_mat_view_chain" ->
+      """SELECT n_name, count(*) AS mv_count,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS DOUBLE) AS mv_sum
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT (c_custkey % 7 = 0) AND NOT (n_nationkey >= 20)
+        |GROUP BY 1""".stripMargin,
+    // q_mat_view_nested: the outer view's rollup of the inner view's
+    // state deltas must equal all three rollup levels recomputed from
+    // the surviving source rows — groups (distinct custkeys), rows,
+    // and spend per bucket
+    "q_mat_view_nested" ->
+      """SELECT o_custkey % 10 AS bucket,
+        |  count(DISTINCT o_custkey) AS n_groups,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND NOT (CAST(o_totalprice AS DECIMAL(12,2)) < 60000.00)
         |GROUP BY 1""".stripMargin,
     // q_zone_map_nulls: the IS NOT NULL survivors of the three
     // nullness-clustered commits (all-null %4=0 slice excluded, %4=1

@@ -927,6 +927,97 @@ object VersionedQueries {
         col("mv_sum_o_totalprice").cast("double").as("mv_sum"))
   }
 
+  /** q_mat_view_chain: the N-ARY chain materialized view under the
+    * oracle gate — per-nation order spend over THREE independently
+    * mutated versioned tables (orders ⋈ customer ⋈ nation), maintained
+    * by the telescoping signed decomposition: the fact append's
+    * refresh costs Δfact ⋈ dims only; a mid-table (customer) delete
+    * folds that nation's orders back out; a dim (nation) delete
+    * removes whole groups; the last refresh carries TWO terms at once
+    * (fact append + dim delete committed between refreshes). All three
+    * cursors commit atomically with the state (asserted). The oracle
+    * recomputes the 3-way join aggregate from scratch over the final
+    * state of all sides.
+    */
+  def qMatViewChain(spark: SparkSession, dir: String): DataFrame = {
+    val fact = freshTable("mvcfact")
+    val mid = freshTable("mvcmid")
+    val dim = freshTable("mvcdim")
+    val view = freshTable("mvcview")
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_nationkey").as("nationkey"))
+    val nn = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("nationkey"), col("n_name"))
+    def refreshIt(): Long = MaterializedView.refreshJoinChain(spark, view,
+      Seq(fact, mid, dim), Seq(Seq("custkey"), Seq("nationkey")),
+      Seq("n_name"), Seq("price"))
+    def third(r: Int) = o.filter(col("o_orderkey") % 3 === r).drop("o_orderkey")
+    VersionedTable.overwrite(spark, fact, third(0))
+    VersionedTable.overwrite(spark, mid, c)
+    VersionedTable.overwrite(spark, dim, nn)
+    refreshIt()
+    VersionedTable.append(spark, fact, third(1))
+    refreshIt() // the append fast path: Δfact ⋈ mid ⋈ dim only
+    VersionedTable.delete(spark, mid, col("custkey") % 7 === 0)
+    refreshIt() // mid delete folds those customers' orders back out
+    VersionedTable.delete(spark, dim, col("nationkey") >= 20)
+    VersionedTable.append(spark, fact, third(2))
+    refreshIt() // TWO terms in one refresh: fact insert + dim delete
+    require(MaterializedView.freshAsOfChain(view, 3) ==
+      Seq(fact, mid, dim).map(s => Some(VersionedTable.versions(s).last)),
+      "all three cursors must sit at their source heads")
+    MaterializedView.read(spark, view)
+      .select(col("n_name"), col("mv_count"),
+        col("mv_sum_price").cast("double").as("mv_sum"))
+  }
+
+  /** q_mat_view_nested: VIEW COMPOSITION under the oracle gate — the
+    * view state is itself a versioned table, so `changesBetween` over
+    * the inner view's refresh commits is a signed delta the OUTER view
+    * folds with no new machinery. Inner: per-(bucket, custkey) order
+    * counts/sums; outer: per-bucket rollup where the inner's mv_count
+    * rides as a SUM column — so the outer's own mv_count counts inner
+    * GROUPS (distinct custkeys), its sums roll up rows and spend
+    * exactly, and a source delete propagates through BOTH layers
+    * (including groups leaving the inner view entirely). The oracle
+    * recomputes all three rollup levels from the surviving source
+    * rows.
+    */
+  def qMatViewNested(spark: SparkSession, dir: String): DataFrame = {
+    val src = freshTable("mvnsrc")
+    val inner = freshTable("mvninner")
+    val outer = freshTable("mvnouter")
+    val o = t(spark, dir, "orders")
+      .select((col("o_custkey") % 10).as("bucket"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"),
+        col("o_orderdate"))
+    def half(lo: String, hi: String) = o
+      .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+        col("o_orderdate") < lit(hi).cast("timestamp"))
+      .drop("o_orderdate")
+    def refreshBoth(): Unit = {
+      MaterializedView.refresh(spark, inner, src, Seq("bucket", "o_custkey"), Seq("price"))
+      MaterializedView.refresh(spark, outer, inner, Seq("bucket"),
+        Seq("mv_count", "mv_sum_price"), viewKey = "outer")
+    }
+    VersionedTable.overwrite(spark, src, half("1997-01-01", "1997-07-01"))
+    refreshBoth()
+    VersionedTable.append(spark, src, half("1997-07-01", "1998-01-01"))
+    refreshBoth()
+    VersionedTable.delete(spark, src, col("price") < 60000.00)
+    refreshBoth()
+    require(MaterializedView.freshAsOf(outer, "outer").contains(
+      VersionedTable.versions(inner).last),
+      "the outer cursor must sit at the INNER view's head")
+    MaterializedView.read(spark, outer)
+      .select(col("bucket"), col("mv_count").as("n_groups"),
+        col("mv_sum_mv_count").cast("long").as("n_rows"),
+        col("mv_sum_mv_sum_price").cast("double").as("total"))
+  }
+
   /** q_optimize_cluster: OPTIMIZE as layout maintenance — orders land
     * UNCLUSTERED (generator row order: every file's o_totalprice
     * interval spans the whole domain, so a range probe before

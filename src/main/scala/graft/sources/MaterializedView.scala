@@ -178,6 +178,98 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
       Seq(appL -> headL, appR -> headR))
   }
 
+  /** The N-ARY chain generalization of [[refreshJoin]]:
+    *
+    * {{{ SELECT keys, count(*), sum(sumCols...)
+    *     FROM s0 JOIN s1 USING (chainKeys(0))
+    *             JOIN s2 USING (chainKeys(1)) ... [WHERE ...]
+    *     GROUP BY keys }}}
+    *
+    * maintained from ALL N sources' version deltas via the telescoping
+    * signed decomposition
+    *
+    * {{{ Δ(S₀ ⋈ … ⋈ Sₙ₋₁) = Σᵢ  S₀@new ⋈ … ⋈ Sᵢ₋₁@new ⋈ ΔSᵢ
+    *                              ⋈ Sᵢ₊₁@old ⋈ … ⋈ Sₙ₋₁@old }}}
+    *
+    * — term i joins every source BEFORE i at its new head and every
+    * source AFTER i at its old cursor, so each inserted/deleted joined
+    * row is produced by EXACTLY ONE term (the cross terms ΔSᵢ ⋈ ΔSⱼ,
+    * i<j, live inside term j's new-side prefix). A source with no new
+    * commits contributes no term, so the common fact-append refresh
+    * costs ΔS_fact ⋈ the dim snapshots and nothing else — at 100 TB
+    * the deltas are small and AQE broadcasts them against the big
+    * side; after the first refresh no term ever joins snapshot ⋈
+    * snapshot. All N cursors commit atomically in the view's manifest
+    * ([[VersionedTableOps.overwriteTxns]]); reading `Sⱼ@old` requires
+    * cursor versions to still be retained, the [[refreshJoin]]
+    * contract generalized.
+    *
+    * `chainKeys(i)` joins the accumulated prefix (S₀…Sᵢ) with Sᵢ₊₁;
+    * sources' columns must be pairwise disjoint apart from chain keys
+    * (checked). Two sources delegate to the same math as
+    * [[refreshJoin]] but under this method's per-index cursor ids —
+    * pick one flavor per view and stay with it.
+    */
+  def refreshJoinChain(spark: SparkSession, view: String,
+      sources: Seq[String], chainKeys: Seq[Seq[String]],
+      keyCols: Seq[String], sumCols: Seq[String],
+      viewKey: String = "mvc", where: Option[String] = None): Long = {
+    require(sources.size >= 2, "chain views need at least two sources")
+    require(chainKeys.size == sources.size - 1,
+      s"need ${sources.size - 1} chain-key sets for ${sources.size} sources")
+    val n = sources.size
+    val apps = sources.indices.map(i => s"${appIdFor(viewKey)}:$i")
+    val heads = sources.map(s => vt.versions(s).last)
+    val vView = vt.versions(view).lastOption
+    val curs = apps.map(a => vView.flatMap(v => vt.lastTxn(view, a, upTo = Some(v))))
+    if (curs.zip(heads).forall { case (c, h) => c.exists(_ >= h) })
+      return vt.versions(view).last
+    require(vView.isEmpty || curs.forall(_.isDefined),
+      s"view $view has commits without this viewKey's full cursor set — " +
+        "not (yet) a refreshJoinChain view; start from an empty view table")
+    // column disjointness: a shared non-key column would silently
+    // resolve to one side in the chain join and the fold
+    val colSets = sources.zip(heads).map { case (s, h) =>
+      vt.read(spark, s, Some(h)).columns.toSet }
+    val keySet = chainKeys.flatten.toSet
+    colSets.zip(sources).foreach { case (cs, s) =>
+      require(!cs.contains("_change"),
+        s"$s has a _change column — it would collide with the delta sign") }
+    for (i <- 0 until n; j <- (i + 1) until n) {
+      val shared = (colSets(i) intersect colSets(j)) -- keySet
+      require(shared.isEmpty,
+        s"${sources(i)} and ${sources(j)} share non-chain-key columns: " +
+          shared.toSeq.sorted.mkString(", "))
+    }
+    def chain(frames: Seq[DataFrame]): DataFrame =
+      frames.tail.zip(chainKeys).foldLeft(frames.head) {
+        case (acc, (f, keys)) => acc.join(f, keys) }
+    val first = curs.head.isEmpty
+    val delta0 =
+      if (first)
+        chain(sources.zip(heads).map { case (s, h) => vt.read(spark, s, Some(h)) })
+          .withColumn("_change", lit("insert"))
+      else {
+        val terms = (0 until n).flatMap { i =>
+          if (curs(i).get >= heads(i)) None // no new commits: no term
+          else Some(chain((0 until n).map { j =>
+            if (j < i) vt.read(spark, sources(j), Some(heads(j)))
+            else if (j == i) vt.changesBetween(spark, sources(i), curs(i).get, heads(i))
+            else vt.read(spark, sources(j), Some(curs(j).get))
+          }))
+        }
+        terms.reduce(_ unionByName _)
+      }
+    val delta = where.fold(delta0)(w => delta0.filter(expr(w)))
+    foldDelta(spark, view, vView, !first, delta, keyCols, sumCols,
+      apps.zip(heads))
+  }
+
+  /** The chain view's per-source freshness, in source order. */
+  def freshAsOfChain(view: String, nSources: Int,
+      viewKey: String = "mvc"): Seq[Option[Long]] =
+    (0 until nSources).map(i => vt.lastTxn(view, s"${appIdFor(viewKey)}:$i"))
+
   /** Guard, aggregate and merge a SIGNED delta (`_change` column:
     * insert/delete) into the view's pinned state, committing with the
     * given watermarks — the shared core of every refresh flavor.

@@ -416,6 +416,99 @@ abstract class MaterializedViewBattery(backend: String, mv: MaterializedViewOps)
     }
   }
 
+  test(s"[$backend] 3-table chain view maintains exactly under mutations on every source") {
+    // nation-like dim ⋈ customer-like mid ⋈ orders-like fact: the
+    // telescoping decomposition must land every refresh exactly at the
+    // from-scratch 3-way join aggregate, whichever source(s) moved
+    val dim = fresh("c3-dim")
+    val mid = fresh("c3-mid")
+    val fact = fresh("c3-fact")
+    val view = fresh("c3-view")
+    def dimRows(ids: Seq[Long]) = spark.createDataFrame(
+      ids.map(i => (i, s"G${i % 3}"))).toDF("gid", "gname")
+    def midRows(ids: Seq[Long]) = spark.createDataFrame(
+      ids.map(i => (i, i % 4))).toDF("cid", "gid")
+    def factRows(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("oid"), (col("id") % 20).as("cid"),
+      (col("id") + 1).cast("decimal(12,2)").as("v"))
+    vt.overwrite(spark, dim, dimRows(0L to 3L))
+    vt.overwrite(spark, mid, midRows(0L to 19L))
+    vt.overwrite(spark, fact, factRows(0, 100))
+    def refreshIt(): Unit = mv.refreshJoinChain(spark, view,
+      Seq(fact, mid, dim), Seq(Seq("cid"), Seq("gid")),
+      Seq("gname"), Seq("v"))
+    def check(clue: String): Unit = {
+      val want = vt.read(spark, fact)
+        .join(vt.read(spark, mid), Seq("cid"))
+        .join(vt.read(spark, dim), Seq("gid"))
+        .groupBy("gname").agg(
+          count(lit(1)).cast("long").as("mv_count"),
+          sum(col("v").cast("decimal(18,4)")).cast("decimal(28,4)").as("mv_sum_v"))
+      val got = mv.read(spark, view)
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"$clue: chain view != full recompute")
+    }
+    refreshIt(); check("initial full refresh")
+    val v0 = vt.versions(view).last
+    refreshIt()
+    assert(vt.versions(view).last === v0, "fresh chain refresh is a no-op")
+    // fact append: the ONLY term is Δfact ⋈ mid ⋈ dim
+    vt.append(spark, fact, factRows(100, 160)); refreshIt(); check("fact append")
+    // mid delete: customers leave — their fact rows leave the view
+    vt.delete(spark, mid, col("cid") % 5 === 0); refreshIt(); check("mid delete")
+    // dim delete + SIMULTANEOUS fact append: two terms in one refresh
+    vt.delete(spark, dim, col("gid") === 2)
+    vt.append(spark, fact, factRows(160, 200))
+    refreshIt(); check("dim delete + fact append in one refresh")
+    // upsert on the middle table (rewrite commit → sym-diff delta)
+    vt.upsert(spark, mid, midRows(3L to 6L)
+      .withColumn("gid", col("cid") % 2), "cid")
+    refreshIt(); check("mid upsert")
+    // all three cursors sit at their source heads
+    assert(mv.freshAsOfChain(view, 3).zip(
+      Seq(fact, mid, dim).map(s => vt.versions(s).last))
+      .forall { case (c, h) => c.contains(h) })
+  }
+
+  test(s"[$backend] a view over a view composes: the outer folds the inner's state deltas") {
+    // the view state is itself a versioned table, so changesBetween
+    // over its refresh commits IS a signed delta — the outer view
+    // rolls the inner's per-key counts/sums up to coarser keys with no
+    // new machinery; counts roll up as a SUM over the inner's mv_count
+    val src = fresh("vov-src")
+    val inner = fresh("vov-inner")
+    val outer = fresh("vov-outer")
+    def rows2(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"), (col("id") % 12).as("k"),
+      (col("id") + 1).cast("decimal(12,2)").as("v"))
+    vt.overwrite(spark, src, rows2(0, 100))
+    // the inner's mv_count rides the outer as a SUM column (counting
+    // inner ROWS would count groups, not underlying rows)
+    mv.refresh(spark, inner, src, Seq("k"), Seq("v"))
+    mv.refresh(spark, outer, inner, Seq("k"), Seq("mv_count", "mv_sum_v"),
+      viewKey = "outer")
+    def check(clue: String): Unit = {
+      val want = vt.read(spark, src).groupBy("k").agg(
+        count(lit(1)).cast("decimal(28,4)").as("mv_sum_mv_count"),
+        sum(col("v").cast("decimal(18,4)")).cast("decimal(28,4)").as("mv_sum_mv_sum_v"))
+      val got = mv.read(spark, outer)
+        .select(col("k"), col("mv_sum_mv_count"), col("mv_sum_mv_sum_v"))
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"$clue: outer view != rollup of source")
+    }
+    check("initial composition")
+    vt.append(spark, src, rows2(100, 150))
+    mv.refresh(spark, inner, src, Seq("k"), Seq("v"))
+    mv.refresh(spark, outer, inner, Seq("k"), Seq("mv_count", "mv_sum_v"),
+      viewKey = "outer")
+    check("after source append propagated through both views")
+    vt.delete(spark, src, col("v") < 40.0)
+    mv.refresh(spark, inner, src, Seq("k"), Seq("v"))
+    mv.refresh(spark, outer, inner, Seq("k"), Seq("mv_count", "mv_sum_v"),
+      viewKey = "outer")
+    check("after source delete propagated through both views")
+  }
+
   test(s"[$backend] NULL grouping keys merge null-safely across every refresh flavor") {
     // GROUP BY keeps NULL as one ordinary group, so the state can hold
     // a NULL-keyed row — the round-8 advisory: a non-null-safe merge
