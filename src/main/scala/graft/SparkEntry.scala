@@ -150,6 +150,7 @@ object SparkEntry {
     "q_multi_mutate" -> (operators.VersionedQueries.qMultiMutate _),
     "q_mat_view_stats" -> (operators.VersionedQueries.qMatViewStats _),
     "q_partition_join" -> (operators.VersionedQueries.qPartitionJoin _),
+    "q_partition_join_outer" -> (operators.VersionedQueries.qPartitionJoinOuter _),
     "q_zone_map_nulls" -> (operators.VersionedQueries.qZoneMapNulls _),
     "q_check_constraint" -> (operators.VersionedQueries.qCheckConstraint _),
     "q_drop_column" -> (operators.VersionedQueries.qDropColumn _),
@@ -1210,6 +1211,16 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS DOUBLE) AS spend
         |FROM orders WHERE o_orderpriority <> '5-LOW'
+        |GROUP BY 1, 2""".stripMargin,
+    // q_partition_join_outer: the aligned LEFT join preserves the
+    // dropped dim value's fact rows null-extended — the CASE replay
+    "q_partition_join_outer" ->
+      """SELECT o_orderpriority,
+        |  CASE WHEN o_orderpriority <> '5-LOW'
+        |       THEN substr(o_orderpriority, 1, 1) END AS pr,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS DOUBLE) AS spend
+        |FROM orders
         |GROUP BY 1, 2""".stripMargin,
     // q_mat_view_stats: abelian count/sum/sum-of-squares maintenance
     // must land exactly at the from-scratch aggregate; avg/var derive

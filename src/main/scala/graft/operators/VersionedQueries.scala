@@ -699,6 +699,36 @@ object VersionedQueries {
         sum(col("price").cast("decimal(28,4)")).cast("double").as("spend")))
   }
 
+  /** q_partition_join_outer: the OUTER flavor of the partition-aligned
+    * join — after the dim drops its 5-LOW partition, a LEFT join must
+    * (a) still prune the matched pairs at the manifest, (b) PRESERVE
+    * the fact's 5-LOW rows through the left-rest branch (joined
+    * against an empty dim frame that Catalyst folds to a null-extended
+    * projection — the dim side is never scanned for them, asserted),
+    * and (c) agree exactly with the plain SQL LEFT JOIN the oracle
+    * replays as a CASE over the surviving dim values.
+    */
+  def qPartitionJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val fact = freshTable("pjofact")
+    val dim = freshTable("pjodim")
+    val all = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    VersionedTable.overwritePartitioned(spark, fact, all, Seq("o_orderpriority"))
+    VersionedTable.overwritePartitioned(spark, dim,
+      all.select(col("o_orderpriority")).distinct()
+        .withColumn("pr", substring(col("o_orderpriority"), 1, 1)),
+      Seq("o_orderpriority"))
+    VersionedTable.dropPartition(spark, dim, "o_orderpriority", "5-LOW")
+    val joined = VersionedTable.joinPartitioned(spark, fact, dim,
+      Seq("o_orderpriority"), "left")
+    require(joined.inputFiles.exists(_.contains("o_orderpriority__pv=5-LOW")),
+      "the left-rest branch must scan the unmatched fact partition")
+    outBoundary(joined.groupBy(col("o_orderpriority"), col("pr"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price").cast("decimal(28,4)")).cast("double").as("spend")))
+  }
+
   /** q_mat_view_stats: the STATS materialized view under the oracle
     * gate — per-customer count / exact decimal sum / sum-of-squares
     * maintained across an H2 append and a predicate delete (all three

@@ -1228,51 +1228,106 @@ class VersionedTableOps(val store: CommitStore) {
     manifestFiles(table, v)
       .filter(_.split('/').contains(s"${partSeg(physCol)}=$rawValue"))
 
-  /** PARTITION-ALIGNED inner equi-join of two tables partitioned by
-    * the same column: the join is planned as one VALUE-PAIR join per
-    * partition value PRESENT ON BOTH SIDES, unioned — so values
-    * missing from either side are pruned at the MANIFEST (their files
-    * are never opened, the join-pruning a catalog-level partition
-    * spec exists for), each pair scans only its two value
-    * directories, and a small pair side broadcasts where the global
-    * join would have shuffled everything. The null partition
-    * (`__HIVE_DEFAULT_PARTITION__`) is excluded on both sides — NULL
-    * keys never match an inner equi-join. Beyond `maxBranches`
-    * common values the plan would degenerate into a huge union, so
-    * it falls back to the plain snapshot join (same semantics, no
-    * pruning) — honest about where the technique stops paying.
-    * `on` must include the partition column; extra key columns join
-    * within each pair.
+  /** Snapshot files grouped by their VALUE TUPLE over the leading
+    * `physCols` partition segments (raw path-encoded values). A file
+    * missing any segment maps its position to null — callers refuse
+    * such snapshots (pre-routing files could hold rows of any value).
+    */
+  private def partitionTupleFiles(table: String, physCols: Seq[String],
+      v: Long): Map[Seq[String], Seq[String]] = {
+    val pres = physCols.map(pc => partSeg(pc) + "=")
+    manifestFiles(table, v).groupBy { f =>
+      val segs = f.split('/')
+      pres.map(p => segs.find(_.startsWith(p)).map(_.stripPrefix(p)).orNull)
+    }
+  }
+
+  /** PARTITION-ALIGNED equi-join of two partitioned tables: the join
+    * is planned as one VALUE-TUPLE-PAIR join per tuple of the tables'
+    * SHARED LEADING partition columns (the longest common spec prefix
+    * whose logical names are all joined `on` — one column or several),
+    * unioned — so tuples missing from either side are pruned at the
+    * MANIFEST (their files are never opened), each pair scans only its
+    * two value directories, and a small pair side broadcasts where the
+    * global join would have shuffled everything.
+    *
+    * `joinType` covers the OUTER family too (`inner` / `left` /
+    * `right` / `full`): matched tuples join pairwise with the given
+    * type (preserving unmatched rows within the tuple), and the
+    * preserved side's REMAINING tuples — including its null partition
+    * (`__HIVE_DEFAULT_PARTITION__`), whose NULL keys never match but
+    * must survive an outer join — ride ONE extra branch joined against
+    * the other side's empty frame (Catalyst folds that to a null-
+    * extended projection: no scan of the other side at all). Null-
+    * partition tuples are never treated as matching even when both
+    * sides have one (SQL: NULL = NULL is not TRUE). Beyond
+    * `maxBranches` common tuples the plan would degenerate into a huge
+    * union, so it falls back to the plain snapshot join (same
+    * semantics, no pruning) — honest about where the technique stops
+    * paying. `on` must include the shared leading partition columns;
+    * extra key columns join within each pair.
     */
   def joinPartitioned(spark: SparkSession, left: String, right: String,
-      on: Seq[String], vLeft: Option[Long] = None, vRight: Option[Long] = None,
+      on: Seq[String], joinType: String = "inner",
+      vLeft: Option[Long] = None, vRight: Option[Long] = None,
       maxBranches: Int = 64): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "").replace("outer", "") match {
+      case "inner" => "inner"
+      case "left" => "left_outer"
+      case "right" => "right_outer"
+      case "full" | "" => "full_outer" // "outer" alone means full
+      case other => throw new IllegalArgumentException(
+        s"joinPartitioned supports inner/left/right/full, not '$joinType'")
+    }
     val vl = vLeft.getOrElse(versions(left).last)
     val vr = vRight.getOrElse(versions(right).last)
     val specL = manifestPartitionBy(left, vl)
     val specR = manifestPartitionBy(right, vr)
     require(specL.nonEmpty && specR.nonEmpty,
       s"joinPartitioned needs BOTH tables partitioned ($left: $specL, $right: $specR)")
-    val phL = specL.head
-    val phR = specR.head
-    val logL = manifestRenames(left, vl).getOrElse(phL, phL)
-    val logR = manifestRenames(right, vr).getOrElse(phR, phR)
-    require(logL == logR && on.contains(logL),
+    val renL = manifestRenames(left, vl)
+    val renR = manifestRenames(right, vr)
+    val logSpecL = specL.map(ph => renL.getOrElse(ph, ph))
+    val logSpecR = specR.map(ph => renR.getOrElse(ph, ph))
+    val k = (1 to math.min(logSpecL.size, logSpecR.size)).reverse.find(i =>
+      logSpecL.take(i) == logSpecR.take(i) &&
+        logSpecL.take(i).forall(on.contains)).getOrElse(0)
+    require(k >= 1,
       s"the leading partition columns must agree and be joined on " +
-        s"($left: $logL, $right: $logR, on: $on)")
+        s"($left: $logSpecL, $right: $logSpecR, on: $on)")
+    val tupL = partitionTupleFiles(left, specL.take(k), vl)
+    val tupR = partitionTupleFiles(right, specR.take(k), vr)
+    Seq(left -> tupL, right -> tupR).foreach { case (t, m) =>
+      require(!m.keysIterator.exists(_.contains(null)),
+        s"files of $t predate the partition routing and may hold rows of " +
+          "any value — rewrite the table before an aligned join")
+    }
     val nullSeg = "__HIVE_DEFAULT_PARTITION__"
-    val valsL = partitionSegValues(left, phL, vl) - nullSeg
-    val valsR = partitionSegValues(right, phR, vr) - nullSeg
-    val common = (valsL intersect valsR).toSeq.sorted
-    if (common.isEmpty)
-      read(spark, left, Some(vl)).join(read(spark, right, Some(vr)), on).limit(0)
-    else if (common.size > maxBranches)
-      read(spark, left, Some(vl)).join(read(spark, right, Some(vr)), on)
-    else
-      common.map { value =>
-        readFiles(spark, left, vl, filesForSeg(left, phL, value, vl))
-          .join(readFiles(spark, right, vr, filesForSeg(right, phR, value, vr)), on)
-      }.reduce(_ unionByName _)
+    def nonNull(ts: Set[Seq[String]]) = ts.filterNot(_.contains(nullSeg))
+    val common = (nonNull(tupL.keySet) intersect nonNull(tupR.keySet))
+      .toSeq.sortBy(_.mkString("/"))
+    lazy val fullL = read(spark, left, Some(vl))
+    lazy val fullR = read(spark, right, Some(vr))
+    if (common.size > maxBranches) return fullL.join(fullR, on, jt)
+    val pairs = common.map { t =>
+      readFiles(spark, left, vl, tupL(t))
+        .join(readFiles(spark, right, vr, tupR(t)), on, jt)
+    }
+    val commonSet = common.toSet
+    def rest(m: Map[Seq[String], Seq[String]]): Seq[String] =
+      m.view.filterKeys(!commonSet.contains(_)).toSeq
+        .sortBy(_._1.mkString("/")).flatMap(_._2)
+    val leftRest =
+      if ((jt == "left_outer" || jt == "full_outer") && rest(tupL).nonEmpty)
+        Seq(readFiles(spark, left, vl, rest(tupL)).join(fullR.limit(0), on, jt))
+      else Nil
+    val rightRest =
+      if ((jt == "right_outer" || jt == "full_outer") && rest(tupR).nonEmpty)
+        Seq(fullL.limit(0).join(readFiles(spark, right, vr, rest(tupR)), on, jt))
+      else Nil
+    val branches = pairs ++ leftRest ++ rightRest
+    if (branches.isEmpty) fullL.join(fullR, on, jt).limit(0)
+    else branches.reduce(_ unionByName _)
   }
 
   /** Probe/drop values must BE the path segment Spark's writer

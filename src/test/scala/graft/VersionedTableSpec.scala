@@ -813,6 +813,66 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     intercept[IllegalArgumentException] { ops.joinPartitioned(spark, a, u, Seq("p")) }
   }
 
+  test(s"[$backend] partition-aligned OUTER joins and multi-column tuple alignment") {
+    val a = freshTable("pjo-a")
+    val b = freshTable("pjo-b")
+    // two-column spec (p, q); a has a NULL partition (p null every 7th
+    // row) — outer joins must preserve it, inner must drop it
+    def rowsA = spark.range(0, 280).select(
+      col("id").as("k"),
+      when(col("id") % 7 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("P"), (col("id") % 4).cast("string"))).as("p"),
+      concat(lit("Q"), (col("id") % 2).cast("string")).as("q"),
+      (col("id") * 2).as("v"))
+    // b covers only P0/P1 tuples, plus its own NULL-p row (which must
+    // never match a's NULL-p rows — SQL NULL = NULL is not TRUE)
+    def rowsB = spark.range(0, 4).select(
+      when(col("id") === 3, lit(null).cast("string"))
+        .otherwise(concat(lit("P"), (col("id") % 2).cast("string"))).as("p"),
+      concat(lit("Q"), (col("id") % 2).cast("string")).as("q"),
+      (col("id") * 100).as("w"))
+    ops.overwritePartitioned(spark, a, rowsA, Seq("p", "q"))
+    ops.overwritePartitioned(spark, b, rowsB, Seq("p", "q"))
+    def plain(jt: String) = ops.read(spark, a)
+      .join(ops.read(spark, b), Seq("p", "q"), jt)
+    def aligned(jt: String) = ops.joinPartitioned(spark, a, b, Seq("p", "q"), jt)
+    for (jt <- Seq("inner", "left", "right", "full")) {
+      val got = aligned(jt)
+      val want = plain(if (jt == "inner") "inner" else jt + "_outer")
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"aligned $jt join == plain $jt join")
+    }
+    assert(aligned("left").filter(col("p").isNull).count() ===
+      ops.read(spark, a).filter(col("p").isNull).count(),
+      "the left NULL partition survives a left join, unmatched")
+    assert(aligned("left").filter(col("p").isNull && col("w").isNotNull).count() === 0,
+      "NULL partitions never match each other")
+    // tuple-level pruning: P2/P3 tuples absent from b never open
+    assert(!aligned("inner").inputFiles.exists(f =>
+      f.contains("p__pv=P2") || f.contains("p__pv=P3")),
+      "tuples absent from one side must never open the other side's files")
+    // the LEFT-rest branch of a left join must not scan b's files for
+    // a-only tuples (they join an empty frame); b has only 4 tiny
+    // files so assert via the pair branches instead: a full join's
+    // input covers both rests
+    assert(aligned("full").count() === plain("full_outer").count())
+    // prefix alignment: c partitioned by (p) only — the shared leading
+    // prefix is (p); the aligned join still prunes on it
+    val c = freshTable("pjo-c")
+    ops.overwritePartitioned(spark, c,
+      spark.range(0, 2).select(
+        concat(lit("P"), col("id").cast("string")).as("p"),
+        (col("id") * 1000).as("z")), Seq("p"))
+    val gotPfx = ops.joinPartitioned(spark, a, c, Seq("p"))
+    val wantPfx = ops.read(spark, a).join(ops.read(spark, c), Seq("p"))
+    assert(gotPfx.except(wantPfx).isEmpty && wantPfx.except(gotPfx).isEmpty,
+      "single-column prefix alignment over a two-column spec")
+    assert(!gotPfx.inputFiles.exists(f => f.contains("p__pv=P2") || f.contains("p__pv=P3")))
+    intercept[IllegalArgumentException] { ops.joinPartitioned(spark, a, b, Seq("p", "q"), "cross") }
+    // q alone shares no LEADING prefix — refused, not silently unpruned
+    intercept[IllegalArgumentException] { ops.joinPartitioned(spark, a, b, Seq("q")) }
+  }
+
   test(s"[$backend] CHECK naming an evolved column accepts a batch that omits it (NULL passes)") {
     val t = freshTable("check-evolved")
     ops.overwrite(spark, t, base) // columns (k, v)
