@@ -151,6 +151,7 @@ object SparkEntry {
     "q_mat_view_stats" -> (operators.VersionedQueries.qMatViewStats _),
     "q_partition_join" -> (operators.VersionedQueries.qPartitionJoin _),
     "q_partition_join_outer" -> (operators.VersionedQueries.qPartitionJoinOuter _),
+    "q_id_mapping" -> (operators.VersionedQueries.qIdMapping _),
     "q_zone_map_nulls" -> (operators.VersionedQueries.qZoneMapNulls _),
     "q_check_constraint" -> (operators.VersionedQueries.qCheckConstraint _),
     "q_drop_column" -> (operators.VersionedQueries.qDropColumn _),
@@ -1212,6 +1213,14 @@ object SparkEntry {
         |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS DOUBLE) AS spend
         |FROM orders WHERE o_orderpriority <> '5-LOW'
         |GROUP BY 1, 2""".stripMargin,
+    // q_id_mapping: after rename -> drop -> re-add under fresh column
+    // ids, pre-drop rows read NULL priority (no resurrection) while
+    // the re-added column's own values survive — the CASE replay
+    "q_id_mapping" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS priority,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        |FROM orders""".stripMargin,
     // q_partition_join_outer: the aligned LEFT join preserves the
     // dropped dim value's fact rows null-extended — the CASE replay
     "q_partition_join_outer" ->

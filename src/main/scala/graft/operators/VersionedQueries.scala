@@ -699,6 +699,35 @@ object VersionedQueries {
         sum(col("price").cast("decimal(28,4)")).cast("double").as("spend")))
   }
 
+  /** q_id_mapping: ID column mapping under the oracle gate — the
+    * rename/drop/re-add sequence name-based mapping REFUSES, run end
+    * to end: orders committed id-mapped (files store `__gcid_<n>`
+    * physical names), the priority column renamed (metadata-only —
+    * file identity asserted), DROPPED (metadata-only), then RE-ADDED
+    * by the odd-key append under a FRESH id. The final read must show
+    * NULL priority for every pre-drop row — the dropped bytes still
+    * sit in the carried files under the retired id, and the fresh id
+    * is what makes them unable to resurrect (the Iceberg column-id
+    * property). The oracle replays the survivorship as a CASE.
+    */
+  def qIdMapping(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("idmap")
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    VersionedTable.overwriteIdMapped(spark, table,
+      o.filter(col("o_orderkey") % 2 === 0))
+    require(VersionedTable.columnMapping(table) == "id")
+    val before = VersionedTable.snapshotFiles(table).toSet
+    VersionedTable.renameColumn(spark, table, "prio", "priority")
+    VersionedTable.dropColumn(spark, table, "priority")
+    require(VersionedTable.snapshotFiles(table).toSet == before,
+      "rename and drop must be metadata-only — zero data moved")
+    VersionedTable.append(spark, table,
+      o.filter(col("o_orderkey") % 2 =!= 0).withColumnRenamed("prio", "priority"))
+    outBoundary(VersionedTable.read(spark, table))
+  }
+
   /** q_partition_join_outer: the OUTER flavor of the partition-aligned
     * join — after the dim drops its 5-LOW partition, a LEFT join must
     * (a) still prune the matched pairs at the manifest, (b) PRESERVE

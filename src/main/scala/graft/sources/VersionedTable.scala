@@ -115,6 +115,73 @@ class VersionedTableOps(val store: CommitStore) {
       .getOrElse(Nil)
   }
 
+  /** The version's COLUMN-MAPPING MODE flag: "" (name-based, every
+    * table so far) or "id" (physical names are stable synthetic ids —
+    * see [[overwriteIdMapped]]). Carried forward by every commit like
+    * constraints/renames/partitionBy.
+    */
+  private[sources] def manifestColMap(table: String, v: Long): String =
+    "\"colmap\": \"([a-z]+)\"".r
+      .findFirstMatchIn(store.read(commitsDir(table), manifestName(v)))
+      .map(_.group(1)).getOrElse("")
+
+  /** The table's column-mapping mode: "name" (default — physical file
+    * column names are the column's FIRST logical name, rename/drop
+    * guarded by refusals) or "id" ([[overwriteIdMapped]] — physical
+    * names are stable synthetic ids, renames/drops/re-adds are free).
+    */
+  def columnMapping(table: String, version: Option[Long] = None): String =
+    versions(table).lastOption match {
+      case None => "name"
+      case Some(last) =>
+        if (manifestColMap(table, version.getOrElse(last)) == "id") "id" else "name"
+    }
+
+  private def isIdMapped(table: String): Boolean =
+    versions(table).lastOption.exists(v => manifestColMap(table, v) == "id")
+
+  /** id-mode physical namespace: live columns are `__gcid_<n>`,
+    * retired (dropped) ids re-point their map entry to `__gone_<n>` —
+    * a logical name no user column may take, keeping the id allocated
+    * (its bytes still live in carried files) while freeing the
+    * logical name for a FRESH id. That pair of moves is exactly what
+    * makes drop/re-add safe with no refusal: the re-added column's
+    * data lives under a different physical name than the dropped
+    * column's, so old bytes can never resurrect (the Iceberg
+    * column-id property, carried by the rename map).
+    */
+  private val IdPhysPrefix = "__gcid_"
+  private val IdGonePrefix = "__gone_"
+
+  private def requireIdSafeNames(cols: Seq[String]): Unit =
+    cols.foreach(c => require(
+      !c.startsWith(IdPhysPrefix) && !c.startsWith(IdGonePrefix),
+      s"column name $c collides with the id-mapping namespace " +
+        s"($IdPhysPrefix*/$IdGonePrefix*)"))
+
+  /** The head map extended for a batch: columns not yet mapped get
+    * fresh ids (max allocated + 1, monotone forever — retired entries
+    * keep their ids allocated); with `retireAbsent` (overwrite's
+    * schema replacement), live entries whose logical column the batch
+    * drops are retired.
+    */
+  private def idExtend(cur: Map[String, String], cols: Seq[String],
+      retireAbsent: Boolean): Map[String, String] = {
+    requireIdSafeNames(cols)
+    val live = cur.valuesIterator.toSet
+    val newCols = cols.filterNot(live.contains)
+    val start = cur.keysIterator
+      .flatMap(k => k.stripPrefix(IdPhysPrefix).toIntOption)
+      .maxOption.getOrElse(0) + 1
+    val base = if (!retireAbsent) cur else cur.map { case (ph, lo) =>
+      if (!lo.startsWith(IdGonePrefix) && !cols.contains(lo))
+        ph -> (IdGonePrefix + ph.stripPrefix(IdPhysPrefix))
+      else ph -> lo
+    }
+    base ++ newCols.zipWithIndex.map { case (c, i) =>
+      s"$IdPhysPrefix${start + i}" -> c }
+  }
+
   /** The operation that produced version `v`, as recorded in its
     * manifest ("overwrite" / "append" / "upsert" / "compact" /
     * "optimize" / ...); "unknown" for legacy manifests without the
@@ -146,7 +213,8 @@ class VersionedTableOps(val store: CommitStore) {
       dvs: Seq[String], txn: Seq[(String, Long)] = Nil,
       cons: Seq[(String, String)] = Nil,
       renames: Map[String, String] = Map.empty,
-      partitionBy: Seq[String] = Nil): String = {
+      partitionBy: Seq[String] = Nil,
+      colMap: String = ""): String = {
     // one watermark keeps the legacy top-level form byte-compatible;
     // several (a joined materialized view committing BOTH source
     // cursors atomically) render as a "txns" array whose objects carry
@@ -178,9 +246,14 @@ class VersionedTableOps(val store: CommitStore) {
       if (partitionBy.isEmpty) ""
       else partitionBy.map(c => s""""${escStr(c)}"""")
         .mkString("  \"partitionBy\": [", ", ", "],\n")
+    // additive like partitionBy: an old reader ignoring the column-
+    // mapping MODE still reads correctly — the rename entries it DOES
+    // read carry the whole physical→logical translation; the mode flag
+    // only changes WRITE-side id assignment and guard behavior
+    val cmSec = if (colMap.isEmpty) "" else s"""  "colmap": "$colMap",\n"""
     val filesSec = files.map(f => "    \"" + f + "\"").mkString(
       s"""{\n  "version": $v,\n  "format": 1,\n  "op": "$op",\n""" +
-        s"""  "ts": ${System.currentTimeMillis()},\n""" + txnSec + consSec + renSec + partSec +
+        s"""  "ts": ${System.currentTimeMillis()},\n""" + txnSec + consSec + renSec + partSec + cmSec +
         s"""  "schema": "${escStr(schema.json)}",\n  "files": [\n""",
       ",\n",
       "\n  ]")
@@ -322,9 +395,11 @@ class VersionedTableOps(val store: CommitStore) {
     }, consOverride = // the branch inherits the source's schema
       Some(_ => checkConstraints(src, Some(v))), //   CONTRACT, not just bytes:
       renOverride = //                           constraints, the name map,
-        Some(_ => manifestRenames(src, v)), //   AND the partition spec (the
-      partsOverride = //                        clone's appends must keep
-        Some(_ => manifestPartitionBy(src, v))) // routing, its drops working)
+        Some(_ => manifestRenames(src, v)), //   the partition spec, AND the
+      partsOverride = //                        column-mapping mode (the
+        Some(_ => manifestPartitionBy(src, v)), // clone's appends must keep
+      colMapOverride = //                        routing/ids, its drops working)
+        Some(_ => manifestColMap(src, v)))
   }
 
   private[sources] def manifestDvs(table: String, v: Long): Seq[String] = {
@@ -375,17 +450,21 @@ class VersionedTableOps(val store: CommitStore) {
   private def partSeg(physCol: String): String = physCol + "__pv"
 
   private def stageData(table: String, df: DataFrame, tag: String,
-      partsOverride: Option[Seq[String]] = None): Seq[String] = {
+      partsOverride: Option[Seq[String]] = None,
+      renFor: Option[Map[String, String]] = None): Seq[String] = {
     val rel = s"data/$tag-${java.util.UUID.randomUUID().toString.take(8)}"
     val dir = Paths.get(table, rel)
     // writes always land under PHYSICAL names so files stay uniform
     // across renames; DV stages carry internal (file, pos) columns and
     // never translate. In-closure stagers re-run on retry, so a head
     // moved by a concurrent rename re-resolves; pre-staged ops guard
-    // explicitly (requireRenamesUnchanged)
+    // explicitly (requireRenamesUnchanged). `renFor` supplies the map
+    // explicitly when the WRITE ITSELF extends it (id-mapped tables
+    // assigning fresh column ids) — the commit then records the same
+    // extended map via renOverride.
     val ren = if (tag == "dv") Map.empty[String, String]
-      else versions(table).lastOption
-        .map(manifestRenames(table, _)).getOrElse(Map.empty)
+      else renFor.getOrElse(versions(table).lastOption
+        .map(manifestRenames(table, _)).getOrElse(Map.empty))
     val out = ren.foldLeft(df) { case (d, (ph, lo)) =>
       if (d.columns.contains(lo)) d.withColumnRenamed(lo, ph) else d }
     require(out.columns.distinct.length == out.columns.length,
@@ -723,7 +802,8 @@ class VersionedTableOps(val store: CommitStore) {
       txn: Seq[(String, Long)] = Nil,
       consOverride: Option[Long => Seq[(String, String)]] = None,
       renOverride: Option[Long => Map[String, String]] = None,
-      partsOverride: Option[Long => Seq[String]] = None): Long = {
+      partsOverride: Option[Long => Seq[String]] = None,
+      colMapOverride: Option[Long => String] = None): Long = {
     val dir = commitsDir(table)
     var attempt = 0
     while (true) {
@@ -737,19 +817,21 @@ class VersionedTableOps(val store: CommitStore) {
       // planFor: a vacuum racing this commit can surface
       // NoSuchFileException from ANY base-manifest read, and the
       // documented contract is retry-against-the-fresh-head, not crash
-      val plan = try Some((planFor(base),
+      val plan = try Some(((planFor(base),
         consOverride.map(_(base)).getOrElse(
           if (base == 0) Nil else checkConstraints(table, Some(base))),
         renOverride.map(_(base)).getOrElse(
           if (base == 0) Map.empty[String, String] else manifestRenames(table, base)),
         partsOverride.map(_(base)).getOrElse(
-          if (base == 0) Nil else manifestPartitionBy(table, base))))
+          if (base == 0) Nil else manifestPartitionBy(table, base))),
+        colMapOverride.map(_(base)).getOrElse(
+          if (base == 0) "" else manifestColMap(table, base))))
       catch {
         case _: java.nio.file.NoSuchFileException => None // base vacuumed under us
       }
-      val won = plan.exists { case ((schema, fs, dvs), consList, renMap, partsList) =>
+      val won = plan.exists { case (((schema, fs, dvs), consList, renMap, partsList), cm) =>
         store.putIfAbsent(dir, manifestName(v),
-          render(v, op, schema, fs, dvs, txn, consList, renMap, partsList)) }
+          render(v, op, schema, fs, dvs, txn, consList, renMap, partsList, cm)) }
       if (won) return v
       attempt += 1 // lost the race (or lost the base): re-read head, retry
       require(attempt < 100, s"commit contention on $table")
@@ -850,7 +932,8 @@ class VersionedTableOps(val store: CommitStore) {
       require(schema.fieldNames.contains(oldName), s"no column $oldName on $table")
       require(!schema.fieldNames.contains(newName),
         s"column $newName already exists on $table")
-      require(!everRecordedColumns(table).contains(newName) &&
+      if (isIdMapped(table)) requireIdSafeNames(Seq(newName))
+      else require(!everRecordedColumns(table).contains(newName) &&
           !manifestRenames(table, base).contains(newName),
         s"cannot rename to $newName: a retained manifest records that name, " +
           "or it is a live column's PHYSICAL file name (physical names never " +
@@ -941,11 +1024,18 @@ class VersionedTableOps(val store: CommitStore) {
         require(resolves,
           s"cannot drop $name: CHECK constraint $cn references it ($ce) — drop the constraint first")
       }
-      // the rename map is deliberately NOT pruned: the entry is the
-      // only durable record that the dropped column's PHYSICAL name
-      // still lives inside carried files after older manifests are
-      // vacuumed — requireNoRevivedColumns keys off it
+      // name mode: the rename map is deliberately NOT pruned — the
+      // entry is the only durable record that the dropped column's
+      // PHYSICAL name still lives inside carried files after older
+      // manifests are vacuumed (requireNoRevivedColumns keys off it).
+      // id mode: the entry is RETIRED to the __gone_ namespace — the
+      // id stays allocated (old bytes still live under it) while the
+      // LOGICAL name frees up for a fresh id, which is the whole point
       (newSchema, manifestFiles(table, base), manifestDvs(table, base))
+    }, renOverride = if (!isIdMapped(table)) None else Some { base =>
+      val cur = manifestRenames(table, base)
+      val ph = physicalName(cur, name)
+      cur + (ph -> (IdGonePrefix + ph.stripPrefix(IdPhysPrefix)))
     })
 
   /** Column names recorded by ANY retained manifest — the set a new
@@ -1342,18 +1432,45 @@ class VersionedTableOps(val store: CommitStore) {
       s"partition value '$value' contains characters the path writer escapes; " +
         "only [A-Za-z0-9._-] values can be addressed by segment")
 
+  /** Create the table in ID column-mapping mode: every column gets a
+    * stable synthetic id, data files store `__gcid_<n>` physical
+    * names, and the manifest's rename map carries id→logical — so
+    * RENAME is a map edit with NO reuse refusals, DROP retires the id,
+    * and RE-ADDING a dropped column's name assigns a FRESH id whose
+    * files can never alias the dropped bytes (the Iceberg column-id
+    * property). The trade vs name mode: physical names are opaque
+    * (a raw parquet reader sees `__gcid_3`, not `price`), which is
+    * exactly Delta's `columnMapping.mode = id` trade. The mode is set
+    * at creation and follows the table through every commit.
+    */
+  def overwriteIdMapped(spark: SparkSession, table: String,
+      df: DataFrame): Long = {
+    require(versions(table).isEmpty,
+      s"$table already has commits: column mapping is set at creation")
+    val ren = idExtend(Map.empty, df.columns, retireAbsent = false)
+    val staged = stageData(table, df, "w", renFor = Some(ren))
+    commitDv(table, "overwrite", { base =>
+      require(base == 0, s"$table gained commits mid-create")
+      (asStored(df.schema), staged, Nil)
+    }, renOverride = Some(_ => ren), colMapOverride = Some(_ => "id"))
+  }
+
   /** Create (version 1) or fully overwrite the table with `df`. */
   def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
     val cons0 = headConstraints(table)
     val ren0 = versions(table).lastOption
       .map(manifestRenames(table, _)).getOrElse(Map.empty[String, String])
     enforceConstraints(table, df, cons0)
-    val staged = stageData(table, df, "w") // stage once; retries reuse it
-    commit(table, "overwrite", { base =>
+    // id mode: the replacement schema keeps the ids of surviving
+    // columns, retires removed ones, assigns fresh ids to new ones
+    val renExt = if (isIdMapped(table))
+      Some(idExtend(ren0, df.columns, retireAbsent = true)) else None
+    val staged = stageData(table, df, "w", renFor = renExt) // stage once; retries reuse it
+    commitDv(table, "overwrite", { base =>
       requireRenamesUnchanged(table, base, ren0)
       enforceLate(spark, table, base, cons0, staged)
-      (asStored(df.schema), staged)
-    })
+      (asStored(df.schema), staged, Nil)
+    }, renOverride = renExt.map(m => (_: Long) => m))
   }
 
   /** Append `df` as a new version (old files + new files). The new
@@ -1374,6 +1491,7 @@ class VersionedTableOps(val store: CommitStore) {
     * schema-governance race, not a correctness one.
     */
   def append(spark: SparkSession, table: String, df: DataFrame): Long = {
+    val idMode = isIdMapped(table)
     versions(table).lastOption.foreach { head =>
       val headSchema = manifestSchema(table, head)
         .getOrElse(read(spark, table, Some(head)).schema) // legacy: derive from footers
@@ -1388,14 +1506,17 @@ class VersionedTableOps(val store: CommitStore) {
       // retained manifest still records (i.e. a dropped column):
       // pre-drop files physically carry the old values, so a
       // name-based re-add would resurrect dropped data (dropColumn
-      // scaladoc — the poisoning Iceberg's column IDs exist to stop)
-      requireNoRevivedColumns(table, df, headSchema.fieldNames)
+      // scaladoc). ID mode needs no refusal — the re-added column
+      // gets a FRESH physical id, so old bytes cannot alias it.
+      if (!idMode) requireNoRevivedColumns(table, df, headSchema.fieldNames)
     }
     val cons0 = headConstraints(table)
     val ren0 = versions(table).lastOption
       .map(manifestRenames(table, _)).getOrElse(Map.empty[String, String])
     enforceConstraints(table, df, cons0)
-    val staged = stageData(table, df, "a")
+    val renExt = if (idMode)
+      Some(idExtend(ren0, df.columns, retireAbsent = false)) else None
+    val staged = stageData(table, df, "a", renFor = renExt)
     commitDv(table, "append", { base =>
       requireInit(table, base, "append")
       requireRenamesUnchanged(table, base, ren0)
@@ -1405,7 +1526,7 @@ class VersionedTableOps(val store: CommitStore) {
       // carried files keep their deletion vectors
       (unionSchema(headSchema, asStored(df.schema)),
         manifestFiles(table, base) ++ staged, manifestDvs(table, base))
-    })
+    }, renOverride = renExt.map(m => (_: Long) => m))
   }
 
   /** Newest transaction version committed under `appId`, from the
@@ -1450,11 +1571,14 @@ class VersionedTableOps(val store: CommitStore) {
       appId: String, txnVer: Long): Long = {
     def applied = lastTxn(table, appId).exists(_ >= txnVer)
     if (applied) return versions(table).last // common replay path: stage nothing
+    val idMode = isIdMapped(table)
     val cons0 = headConstraints(table)
     val ren0 = versions(table).lastOption
       .map(manifestRenames(table, _)).getOrElse(Map.empty[String, String])
     enforceConstraints(table, df, cons0)
-    val staged = stageData(table, df, "a")
+    val renExt = if (idMode)
+      Some(idExtend(ren0, df.columns, retireAbsent = false)) else None
+    val staged = stageData(table, df, "a", renFor = renExt)
     try commitDv(table, "append", { base =>
       if (applied) throw TxnAlreadyApplied
       requireRenamesUnchanged(table, base, ren0)
@@ -1471,12 +1595,13 @@ class VersionedTableOps(val store: CommitStore) {
             conflicts.mkString(", "))
         // same dropped-name revival guard as append — a streaming
         // append with an evolved upstream schema must not resurrect a
-        // dropped column's old values out of the carried files
-        requireNoRevivedColumns(table, df, headSchema.fieldNames)
+        // dropped column's old values out of the carried files; id
+        // mode needs no refusal (fresh physical ids cannot alias)
+        if (!idMode) requireNoRevivedColumns(table, df, headSchema.fieldNames)
         (unionSchema(headSchema, stored),
           manifestFiles(table, base) ++ staged, manifestDvs(table, base))
       }
-    }, Seq(appId -> txnVer))
+    }, Seq(appId -> txnVer), renOverride = renExt.map(m => (_: Long) => m))
     catch { case TxnAlreadyApplied => versions(table).last }
   }
 
@@ -1513,13 +1638,15 @@ class VersionedTableOps(val store: CommitStore) {
     val ren0 = versions(table).lastOption
       .map(manifestRenames(table, _)).getOrElse(Map.empty[String, String])
     enforceConstraints(table, df, cons0)
-    val staged = stageData(table, df, "w")
+    val renExt = if (isIdMapped(table))
+      Some(idExtend(ren0, df.columns, retireAbsent = true)) else None
+    val staged = stageData(table, df, "w", renFor = renExt)
     try commitDv(table, "overwrite", { base =>
       if (applied) throw TxnAlreadyApplied
       requireRenamesUnchanged(table, base, ren0)
       enforceLate(spark, table, base, cons0, staged)
       (asStored(df.schema), staged, Nil)
-    }, txns)
+    }, txns, renOverride = renExt.map(m => (_: Long) => m))
     catch { case TxnAlreadyApplied => versions(table).last }
   }
 
@@ -2573,8 +2700,11 @@ class VersionedTableOps(val store: CommitStore) {
     }
     // appends: same write-time checks as a single-table append, staged
     // ONCE (reuse across retries); upserts must merge against the
-    // retry-fresh base, so they stage inside the loop
-    val stagedAppends: Map[String, Seq[String]] = writes.collect {
+    // retry-fresh base, so they stage inside the loop. id-mode members
+    // stage under an EXTENDED map (fresh ids for new columns) that the
+    // render records, guarded against a concurrent map change.
+    val stagedAppends: Map[String, (Seq[String], Map[String, String],
+        Option[Map[String, String]])] = writes.collect {
       case CatAppend(table, df) =>
         require(versions(table).nonEmpty,
           s"$table is uninitialized — create member tables before enrolling them")
@@ -2587,9 +2717,12 @@ class VersionedTableOps(val store: CommitStore) {
             s"append has ${f.dataType.simpleString}"))
         require(conflicts.isEmpty,
           s"append schema conflicts with $table head: ${conflicts.mkString("; ")}")
-        requireNoRevivedColumns(table, df, headSchema.fieldNames)
+        if (!isIdMapped(table)) requireNoRevivedColumns(table, df, headSchema.fieldNames)
         enforceConstraints(table, df, headConstraints(table))
-        table -> stageData(table, df, "m")
+        val ren0 = manifestRenames(table, head)
+        val renExt = if (isIdMapped(table))
+          Some(idExtend(ren0, df.columns, retireAbsent = false)) else None
+        table -> ((stageData(table, df, "m", renFor = renExt), ren0, renExt))
     }.toMap
     writes.filterNot(_.isInstanceOf[CatAppend]).foreach { w =>
       require(versions(w.table).nonEmpty,
@@ -2614,16 +2747,22 @@ class VersionedTableOps(val store: CommitStore) {
             "to member tables to go through the catalog"))
         val headSchema = manifestSchema(table, base)
           .getOrElse(asStored(read(spark, table, Some(base)).schema))
+        val cm = manifestColMap(table, base)
         w match {
           case CatAppend(_, df) =>
+            val (staged, ren0, renExt) = stagedAppends(table)
+            renExt.foreach(_ => require(manifestRenames(table, base) == ren0,
+              s"concurrent column-map change on $table while this " +
+                "transaction was staging; retry"))
             CatEntry(table, base + 1,
               render(base + 1, "append",
                 unionSchema(headSchema, asStored(df.schema)),
-                manifestFiles(table, base) ++ stagedAppends(table),
+                manifestFiles(table, base) ++ staged,
                 manifestDvs(table, base),
                 cons = checkConstraints(table, Some(base)),
-                renames = manifestRenames(table, base),
-                partitionBy = manifestPartitionBy(table, base)))
+                renames = renExt.getOrElse(manifestRenames(table, base)),
+                partitionBy = manifestPartitionBy(table, base),
+                colMap = cm))
           case CatUpsert(_, updates, key) =>
             val cur = read(spark, table, Some(base))
             val cols = cur.columns
@@ -2638,7 +2777,8 @@ class VersionedTableOps(val store: CommitStore) {
                 Nil, // a rewrite purges deletion vectors, like upsert
                 cons = checkConstraints(table, Some(base)),
                 renames = manifestRenames(table, base),
-                partitionBy = manifestPartitionBy(table, base)))
+                partitionBy = manifestPartitionBy(table, base),
+                colMap = cm))
           // predicate mutations reuse the single-table COW planners and
           // EMBED the rendered manifest: the rewrite's rows become
           // durable only at the catalog's one publish point, so a
@@ -2654,7 +2794,8 @@ class VersionedTableOps(val store: CommitStore) {
                   render(base + 1, "delete", schema, fs, dvs,
                     cons = checkConstraints(table, Some(base)),
                     renames = manifestRenames(table, base),
-                    partitionBy = manifestPartitionBy(table, base)))
+                    partitionBy = manifestPartitionBy(table, base),
+                    colMap = cm))
               case None => CatEntry(table, base, "")
             }
           case CatUpdate(_, cond, set) =>
@@ -2664,7 +2805,8 @@ class VersionedTableOps(val store: CommitStore) {
                   render(base + 1, "update", schema, fs, dvs,
                     cons = checkConstraints(table, Some(base)),
                     renames = manifestRenames(table, base),
-                    partitionBy = manifestPartitionBy(table, base)))
+                    partitionBy = manifestPartitionBy(table, base),
+                    colMap = cm))
               case None => CatEntry(table, base, "")
             }
         }

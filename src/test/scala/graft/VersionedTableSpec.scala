@@ -813,6 +813,84 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     intercept[IllegalArgumentException] { ops.joinPartitioned(spark, a, u, Seq("p")) }
   }
 
+  test(s"[$backend] id column mapping: stable physical ids make rename/drop/re-add free") {
+    val t = freshTable("idmap")
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") * 2).as("v"), lit("A").as("tag"))
+    ops.overwriteIdMapped(spark, t, rows(0, 10))
+    assert(ops.columnMapping(t) === "id")
+    // data files store SYNTHETIC physical names, reads show logical
+    val phys = spark.read.parquet(
+      Paths.get(t, ops.snapshotFiles(t).head).toString).columns.toSet
+    assert(phys.forall(_.startsWith("__gcid_")), s"physical columns: $phys")
+    assert(ops.read(spark, t).columns.toSeq === Seq("k", "v", "tag"))
+    assert(ops.read(spark, t).agg(sum(col("v"))).head.getLong(0) === 90L)
+
+    // rename k -> key and BACK to k: the name-mode refusal ("a retained
+    // manifest records that name") does not exist in id mode
+    ops.renameColumn(spark, t, "k", "key")
+    assert(ops.read(spark, t).columns.contains("key"))
+    ops.renameColumn(spark, t, "key", "k")
+    assert(ops.read(spark, t).agg(sum(col("k"))).head.getLong(0) === 45L,
+      "rename round-trip reads the same bytes")
+
+    // drop tag, then RE-ADD a column named tag with different values
+    // and a DIFFERENT TYPE — blocked outright in name mode, safe here:
+    // the new column gets a fresh id, so pre-drop rows read NULL
+    ops.dropColumn(spark, t, "tag")
+    assert(ops.read(spark, t).columns.toSeq === Seq("k", "v"))
+    ops.append(spark, t, spark.range(10, 15).select(
+      col("id").as("k"), (col("id") * 2).as("v"), (col("id") * 7).as("tag")))
+    val got = ops.read(spark, t)
+    assert(got.columns.toSeq === Seq("k", "v", "tag"))
+    assert(got.filter(col("k") < 10 && col("tag").isNotNull).count() === 0,
+      "pre-drop rows must NOT resurrect the dropped tag values")
+    assert(got.filter(col("k") >= 10).agg(sum(col("tag"))).head.getLong(0) ===
+      (10L until 15L).map(_ * 7).sum, "the re-added column's own values read back")
+    // the re-added column landed under a FRESH physical id
+    val physNew = ops.snapshotFiles(t)
+      .flatMap(f => spark.read.parquet(Paths.get(t, f).toString).columns).toSet
+    assert(physNew.count(_.startsWith("__gcid_")) >= 4,
+      s"fresh id for the re-added column: $physNew")
+
+    // mutations + compaction preserve the mode and the mapping
+    ops.delete(spark, t, col("v") >= 24L)
+    ops.update(spark, t, col("k") === 1L, Seq("v" -> lit(100L)))
+    ops.compact(spark, t)
+    assert(ops.columnMapping(t) === "id", "the mode follows every commit")
+    assert(ops.read(spark, t).filter(col("k") === 1L).head.getLong(1) === 100L)
+    assert(ops.read(spark, t).count() === 12)
+    // time travel to a pre-drop version still shows the OLD tag column
+    assert(ops.read(spark, t, Some(1L)).columns.toSeq === Seq("k", "v", "tag"))
+    assert(ops.read(spark, t, Some(1L)).filter(col("tag") === "A").count() === 10,
+      "the dropped column's values are intact at the old version")
+
+    // a clone inherits the mode; upsert keeps it working
+    val tc = freshTable("idmap-clone")
+    ops.cloneTable(spark, t, tc)
+    assert(ops.columnMapping(tc) === "id")
+    ops.upsert(spark, tc, spark.range(0, 2).select(
+      col("id").as("k"), lit(999L).as("v"), lit(0L).as("tag")), "k")
+    assert(ops.read(spark, tc).filter(col("v") === 999L).count() === 2)
+
+    // namespace guards: user columns may not squat the id namespace
+    intercept[IllegalArgumentException] {
+      ops.overwriteIdMapped(spark, freshTable("idmap-bad"),
+        spark.range(1).select(col("id").as("__gcid_1")))
+    }
+    intercept[IllegalArgumentException] {
+      ops.renameColumn(spark, t, "v", "__gone_3")
+    }
+    // name-mode tables are untouched by all of this
+    val tn = freshTable("idmap-namemode")
+    ops.overwrite(spark, tn, rows(0, 5))
+    assert(ops.columnMapping(tn) === "name")
+    ops.dropColumn(spark, tn, "tag")
+    intercept[IllegalArgumentException] {
+      ops.append(spark, tn, rows(5, 6)) // name-mode revival refusal intact
+    }
+  }
+
   test(s"[$backend] partition-aligned OUTER joins and multi-column tuple alignment") {
     val a = freshTable("pjo-a")
     val b = freshTable("pjo-b")
