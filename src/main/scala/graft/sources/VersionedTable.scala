@@ -1216,18 +1216,29 @@ class VersionedTableOps(val store: CommitStore) {
     * edit.
     */
   def overwritePartitioned(spark: SparkSession, table: String, df: DataFrame,
-      partCols: Seq[String]): Long = {
+      partCols: Seq[String], idMapped: Boolean = false): Long = {
     require(partCols.nonEmpty, "partition spec must name at least one column")
     require(versions(table).isEmpty,
       s"$table already has commits: a partition spec is set at creation " +
         "(repartitioning an existing table rewrites data, not metadata)")
     partCols.foreach(c => require(df.columns.contains(c),
       s"partition column $c absent from the dataframe"))
-    val staged = stageData(table, df, "w", Some(partCols))
+    // the two creation-time modes COMPOSE: the manifest's partitionBy
+    // records PHYSICAL names (like renames do), so with id mapping the
+    // value dirs are `__gcid_<n>__pv=...` and every logical-name
+    // surface (dropPartition, filesForPartition, joinPartitioned)
+    // reaches them through the same physicalName translation it
+    // already does for renamed columns
+    val ren = if (idMapped) Some(idExtend(Map.empty, df.columns, retireAbsent = false))
+      else None
+    val physParts = ren.fold(partCols)(m => partCols.map(c => physicalName(m, c)))
+    val staged = stageData(table, df, "w", Some(physParts), renFor = ren)
     commitDv(table, "overwrite", { base =>
       require(base == 0, s"$table gained commits mid-create")
       (asStored(df.schema), staged, Nil)
-    }, partsOverride = Some(_ => partCols))
+    }, partsOverride = Some(_ => physParts),
+      renOverride = ren.map(m => (_: Long) => m),
+      colMapOverride = if (idMapped) Some(_ => "id") else None)
   }
 
   /** DROP PARTITION as a metadata-only commit: the files under
@@ -1352,10 +1363,15 @@ class VersionedTableOps(val store: CommitStore) {
     * partition tuples are never treated as matching even when both
     * sides have one (SQL: NULL = NULL is not TRUE). Beyond
     * `maxBranches` common tuples the plan would degenerate into a huge
-    * union, so it falls back to the plain snapshot join (same
-    * semantics, no pruning) — honest about where the technique stops
-    * paying. `on` must include the shared leading partition columns;
-    * extra key columns join within each pair.
+    * union, so it goes HYBRID: the `maxBranches` LARGEST common tuples
+    * (by file count) keep their pair-local plans, and the remaining
+    * common tuples join in ONE residual branch restricted to exactly
+    * their files on both sides — per-tuple semantics are preserved
+    * (the tuple columns are join keys, so the bulk branch cannot match
+    * across tuples) and manifest-level pruning of uncommon tuples
+    * never degrades, whatever the spec's cardinality. `on` must
+    * include the shared leading partition columns; extra key columns
+    * join within each pair.
     */
   def joinPartitioned(spark: SparkSession, left: String, right: String,
       on: Seq[String], joinType: String = "inner",
@@ -1398,11 +1414,18 @@ class VersionedTableOps(val store: CommitStore) {
       .toSeq.sortBy(_.mkString("/"))
     lazy val fullL = read(spark, left, Some(vl))
     lazy val fullR = read(spark, right, Some(vr))
-    if (common.size > maxBranches) return fullL.join(fullR, on, jt)
-    val pairs = common.map { t =>
+    val (paired, residual) =
+      if (common.size <= maxBranches) (common, Seq.empty[Seq[String]])
+      else {
+        val bySize = common.sortBy(t => (-(tupL(t).size + tupR(t).size), t.mkString("/")))
+        (bySize.take(maxBranches), bySize.drop(maxBranches))
+      }
+    val pairs = paired.map { t =>
       readFiles(spark, left, vl, tupL(t))
         .join(readFiles(spark, right, vr, tupR(t)), on, jt)
-    }
+    } ++ (if (residual.isEmpty) Nil else Seq(
+      readFiles(spark, left, vl, residual.flatMap(tupL).sorted)
+        .join(readFiles(spark, right, vr, residual.flatMap(tupR).sorted), on, jt)))
     val commonSet = common.toSet
     def rest(m: Map[Seq[String], Seq[String]]): Seq[String] =
       m.view.filterKeys(!commonSet.contains(_)).toSeq

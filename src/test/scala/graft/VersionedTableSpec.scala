@@ -804,9 +804,14 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     ops.overwritePartitioned(spark, c,
       spark.range(0, 2).select(lit("QX").as("p"), col("id").as("w2")), Seq("p"))
     assert(ops.joinPartitioned(spark, a, c, Seq("p")).count() === 0)
-    // beyond maxBranches the plan falls back to the plain join — same rows
+    // beyond maxBranches the plan goes HYBRID (one pair for the
+    // biggest tuple + one residual branch for the other common
+    // tuples): same rows, and the absent values' files STILL never
+    // open — pruning survives any spec cardinality
     val jWide = ops.joinPartitioned(spark, a, b, Seq("p"), maxBranches = 1)
-    assert(jWide.count() === j2.count(), "fallback preserves semantics")
+    assert(jWide.count() === j2.count(), "hybrid preserves semantics")
+    assert(!jWide.inputFiles.exists(f => f.contains("p__pv=P3") || f.contains("p__pv=P4")),
+      "the hybrid's residual branch keeps manifest-level pruning")
     // unpartitioned sides are refused
     val u = freshTable("pj-u")
     ops.overwrite(spark, u, rowsB)
@@ -889,6 +894,60 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     intercept[IllegalArgumentException] {
       ops.append(spark, tn, rows(5, 6)) // name-mode revival refusal intact
     }
+  }
+
+  test(s"[$backend] id mapping composes with partition columns and zone-map pruning") {
+    // partition routing: value dirs route under the PHYSICAL id name;
+    // every logical-name surface (probe, rename, drop) reaches them
+    // through the same translation renamed columns already use
+    val tp = freshTable("idmap-part")
+    def prows(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"),
+      concat(lit("P"), (col("id") % 4).cast("string")).as("p"),
+      (col("id") * 3).as("v"))
+    ops.overwritePartitioned(spark, tp, prows(0, 100), Seq("p"), idMapped = true)
+    assert(ops.columnMapping(tp) === "id")
+    assert(ops.snapshotFiles(tp).forall(_.split('/').exists(s =>
+      s.startsWith("__gcid_") && s.contains("__pv="))),
+      s"value dirs must route under the physical id name: ${ops.snapshotFiles(tp).head}")
+    val (keptP, totalP) = ops.filesForPartition(tp, "p", "P1")
+    assert(keptP.nonEmpty && keptP.size < totalP)
+    ops.renameColumn(spark, tp, "p", "bucket") // pure map edit
+    ops.dropPartition(spark, tp, "bucket", "P2") // addressed by the NEW name
+    assert(ops.read(spark, tp).filter(col("bucket") === "P2").count() === 0)
+    assert(ops.read(spark, tp).count() === 75)
+    // routing follows the table — and the batch must use the RENAMED
+    // logical name (a batch still saying "p" would be a NEW column).
+    // DROP PARTITION was a point-in-time retention edit: the append's
+    // new P2 rows land again, value-routed like everything else
+    ops.append(spark, tp, prows(100, 120).withColumnRenamed("p", "bucket"))
+    assert(ops.read(spark, tp).count() === 95)
+    assert(ops.read(spark, tp).filter(col("bucket") === "P2").count() === 5,
+      "post-drop appends repopulate the value directory")
+
+    // zone maps prune id-mapped tables: the logical filter rewrites
+    // through the read's alias to the physical stats key
+    val tz = freshTable("idmap-zone")
+    ops.overwriteIdMapped(spark, tz,
+      spark.range(0, 3000).select(col("id").as("k"), (col("id") * 2).as("v")))
+    ops.optimize(spark, tz, Seq("k"), nFiles = 8)
+    def scannedFiles(d: org.apache.spark.sql.DataFrame): Long = {
+      d.collect()
+      val plan = d.queryExecution.executedPlan
+      val resolved = plan.collectFirst {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      }.getOrElse(plan)
+      resolved.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.get
+    }
+    val all = scannedFiles(ops.readIndexed(spark, tz))
+    assert(all >= 8, "optimize must have produced a multi-file layout")
+    val pruned = ops.readIndexed(spark, tz).filter(col("k").between(100, 200))
+    assert(pruned.collect().map(_.getLong(0)).toSet === (100L to 200L).toSet)
+    assert(scannedFiles(pruned) < all,
+      "zone maps must prune on the physical stats keys of an id-mapped table")
   }
 
   test(s"[$backend] partition-aligned OUTER joins and multi-column tuple alignment") {
