@@ -85,7 +85,16 @@ object DumpPlans {
       // topology only — its chunk frame is lazily checkpointed (two
       // consumers, the ngram shingle pattern), so the scan hides
       // behind a LogicalRDD like the graph family
-      "text_feature_hash", "text_chunk_dedup")
+      "text_feature_hash", "text_chunk_dedup",
+      // q_partition_join_outer: the aligned LEFT join's plan — one
+      // pair-local join per matched value plus the left-rest branch,
+      // whose "join" against the empty dim frame Catalyst folds to a
+      // null-extended Project (no dim scan node under it at all)
+      "q_partition_join_outer",
+      // q_id_mapping: the scan's ReadSchema carries the PHYSICAL
+      // __gcid_<n> names with the logical aliases projected above —
+      // the whole id-mapping read path in one plan
+      "q_id_mapping")
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by graft.DumpPlans)\n\n"
     sb ++= "Evidence for SURVEY.md §5: pushed filters, pruned read schemas,\n"
