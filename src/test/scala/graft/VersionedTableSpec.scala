@@ -948,6 +948,20 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     assert(pruned.collect().map(_.getLong(0)).toSet === (100L to 200L).toSet)
     assert(scannedFiles(pruned) < all,
       "zone maps must prune on the physical stats keys of an id-mapped table")
+
+    // MoR mutations translate the same way: a deleteMoR republishes
+    // the SAME file list + a deletion vector keyed on physical paths,
+    // and updateMoR's assignments resolve against logical names
+    val filesBefore = ops.snapshotFiles(tz).toSet
+    ops.deleteMoR(spark, tz, col("k") < 50L)
+    assert(ops.snapshotFiles(tz).toSet === filesBefore,
+      "id-mode MoR delete must move zero data files")
+    assert(ops.deletionVectors(tz).nonEmpty)
+    assert(ops.read(spark, tz).count() === 2950)
+    ops.updateMoR(spark, tz, col("k") === 100L, Seq("v" -> lit(-1L)))
+    assert(ops.read(spark, tz).filter(col("k") === 100L).head.getLong(1) === -1L,
+      "id-mode MoR update resolves assignments against logical names")
+    assert(ops.read(spark, tz).count() === 2950)
   }
 
   test(s"[$backend] partition-aligned OUTER joins and multi-column tuple alignment") {
