@@ -962,6 +962,24 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     assert(ops.read(spark, tz).filter(col("k") === 100L).head.getLong(1) === -1L,
       "id-mode MoR update resolves assignments against logical names")
     assert(ops.read(spark, tz).count() === 2950)
+
+    // catalog transactions extend the id map too: a CatAppend adding a
+    // NEW column records the extended map in the catalog-embedded
+    // manifest, and the column reads logically under a fresh id
+    import graft.sources.CatAppend
+    val cat = freshTable("idmap-cat")
+    ops.commitAll(spark, cat, Seq(CatAppend(tz,
+      spark.range(5000, 5010).select(col("id").as("k"), (col("id") * 2).as("v"),
+        lit("late").as("note")))))
+    val gotCat = ops.read(spark, tz)
+    assert(gotCat.columns.contains("note"))
+    assert(gotCat.filter(col("note") === "late").count() === 10)
+    assert(gotCat.filter(col("k") < 5000L && col("note").isNotNull).count() === 0,
+      "pre-evolution rows read the catalog-added column as NULL")
+    val physCat = ops.snapshotFiles(tz)
+      .flatMap(f => spark.read.parquet(Paths.get(tz, f).toString).columns).toSet
+    assert(physCat.forall(c => c.startsWith("__gcid_")),
+      s"the catalog-appended column must land under a physical id: $physCat")
   }
 
   test(s"[$backend] partition-aligned OUTER joins and multi-column tuple alignment") {
