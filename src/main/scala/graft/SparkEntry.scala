@@ -1309,7 +1309,9 @@ object SparkEntry {
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |WHERE NOT (c_custkey % 7 = 0) AND NOT (n_nationkey >= 20)
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND NOT (c_custkey % 7 = 0) AND NOT (n_nationkey >= 20)
         |GROUP BY 1""".stripMargin,
     // q_mat_view_nested: the outer view's rollup of the inner view's
     // state deltas must equal all three rollup levels recomputed from

@@ -1003,7 +1003,12 @@ object VersionedQueries {
     val mid = freshTable("mvcmid")
     val dim = freshTable("mvcdim")
     val view = freshTable("mvcview")
+    // scoped to 1997 like the other MV oracle queries — the same code
+    // paths at a fraction of the staged volume (the query's cost is
+    // its own table builds + refreshes, all inside the measurement)
     val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       .select(col("o_orderkey"), col("o_custkey").as("custkey"),
         col("o_totalprice").cast("decimal(12,2)").as("price"))
     val c = t(spark, dir, "customer")
