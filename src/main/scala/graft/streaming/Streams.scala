@@ -244,6 +244,37 @@ object Streams {
       }
       .start()
 
+  /** Keep a materialized view CONTINUOUSLY fresh against a versioned
+    * source: tail the source's commit log
+    * ([[graft.sources.VersionedStreamProvider]]) and run `doRefresh`
+    * once per micro-batch. The batch CONTENT is deliberately ignored
+    * — the commit-log event is only the TRIGGER: the refresh reads
+    * its own delta via `changesBetween` from its own cursor, and the
+    * cursor commits atomically with the refreshed state, so the VIEW
+    * CURSOR (not the stream checkpoint) is the exactly-once
+    * authority. A crash-replayed or coalesced trigger re-runs a
+    * refresh that is a no-op or a correct catch-up — never a double
+    * count; a refresh that dies mid-way publishes nothing and the
+    * next trigger retries. This composes every refresh flavor
+    * (single-table, join, chain, min/max, stats) into a streaming
+    * pipeline with zero new state machinery. For a CHAIN view, tail
+    * the FACT table (the high-rate side) and let each trigger pick up
+    * whatever the dims did in between — their terms ride the same
+    * refresh.
+    */
+  def refreshViewStream(spark: org.apache.spark.sql.SparkSession,
+      source: String, checkpointDir: String)(doRefresh: () => Long)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft.sources.VersionedStreamProvider")
+      .option("path", source).load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        doRefresh()
+        ()
+      }
+      .start()
+
   /** The read view over the snapshot: tombstones filtered, the
     * q_cdc_apply output shape.
     */

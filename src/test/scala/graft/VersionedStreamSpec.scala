@@ -48,6 +48,65 @@ class VersionedStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("refreshViewStream keeps a chain view continuously fresh; restart replays are no-ops") {
+    import graft.sources.MaterializedView
+    val fact = fresh("rvs-fact")
+    val mid = fresh("rvs-mid")
+    val dim = fresh("rvs-dim")
+    val view = fresh("rvs-view")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rvs-ckpt").toString
+    def factRows(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") % 20).as("cid"),
+      (col("id") + 1).cast("decimal(12,2)").as("v"))
+    VersionedTable.overwrite(spark, fact, factRows(0, 100))
+    VersionedTable.overwrite(spark, mid, spark.range(0, 20)
+      .select(col("id").as("cid"), (col("id") % 4).as("gid")))
+    VersionedTable.overwrite(spark, dim, spark.range(0, 4)
+      .select(col("id").as("gid"), concat(lit("G"), col("id")).as("gname")))
+    def doRefresh(): Long = MaterializedView.refreshJoinChain(spark, view,
+      Seq(fact, mid, dim), Seq(Seq("cid"), Seq("gid")), Seq("gname"), Seq("v"))
+    def recompute() = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, mid), "cid")
+      .join(VersionedTable.read(spark, dim), "gid")
+      .groupBy("gname").agg(
+        count(lit(1)).cast("long").as("mv_count"),
+        sum(col("v").cast("decimal(18,4)")).cast("decimal(28,4)").as("mv_sum_v"))
+    def assertFresh(clue: String): Unit = {
+      val got = MaterializedView.read(spark, view)
+      val want = recompute()
+      assert(got.except(want).isEmpty && want.except(got).isEmpty, clue)
+    }
+    val q = graft.streaming.Streams.refreshViewStream(spark, fact, ckpt)(doRefresh _)
+    try {
+      q.processAllAvailable() // initial-snapshot trigger: full refresh
+      assertFresh("the initial trigger materializes the view")
+      VersionedTable.append(spark, fact, factRows(100, 160))
+      q.processAllAvailable()
+      assertFresh("a fact append refreshes through the stream")
+      // a DIM delete between triggers rides the NEXT fact trigger —
+      // the refresh picks up every source's delta, not just the
+      // watched one
+      VersionedTable.delete(spark, mid, col("cid") % 5 === 0)
+      VersionedTable.append(spark, fact, factRows(160, 200))
+      q.processAllAvailable()
+      assertFresh("a mid delete rides the next trigger's refresh")
+    } finally q.stop()
+    // restart on the same checkpoint: the replayed/empty trigger's
+    // refresh is a NO-OP (the view cursor is the exactly-once
+    // authority, not the stream checkpoint)
+    val vHead = VersionedTable.versions(view).last
+    val q2 = graft.streaming.Streams.refreshViewStream(spark, fact, ckpt)(doRefresh _)
+    try {
+      q2.processAllAvailable()
+      assert(VersionedTable.versions(view).last === vHead,
+        "a restart with no new source commits must not move the view")
+      assertFresh("still exact after the restart")
+      VersionedTable.append(spark, fact, factRows(200, 210))
+      q2.processAllAvailable()
+      assertFresh("the restarted stream keeps refreshing")
+    } finally q2.stop()
+  }
+
   test("a clone carrying live MoR deletion vectors streams without resurrecting rows") {
     val src = fresh("clonesrc")
     val dst = fresh("clonedst")
