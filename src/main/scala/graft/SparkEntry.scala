@@ -144,6 +144,7 @@ object SparkEntry {
     "q_mat_view_join" -> (operators.VersionedQueries.qMatViewJoin _),
     "q_mat_view_chain" -> (operators.VersionedQueries.qMatViewChain _),
     "q_mat_view_nested" -> (operators.VersionedQueries.qMatViewNested _),
+    "q_mat_view_factored" -> (operators.VersionedQueries.qMatViewFactored _),
     "q_mat_view_minmax" -> (operators.VersionedQueries.qMatViewMinMax _),
     "q_drop_partition" -> (operators.VersionedQueries.qDropPartition _),
     "q_multi_commit" -> (operators.VersionedQueries.qMultiCommit _),
@@ -1325,6 +1326,22 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND NOT (CAST(o_totalprice AS DECIMAL(12,2)) < 60000.00)
+        |GROUP BY 1""".stripMargin,
+    // q_mat_view_factored: the higher-order (fact pre-aggregated)
+    // factoring must land exactly at the from-scratch 3-way join's
+    // three rollup levels — live customers, order rows, spend
+    "q_mat_view_factored" ->
+      """SELECT n_name,
+        |  count(DISTINCT o_custkey) AS n_custs,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS DOUBLE) AS spend
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND NOT (c_custkey % 7 = 0)
         |  AND NOT (CAST(o_totalprice AS DECIMAL(12,2)) < 60000.00)
         |GROUP BY 1""".stripMargin,
     // q_zone_map_nulls: the IS NOT NULL survivors of the three

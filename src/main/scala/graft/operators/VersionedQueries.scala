@@ -1082,6 +1082,62 @@ object VersionedQueries {
         col("mv_sum_mv_sum_price").cast("double").as("total"))
   }
 
+  /** q_mat_view_factored: HIGHER-ORDER incremental view maintenance
+    * by COMPOSITION — the raw chain view's one inherent cost is that
+    * a MIDDLE-table delta joins against the fact snapshot (term i =
+    * fact@head ⋈ Δmid ⋈ dim@old). The factored form removes it with
+    * the pieces that already exist: an INNER single-table view
+    * pre-aggregates the fact per join key (count/sum, incrementally
+    * maintained), and the OUTER chain view joins (inner, mid, dim) —
+    * so a fact delta costs the inner's cheap single-table refresh,
+    * and a mid/dim delta joins Δmid against the O(keys) INNER STATE,
+    * never the fact (the DBToaster higher-order decomposition,
+    * expressed as view-over-view + chain instead of new machinery).
+    * The outer's own mv_count counts LIVE JOIN KEYS (customers with
+    * surviving orders); the fact-row count and spend ride as sums of
+    * the inner's state columns. The spec proves the never-touches-
+    * the-fact claim destructively (the fact's directory is DELETED
+    * and the mid-delta refresh still succeeds); the oracle replays
+    * all three rollup levels from scratch.
+    */
+  def qMatViewFactored(spark: SparkSession, dir: String): DataFrame = {
+    val fact = freshTable("mvffact")
+    val mid = freshTable("mvfmid")
+    val dim = freshTable("mvfdim")
+    val inner = freshTable("mvfinner")
+    val outer = freshTable("mvfouter")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_nationkey").as("nationkey"))
+    val nn = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("nationkey"), col("n_name"))
+    def refreshAll(): Unit = {
+      MaterializedView.refresh(spark, inner, fact,
+        Seq("custkey"), Seq("price"), viewKey = "fagg")
+      MaterializedView.refreshJoinChain(spark, outer,
+        Seq(inner, mid, dim), Seq(Seq("custkey"), Seq("nationkey")),
+        Seq("n_name"), Seq("mv_count", "mv_sum_price"), viewKey = "fchain")
+    }
+    VersionedTable.overwrite(spark, fact, o.filter(col("o_orderkey") % 2 === 0).drop("o_orderkey"))
+    VersionedTable.overwrite(spark, mid, c)
+    VersionedTable.overwrite(spark, dim, nn)
+    refreshAll()
+    VersionedTable.append(spark, fact, o.filter(col("o_orderkey") % 2 =!= 0).drop("o_orderkey"))
+    refreshAll() // fact delta: the inner's cheap single-table refresh
+    VersionedTable.delete(spark, mid, col("custkey") % 7 === 0)
+    refreshAll() // mid delta: joins the O(keys) inner state, NOT the fact
+    VersionedTable.delete(spark, fact, col("price") < 60000.00)
+    refreshAll() // fact delete: fully-emptied customers leave the inner
+    MaterializedView.read(spark, outer)
+      .select(col("n_name"), col("mv_count").as("n_custs"),
+        col("mv_sum_mv_count").cast("long").as("n_orders"),
+        col("mv_sum_mv_sum_price").cast("double").as("spend"))
+  }
+
   /** q_optimize_cluster: OPTIMIZE as layout maintenance — orders land
     * UNCLUSTERED (generator row order: every file's o_totalprice
     * interval spans the whole domain, so a range probe before

@@ -470,6 +470,58 @@ abstract class MaterializedViewBattery(backend: String, mv: MaterializedViewOps)
       .forall { case (c, h) => c.contains(h) })
   }
 
+  test(s"[$backend] factored chain: a mid-table delta provably never touches the fact") {
+    // higher-order IVM by composition: inner = fact pre-aggregated per
+    // join key; outer = chain over (inner, mid, dim). The proof is
+    // DESTRUCTIVE: after both views are fresh, the fact's directory is
+    // DELETED OUTRIGHT — a mid-side delete's refresh must still
+    // succeed and stay exact, because its only term joins Δmid against
+    // the inner STATE. The raw chain form would crash here (its
+    // mid-delta term opens the fact snapshot).
+    val fact = fresh("fc-fact")
+    val mid = fresh("fc-mid")
+    val dim = fresh("fc-dim")
+    val inner = fresh("fc-inner")
+    val outer = fresh("fc-outer")
+    vt.overwrite(spark, fact, spark.range(0, 2000).select(
+      (col("id") % 50).as("cid"),
+      (col("id") + 1).cast("decimal(12,2)").as("v")))
+    vt.overwrite(spark, mid, spark.range(0, 50)
+      .select(col("id").as("cid"), (col("id") % 5).as("gid")))
+    vt.overwrite(spark, dim, spark.range(0, 5)
+      .select(col("id").as("gid"), concat(lit("G"), col("id")).as("gname")))
+    def refreshInner(): Unit =
+      mv.refresh(spark, inner, fact, Seq("cid"), Seq("v"), viewKey = "fagg")
+    def refreshOuter(): Unit = mv.refreshJoinChain(spark, outer,
+      Seq(inner, mid, dim), Seq(Seq("cid"), Seq("gid")),
+      Seq("gname"), Seq("mv_count", "mv_sum_v"), viewKey = "fchain")
+    refreshInner(); refreshOuter()
+    // expected state is computable from the INNER alone — needed below
+    // once the fact is gone
+    def expected() = vt.read(spark, inner)
+      .join(vt.read(spark, mid), "cid").join(vt.read(spark, dim), "gid")
+      .groupBy("gname").agg(
+        count(lit(1)).cast("long").as("mv_count"),
+        sum(col("mv_count").cast("decimal(18,4)")).cast("decimal(28,4)")
+          .as("mv_sum_mv_count"),
+        sum(col("mv_sum_v").cast("decimal(18,4)")).cast("decimal(28,4)")
+          .as("mv_sum_mv_sum_v"))
+    val want0 = expected().collect().toSet
+    assert(mv.read(spark, outer).collect().toSet === want0, "fresh baseline")
+
+    // the fact table CEASES TO EXIST
+    val root = java.nio.file.Paths.get(fact).getParent
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(java.nio.file.Files.walk(root))(
+      _.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete))
+    // a mid-side delete refreshes the OUTER exactly, fact-free
+    vt.delete(spark, mid, col("cid") % 4 === 0)
+    refreshOuter()
+    assert(mv.read(spark, outer).collect().toSet === expected().collect().toSet,
+      "the factored mid-delta refresh must succeed and stay exact " +
+        "with the fact physically gone")
+  }
+
   test(s"[$backend] a view over a view composes: the outer folds the inner's state deltas") {
     // the view state is itself a versioned table, so changesBetween
     // over its refresh commits IS a signed delta — the outer view

@@ -76,6 +76,31 @@ object ProbeRound9 {
       println(f"[probe-r9] chain-mv: first-full=$tFull%.2fs incremental(0.1%% fact append)=$tInc%.2fs full-recompute=$tRecompute%.2fs ratio=${tRecompute / tInc}%.1fx")
     }
 
+    // ---- 1b. mid-table delta: raw chain vs FACTORED (higher-order)
+    // — the raw term joins Δmid against the 16M fact; the factored
+    // form joins it against the 100k-row inner aggregate state ----
+    {
+      val fact = fresh("hf"); val mid = fresh("hm"); val dim = fresh("hd")
+      val rawView = fresh("hraw"); val inner = fresh("hin"); val outer = fresh("hout")
+      VersionedTable.overwrite(spark, fact, factRows(0, nFact))
+      VersionedTable.overwrite(spark, mid, midRows(0, nMid))
+      VersionedTable.overwrite(spark, dim, dimRows())
+      def refreshRaw(): Unit = MaterializedView.refreshJoinChain(spark, rawView,
+        Seq(fact, mid, dim), Seq(Seq("cid"), Seq("gid")), Seq("gname"), Seq("v"))
+      def refreshFactored(): Unit = {
+        MaterializedView.refresh(spark, inner, fact, Seq("cid"), Seq("v"), viewKey = "fagg")
+        MaterializedView.refreshJoinChain(spark, outer,
+          Seq(inner, mid, dim), Seq(Seq("cid"), Seq("gid")),
+          Seq("gname"), Seq("mv_count", "mv_sum_v"), viewKey = "fchain")
+      }
+      refreshRaw(); refreshFactored()
+      VersionedTable.delete(spark, mid, col("cid") % 100 === 0) // 1% of keys
+      val tRawMid = timed { refreshRaw() }
+      VersionedTable.delete(spark, mid, col("cid") % 100 === 1)
+      val tFactoredMid = timed { refreshFactored() }
+      println(f"[probe-r9] mid-delta: raw-chain=$tRawMid%.2fs (joins the 16M fact) factored=$tFactoredMid%.2fs (joins the 100k inner state) ratio=${tRawMid / tFactoredMid}%.1fx")
+    }
+
     // ---- 2. partition-aligned join: where pruning pays and where
     // the union overhead costs (both directions, honestly) ----
     {
