@@ -963,6 +963,28 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
       "id-mode MoR update resolves assignments against logical names")
     assert(ops.read(spark, tz).count() === 2950)
 
+    // the ALIGNED JOIN reaches id-mapped partitioned tables through
+    // the same logical-name resolution: both sides' specs resolve to
+    // the same logical column and the value dirs pair up even though
+    // each table allocated a DIFFERENT physical id for it
+    val ja = freshTable("idmap-join-a")
+    val jb = freshTable("idmap-join-b")
+    ops.overwritePartitioned(spark, ja, spark.range(0, 90).select(
+      col("id").as("k"),
+      concat(lit("P"), (col("id") % 3).cast("string")).as("p")),
+      Seq("p"), idMapped = true)
+    ops.overwritePartitioned(spark, jb, spark.range(0, 2).select(
+      // an extra leading column shifts jb's id assignment, so p gets a
+      // DIFFERENT physical id than in ja
+      (col("id") * 10).as("w"),
+      concat(lit("P"), col("id").cast("string")).as("p")),
+      Seq("p"), idMapped = true)
+    val jGot = ops.joinPartitioned(spark, ja, jb, Seq("p"))
+    val jWant = ops.read(spark, ja).join(ops.read(spark, jb), Seq("p"))
+    assert(jGot.except(jWant).isEmpty && jWant.except(jGot).isEmpty,
+      "aligned join over two id-mapped tables == plain join")
+    assert(jGot.count() === 60, "P0/P1 of a (30 rows each) x one dim row")
+
     // catalog transactions extend the id map too: a CatAppend adding a
     // NEW column records the extended map in the catalog-embedded
     // manifest, and the column reads logically under a fresh id
