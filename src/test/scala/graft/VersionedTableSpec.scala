@@ -610,6 +610,18 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     // and a second vacuum (nothing orphaned now) still drops history
     assert(ops.catalogVacuum(cat, retain = 1).nonEmpty)
     assert(ops.lastCatalogTxn(cat, "fan") === Some(2L))
+    // SEVERAL apps with high-water marks in DIFFERENT soon-dropped
+    // manifests: one carry head must preserve them all
+    ops.commitAll(spark, cat, w(3), Some("etl" -> 7L))
+    ops.commitAll(spark, cat, w(4), Some("fan" -> 3L))
+    ops.commitAll(spark, cat, Seq(
+      CatAppend(a, spark.range(9000, 9001).select(col("id").as("k"), lit("Z").as("v")))))
+    assert(ops.catalogVacuum(cat, retain = 1).nonEmpty)
+    assert(ops.lastCatalogTxn(cat, "fan") === Some(3L))
+    assert(ops.lastCatalogTxn(cat, "etl") === Some(7L))
+    val head2 = ops.catalogVersions(cat).last
+    assert(ops.commitAll(spark, cat, w(3), Some("etl" -> 7L)) === head2,
+      "every app's deep replay stays a no-op after the multi-app carry")
   }
 
   test(s"[$backend] catalogRepin adopts an out-of-band write; catalogEvict removes the member") {
