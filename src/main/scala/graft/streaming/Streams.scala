@@ -265,8 +265,34 @@ object Streams {
   def refreshViewStream(spark: org.apache.spark.sql.SparkSession,
       source: String, checkpointDir: String)(doRefresh: () => Long)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream.format("graft.sources.VersionedStreamProvider")
-      .option("path", source).load()
+    refreshViewStreamMulti(spark, Seq(source), checkpointDir)(doRefresh)
+
+  /** [[refreshViewStream]] watching SEVERAL sources' commit logs —
+    * the shape an N-ary chain view needs when its dim sides commit at
+    * their own rates (a fact-only watcher would leave a dim-only
+    * mutation unapplied until the next fact commit). Each source's
+    * rows collapse to a constant tick column before the union (the
+    * tables' schemas differ and the CONTENT is ignored anyway), and
+    * the one checkpoint tracks every source's version offsets; the
+    * refresh stays the exactly-once authority exactly as in the
+    * single-source form.
+    */
+  def refreshViewStreamMulti(spark: org.apache.spark.sql.SparkSession,
+      sources: Seq[String], checkpointDir: String)(doRefresh: () => Long)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(sources.nonEmpty, "watch at least one source")
+    // skipRewrites: the watcher must WAKE on every commit — append,
+    // delete, update, compaction — and a delete is not expressible as
+    // inserts, so a content-reading stream would refuse it. Here the
+    // content is discarded anyway: a rewrite commit advances the
+    // offset with zero rows, the (empty) micro-batch still fires, and
+    // the refresh reads the REAL delta via changesBetween from its
+    // own cursor — which handles every mutation kind exactly.
+    sources.map(s =>
+      spark.readStream.format("graft.sources.VersionedStreamProvider")
+        .option("path", s).option("skipRewrites", "true").load()
+        .select(lit(1).as("tick")))
+      .reduce(_ unionByName _)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (_: DataFrame, _: Long) =>
@@ -274,6 +300,7 @@ object Streams {
         ()
       }
       .start()
+  }
 
   /** The read view over the snapshot: tombstones filtered, the
     * q_cdc_apply output shape.

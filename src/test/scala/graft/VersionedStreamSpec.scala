@@ -107,6 +107,53 @@ class VersionedStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("refreshViewStreamMulti: a dim-only mutation triggers the refresh by itself") {
+    import graft.sources.MaterializedView
+    val fact = fresh("rvm-fact")
+    val mid = fresh("rvm-mid")
+    val dim = fresh("rvm-dim")
+    val view = fresh("rvm-view")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rvm-ckpt").toString
+    VersionedTable.overwrite(spark, fact, spark.range(0, 100).select(
+      col("id").as("k"), (col("id") % 20).as("cid"),
+      (col("id") + 1).cast("decimal(12,2)").as("v")))
+    VersionedTable.overwrite(spark, mid, spark.range(0, 20)
+      .select(col("id").as("cid"), (col("id") % 4).as("gid")))
+    VersionedTable.overwrite(spark, dim, spark.range(0, 4)
+      .select(col("id").as("gid"), concat(lit("G"), col("id")).as("gname")))
+    def doRefresh(): Long = MaterializedView.refreshJoinChain(spark, view,
+      Seq(fact, mid, dim), Seq(Seq("cid"), Seq("gid")), Seq("gname"), Seq("v"))
+    def assertFresh(clue: String): Unit = {
+      val want = VersionedTable.read(spark, fact)
+        .join(VersionedTable.read(spark, mid), "cid")
+        .join(VersionedTable.read(spark, dim), "gid")
+        .groupBy("gname").agg(
+          count(lit(1)).cast("long").as("mv_count"),
+          sum(col("v").cast("decimal(18,4)")).cast("decimal(28,4)").as("mv_sum_v"))
+      val got = MaterializedView.read(spark, view)
+      assert(got.except(want).isEmpty && want.except(got).isEmpty, clue)
+    }
+    val q = graft.streaming.Streams.refreshViewStreamMulti(
+      spark, Seq(fact, mid), ckpt)(doRefresh _)
+    try {
+      q.processAllAvailable()
+      assertFresh("initial trigger")
+      // a MID-ONLY COW delete — the fact log never moves, and a
+      // delete is not append-expressible — must still wake the
+      // refresh through the union's second leg (the watcher skips
+      // rewrite content; the refresh reads the real delta itself)
+      VersionedTable.delete(spark, mid, col("cid") % 5 === 0)
+      q.processAllAvailable()
+      assertFresh("a dim-side-only mutation refreshed the view")
+      // and fact commits still trigger through the first leg
+      VersionedTable.append(spark, fact, spark.range(100, 140).select(
+        col("id").as("k"), (col("id") % 20).as("cid"),
+        (col("id") + 1).cast("decimal(12,2)").as("v")))
+      q.processAllAvailable()
+      assertFresh("fact appends keep triggering")
+    } finally q.stop()
+  }
+
   test("a clone carrying live MoR deletion vectors streams without resurrecting rows") {
     val src = fresh("clonesrc")
     val dst = fresh("clonedst")
