@@ -1116,11 +1116,10 @@ object VersionedQueries {
     val nn = t(spark, dir, "nation")
       .select(col("n_nationkey").as("nationkey"), col("n_name"))
     def refreshAll(): Unit = {
-      MaterializedView.refresh(spark, inner, fact,
-        Seq("custkey"), Seq("price"), viewKey = "fagg")
-      MaterializedView.refreshJoinChain(spark, outer,
-        Seq(inner, mid, dim), Seq(Seq("custkey"), Seq("nationkey")),
-        Seq("n_name"), Seq("mv_count", "mv_sum_price"), viewKey = "fchain")
+      MaterializedView.refreshChainFactored(spark, outer, inner, fact,
+        Seq(mid, dim), Seq(Seq("custkey"), Seq("nationkey")),
+        Seq("n_name"), Seq("price"))
+      ()
     }
     VersionedTable.overwrite(spark, fact, o.filter(col("o_orderkey") % 2 === 0).drop("o_orderkey"))
     VersionedTable.overwrite(spark, mid, c)
@@ -1132,10 +1131,10 @@ object VersionedQueries {
     refreshAll() // mid delta: joins the O(keys) inner state, NOT the fact
     VersionedTable.delete(spark, fact, col("price") < 60000.00)
     refreshAll() // fact delete: fully-emptied customers leave the inner
-    MaterializedView.read(spark, outer)
-      .select(col("n_name"), col("mv_count").as("n_custs"),
-        col("mv_sum_mv_count").cast("long").as("n_orders"),
-        col("mv_sum_mv_sum_price").cast("double").as("spend"))
+    MaterializedView.readFactored(spark, outer, Seq("n_name"), Seq("price"))
+      .select(col("n_name"), col("n_keys").as("n_custs"),
+        col("mv_count").as("n_orders"),
+        col("mv_sum_price").cast("double").as("spend"))
   }
 
   /** q_optimize_cluster: OPTIMIZE as layout maintenance — orders land

@@ -270,6 +270,57 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
       viewKey: String = "mvc"): Seq[Option[Long]] =
     (0 until nSources).map(i => vt.lastTxn(view, s"${appIdFor(viewKey)}:$i"))
 
+  /** The FACTORED chain (higher-order IVM) as ONE entry point: an
+    * `inner` per-`chainKeys.head` aggregate view of the fact is
+    * derived and maintained first, then the chain over
+    * (inner, dims...) — so a FACT delta costs the inner's single-table
+    * refresh and a DIM-side delta joins the O(keys) inner STATE, never
+    * the fact (categorically: the destructive spec deletes the fact's
+    * directory and a dim-delta refresh still succeeds). This is the
+    * same composition q_mat_view_factored assembles, packaged so the
+    * caller doesn't thread the sum-of-counts column conventions by
+    * hand; read the result through [[readFactored]], which un-mangles
+    * them. `whereFact` scopes FACT rows (it filters the inner's
+    * delta); scoping dim rows would need a per-dim predicate and is
+    * deliberately not offered here — filter the dim table itself.
+    * Trade vs the raw chain: the outer's mv_count counts LIVE JOIN
+    * KEYS, not fact rows (fact-row counts ride as a sum), and the
+    * inner view is extra state (O(distinct chain keys)).
+    */
+  def refreshChainFactored(spark: SparkSession, view: String,
+      inner: String, fact: String, dims: Seq[String],
+      chainKeys: Seq[Seq[String]], keyCols: Seq[String],
+      sumCols: Seq[String], viewKey: String = "mvhf",
+      whereFact: Option[String] = None): Long = {
+    require(dims.nonEmpty, "factored chains need at least one dim side")
+    // chainKeys.head is BOTH the fact→inner grouping and the
+    // inner ⋈ dims(0) hop (the inner's key columns are exactly its
+    // group-by keys); later sets are the remaining hops
+    require(chainKeys.size == dims.size,
+      s"need ${dims.size} chain-key sets: the first doubles as the " +
+        "fact grouping, one per dim hop")
+    refresh(spark, inner, fact, chainKeys.head, sumCols,
+      viewKey = s"$viewKey.in", where = whereFact)
+    refreshJoinChain(spark, view, inner +: dims, chainKeys,
+      keyCols, "mv_count" +: sumCols.map(c => s"mv_sum_$c"),
+      viewKey = s"$viewKey.out")
+  }
+
+  /** The factored chain's state with the derived column names
+    * un-mangled: `n_keys` (live join keys per group — the outer's own
+    * count), `mv_count` (FACT rows, rolled up through the inner), and
+    * `mv_sum_<c>` for each original sum column.
+    */
+  def readFactored(spark: SparkSession, view: String,
+      keyCols: Seq[String], sumCols: Seq[String],
+      version: Option[Long] = None): DataFrame = {
+    val st = vt.read(spark, view, version)
+    st.select(keyCols.map(col) ++ (Seq(
+      col("mv_count").as("n_keys"),
+      col("mv_sum_mv_count").cast("long").as("mv_count")) ++
+      sumCols.map(c => col(s"mv_sum_mv_sum_$c").as(s"mv_sum_$c"))): _*)
+  }
+
   /** Guard, aggregate and merge a SIGNED delta (`_change` column:
     * insert/delete) into the view's pinned state, committing with the
     * given watermarks — the shared core of every refresh flavor.

@@ -490,12 +490,12 @@ abstract class MaterializedViewBattery(backend: String, mv: MaterializedViewOps)
       .select(col("id").as("cid"), (col("id") % 5).as("gid")))
     vt.overwrite(spark, dim, spark.range(0, 5)
       .select(col("id").as("gid"), concat(lit("G"), col("id")).as("gname")))
-    def refreshInner(): Unit =
-      mv.refresh(spark, inner, fact, Seq("cid"), Seq("v"), viewKey = "fagg")
-    def refreshOuter(): Unit = mv.refreshJoinChain(spark, outer,
-      Seq(inner, mid, dim), Seq(Seq("cid"), Seq("gid")),
-      Seq("gname"), Seq("mv_count", "mv_sum_v"), viewKey = "fchain")
-    refreshInner(); refreshOuter()
+    def refreshIt(): Unit = {
+      mv.refreshChainFactored(spark, outer, inner, fact, Seq(mid, dim),
+        Seq(Seq("cid"), Seq("gid")), Seq("gname"), Seq("v"))
+      ()
+    }
+    refreshIt()
     // expected state is computable from the INNER alone — needed below
     // once the fact is gone
     def expected() = vt.read(spark, inner)
@@ -509,17 +509,21 @@ abstract class MaterializedViewBattery(backend: String, mv: MaterializedViewOps)
     val want0 = expected().collect().toSet
     assert(mv.read(spark, outer).collect().toSet === want0, "fresh baseline")
 
-    // the fact table CEASES TO EXIST
-    val root = java.nio.file.Paths.get(fact).getParent
+    // the fact's DATA BYTES cease to exist (manifests stay — the
+    // freshness check is metadata-only): any refresh path that opened
+    // a fact file would now throw
+    val dataDir = java.nio.file.Paths.get(fact, "data")
     import scala.jdk.CollectionConverters._
-    scala.util.Using.resource(java.nio.file.Files.walk(root))(
+    scala.util.Using.resource(java.nio.file.Files.walk(dataDir))(
       _.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete))
-    // a mid-side delete refreshes the OUTER exactly, fact-free
+    // a mid-side delete refreshes the view exactly, fact-data-free —
+    // through the PACKAGED entry point (its inner refresh is a no-op
+    // at the cursor, its outer term joins the inner state)
     vt.delete(spark, mid, col("cid") % 4 === 0)
-    refreshOuter()
+    refreshIt()
     assert(mv.read(spark, outer).collect().toSet === expected().collect().toSet,
       "the factored mid-delta refresh must succeed and stay exact " +
-        "with the fact physically gone")
+        "with every fact data byte physically gone")
   }
 
   test(s"[$backend] a view over a view composes: the outer folds the inner's state deltas") {
