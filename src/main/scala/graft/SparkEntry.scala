@@ -153,6 +153,7 @@ object SparkEntry {
     "q_partition_join" -> (operators.VersionedQueries.qPartitionJoin _),
     "q_partition_join_outer" -> (operators.VersionedQueries.qPartitionJoinOuter _),
     "q_id_mapping" -> (operators.VersionedQueries.qIdMapping _),
+    "q_zone_map_nested" -> (operators.VersionedQueries.qZoneMapNested _),
     "q_zone_map_nulls" -> (operators.VersionedQueries.qZoneMapNulls _),
     "q_check_constraint" -> (operators.VersionedQueries.qCheckConstraint _),
     "q_drop_column" -> (operators.VersionedQueries.qDropColumn _),
@@ -1214,6 +1215,16 @@ object SparkEntry {
         |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS DOUBLE) AS spend
         |FROM orders WHERE o_orderpriority <> '5-LOW'
         |GROUP BY 1, 2""".stripMargin,
+    // q_zone_map_nested: the struct-nested price band must resolve to
+    // the flat source band (file skipping asserted in-query on the
+    // dotted stats name AND exercised through the automatic path)
+    "q_zone_map_nested" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+        |  o_orderpriority AS prio
+        |FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(12,2)) >= 60000
+        |  AND CAST(o_totalprice AS DECIMAL(12,2)) <= 140000""".stripMargin,
     // q_id_mapping: after rename -> drop -> re-add under fresh column
     // ids, pre-drop rows read NULL priority (no resurrection) while
     // the re-added column's own values survive — the CASE replay

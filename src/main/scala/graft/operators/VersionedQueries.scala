@@ -178,6 +178,40 @@ object VersionedQueries {
     outBoundary(VersionedTable.readRange(spark, table, "price", 60000d, 140000d, v))
   }
 
+  /** q_zone_map_nested: zone maps on STRUCT-NESTED fields — orders
+    * committed in three price bands where price lives INSIDE a struct
+    * column (`info.price`), then probed two ways: the explicit
+    * [[VersionedTable.filesForRange]] on the dotted stats name
+    * (files-skipped asserted), and the AUTOMATIC path — a plain
+    * `.filter(col("info.price")...)` through
+    * [[VersionedTable.readIndexed]], whose GetStructField chain
+    * translates to the same dotted interval inside Catalyst planning.
+    * Repetition-free nested leaves carry one slot per row, so their
+    * footer stats prune with top-level semantics; array/map elements
+    * stay unindexed by design. The oracle replays the band over the
+    * flat source column.
+    */
+  def qZoneMapNested(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("zonenest")
+    val all = t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      struct(col("o_totalprice").cast("decimal(12,2)").as("price"),
+        col("o_orderpriority").as("prio")).as("info"))
+    VersionedTable.overwrite(spark, table, all.filter(col("info.price") < 50000))
+    VersionedTable.append(spark, table,
+      all.filter(col("info.price").between(50000, 150000)))
+    VersionedTable.append(spark, table, all.filter(col("info.price") > 150000))
+    val v = Some(VersionedTable.versions(table).last)
+    val (kept, total) = VersionedTable.filesForRange(
+      table, "info.price", 60000d, 140000d, v)
+    require(kept.size < total,
+      s"nested zone maps must skip the outer price bands (kept ${kept.size}/$total)")
+    outBoundary(VersionedTable.readIndexed(spark, table, v)
+      .filter(col("info.price") >= 60000 && col("info.price") <= 140000)
+      .select(col("o_orderkey"), col("info.price").as("price"),
+        col("info.prio").as("prio")))
+  }
+
   /** q_zone_map_multi: CONJUNCTIVE multi-column skipping — orders
     * committed in 6 clusters (3 date eras × 2 price bands, the
     * two-dimensionally clustered OPTIMIZE layout) and probed with a

@@ -630,11 +630,28 @@ class VersionedTableOps(val store: CommitStore) {
       val aggN = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Int)]
       var nBlocks = 0
       var nRows = 0L
+      // STRUCT-NESTED leaves index too (round 9): a repetition-free
+      // path ("s.a.b" — every level a non-repeated group) contributes
+      // exactly one leaf slot per row, so its chunk min/max and null
+      // count carry the same per-file semantics a top-level column's
+      // do (the null count includes ancestor-null rows — exactly what
+      // `s.a IS NULL` evaluates to). Paths under LIST/MAP repetition
+      // stay unindexed: per-ELEMENT stats cannot serve row predicates.
+      // Stats names are dotted; a top-level column whose NAME contains
+      // a literal dot shares parquet's own path ambiguity and simply
+      // prunes conservatively if the intervals disagree.
+      lazy val fileSchema = reader.getFooter.getFileMetaData.getSchema
+      def repetitionFree(path: Array[String]): Boolean =
+        (1 to path.length).forall { i =>
+          !fileSchema.getType(path.take(i): _*).isRepetition(
+            org.apache.parquet.schema.Type.Repetition.REPEATED)
+        }
       try {
         for (block <- reader.getFooter.getBlocks.asScala) {
           nBlocks += 1
           nRows += block.getRowCount
-          for (c <- block.getColumns.asScala if c.getPath.size == 1) {
+          for (c <- block.getColumns.asScala
+              if c.getPath.size == 1 || repetitionFree(c.getPath.toArray)) {
             val st = c.getStatistics
             // null counts live on a separate branch: an ALL-NULL chunk
             // has no min/max (hasNonNullValue=false) but a perfectly
@@ -908,6 +925,17 @@ class VersionedTableOps(val store: CommitStore) {
   private[sources] def physicalName(renames: Map[String, String],
       logical: String): String =
     renames.collectFirst { case (ph, lo) if lo == logical => ph }.getOrElse(logical)
+
+  /** [[physicalName]] for a possibly-NESTED stats name ("s.a.b"):
+    * renames apply to TOP-LEVEL columns only (struct fields cannot be
+    * renamed), so only the head segment translates.
+    */
+  private[sources] def physicalNested(renames: Map[String, String],
+      statsCol: String): String = {
+    val i = statsCol.indexOf('.')
+    if (i < 0) physicalName(renames, statsCol)
+    else physicalName(renames, statsCol.substring(0, i)) + statsCol.substring(i)
+  }
 
   /** RENAME COLUMN as a metadata-only commit (Delta `ALTER TABLE ...
     * RENAME COLUMN`): files and DVs are carried by reference — zero
@@ -2149,7 +2177,7 @@ class VersionedTableOps(val store: CommitStore) {
     val all = manifestFiles(table, v)
     val ren = manifestRenames(table, v)
     (keepByZoneMaps(table, all,
-      ranges.map { case (c, lo, hi) => (physicalName(ren, c), lo, hi) }, Nil),
+      ranges.map { case (c, lo, hi) => (physicalNested(ren, c), lo, hi) }, Nil),
       all.size)
   }
 
@@ -2462,9 +2490,9 @@ class VersionedTableOps(val store: CommitStore) {
     val (num0, str0, nul0) = ZoneMapFilters.constraints(condExpr.toSeq)
     // the predicate names LOGICAL columns; stats are keyed physical
     val ren = manifestRenames(table, base)
-    val num = num0.map { case (c, lo, hi) => (physicalName(ren, c), lo, hi) }
-    val str = str0.map { case (c, lo, hi) => (physicalName(ren, c), lo, hi) }
-    val nul = nul0.map { case (c, w) => (physicalName(ren, c), w) }
+    val num = num0.map { case (c, lo, hi) => (physicalNested(ren, c), lo, hi) }
+    val str = str0.map { case (c, lo, hi) => (physicalNested(ren, c), lo, hi) }
+    val nul = nul0.map { case (c, w) => (physicalNested(ren, c), w) }
     val touched =
       if (num.isEmpty && str.isEmpty && nul.isEmpty) all
       else keepByZoneMaps(table, all, num, str, nul)

@@ -130,30 +130,48 @@ private[sources] object ZoneMapFilters {
   private val StrMin = ""
   private val StrMax = "\u007f"
 
+  /** A pruning-addressable column: a bare attribute, or a chain of
+    * STRUCT-FIELD extractions over one (dotted stats name "s.a.b" —
+    * the stage writes footer stats for repetition-free nested leaves
+    * under exactly that name, so `col("s.a") > x` prunes files the
+    * same way a top-level predicate does). Anything else — array
+    * elements, map values, computed expressions — is unaddressable
+    * and prunes nothing.
+    */
+  private object NamedCol {
+    def unapply(e: Expression): Option[(String, DataType)] = e match {
+      case a: AttributeReference => Some((a.name, a.dataType))
+      case g: GetStructField =>
+        unapply(g.child).map { case (p, _) =>
+          (p + "." + g.extractFieldName, g.dataType) }
+      case _ => None
+    }
+  }
+
   private def collectConstraints(e: Expression,
       num: mutable.Map[String, (Double, Double)],
       str: mutable.Map[String, (String, String)],
       nul: mutable.Map[String, Boolean]): Unit = {
-    def lower(a: AttributeReference, l: Literal): Unit = {
+    def lower(name: String, l: Literal): Unit = {
       litNum(l).foreach { d =>
         val lo = math.nextDown(d) // outward: boundary files always kept
-        val cur = num.getOrElse(a.name, (Double.NegativeInfinity, Double.PositiveInfinity))
-        num(a.name) = (math.max(cur._1, lo), cur._2)
+        val cur = num.getOrElse(name, (Double.NegativeInfinity, Double.PositiveInfinity))
+        num(name) = (math.max(cur._1, lo), cur._2)
       }
       litStr(l).foreach { v =>
-        val cur = str.getOrElse(a.name, (StrMin, StrMax))
-        str(a.name) = (if (cur._1 >= v) cur._1 else v, cur._2)
+        val cur = str.getOrElse(name, (StrMin, StrMax))
+        str(name) = (if (cur._1 >= v) cur._1 else v, cur._2)
       }
     }
-    def upper(a: AttributeReference, l: Literal): Unit = {
+    def upper(name: String, l: Literal): Unit = {
       litNum(l).foreach { d =>
         val hi = math.nextUp(d)
-        val cur = num.getOrElse(a.name, (Double.NegativeInfinity, Double.PositiveInfinity))
-        num(a.name) = (cur._1, math.min(cur._2, hi))
+        val cur = num.getOrElse(name, (Double.NegativeInfinity, Double.PositiveInfinity))
+        num(name) = (cur._1, math.min(cur._2, hi))
       }
       litStr(l).foreach { v =>
-        val cur = str.getOrElse(a.name, (StrMin, StrMax))
-        str(a.name) = (cur._1, if (cur._2 <= v) cur._2 else v)
+        val cur = str.getOrElse(name, (StrMin, StrMax))
+        str(name) = (cur._1, if (cur._2 <= v) cur._2 else v)
       }
     }
     e match {
@@ -161,56 +179,58 @@ private[sources] object ZoneMapFilters {
         collectConstraints(l, num, str, nul); collectConstraints(r, num, str, nul)
       // nullness probes: skipped on committed per-file null counts.
       // A column probed BOTH ways in one conjunction is a contradiction
-      // (the predicate selects nothing); keeping either probe is sound
-      case IsNull(a: AttributeReference) => nul(a.name) = true
-      case IsNotNull(a: AttributeReference) => nul(a.name) = false
+      // (the predicate selects nothing); keeping either probe is sound.
+      // For a nested field the leaf null count includes ancestor-null
+      // rows — exactly what `s.a IS NULL` evaluates to
+      case IsNull(NamedCol(n, _)) => nul(n) = true
+      case IsNotNull(NamedCol(n, _)) => nul(n) = false
       // strict bounds relaxed to inclusive — pruning only, the exact
       // predicate still runs on the survivors
-      case GreaterThan(a: AttributeReference, l: Literal) => lower(a, l)
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => lower(a, l)
-      case LessThan(a: AttributeReference, l: Literal) => upper(a, l)
-      case LessThanOrEqual(a: AttributeReference, l: Literal) => upper(a, l)
-      case EqualTo(a: AttributeReference, l: Literal) => lower(a, l); upper(a, l)
-      case GreaterThan(l: Literal, a: AttributeReference) => upper(a, l)
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => upper(a, l)
-      case LessThan(l: Literal, a: AttributeReference) => lower(a, l)
-      case LessThanOrEqual(l: Literal, a: AttributeReference) => lower(a, l)
-      case EqualTo(l: Literal, a: AttributeReference) => lower(a, l); upper(a, l)
+      case GreaterThan(NamedCol(n, _), l: Literal) => lower(n, l)
+      case GreaterThanOrEqual(NamedCol(n, _), l: Literal) => lower(n, l)
+      case LessThan(NamedCol(n, _), l: Literal) => upper(n, l)
+      case LessThanOrEqual(NamedCol(n, _), l: Literal) => upper(n, l)
+      case EqualTo(NamedCol(n, _), l: Literal) => lower(n, l); upper(n, l)
+      case GreaterThan(l: Literal, NamedCol(n, _)) => upper(n, l)
+      case GreaterThanOrEqual(l: Literal, NamedCol(n, _)) => upper(n, l)
+      case LessThan(l: Literal, NamedCol(n, _)) => lower(n, l)
+      case LessThanOrEqual(l: Literal, NamedCol(n, _)) => lower(n, l)
+      case EqualTo(l: Literal, NamedCol(n, _)) => lower(n, l); upper(n, l)
       // IN-list: widened to one [min, max] envelope per column — the
       // zone-map framework holds ONE interval per column, so the
       // envelope is the tightest sound translation (gaps between list
       // points are re-filtered by the untouched predicate). Only
       // all-literal, non-empty lists with no null translate.
-      case In(a: AttributeReference, vs) if vs.nonEmpty &&
+      case In(NamedCol(n, _), vs) if vs.nonEmpty &&
           vs.forall(v => v.isInstanceOf[Literal] &&
             v.asInstanceOf[Literal].value != null) =>
         val lits = vs.map(_.asInstanceOf[Literal])
         val nums = lits.flatMap(l => litNum(l).map(_ -> l))
         val strs = lits.flatMap(l => litStr(l).map(_ -> l))
         if (nums.size == lits.size) {
-          lower(a, nums.minBy(_._1)._2); upper(a, nums.maxBy(_._1)._2)
+          lower(n, nums.minBy(_._1)._2); upper(n, nums.maxBy(_._1)._2)
         } else if (strs.size == lits.size) {
-          lower(a, strs.minBy(_._1)._2); upper(a, strs.maxBy(_._1)._2)
+          lower(n, strs.minBy(_._1)._2); upper(n, strs.maxBy(_._1)._2)
         }
       // long IN-lists arrive optimized to InSet (internal values, no
       // Literal wrappers) — same envelope translation
-      case InSet(a: AttributeReference, hset) if hset.nonEmpty && !hset.contains(null) =>
-        val lits = hset.toSeq.map(v => Literal(v, a.dataType))
+      case InSet(NamedCol(n, dt), hset) if hset.nonEmpty && !hset.contains(null) =>
+        val lits = hset.toSeq.map(v => Literal(v, dt))
         val nums = lits.flatMap(l => litNum(l).map(_ -> l))
         val strs = lits.flatMap(l => litStr(l).map(_ -> l))
         if (nums.size == lits.size) {
-          lower(a, nums.minBy(_._1)._2); upper(a, nums.maxBy(_._1)._2)
+          lower(n, nums.minBy(_._1)._2); upper(n, nums.maxBy(_._1)._2)
         } else if (strs.size == lits.size) {
-          lower(a, strs.minBy(_._1)._2); upper(a, strs.maxBy(_._1)._2)
+          lower(n, strs.minBy(_._1)._2); upper(n, strs.maxBy(_._1)._2)
         }
       // prefix probe: startsWith(p) ⊆ [p, p + DEL) in the printable-
       // ASCII stats domain (DEL > every printable char, so p++DEL
       // upper-bounds every p-prefixed string the writer indexed)
-      case StartsWith(a: AttributeReference, l: Literal) =>
+      case StartsWith(NamedCol(n, _), l: Literal) =>
         litStr(l).filter(_.nonEmpty).foreach { p =>
-          val cur = str.getOrElse(a.name, (StrMin, StrMax))
+          val cur = str.getOrElse(n, (StrMin, StrMax))
           val hi = p + StrMax
-          str(a.name) = (if (cur._1 >= p) cur._1 else p,
+          str(n) = (if (cur._1 >= p) cur._1 else p,
             if (cur._2 <= hi) cur._2 else hi)
         }
       case _ => () // not translatable: prunes nothing

@@ -500,4 +500,64 @@ class LakehouseSpec extends SparkSpec {
     assert(VersionedTable.read(spark, t, Some(1L)).count() <=
       VersionedTable.read(spark, t, Some(4L)).count())
   }
+
+  test("nested-struct zone maps: plain filters on struct fields skip files; arrays stay unindexed") {
+    val t = fresh("zonenested")
+    // three band-clustered commits; the indexed value lives INSIDE a
+    // struct, next to an ARRAY column whose element stats must NOT be
+    // written (repeated path — per-element intervals cannot serve row
+    // predicates)
+    for (lo <- Seq(0L, 1000L, 2000L)) {
+      val df = spark.range(lo, lo + 500).select(
+        col("id").as("k"),
+        struct((col("id") * 2).as("m"),
+          concat(lit("s-"), col("id").cast("string")).as("tag"),
+          when(col("id") % 5 === 0, col("id")).as("opt")).as("info"),
+        array(col("id"), col("id") + 1).as("arr"))
+      if (lo == 0L) VersionedTable.overwrite(spark, t, df)
+      else VersionedTable.append(spark, t, df)
+    }
+    def scannedFiles(d: org.apache.spark.sql.DataFrame): Long = {
+      d.collect()
+      val plan = d.queryExecution.executedPlan
+      val resolved = plan.collectFirst {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      }.getOrElse(plan)
+      resolved.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.get
+    }
+    val all = scannedFiles(VersionedTable.readIndexed(spark, t))
+    assert(all >= 3)
+    // numeric nested range: the GetStructField chain translates to the
+    // dotted interval and planning skips the outer commits
+    val ranged = VersionedTable.readIndexed(spark, t)
+      .filter(col("info.m").between(2200, 2400))
+    assert(ranged.collect().map(_.getLong(0)).toSet === (1100L to 1200L).toSet)
+    assert(scannedFiles(ranged) < all, "nested numeric range must skip files")
+    // nested string prefix probes the same way
+    val pre = VersionedTable.readIndexed(spark, t)
+      .filter(col("info.tag").startsWith("s-11"))
+    val preWant = VersionedTable.read(spark, t)
+      .filter(col("info.tag").startsWith("s-11")).count()
+    assert(preWant > 0 && pre.count() === preWant)
+    assert(scannedFiles(pre) < all, "nested string prefix must skip files")
+    // nested IS NOT NULL prunes nothing here (every file mixes nulls)
+    // but stays EXACT; IS NULL over a fully-populated nested field
+    // skips via the leaf null counts — probe the explicit API
+    val (keptN, totalN) = VersionedTable.filesForNullness(t, "info.m", wantNull = true)
+    assert(keptN.size < totalN, "a never-null nested field's IS NULL probe skips everything")
+    // ARRAY columns: no stats written, filters stay correct and unpruned
+    val arrF = VersionedTable.readIndexed(spark, t)
+      .filter(element_at(col("arr"), 1) === 1200L)
+    assert(arrF.count() === 1)
+    assert(scannedFiles(arrF) === all, "array predicates prune nothing (unindexed by design)")
+    // and the stats file itself must carry no array-element keys
+    val statsTxt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(t).resolve(
+        VersionedTable.snapshotFiles(t).head).getParent.resolve("_stats.json"))
+    assert(statsTxt.contains("info.m") && !statsTxt.contains("arr"),
+      s"stats must index nested struct leaves and exclude repeated paths: $statsTxt")
+  }
 }
