@@ -43,6 +43,60 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
 
   private def appIdFor(viewKey: String) = s"mv:$viewKey"
 
+  /** BUCKETED STATE (round-9 advisory): with `buckets = b > 0`, the
+    * view state table is created PARTITIONED on `pmod(hash(keys), b)`
+    * and every refresh REPLACES only the buckets its delta touched —
+    * untouched buckets' files carry into the new commit by reference
+    * ([[VersionedTableOps.replacePartitions]]'s copy-on-write
+    * identity), so the state write is O(touched groups + b_touched
+    * file overhead), not O(all groups). At 10⁸-10⁹ groups this is the
+    * difference between a refresh that costs its delta and one that
+    * rewrites the world. The bucket count is part of the view's
+    * identity: it persists as a `…#buckets` watermark recommitted with
+    * every refresh (immutable thereafter — rebucketing is a rebuild),
+    * and later refreshes may omit the parameter. Unbucketed (b = 0,
+    * the default) keeps the original whole-state overwrite — right for
+    * small-cardinality views where b file-floors would dominate.
+    * Sizing: touched-bucket discovery collects ≤ b ints to the driver
+    * and each refresh writes ≥ 1 file per touched bucket — pick b so a
+    * bucket holds a comfortable file's worth of groups (10³-10⁴
+    * buckets for 10⁸-10⁹ groups), capped at 2²⁰.
+    */
+  val BucketCol = "__mv_bucket"
+
+  private def bucketsApp(viewKey: String) = s"${appIdFor(viewKey)}#buckets"
+
+  private def bucketExpr(keyCols: Seq[String], b: Int) =
+    pmod(hash(keyCols.map(col): _*), lit(b))
+
+  /** The view's persistent bucket count: stored wins, a conflicting
+    * parameter fails loudly, 0 = unbucketed.
+    */
+  private def resolveBuckets(view: String, viewKey: String,
+      vView: Option[Long], param: Int): Int = {
+    require(param >= 0 && param <= (1 << 20),
+      s"buckets must be in [0, 2^20], got $param")
+    val stored = vView.flatMap(v =>
+      vt.lastTxn(view, bucketsApp(viewKey), upTo = Some(v))).map(_.toInt)
+    stored match {
+      case Some(b) =>
+        require(param == 0 || param == b,
+          s"view $view is bucketed at $b; rebucketing to $param is a rebuild, " +
+            "not a refresh")
+        b
+      case None =>
+        require(vView.isEmpty || param == 0,
+          s"view $view already has unbucketed state; bucketing is set at the " +
+            "first refresh")
+        param
+    }
+  }
+
+  /** The state without the internal bucket column (present only on
+    * bucketed views; a no-op otherwise).
+    */
+  private def dropBucket(df: DataFrame): DataFrame = df.drop(BucketCol)
+
   /** NULL-SAFE state↔delta merge plumbing (round-8 advisory): a GROUP
     * BY treats NULL as one ordinary group, so the view's state can
     * legitimately hold a NULL-keyed row — but a plain equi-join (and
@@ -79,7 +133,8 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
     */
   def refresh(spark: SparkSession, view: String, source: String,
       keyCols: Seq[String], sumCols: Seq[String],
-      viewKey: String = "mv", where: Option[String] = None): Long = {
+      viewKey: String = "mv", where: Option[String] = None,
+      buckets: Int = 0): Long = {
     val head = vt.versions(source).last
     // cursor AND state are pinned to ONE view snapshot (vView): a
     // racing refresher that commits between our cursor read and our
@@ -101,7 +156,8 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
     }
     val delta = where.fold(delta0)(w => delta0.filter(expr(w)))
     foldDelta(spark, view, vView, cursor.isDefined, delta, keyCols, sumCols,
-      Seq(appIdFor(viewKey) -> head))
+      Seq(appIdFor(viewKey) -> head),
+      resolveBuckets(view, viewKey, vView, buckets), bucketsApp(viewKey))
   }
 
   /** A JOINED view definition — the delta-join (DBToaster) shape:
@@ -133,7 +189,8 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
   def refreshJoin(spark: SparkSession, view: String,
       left: String, right: String, joinKeys: Seq[String],
       keyCols: Seq[String], sumCols: Seq[String],
-      viewKey: String = "mvj", where: Option[String] = None): Long = {
+      viewKey: String = "mvj", where: Option[String] = None,
+      buckets: Int = 0): Long = {
     val appL = s"${appIdFor(viewKey)}:left"
     val appR = s"${appIdFor(viewKey)}:right"
     val headL = vt.versions(left).last
@@ -175,7 +232,8 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
       }
     val delta = where.fold(delta0)(w => delta0.filter(expr(w)))
     foldDelta(spark, view, vView, curL.isDefined, delta, keyCols, sumCols,
-      Seq(appL -> headL, appR -> headR))
+      Seq(appL -> headL, appR -> headR),
+      resolveBuckets(view, viewKey, vView, buckets), bucketsApp(viewKey))
   }
 
   /** The N-ARY chain generalization of [[refreshJoin]]:
@@ -213,7 +271,8 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
   def refreshJoinChain(spark: SparkSession, view: String,
       sources: Seq[String], chainKeys: Seq[Seq[String]],
       keyCols: Seq[String], sumCols: Seq[String],
-      viewKey: String = "mvc", where: Option[String] = None): Long = {
+      viewKey: String = "mvc", where: Option[String] = None,
+      buckets: Int = 0): Long = {
     require(sources.size >= 2, "chain views need at least two sources")
     require(chainKeys.size == sources.size - 1,
       s"need ${sources.size - 1} chain-key sets for ${sources.size} sources")
@@ -262,7 +321,8 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
       }
     val delta = where.fold(delta0)(w => delta0.filter(expr(w)))
     foldDelta(spark, view, vView, !first, delta, keyCols, sumCols,
-      apps.zip(heads))
+      apps.zip(heads),
+      resolveBuckets(view, viewKey, vView, buckets), bucketsApp(viewKey))
   }
 
   /** The chain view's per-source freshness, in source order. */
@@ -328,7 +388,8 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
   private def foldDelta(spark: SparkSession, view: String,
       vView: Option[Long], hasState: Boolean, delta: DataFrame,
       keyCols: Seq[String], sumCols: Seq[String],
-      txns: Seq[(String, Long)]): Long = {
+      txns: Seq[(String, Long)], buckets: Int = 0,
+      bucketsAppId: String = ""): Long = {
     // OVERFLOW GUARDS (round-7 advisory): the per-row cast to the
     // fixed sum type silently yields NULL under non-ANSI semantics
     // when |value| >= 10^24 — sum() would skip the NULL while
@@ -387,27 +448,50 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
         }
     val deltaAgg = delta.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val valCols = "mv_count" +: sumCols.map(c => s"mv_sum_$c")
-    val merged =
-      if (!hasState) deltaAgg
-      else vt.read(spark, view, vView).as("s")
-        .join(deltaAgg.as("d"), nsCond("s", "d", keyCols), "full_outer")
-        .select(nsKeys("s", "d", keyCols) ++ valCols.map { c =>
-          val t = if (c == "mv_count") LongType else SumType
-          val added = coalesce(col(s"s.$c"), lit(0)) + coalesce(col(s"d.$c"), lit(0))
-          // the coalesces make `added` non-null, so a null try_cast
-          // can ONLY be overflow — raise instead of silently
-          // nulling the group's sum (guard layer 3; try_cast keeps
-          // the detection mode-independent)
-          val casted = added.try_cast(t)
-          when(casted.isNull,
-            raise_error(lit(s"materialized-view sum $c overflowed " +
-              s"${SumType.simpleString} on merge")))
-            .otherwise(casted).as(c)
-        }: _*)
+    def mergeWith(state: DataFrame): DataFrame = state.as("s")
+      .join(deltaAgg.as("d"), nsCond("s", "d", keyCols), "full_outer")
+      .select(nsKeys("s", "d", keyCols) ++ valCols.map { c =>
+        val t = if (c == "mv_count") LongType else SumType
+        val added = coalesce(col(s"s.$c"), lit(0)) + coalesce(col(s"d.$c"), lit(0))
+        // the coalesces make `added` non-null, so a null try_cast
+        // can ONLY be overflow — raise instead of silently
+        // nulling the group's sum (guard layer 3; try_cast keeps
+        // the detection mode-independent)
+        val casted = added.try_cast(t)
+        when(casted.isNull,
+          raise_error(lit(s"materialized-view sum $c overflowed " +
+            s"${SumType.simpleString} on merge")))
+          .otherwise(casted).as(c)
+      }: _*)
     // a key whose rows are all deleted leaves the view entirely —
     // count 0 is "no rows", which an aggregate over the source would
     // never emit
-    vt.overwriteTxns(spark, view, merged.filter(col("mv_count") > 0), txns)
+    if (buckets == 0) {
+      val merged = if (!hasState) deltaAgg else mergeWith(vt.read(spark, view, vView))
+      return vt.overwriteTxns(spark, view, merged.filter(col("mv_count") > 0), txns)
+    }
+    // BUCKETED path: state partitioned on pmod(hash(keys), buckets);
+    // read ONLY the buckets the delta touches, merge, and replace just
+    // those partitions — untouched state carries by file reference
+    require(!keyCols.contains(BucketCol) && !sumCols.contains(BucketCol),
+      s"view columns collide with the internal bucket column $BucketCol")
+    val bTxns = txns :+ (bucketsAppId -> buckets.toLong)
+    val bc = bucketExpr(keyCols, buckets)
+    if (!hasState)
+      return vt.overwritePartitioned(spark, view,
+        deltaAgg.filter(col("mv_count") > 0).withColumn(BucketCol, bc),
+        Seq(BucketCol), txns = bTxns)
+    // bounded collect: <= `buckets` ints (the bucket count is the
+    // user's partition-granularity knob, capped at 2^20)
+    val touched = deltaAgg.select(bc.as(BucketCol)).distinct()
+      .collect().map(_.getInt(0).toString).toSeq.sorted
+    val merged =
+      if (touched.isEmpty) deltaAgg.limit(0) // cursor-only advance
+      else mergeWith(dropBucket(
+        vt.readPartitions(spark, view, BucketCol, touched, vView)))
+    vt.replacePartitions(spark, view,
+      merged.filter(col("mv_count") > 0).withColumn(BucketCol, bc),
+      BucketCol, touched, bTxns)
   }
 
   private def sqName(c: String) = s"${c}_sq"
@@ -429,7 +513,8 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
     */
   def refreshStats(spark: SparkSession, view: String, source: String,
       keyCols: Seq[String], cols: Seq[String],
-      viewKey: String = "mvs", where: Option[String] = None): Long = {
+      viewKey: String = "mvs", where: Option[String] = None,
+      buckets: Int = 0): Long = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
     val head = vt.versions(source).last
     val vView = vt.versions(view).lastOption
@@ -487,7 +572,8 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
         when(col(c).isNotNull, lit(1L)).otherwise(lit(null).cast("long"))))
     foldDelta(spark, view, vView, cursor.isDefined, delta,
       keyCols, cols ++ cols.map(sqName) ++ cols.map(nnName),
-      Seq(appIdFor(viewKey) -> head))
+      Seq(appIdFor(viewKey) -> head),
+      resolveBuckets(view, viewKey, vView, buckets), bucketsApp(viewKey))
   }
 
   private def nnName(c: String) = s"${c}_nn"
@@ -544,10 +630,12 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
     */
   def refreshMinMax(spark: SparkSession, view: String, source: String,
       keyCols: Seq[String], cols: Seq[String],
-      viewKey: String = "mvx", where: Option[String] = None): Long = {
+      viewKey: String = "mvx", where: Option[String] = None,
+      buckets: Int = 0): Long = {
     import org.apache.spark.sql.types._
     val head = vt.versions(source).last
     val vView = vt.versions(view).lastOption
+    val b = resolveBuckets(view, viewKey, vView, buckets)
     val cursor = vView.flatMap(v =>
       vt.lastTxn(view, appIdFor(viewKey), upTo = Some(v)))
     if (cursor.exists(_ >= head)) return vt.versions(view).last
@@ -573,7 +661,8 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
           min(when(del, col(c))).as(s"__del_min_$c"),
           max(when(del, col(c))).as(s"__del_max_$c")))
     val deltaAgg = delta.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val txns = Seq(appIdFor(viewKey) -> head)
+    val txns0 = Seq(appIdFor(viewKey) -> head)
+    val txns = if (b == 0) txns0 else txns0 :+ (bucketsApp(viewKey) -> b.toLong)
     if (cursor.isEmpty) {
       // first refresh: the head snapshot IS the state — deltas are all
       // inserts, extrema are the plain group min/max
@@ -582,8 +671,26 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
           col(s"__ins_min_$c").as(s"mv_min_$c"),
           col(s"__ins_max_$c").as(s"mv_max_$c")))): _*)
         .filter(col("mv_count") > 0)
-      return vt.overwriteTxns(spark, view, init, txns)
+      return if (b == 0) vt.overwriteTxns(spark, view, init, txns)
+        else vt.overwritePartitioned(spark, view,
+          init.withColumn(BucketCol, bucketExpr(keyCols, b)),
+          Seq(BucketCol), txns = txns)
     }
+    // bucketed: scope the state read AND the state write to the
+    // buckets the delta touches (the same O(touched) contract as
+    // foldDelta's — untouched buckets carry by file reference)
+    val touchedBuckets =
+      if (b == 0) Nil
+      else deltaAgg.select(bucketExpr(keyCols, b).as(BucketCol)).distinct()
+        .collect().map(_.getInt(0).toString).toSeq.sorted
+    if (b > 0 && touchedBuckets.isEmpty) // empty delta: cursor-only advance
+      return vt.replacePartitions(spark, view,
+        dropBucket(vt.read(spark, view, vView)).limit(0)
+          .withColumn(BucketCol, bucketExpr(keyCols, b)),
+        BucketCol, touchedBuckets, txns)
+    val state0 =
+      if (b == 0) vt.read(spark, view, vView)
+      else dropBucket(vt.readPartitions(spark, view, BucketCol, touchedBuckets, vView))
     // a delete touches a group's extremum iff its deleted-side min/max
     // reaches the stored one; everything else merges as pure state
     val touches = cols.map(c =>
@@ -591,7 +698,7 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
         col(s"d.__del_min_$c") <= col(s"s.mv_min_$c")) ||
       (col(s"d.__del_max_$c").isNotNull && col(s"s.mv_max_$c").isNotNull &&
         col(s"d.__del_max_$c") >= col(s"s.mv_max_$c"))).reduce(_ || _)
-    val cand = vt.read(spark, view, vView).as("s")
+    val cand = state0.as("s")
       .join(deltaAgg.as("d"), nsCond("s", "d", keyCols), "full_outer")
       .select(nsKeys("s", "d", keyCols) ++ (Seq(
         (coalesce(col("s.mv_count"), lit(0L)) + coalesce(col("d.mv_count"), lit(0L)))
@@ -654,15 +761,20 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
             when(col("c.__recompute"), col(s"r.__rec_max_$c"))
               .otherwise(col(s"c.mv_max_$c")).as(s"mv_max_$c")))): _*)
     }
-    vt.overwriteTxns(spark, view, fin, txns)
+    if (b == 0) vt.overwriteTxns(spark, view, fin, txns)
+    else vt.replacePartitions(spark, view,
+      fin.withColumn(BucketCol, bucketExpr(keyCols, b)),
+      BucketCol, touchedBuckets, txns)
   }
 
   /** The current view state (or a past refresh via `version` — the
-    * state table is versioned like any other).
+    * state table is versioned like any other). Bucketed views' internal
+    * bucket column is dropped; the state is the aggregate, buckets are
+    * layout.
     */
   def read(spark: SparkSession, view: String,
       version: Option[Long] = None): DataFrame =
-    vt.read(spark, view, version)
+    dropBucket(vt.read(spark, view, version))
 
   /** Source version the view is consistent as of (None before the
     * first refresh).

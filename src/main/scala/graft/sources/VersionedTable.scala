@@ -1244,7 +1244,8 @@ class VersionedTableOps(val store: CommitStore) {
     * edit.
     */
   def overwritePartitioned(spark: SparkSession, table: String, df: DataFrame,
-      partCols: Seq[String], idMapped: Boolean = false): Long = {
+      partCols: Seq[String], idMapped: Boolean = false,
+      txns: Seq[(String, Long)] = Nil): Long = {
     require(partCols.nonEmpty, "partition spec must name at least one column")
     require(versions(table).isEmpty,
       s"$table already has commits: a partition spec is set at creation " +
@@ -1264,7 +1265,7 @@ class VersionedTableOps(val store: CommitStore) {
     commitDv(table, "overwrite", { base =>
       require(base == 0, s"$table gained commits mid-create")
       (asStored(df.schema), staged, Nil)
-    }, partsOverride = Some(_ => physParts),
+    }, txns, partsOverride = Some(_ => physParts),
       renOverride = ren.map(m => (_: Long) => m),
       colMapOverride = if (idMapped) Some(_ => "id") else None)
   }
@@ -1332,6 +1333,96 @@ class VersionedTableOps(val store: CommitStore) {
     val (kept, _) = filesForPartition(table, colName, value, Some(v))
     if (kept.isEmpty) read(spark, table, Some(v)).limit(0)
     else readFiles(spark, table, v, kept)
+  }
+
+  /** [[readPartition]] over SEVERAL values in one scan: opens exactly
+    * the union of the value directories' files. The multi-value read a
+    * bucketed materialized-view refresh needs (state for the touched
+    * buckets only, one job).
+    */
+  def readPartitions(spark: SparkSession, table: String, colName: String,
+      values: Seq[String], version: Option[Long] = None): DataFrame = {
+    values.foreach(requireLiteralPartitionValue)
+    val v = version.getOrElse(versions(table).last)
+    val ph = physicalName(manifestRenames(table, v), colName)
+    require(manifestPartitionBy(table, v).contains(ph),
+      s"$colName is not a partition column of $table")
+    val segs = values.map(x => s"${partSeg(ph)}=$x").toSet
+    val kept = manifestFiles(table, v).filter(_.split('/').exists(segs.contains))
+    if (kept.isEmpty) read(spark, table, Some(v)).limit(0)
+    else readFiles(spark, table, v, kept)
+  }
+
+  /** REPLACE the named value-partitions of `colName` with `df`'s rows
+    * in ONE atomic commit: untouched partitions' files carry into the
+    * new manifest BY REFERENCE (zero data bytes moved for them — the
+    * copy-on-write file-identity property [[dropPartition]] has,
+    * applied to replacement), and only `df` is written. This is the
+    * O(touched)-write primitive a partitioned materialized view's
+    * refresh needs: the state table partitions on a group-key bucket
+    * and each refresh replaces just the buckets its delta touched.
+    *
+    * Contract: every row of `df` must belong to a replaced partition —
+    * enforced EXACTLY and for free after staging (staging routes rows
+    * into value directories; a staged file outside `values` aborts the
+    * commit, nothing published). Rows of the replaced values that are
+    * absent from `df` are deleted — replacement, not merge. Carries
+    * optional (appId, txnVer) watermarks with [[overwriteTxns]]'s
+    * replay rule: a commit whose every watermark is already at-or-past
+    * its version is a no-op. Deletion vectors carry unchanged —
+    * entries naming replaced files become inert (no reader opens those
+    * files again), entries on kept files still apply.
+    */
+  def replacePartitions(spark: SparkSession, table: String, df: DataFrame,
+      colName: String, values: Seq[String],
+      txns: Seq[(String, Long)] = Nil): Long = {
+    values.foreach(requireLiteralPartitionValue)
+    require(values.distinct.size == values.size, s"duplicate values: $values")
+    def applied = txns.nonEmpty && txns.forall { case (app, ver) =>
+      lastTxn(table, app).exists(_ >= ver) }
+    if (applied) return versions(table).last
+    val cons0 = headConstraints(table)
+    val ren0 = versions(table).lastOption
+      .map(manifestRenames(table, _)).getOrElse(Map.empty[String, String])
+    enforceConstraints(table, df, cons0)
+    val renExt = if (isIdMapped(table))
+      Some(idExtend(ren0, df.columns, retireAbsent = false)) else None
+    val ren = renExt.getOrElse(ren0)
+    val ph = physicalName(ren, colName)
+    val staged = stageData(table, df, "rp", renFor = renExt)
+    val segs = values.map(x => s"${partSeg(ph)}=$x").toSet
+    val offside = staged.filterNot(_.split('/').exists(segs.contains))
+    require(offside.isEmpty,
+      s"${offside.size} staged files fall outside the replaced partitions " +
+        s"($colName in ${values.take(8).mkString(", ")}…): e.g. " +
+        offside.take(3).mkString(", ") +
+        " — replacePartitions would silently mix replacement and append")
+    try commitDv(table, "replace_partitions", { base =>
+      if (applied) throw TxnAlreadyApplied
+      requireInit(table, base, "replacePartitions")
+      requireRenamesUnchanged(table, base, ren0)
+      enforceLate(spark, table, base, cons0, staged)
+      require(manifestPartitionBy(table, base).contains(ph),
+        s"$colName is not a partition column of $table " +
+          s"(spec: ${manifestPartitionBy(table, base)})")
+      val files = manifestFiles(table, base)
+      val unrouted = files.filterNot(_.split('/').exists(_.startsWith(partSeg(ph) + "=")))
+      require(unrouted.isEmpty,
+        s"${unrouted.size} files of $table predate the partition routing for " +
+          s"$colName and may hold rows of any value — replacePartitions " +
+          "would silently double-count; rewrite the table first")
+      val keep = files.filterNot(_.split('/').exists(segs.contains))
+      val headSchema = manifestSchema(table, base)
+        .getOrElse(asStored(read(spark, table, Some(base)).schema))
+      val stored = asStored(df.schema)
+      val conflicts = stored.flatMap(f => headSchema.find(_.name == f.name)
+        .filter(_.dataType != f.dataType).map(_.name))
+      require(conflicts.isEmpty,
+        s"replacePartitions schema conflicts with $table head (types cannot " +
+          s"evolve): ${conflicts.mkString(", ")}")
+      (unionSchema(headSchema, stored), keep ++ staged, manifestDvs(table, base))
+    }, txns, renOverride = renExt.map(m => (_: Long) => m))
+    catch { case TxnAlreadyApplied => versions(table).last }
   }
 
   /** The distinct partition-value segments present in a snapshot

@@ -626,6 +626,111 @@ abstract class MaterializedViewBattery(backend: String, mv: MaterializedViewOps)
       round(avg(col("v")), 6).as("a"))
     sameAs(gotS, wantS, "stats: NULL-keyed group's count/avg must merge into one row")
   }
+
+  private def sameState(got: DataFrame, want: DataFrame, clue: String): Unit =
+    assert(got.except(want).isEmpty && want.except(got).isEmpty, clue)
+
+  test(s"[$backend] bucketed state: refresh equals recompute and rewrites ONLY delta-touched buckets") {
+    val nB = 8
+    val src = fresh("bk-src")
+    val view = fresh("bk-view")
+    // keys 0..199 spread over all 8 buckets
+    def brows(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"), (col("id") % 200).as("k"),
+      (col("id") + 1).cast("decimal(12,2)").as("v"))
+    def bfull() = vt.read(spark, src).groupBy("k").agg(
+      count(lit(1)).cast("long").as("mv_count"),
+      sum(col("v").cast("decimal(18,4)")).cast("decimal(28,4)").as("mv_sum_v"))
+    vt.overwrite(spark, src, brows(0, 2000))
+    mv.refresh(spark, view, src, Seq("k"), Seq("v"), buckets = nB)
+    assert(vt.partitionSpec(view).contains(mv.BucketCol),
+      "bucketed view state must be partitioned on the bucket column")
+    sameState(mv.read(spark, view), bfull(), "bucketed first refresh")
+    assert(!mv.read(spark, view).columns.contains(mv.BucketCol),
+      "the internal bucket column must not surface in reads")
+
+    // an append touching ONE key → one touched bucket; every file of
+    // every OTHER bucket must carry into the new version BY PATH (the
+    // copy-on-write identity that makes the state write O(touched))
+    val before = vt.snapshotFiles(view).toSet
+    val touchedBucket = spark.range(1).select(
+      pmod(hash(lit(7L)), lit(nB))).head.getInt(0)
+    val seg = s"${mv.BucketCol}__pv=$touchedBucket"
+    vt.append(spark, src, spark.range(0, 5).select(
+      (col("id") + 90000).as("id"), lit(7L).as("k"),
+      lit(1).cast("decimal(12,2)").as("v")))
+    mv.refresh(spark, view, src, Seq("k"), Seq("v")) // buckets param omitted: stored wins
+    sameState(mv.read(spark, view), bfull(), "bucketed incremental refresh")
+    val after = vt.snapshotFiles(view).toSet
+    val untouchedBefore = before.filterNot(_.contains(seg))
+    assert(untouchedBefore.subsetOf(after),
+      s"untouched buckets' files must carry by reference: missing " +
+        (untouchedBefore -- after).take(3))
+    assert((after -- before).forall(_.contains(seg)),
+      s"only the touched bucket may gain files: ${(after -- before).filterNot(_.contains(seg)).take(3)}")
+
+    // deletes fold out; a fully-deleted key leaves the view
+    vt.delete(spark, src, col("k") === 3L)
+    mv.refresh(spark, view, src, Seq("k"), Seq("v"))
+    sameState(mv.read(spark, view), bfull(), "bucketed refresh after COW delete")
+    assert(mv.read(spark, view).filter(col("k") === 3L).isEmpty)
+
+    // replay: fresh refresh publishes nothing
+    val vB = vt.versions(view).last
+    mv.refresh(spark, view, src, Seq("k"), Seq("v"))
+    assert(vt.versions(view).last === vB, "fresh bucketed refresh must be a no-op")
+
+    // the bucket count is view identity: rebucketing is refused
+    vt.append(spark, src, brows(2000, 2001))
+    val e = intercept[IllegalArgumentException] {
+      mv.refresh(spark, view, src, Seq("k"), Seq("v"), buckets = 16)
+    }
+    assert(e.getMessage.contains("bucketed at 8"))
+
+    // a compaction of the SOURCE yields an empty delta: the cursor
+    // must advance without rewriting any state partition
+    mv.refresh(spark, view, src, Seq("k"), Seq("v"))
+    val filesB = vt.snapshotFiles(view).toSet
+    vt.compact(spark, src)
+    mv.refresh(spark, view, src, Seq("k"), Seq("v"))
+    assert(vt.snapshotFiles(view).toSet === filesB,
+      "an empty delta must advance the cursor with zero state-file churn")
+    sameState(mv.read(spark, view), bfull(), "after source compaction")
+  }
+
+  test(s"[$backend] bucketed min/max: delete-driven recompute stays bucket-scoped and exact") {
+    val nB = 4
+    val src = fresh("bkx-src")
+    val view = fresh("bkx-view")
+    def xrows(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"), (col("id") % 50).as("k"), col("id").cast("double").as("v"))
+    def xfull() = vt.read(spark, src).groupBy("k").agg(
+      count(lit(1)).cast("long").as("mv_count"),
+      min(col("v")).as("mv_min_v"), max(col("v")).as("mv_max_v"))
+    vt.overwrite(spark, src, xrows(0, 1000))
+    mv.refreshMinMax(spark, view, src, Seq("k"), Seq("v"), buckets = nB)
+    sameState(mv.read(spark, view), xfull(), "bucketed min/max first refresh")
+
+    // delete the current MAX of one key: its group needs a rescan, and
+    // the state write must still be scoped to the touched bucket
+    val before = vt.snapshotFiles(view).toSet
+    val touchedBucket = spark.range(1).select(
+      pmod(hash(lit(49L)), lit(nB))).head.getInt(0)
+    val seg = s"${mv.BucketCol}__pv=$touchedBucket"
+    vt.delete(spark, src, col("k") === 49L && col("v") === 999.0)
+    mv.refreshMinMax(spark, view, src, Seq("k"), Seq("v"))
+    sameState(mv.read(spark, view), xfull(),
+      "bucketed min/max after an extremum delete (recompute path)")
+    val after = vt.snapshotFiles(view).toSet
+    assert(before.filterNot(_.contains(seg)).subsetOf(after),
+      "min/max: untouched buckets' files must carry by reference")
+
+    // inserts merge as pure state, still bucket-scoped
+    vt.append(spark, src, spark.range(0, 3).select(
+      (col("id") + 5000).as("id"), lit(2L).as("k"), lit(-5.0).as("v")))
+    mv.refreshMinMax(spark, view, src, Seq("k"), Seq("v"))
+    sameState(mv.read(spark, view), xfull(), "bucketed min/max after insert")
+  }
 }
 
 /** The default POSIX deployment: publish via hard link. */
