@@ -141,6 +141,7 @@ object SparkEntry {
     "q_restore" -> (operators.VersionedQueries.qRestore _),
     "q_clone" -> (operators.VersionedQueries.qClone _),
     "q_mat_view" -> (operators.VersionedQueries.qMatView _),
+    "q_mat_view_bucketed" -> (operators.VersionedQueries.qMatViewBucketed _),
     "q_mat_view_join" -> (operators.VersionedQueries.qMatViewJoin _),
     "q_mat_view_chain" -> (operators.VersionedQueries.qMatViewChain _),
     "q_mat_view_nested" -> (operators.VersionedQueries.qMatViewNested _),
@@ -1205,6 +1206,18 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |  AND NOT (CAST(o_totalprice AS DECIMAL(12,2)) < 50000.00)
+        |GROUP BY 1""".stripMargin,
+    // q_mat_view_bucketed: the bucketed (O(touched)-write) state must
+    // equal the same full recompute minus the one deleted customer
+    "q_mat_view_bucketed" ->
+      """SELECT o_custkey, count(*) AS mv_count,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(18,4))) AS DOUBLE) AS mv_sum
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND o_custkey <> (SELECT min(o_custkey) FROM orders
+        |                    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |                      AND o_orderdate < TIMESTAMP '1998-01-01')
         |GROUP BY 1""".stripMargin,
     // q_partition_join: the value-pair-aligned join over two
     // partitioned tables (dim's 5-LOW partition dropped — pruned at

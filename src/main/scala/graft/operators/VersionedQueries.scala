@@ -701,6 +701,54 @@ object VersionedQueries {
         col("mv_sum_o_totalprice").cast("double").as("mv_sum"))
   }
 
+  /** q_mat_view_bucketed: the BUCKETED view state under the oracle
+    * gate — same defining aggregate as q_mat_view, but the state table
+    * partitions on pmod(hash(o_custkey), 64) and each refresh REPLACES
+    * only the buckets its delta touches (round-9 advisory: the state
+    * write must be O(touched groups), not O(all groups)). The third
+    * commit deletes ONE customer's orders, so exactly one bucket is
+    * touched — the query itself requires (a) every other bucket's
+    * files to carry into the new version BY PATH (the copy-on-write
+    * identity that bounds the write) and (b) all new files to sit in
+    * the touched bucket. The oracle recomputes the aggregate from
+    * scratch: bucketed incremental maintenance must be
+    * indistinguishable from full recompute.
+    */
+  def qMatViewBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val src = freshTable("mvbsrc")
+    val view = freshTable("mvbview")
+    val nB = 64
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey").cast("long").as("o_custkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"),
+        col("o_orderdate"))
+    def half(lo: String, hi: String) = o
+      .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+        col("o_orderdate") < lit(hi).cast("timestamp"))
+      .drop("o_orderdate")
+    VersionedTable.overwrite(spark, src, half("1997-01-01", "1997-07-01"))
+    MaterializedView.refresh(spark, view, src, Seq("o_custkey"),
+      Seq("o_totalprice"), buckets = nB)
+    VersionedTable.append(spark, src, half("1997-07-01", "1998-01-01"))
+    MaterializedView.refresh(spark, view, src, Seq("o_custkey"), Seq("o_totalprice"))
+    val kDel = VersionedTable.read(spark, src)
+      .agg(org.apache.spark.sql.functions.min(col("o_custkey"))).head.getLong(0)
+    val seg = s"${MaterializedView.BucketCol}__pv=" +
+      spark.range(1).select(pmod(hash(lit(kDel)), lit(nB))).head.getInt(0)
+    val before = VersionedTable.snapshotFiles(view).toSet
+    VersionedTable.delete(spark, src, col("o_custkey") === kDel)
+    MaterializedView.refresh(spark, view, src, Seq("o_custkey"), Seq("o_totalprice"))
+    val after = VersionedTable.snapshotFiles(view).toSet
+    require(before.filterNot(_.contains(seg)).subsetOf(after),
+      "O(touched) contract: untouched buckets' state files must carry " +
+        "into the refreshed version by reference")
+    require((after -- before).forall(_.contains(seg)),
+      "O(touched) contract: a one-bucket delta may only write that bucket")
+    MaterializedView.read(spark, view)
+      .select(col("o_custkey"), col("mv_count"),
+        col("mv_sum_o_totalprice").cast("double").as("mv_sum"))
+  }
+
   /** q_partition_join: the PARTITION-ALIGNED join — fact (orders) and
     * dim (per-priority attributes) both partitioned by
     * o_orderpriority; the dim then DROPS its 5-LOW partition, and the
