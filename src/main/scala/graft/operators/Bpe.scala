@@ -98,6 +98,131 @@ object Bpe {
     merges.result()
   }
 
+  /** [[trainMerges]] at PRODUCTION vocabulary sizes: ONE Spark
+    * aggregate collects the (word, freq) table — language-bound at
+    * ≈10⁵-10⁶ rows for ANY corpus size, the same vocab-sized handoff
+    * every real BPE trainer (and k-means' centroids) makes — then the
+    * k merge rounds run driver-side over token arrays, so training
+    * 32k merges costs zero per-round Spark jobs (the per-round job of
+    * [[trainMerges]] is the right shape for small k and the wrong one
+    * at 32k: k cluster round-trips for driver-bound work). BIT-EXACT
+    * with [[trainMerges]] (BpeSpec pins k = 16 equality): the same
+    * overlap-counting pair statistics, the same (count desc, left asc,
+    * right asc) total order — ASCII words, so Java and UTF8String
+    * binary orders agree — and the same [[mergePass]] vocabulary
+    * update. `maxVocab` guards the collect on corpora whose word-type
+    * count defies the language bound (rare-type truncation, by
+    * (freq desc, word asc) so the cut is deterministic); within the
+    * bound the result is exact.
+    */
+  private[graft] def trainMergesLocal(spark: SparkSession, dir: String,
+      k: Int, maxVocab: Int = 1 << 22): Seq[(Long, String, String, Long)] = {
+    val wf = wordFreq(spark, dir)
+      .orderBy(col("freq").desc, col("word").asc).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // tokens are INTERNED (one canonical instance per symbol string),
+    // so the per-round does-this-word-contain-the-pair scan is two
+    // reference compares per position; pair counts maintain
+    // INCREMENTALLY (only words the round's merge changes re-count) —
+    // together these keep a production-k training run in seconds where
+    // the naive recount-everything round is O(corpus vocab) hashing
+    val pool = new java.util.HashMap[String, String]()
+    def intern(s: String): String = {
+      val c = pool.putIfAbsent(s, s); if (c == null) s else c
+    }
+    val vocab: Array[Array[String]] =
+      wf.map { case (wd, _) => wd.map(ch => intern(String.valueOf(ch))).toArray }
+    val freqs: Array[Long] = wf.map(_._2)
+    val cnt = new java.util.HashMap[String, Long]()
+    // best-pair selection via a LAZY-DELETION heap: every count update
+    // pushes (count, pair); stale entries (count no longer current) are
+    // discarded at poll time, so each round's winner costs amortized
+    // O(log) instead of a full distinct-pair scan. Ordering (count
+    // desc, pair asc): space < every symbol char, so comparing "l r"
+    // strings IS the (l asc, r asc) tuple order trainMerges sorts by —
+    // the heap's valid top is exactly the scan's argmax, bit for bit.
+    val heap = new java.util.PriorityQueue[(Long, String)](1024,
+      new java.util.Comparator[(Long, String)] {
+        def compare(a: (Long, String), b: (Long, String)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1)
+          if (c != 0) c else a._2.compareTo(b._2)
+        }
+      })
+    def bump(toks: Array[String], f: Long): Unit = {
+      var i = 0
+      while (i < toks.length - 1) {
+        val key = toks(i) + " " + toks(i + 1)
+        val nv = cnt.getOrDefault(key, 0L) + f
+        if (nv == 0L) cnt.remove(key)
+        else { cnt.put(key, nv); heap.add((nv, key)) }
+        i += 1
+      }
+    }
+    var w = 0
+    while (w < vocab.length) { bump(vocab(w), freqs(w)); w += 1 }
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= k && !exhausted) {
+      var bestPair: String = null
+      var bestCnt = Long.MinValue
+      while (bestPair == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (cnt.getOrDefault(e._2, 0L) == e._1) { bestPair = e._2; bestCnt = e._1 }
+      }
+      if (bestPair == null) exhausted = true
+      else {
+        val Array(l0, r0) = bestPair.split(" ", 2)
+        val l = intern(l0); val r = intern(r0)
+        intern(l + r)
+        merges += ((round.toLong, l, r, bestCnt))
+        var i = 0
+        while (i < vocab.length) {
+          val toks = vocab(i)
+          var j = 0
+          var hit = false
+          while (!hit && j < toks.length - 1) {
+            hit = (toks(j) eq l) && (toks(j + 1) eq r); j += 1
+          }
+          if (hit) {
+            bump(toks, -freqs(i))
+            val nt = mergePass(toks, l, r)
+            var x = 0
+            while (x < nt.length) { nt(x) = intern(nt(x)); x += 1 }
+            vocab(i) = nt
+            bump(nt, freqs(i))
+          }
+          i += 1
+        }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** [[train]] at production scale — [[trainMergesLocal]] as the same
+    * replayable merge-table frame.
+    */
+  def trainFast(spark: SparkSession, dir: String, k: Int,
+      maxVocab: Int = 1 << 22): DataFrame = {
+    val s = spark
+    import s.implicits._
+    trainMergesLocal(spark, dir, k, maxVocab)
+      .map { case (i, l, r, c) => (i, l, r, l + r, c) }
+      .toDF("round", "left", "right", "merged", "pair_count")
+  }
+
+  /** Production encode: per-doc token counts under an OFFLINE-trained
+    * vocabulary of any size (the [[trainFast]] output, or an external
+    * tokenizer's merge list) — the operator a training pipeline runs
+    * over the full corpus, kernel path, flat in k.
+    */
+  def encodeVocab(spark: SparkSession, dir: String,
+      merges: Seq[(String, String)]): DataFrame =
+    encodeWith(spark, dir,
+      merges.zipWithIndex.map { case ((l, r), i) => (i + 1L, l, r, 0L) },
+      useKernel = true)
+
   /** text_bpe_train: the learned merge table (round, left, right,
     * merged, pair_count) — the replayable training transcript.
     */
@@ -109,12 +234,121 @@ object Bpe {
       .toDF("round", "left", "right", "merged", "pair_count")
   }
 
-  /** Fold the learned merges into one nested-replace expression. */
-  private def applyMerges(seq: Column,
+  /** Fold the learned merges into one nested-replace expression — the
+    * ORACLE-REPLAY twin: exact, engine-portable (DuckDB replays it
+    * bit-for-bit), but one codegen'd expression PER MERGE, so it cannot
+    * reach a production vocabulary (~32k-50k merges). Production encode
+    * goes through [[EncodeKernel]]; [[BpeSpec]] pins the two forms
+    * equal at k <= 128, which keeps the DuckDB transcript replay
+    * gating the kernel path too.
+    */
+  private[graft] def applyMerges(seq: Column,
       merges: Seq[(Long, String, String, Long)]): Column =
     merges.foldLeft(seq) { case (acc, (_, l, r, _)) =>
       replace(acc, lit(s" $l $r "), lit(s" $l$r "))
     }
+
+  /** ONE leftmost-non-overlapping pass of merge (l, r) over a token
+    * array — the exact token-level semantics of
+    * `replace(seq, " l r ", " lr ")` on the padded seq string,
+    * INCLUDING the documented shared-delimiter skip: a replacement
+    * consumes the space after its right symbol, so a following match
+    * may not start at the immediately next token ("a b a b" passes to
+    * "ab a b", never "ab ab"; "a a a a a" to "aa a aa"). Tokens are
+    * space-free, so string matches always align to token boundaries
+    * and this pass IS the string replace, re-expressed.
+    */
+  private[graft] def mergePass(toks: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+    var i = 0
+    var blocked = false
+    while (i < toks.length) {
+      if (!blocked && i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+        out += l + r; i += 2; blocked = true
+      } else {
+        out += toks(i); i += 1; blocked = false
+      }
+    }
+    out.toArray
+  }
+
+  /** The PRODUCTION-VOCABULARY encoder (round-9 advisory): per-word
+    * cost independent of merge count k, bit-identical to the k-nested
+    * replace chain. The chain runs one [[mergePass]] per merge in
+    * training order; a pass whose pair is absent is a no-op, and a
+    * word of n symbols absorbs at most n-1 productive passes — so the
+    * kernel jumps from productive pass to productive pass: each
+    * iteration finds the MINIMUM merge rank STRICTLY ABOVE the last
+    * executed one among the word's current adjacent pairs (a hash
+    * lookup per pair against the broadcast rank table) and executes
+    * only that pass. Every skipped rank's pair provably did not occur,
+    * so skipping it is exactly what the chain would have done. Cost:
+    * O(len²) hash lookups + O(len) pass work per word, FLAT in k —
+    * ProbeRound10 measures ~constant per-token cost at k = 128 / 1024
+    * / 8192 where the chain is linear in k (and un-compilable long
+    * before 32k). A pair learned at several ranks (re-formed by later
+    * merges) keeps ALL its ranks, replaying each chain pass.
+    */
+  private[graft] final class EncodeKernel(
+      merges: Array[(String, String)]) extends Serializable {
+    @transient private lazy val ranks: java.util.HashMap[String, Array[Int]] = {
+      val m = new java.util.HashMap[String, Array[Int]](merges.length * 2)
+      var i = 0
+      while (i < merges.length) {
+        val key = merges(i)._1 + " " + merges(i)._2
+        val prev = m.get(key)
+        m.put(key, if (prev == null) Array(i) else prev :+ i)
+        i += 1
+      }
+      m
+    }
+
+    def tokens(word: String): Array[String] = {
+      var toks = new Array[String](word.length)
+      var i = 0
+      while (i < word.length) { toks(i) = String.valueOf(word.charAt(i)); i += 1 }
+      if (toks.length < 2) return toks
+      var done = -1 // highest merge rank whose pass has run
+      var more = true
+      while (more) {
+        var best = Int.MaxValue
+        var j = 0
+        while (j < toks.length - 1) {
+          val rs = ranks.get(toks(j) + " " + toks(j + 1))
+          if (rs != null) {
+            var x = 0
+            while (x < rs.length && rs(x) <= done) x += 1
+            if (x < rs.length && rs(x) < best) best = rs(x)
+          }
+          j += 1
+        }
+        if (best == Int.MaxValue) more = false
+        else {
+          toks = mergePass(toks, merges(best)._1, merges(best)._2)
+          done = best
+        }
+      }
+      toks
+    }
+
+    def tokenCount(word: String): Int = tokens(word).length
+  }
+
+  /** Kernel token counter as a Column (the functions/Signatures JVM-
+    * kernel pattern: one narrow pass, merge table rides the closure as
+    * a broadcast-sized array, asNondeterministic keeps Catalyst from
+    * re-running it below fan-outs).
+    */
+  private def kernelToks(merges: Seq[(Long, String, String, Long)]): Column => Column = {
+    val kern = new EncodeKernel(merges.map(m => (m._2, m._3)).toArray)
+    val u = udf((w: String) => kern.tokenCount(w)).asNondeterministic()
+    w => u(w).cast("long")
+  }
+
+  /** Chain-expression token counter — the oracle-replay twin. */
+  private def chainToks(merges: Seq[(Long, String, String, Long)]): Column => Column =
+    w => size(split(trim(applyMerges(charSeq(w), merges)), " ")).cast("long")
 
   /** Per-word (doc_id, word) stream — shared by encode and the
     * BPE-budget packer.
@@ -130,11 +364,20 @@ object Bpe {
     * and BPE tokens. Train runs first (k bounded collects); encoding
     * itself is one narrow pass + one keyed aggregate.
     */
-  def encode(spark: SparkSession, dir: String, k: Int = DefaultMerges): DataFrame = {
-    val merges = trainMerges(spark, dir, k)
+  def encode(spark: SparkSession, dir: String, k: Int = DefaultMerges): DataFrame =
+    encodeWith(spark, dir, trainMerges(spark, dir, k), useKernel = true)
+
+  /** [[encode]] with an explicit merge table and an explicit engine —
+    * the spec's equality seam (kernel vs chain on identical merges)
+    * and the production entry for an externally/offline-trained
+    * vocabulary ([[trainMergesLocal]] at 32k merges feeds this; the
+    * chain form cannot).
+    */
+  private[graft] def encodeWith(spark: SparkSession, dir: String,
+      merges: Seq[(Long, String, String, Long)], useKernel: Boolean): DataFrame = {
+    val toks = if (useKernel) kernelToks(merges) else chainToks(merges)
     docWords(spark, dir)
-      .select(col("doc_id"), col("word"),
-        size(split(trim(applyMerges(charSeq(col("word")), merges)), " ")).cast("long").as("toks"))
+      .select(col("doc_id"), col("word"), toks(col("word")).as("toks"))
       .groupBy("doc_id")
       .agg(cnt.as("n_words"),
         sum(length(col("word"))).cast("long").as("n_chars"),
@@ -154,6 +397,7 @@ object Bpe {
   def packByBpe(spark: SparkSession, dir: String, k: Int = DefaultMerges,
       chunkSize: Int = 32, budget: Int = 96): DataFrame = {
     val merges = trainMerges(spark, dir, k)
+    val toks = kernelToks(merges)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("chunk_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -163,7 +407,7 @@ object Bpe {
         lower(regexp_replace(col("tok"), "[^A-Za-z]", "")).as("word"))
       .filter(col("word") =!= "")
       .select(col("doc_id"), expr(s"pos DIV $chunkSize").cast("long").as("chunk_id"),
-        size(split(trim(applyMerges(charSeq(col("word")), merges)), " ")).cast("long").as("toks"))
+        toks(col("word")).as("toks"))
       .groupBy("doc_id", "chunk_id").agg(sum("toks").as("n_tokens"))
       .withColumn("tok_before", coalesce(sum("n_tokens").over(w), lit(0L)))
       .withColumn("pack_id", expr(s"tok_before DIV $budget"))

@@ -49,6 +49,52 @@ class BpeSpec extends SparkSpec {
     assert(a === b, "same merge transcript on re-run")
   }
 
+  test("fast trainer is bit-exact with the per-round Spark trainer") {
+    val a = Bpe.trainMerges(spark, sf, 16)
+    val b = Bpe.trainMergesLocal(spark, sf, 16)
+    assert(a === b, "driver-side trainer must replay the Spark trainer's " +
+      "transcript exactly (same pair stats, same total order, same pass)")
+  }
+
+  test("kernel encode is bit-identical to the nested-replace chain at k = 128") {
+    // 128 REAL merges (fast trainer — the chain form's probed ceiling),
+    // compared over the full corpus: per-doc frames must be EQUAL
+    val merges = Bpe.trainMergesLocal(spark, sf, 128)
+    // the sf0.001 corpus exhausts its pairs at 89 merges — take what it
+    // supports (the chain form's probed ceiling is 128)
+    assert(merges.size >= 64, s"corpus supports ${merges.size} < 64 merges")
+    val viaKernel = Bpe.encodeWith(spark, sf, merges, useKernel = true)
+    val viaChain = Bpe.encodeWith(spark, sf, merges, useKernel = false)
+    assert(viaKernel.except(viaChain).isEmpty && viaChain.except(viaKernel).isEmpty,
+      "kernel and chain disagree on some document")
+  }
+
+  test("kernel reproduces the chain's shared-delimiter skip on adversarial repeats") {
+    // the documented deviation from canonical BPE must be IDENTICAL in
+    // both forms — these words are built to trigger it
+    val s = spark
+    import s.implicits._
+    val words = Seq("aaaaa", "aaaa", "ababab", "abab", "aabbaabb",
+      "abcabcabc", "xxyyxxyy", "zzzzzzzz", "a", "ab")
+    val merges = Seq((1L, "a", "a", 0L), (2L, "a", "b", 0L), (3L, "ab", "ab", 0L),
+      (4L, "aa", "bb", 0L), (5L, "x", "x", 0L), (6L, "z", "z", 0L),
+      (7L, "zz", "zz", 0L), (8L, "a", "b", 0L)) // (a,b) relearned at a later rank
+    val kern = new Bpe.EncodeKernel(merges.map(m => (m._2, m._3)).toArray)
+    val seq0 = concat(regexp_replace(col("word"), "(.)", " $1"), lit(" "))
+    val chain = size(split(trim(Bpe.applyMerges(seq0, merges)), " "))
+    val got = words.toDF("word")
+      .select(col("word"), chain.as("chain")).collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    got.foreach { case (w, c) =>
+      assert(kern.tokenCount(w) === c, s"kernel != chain on '$w'")
+    }
+    // the canonical examples from the scaladoc, pinned literally
+    val aa = new Bpe.EncodeKernel(Array(("a", "a")))
+    assert(aa.tokens("aaaaa").toSeq === Seq("aa", "a", "aa"))
+    val ab = new Bpe.EncodeKernel(Array(("a", "b")))
+    assert(ab.tokens("abab").toSeq === Seq("ab", "a", "b"))
+  }
+
   test("pack by real tokens: packs respect the BPE budget accounting") {
     val packs = Bpe.packByBpe(spark, sf)
     assert(packs.count() > 0)
