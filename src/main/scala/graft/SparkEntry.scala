@@ -130,6 +130,7 @@ object SparkEntry {
     "q_zone_map_string" -> (operators.VersionedQueries.qZoneMapString _),
     "q_table_changes" -> (operators.VersionedQueries.qTableChanges _),
     "q_zone_map_auto" -> (operators.VersionedQueries.qZoneMapAuto _),
+    "q_sql_catalog" -> (operators.VersionedQueries.qSqlCatalog _),
     "q_optimize_cluster" -> (operators.VersionedQueries.qOptimizeCluster _),
     "q_optimize_zorder" -> (operators.VersionedQueries.qOptimizeZorder _),
     "q_zone_map_prefix" -> (operators.VersionedQueries.qZoneMapPrefix _),
@@ -1089,6 +1090,18 @@ object SparkEntry {
       """WITH b AS (SELECT max(c_custkey) // 3 AS third FROM customer)
         |SELECT c_custkey, c_acctbal FROM customer, b
         |WHERE c_custkey > third AND c_custkey <= 2 * third""".stripMargin,
+    // q_sql_catalog went through the SQL catalog (graft.sql.GraftCatalog):
+    // head leg = the zone-map range read the SQL plan must prune on
+    // (asserted in-query via the plan's numFiles), time-travel leg =
+    // VERSION AS OF the first commit. The oracle replays both legs
+    // over the source table with the same max/3 thirds arithmetic.
+    "q_sql_catalog" ->
+      """WITH b AS (SELECT max(c_custkey) // 3 AS third FROM customer)
+        |SELECT c_custkey, c_acctbal, 'head' AS src FROM customer, b
+        |WHERE c_custkey > third AND c_custkey <= 2 * third
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal, 'v1' AS src FROM customer, b
+        |WHERE c_custkey <= third""".stripMargin,
     // q_zone_map_date/decimal went through the round-7 DATE / DECIMAL
     // footer-stats zone maps (each query asserts files were skipped);
     // the oracles are the plain range filters skipping must be

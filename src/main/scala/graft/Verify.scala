@@ -19,6 +19,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the SQL entry point (q_sql_catalog): catalog name + the
+      // resolution rule that swaps its relations for zone-map scans
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
+      .config("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -1276,4 +1276,65 @@ object VersionedQueries {
       .filter(col("o_custkey") <= mx / 4 &&
         col("price") <= lit(BigDecimal(80000))))
   }
+
+  /** Files a SQL statement's scan actually planned: forces the file-
+    * source scan's partition planning (RDD construction — driver-side
+    * listing through the FileIndex, NO job, no rows moved) and reads
+    * the numFiles metric it records. -1 when the plan has no file
+    * scan — callers require() a positive count, so a plan-shape drift
+    * fails loudly instead of silently passing.
+    */
+  private def sqlPlannedFiles(df: DataFrame): Long = {
+    val plan = df.queryExecution.executedPlan
+    val resolved = plan.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+    }.getOrElse(plan)
+    resolved.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.execute() // builds the scan RDD: FileIndex.listFiles runs here
+        s.metrics("numFiles").value
+    }.getOrElse(-1L)
+  }
+
+  /** q_sql_catalog: the SQL entry point ([[graft.sql.GraftCatalog]])
+    * under the oracle gate — the same key-clustered three-commit
+    * layout as [[qZoneMapRead]], reached ONLY through `spark.sql`
+    * text: a head read with a range predicate (asserted, via the SQL
+    * plan's own numFiles metric, to open FEWER files than the
+    * snapshot holds — the zone maps prune through the catalog path)
+    * unioned with a `VERSION AS OF` time-travel read that must
+    * resolve the pre-append snapshot. The oracle replays both legs in
+    * plain SQL over the source table.
+    *
+    * Scale shape: catalog resolution is O(manifest) driver metadata;
+    * the planned scans are the audited zone-map read path — SQL adds
+    * a name, not a plan.
+    */
+  def qSqlCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-vq-sqlcat").toString
+    val table = root + "/sales/cust"
+    val all = t(spark, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    val mx = all.agg(max("c_custkey")).head.getLong(0) // one-row bound scalar
+    val third = mx / 3
+    val v1 = VersionedTable.overwrite(spark, table, all.filter(col("c_custkey") <= third))
+    VersionedTable.append(spark, table,
+      all.filter(col("c_custkey") > third && col("c_custkey") <= 2 * third))
+    VersionedTable.append(spark, table, all.filter(col("c_custkey") > 2 * third))
+    // catalog registration is plain session conf (root is re-read per
+    // lookup, so a shared session repoints at this query's warehouse)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    val head = spark.sql(
+      s"""SELECT c_custkey, c_acctbal, 'head' AS src FROM graft.sales.cust
+         |WHERE c_custkey > $third AND c_custkey <= ${2 * third}""".stripMargin)
+    val total = VersionedTable.snapshotFiles(table).size
+    val planned = sqlPlannedFiles(head)
+    require(planned > 0 && planned < total,
+      s"the SQL plan must prune on zone maps (planned $planned/$total files)")
+    val pinned = spark.sql(
+      s"""SELECT c_custkey, c_acctbal, 'v1' AS src
+         |FROM graft.sales.cust VERSION AS OF $v1""".stripMargin)
+    head.unionAll(pinned)
+  }
 }

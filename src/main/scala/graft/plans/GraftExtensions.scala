@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => TopKRewriteRule)
+    // SQL catalog reads: graft.<ns>.<table> relations become the
+    // zone-map-indexed snapshot scan (see graft.sql.GraftCatalog)
+    ext.injectResolutionRule(session => new graft.sql.GraftSqlRule(session))
   }
 }
 

@@ -3035,6 +3035,19 @@ class VersionedTableOps(val store: CommitStore) {
       .getOrElse(Nil)
   }
 
+  /** Member pins of ONE catalog version: the complete (table →
+    * tversion) map that catalog commit published — O(manifest)
+    * driver-side metadata, no roll-forward (callers diffing history
+    * must not mutate it). The catalog stream source diffs consecutive
+    * pin maps to turn catalog commits into cross-table-consistent
+    * micro-batches.
+    */
+  def catalogPins(catalog: String, vc: Long): Seq[(String, Long)] = {
+    require(store.exists(catalogDir(catalog), manifestName(vc)),
+      s"catalog version $vc of $catalog was vacuumed or never existed")
+    catEntries(catalog, vc).map(e => e.table -> e.tversion)
+  }
+
   /** Catalog retention vacuum: drop all but the newest `retain`
     * catalog manifests. Safe by the protocol's own invariants: only
     * the HEAD can hold unpublished per-table manifests (every
@@ -3245,4 +3258,20 @@ final case class CatUpdate(table: String, cond: Column,
   * spec battery can run the identical protocol over
   * [[InMemoryCommitStore]]'s object-store semantics.
   */
-object VersionedTable extends VersionedTableOps(LocalLinkCommitStore)
+object VersionedTable extends VersionedTableOps(LocalLinkCommitStore) {
+  /** Named ops registry. Streaming sources and SQL catalogs are
+    * instantiated BY NAME (a format string / reflection), so an
+    * object-store-backed [[VersionedTableOps]] — which carries
+    * instance state a no-arg constructor cannot rebuild — must be
+    * reachable by name too. Unregistered names resolve to this
+    * default POSIX ops.
+    */
+  private val named =
+    scala.collection.concurrent.TrieMap.empty[String, VersionedTableOps]
+
+  def registerOps(name: String, ops: VersionedTableOps): Unit =
+    named.put(name, ops)
+
+  def opsNamed(name: String): VersionedTableOps =
+    named.getOrElse(name, this)
+}

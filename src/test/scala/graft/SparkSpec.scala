@@ -7,6 +7,9 @@ object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    // the SQL entry point (graft catalog): same two configs Verify sets
+    .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
+    .config("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.{InMemoryCommitStore, VersionedTable, VersionedTableOps}
+import graft.sql.GraftCatalog
+
+/** The SQL entry point (graft.sql.GraftCatalog + GraftSqlRule): plain
+  * `spark.sql` text must reach versioned-table snapshots with the
+  * SAME semantics as the Scala read path — zone-map file skipping,
+  * deletion-vector subtraction, column renames, version pinning —
+  * on BOTH commit-store backends (POSIX links and the object-store
+  * contract). TestSpark's session carries the two activation configs
+  * (the same pair Verify/Bench set), so these run against the exact
+  * wiring the driver gate uses.
+  */
+class SqlCatalogSpec extends SparkSpec {
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-sqlcat-$tag").toString
+
+  private def rows(lo: Long, hi: Long): DataFrame =
+    spark.range(lo, hi).select(col("id").as("k"), (col("id") * 10).as("v"))
+
+  private def scannedFiles(d: DataFrame): Long = {
+    d.collect()
+    val plan = d.queryExecution.executedPlan
+    val resolved = plan.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+    }.getOrElse(plan)
+    resolved.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.get
+  }
+
+  /** The full battery, parameterized on the ops backend: tests run it
+    * once against the default POSIX catalog name and once against an
+    * object-store-backed catalog registered under a second name —
+    * identical SQL, identical answers.
+    */
+  private def battery(catalog: String, ops: VersionedTableOps): Unit = {
+    val root = freshRoot(catalog)
+    spark.conf.set(s"spark.sql.catalog.$catalog", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$catalog.root", root)
+
+    // three key-clustered commits under namespace `db`
+    val table = s"$root/db/t"
+    val v1 = ops.overwrite(spark, table, rows(0, 100))
+    Thread.sleep(5) // commit times must be distinguishable for AS OF
+    val tsAfterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    ops.append(spark, table, rows(100, 200))
+    ops.append(spark, table, rows(200, 300))
+
+    // head read: all three commits visible
+    val head = spark.sql(s"SELECT k, v FROM $catalog.db.t")
+    assert(head.count() === 300)
+    assert(head.agg(sum("v")).head.getLong(0) === (0L until 300).map(_ * 10).sum)
+
+    // zone-map skipping THROUGH the SQL plan: a mid-band predicate
+    // opens fewer files than the snapshot holds
+    val total = ops.snapshotFiles(table).size
+    val pruned = spark.sql(
+      s"SELECT k, v FROM $catalog.db.t WHERE k BETWEEN 120 AND 180")
+    assert(pruned.collect().map(_.getLong(0)).toSet === (120L to 180L).toSet)
+    assert(scannedFiles(pruned) < total,
+      s"SQL range read must prune manifest files (total $total)")
+
+    // VERSION AS OF pins the pre-append snapshot
+    val pinned = spark.sql(s"SELECT k FROM $catalog.db.t VERSION AS OF $v1")
+    assert(pinned.collect().map(_.getLong(0)).toSet === (0L until 100).toSet)
+
+    // TIMESTAMP AS OF resolves on commit publish times
+    val ts = new java.sql.Timestamp(tsAfterV1)
+    val asOf = spark.sql(
+      s"SELECT count(*) AS n FROM $catalog.db.t TIMESTAMP AS OF '$ts'")
+    assert(asOf.head.getLong(0) === 100)
+
+    // a statement referencing the table is pinned at resolution: the
+    // loadTable version survives concurrent commits (snapshot read)
+    val before = spark.sql(s"SELECT count(*) AS n FROM $catalog.db.t")
+    val planned = before.queryExecution.analyzed // resolution happens here
+    ops.append(spark, table, rows(300, 310))
+    assert(before.head.getLong(0) === 300,
+      "a resolved statement reads the snapshot it resolved against")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.t").head.getLong(0) === 310)
+    assert(planned != null)
+
+    // deletion vectors subtract through SQL (the wrong-rows hazard a
+    // raw file scan would hit): MoR delete moves no files, yet SQL
+    // must not see the deleted rows
+    val filesBefore = ops.snapshotFiles(table).toSet
+    ops.deleteMoR(spark, table, col("k") < 10L)
+    assert(ops.snapshotFiles(table).toSet === filesBefore)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.t").head.getLong(0) === 300)
+
+    // column renames resolve logically through SQL: data files keep
+    // the physical name, the SQL reader sees the logical one
+    ops.renameColumn(spark, table, "v", "val")
+    val renamed = spark.sql(s"SELECT k, val FROM $catalog.db.t WHERE k = 20")
+    assert(renamed.head.getLong(1) === 200)
+
+    // catalog metadata surfaces
+    val tables = spark.sql(s"SHOW TABLES IN $catalog.db").collect()
+    assert(tables.map(_.getString(1)).toSet === Set("t"))
+    val desc = spark.sql(s"DESCRIBE TABLE $catalog.db.t").collect()
+    assert(desc.map(_.getString(0)).toSet.intersect(Set("k", "val")) === Set("k", "val"))
+
+    // a second table in a sibling namespace lists independently
+    ops.overwrite(spark, s"$root/other/u", rows(0, 5))
+    assert(spark.sql(s"SHOW TABLES IN $catalog.other").collect()
+      .map(_.getString(1)).toSet === Set("u"))
+    val nss = spark.sql(s"SHOW NAMESPACES IN $catalog").collect()
+      .map(_.getString(0)).toSet
+    assert(Set("db", "other").subsetOf(nss))
+
+    // read-only: DDL writes refuse with a pointer at the Scala API
+    val ddlErr = intercept[UnsupportedOperationException] {
+      spark.sql(s"DROP TABLE $catalog.db.t")
+    }
+    assert(ddlErr.getMessage.contains("read-only"))
+
+    // missing tables fail as table-not-found, not an internal error
+    val missing = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM $catalog.db.nope").collect()
+    }
+    assert(missing.getMessage.toLowerCase.contains("table"))
+  }
+
+  test("SQL catalog battery — POSIX-link backend (default ops)") {
+    battery("graft", VersionedTable)
+  }
+
+  test("SQL catalog battery — object-store backend (registered ops)") {
+    val ops = new VersionedTableOps(new InMemoryCommitStore)
+    GraftCatalog.setOps("graftmem", ops)
+    battery("graftmem", ops)
+  }
+
+  test("two relations of one table in one statement see one snapshot") {
+    val root = freshRoot("selfjoin")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    VersionedTable.overwrite(spark, s"$root/db/s", rows(0, 50))
+    // self-join through the catalog: both legs resolve to the same
+    // pinned version, so the join is consistent even mid-commit
+    val joined = spark.sql(
+      """SELECT a.k FROM graft.db.s a JOIN graft.db.s b ON a.k = b.k""")
+    assert(joined.count() === 50)
+  }
+
+  test("time travel to a vacuumed or absent version fails loudly") {
+    val root = freshRoot("badversion")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    VersionedTable.overwrite(spark, s"$root/db/w", rows(0, 10))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft.db.w VERSION AS OF 99").collect()
+    }
+    assert(e.getMessage.contains("99"))
+  }
+}
