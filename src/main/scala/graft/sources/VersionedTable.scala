@@ -1491,11 +1491,27 @@ class VersionedTableOps(val store: CommitStore) {
     * never degrades, whatever the spec's cardinality. `on` must
     * include the shared leading partition columns; extra key columns
     * join within each pair.
+    *
+    * `rangesLeft` / `rangesRight` compose the aligned join with ZONE
+    * MAPS: each is a conjunction of (logical column, lo, hi) range
+    * predicates (the [[readRanges]] double domain) restricting that
+    * SIDE'S ROWS BEFORE the join — filter-then-join semantics, the
+    * outer family included. Every branch's file list then drops the
+    * files whose committed stats cannot intersect the ranges (pair
+    * branches, the hybrid residual, and the outer rest branches
+    * alike), and the exact native-typed residual re-filters the
+    * survivors — so on a clustered layout a range-restricted aligned
+    * join opens O(matching files) per value directory instead of the
+    * whole directory, composing the two pruning axes (partition
+    * tuple × zone map) the way a warehouse query with BOTH a key
+    * equality and a range filter needs.
     */
   def joinPartitioned(spark: SparkSession, left: String, right: String,
       on: Seq[String], joinType: String = "inner",
       vLeft: Option[Long] = None, vRight: Option[Long] = None,
-      maxBranches: Int = 64): DataFrame = {
+      maxBranches: Int = 64,
+      rangesLeft: Seq[(String, Double, Double)] = Nil,
+      rangesRight: Seq[(String, Double, Double)] = Nil): DataFrame = {
     val jt = joinType.toLowerCase.replace("_", "").replace("outer", "") match {
       case "inner" => "inner"
       case "left" => "left_outer"
@@ -1533,6 +1549,26 @@ class VersionedTableOps(val store: CommitStore) {
       .toSeq.sortBy(_.mkString("/"))
     lazy val fullL = read(spark, left, Some(vl))
     lazy val fullR = read(spark, right, Some(vr))
+    // zone-map composition: prune each branch's files on the side's
+    // ranges (stats are keyed by PHYSICAL names), read the survivors,
+    // and re-apply the exact native-typed residual on LOGICAL names.
+    // An all-pruned branch reads as the side's empty frame — limit(0)
+    // folds to an empty relation, no file is opened.
+    def readSide(table: String, v: Long, ren: Map[String, String],
+        files: Seq[String], ranges: Seq[(String, Double, Double)]): DataFrame =
+      if (ranges.isEmpty) readFiles(spark, table, v, files)
+      else {
+        val phys = ranges.map { case (c, lo, hi) => (physicalName(ren, c), lo, hi) }
+        val kept = keepByZoneMaps(table, files, phys, Nil, Nil)
+        val base =
+          if (kept.isEmpty) readFiles(spark, table, v, files).limit(0)
+          else readFiles(spark, table, v, kept)
+        ranges.foldLeft(base) { case (d, (c, lo, hi)) =>
+          d.filter(residualCond(d, c, lo, hi))
+        }
+      }
+    def readL(files: Seq[String]) = readSide(left, vl, renL, files, rangesLeft)
+    def readR(files: Seq[String]) = readSide(right, vr, renR, files, rangesRight)
     val (paired, residual) =
       if (common.size <= maxBranches) (common, Seq.empty[Seq[String]])
       else {
@@ -1540,26 +1576,81 @@ class VersionedTableOps(val store: CommitStore) {
         (bySize.take(maxBranches), bySize.drop(maxBranches))
       }
     val pairs = paired.map { t =>
-      readFiles(spark, left, vl, tupL(t))
-        .join(readFiles(spark, right, vr, tupR(t)), on, jt)
+      readL(tupL(t)).join(readR(tupR(t)), on, jt)
     } ++ (if (residual.isEmpty) Nil else Seq(
-      readFiles(spark, left, vl, residual.flatMap(tupL).sorted)
-        .join(readFiles(spark, right, vr, residual.flatMap(tupR).sorted), on, jt)))
+      readL(residual.flatMap(tupL).sorted)
+        .join(readR(residual.flatMap(tupR).sorted), on, jt)))
     val commonSet = common.toSet
     def rest(m: Map[Seq[String], Seq[String]]): Seq[String] =
       m.view.filterKeys(!commonSet.contains(_)).toSeq
         .sortBy(_._1.mkString("/")).flatMap(_._2)
     val leftRest =
       if ((jt == "left_outer" || jt == "full_outer") && rest(tupL).nonEmpty)
-        Seq(readFiles(spark, left, vl, rest(tupL)).join(fullR.limit(0), on, jt))
+        Seq(readL(rest(tupL)).join(fullR.limit(0), on, jt))
       else Nil
     val rightRest =
       if ((jt == "right_outer" || jt == "full_outer") && rest(tupR).nonEmpty)
-        Seq(fullL.limit(0).join(readFiles(spark, right, vr, rest(tupR)), on, jt))
+        Seq(fullL.limit(0).join(readR(rest(tupR)), on, jt))
       else Nil
     val branches = pairs ++ leftRest ++ rightRest
     if (branches.isEmpty) fullL.join(fullR, on, jt).limit(0)
     else branches.reduce(_ unionByName _)
+  }
+
+  /** How many files a range-restricted aligned join would OPEN on
+    * each side — the zone-map-composition evidence surface (specs
+    * assert fewer files than the partition tuples hold): per common
+    * tuple (plus the preserved side's rest, matching
+    * [[joinPartitioned]]'s branch structure), the side's files kept
+    * by [[keepByZoneMaps]] under the side's ranges. O(manifest +
+    * stats) driver metadata, no data job.
+    */
+  def joinPartitionedFiles(left: String, right: String, on: Seq[String],
+      joinType: String = "inner",
+      vLeft: Option[Long] = None, vRight: Option[Long] = None,
+      rangesLeft: Seq[(String, Double, Double)] = Nil,
+      rangesRight: Seq[(String, Double, Double)] = Nil): (Int, Int) = {
+    val jt = joinType.toLowerCase.replace("_", "").replace("outer", "") match {
+      case "inner" => "inner"
+      case "left" => "left_outer"
+      case "right" => "right_outer"
+      case "full" | "" => "full_outer"
+      case other => throw new IllegalArgumentException(
+        s"joinPartitionedFiles supports inner/left/right/full, not '$joinType'")
+    }
+    val vl = vLeft.getOrElse(versions(left).last)
+    val vr = vRight.getOrElse(versions(right).last)
+    val specL = manifestPartitionBy(left, vl)
+    val specR = manifestPartitionBy(right, vr)
+    val renL = manifestRenames(left, vl)
+    val renR = manifestRenames(right, vr)
+    val logSpecL = specL.map(ph => renL.getOrElse(ph, ph))
+    val logSpecR = specR.map(ph => renR.getOrElse(ph, ph))
+    val k = (1 to math.min(logSpecL.size, logSpecR.size)).reverse.find(i =>
+      logSpecL.take(i) == logSpecR.take(i) &&
+        logSpecL.take(i).forall(on.contains)).getOrElse(0)
+    require(k >= 1, "the leading partition columns must agree and be joined on")
+    val tupL = partitionTupleFiles(left, specL.take(k), vl)
+    val tupR = partitionTupleFiles(right, specR.take(k), vr)
+    val nullSeg = "__HIVE_DEFAULT_PARTITION__"
+    def nonNull(ts: Set[Seq[String]]) = ts.filterNot(_.contains(nullSeg))
+    val common = nonNull(tupL.keySet) intersect nonNull(tupR.keySet)
+    def kept(table: String, ren: Map[String, String], files: Seq[String],
+        ranges: Seq[(String, Double, Double)]): Int =
+      if (ranges.isEmpty) files.size
+      else keepByZoneMaps(table, files,
+        ranges.map { case (c, lo, hi) => (physicalName(ren, c), lo, hi) },
+        Nil, Nil).size
+    val commonSet = common
+    def rest(m: Map[Seq[String], Seq[String]]): Seq[String] =
+      m.view.filterKeys(!commonSet.contains(_)).toSeq.flatMap(_._2)
+    val nL = common.toSeq.map(t => kept(left, renL, tupL(t), rangesLeft)).sum +
+      (if (jt == "left_outer" || jt == "full_outer")
+        kept(left, renL, rest(tupL), rangesLeft) else 0)
+    val nR = common.toSeq.map(t => kept(right, renR, tupR(t), rangesRight)).sum +
+      (if (jt == "right_outer" || jt == "full_outer")
+        kept(right, renR, rest(tupR), rangesRight) else 0)
+    (nL, nR)
   }
 
   /** Probe/drop values must BE the path segment Spark's writer

@@ -830,6 +830,61 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     intercept[IllegalArgumentException] { ops.joinPartitioned(spark, a, u, Seq("p")) }
   }
 
+  test(s"[$backend] aligned join composes with zone maps: ranges prune per-branch files") {
+    val a = freshTable("pjz-a")
+    val b = freshTable("pjz-b")
+    def rowsA = spark.range(0, 600).select(
+      col("id").as("k"),
+      concat(lit("P"), (col("id") % 3).cast("string")).as("p"),
+      (col("id") * 2).as("v"))
+    def rowsB = spark.range(0, 251).select(
+      col("id").as("k"),
+      concat(lit("P"), (col("id") % 3).cast("string")).as("p"),
+      (col("id") * 7).as("w"))
+    // k-clustered WITHIN each value dir: range-partition upstream so
+    // every file's committed k interval is a narrow band
+    ops.overwritePartitioned(spark, a, rowsA.repartitionByRange(6, col("k")), Seq("p"))
+    ops.overwritePartitioned(spark, b, rowsB.repartitionByRange(6, col("k")), Seq("p"))
+    val rl = Seq(("k", 200.0, 280.0))
+    val rr = Seq(("k", 150.0, 300.0))
+    // the evidence surface: fewer files opened than the tuples hold
+    val (nl, nr) = ops.joinPartitionedFiles(a, b, Seq("p", "k"),
+      rangesLeft = rl, rangesRight = rr)
+    val (totL, totR) = (ops.snapshotFiles(a).size, ops.snapshotFiles(b).size)
+    assert(nl > 0 && nl < totL, s"left ranges must prune ($nl/$totL)")
+    assert(nr > 0 && nr < totR, s"right ranges must prune ($nr/$totR)")
+    // row parity with plain filter-then-join
+    val got = ops.joinPartitioned(spark, a, b, Seq("p", "k"),
+      rangesLeft = rl, rangesRight = rr)
+    val want = ops.read(spark, a).filter(col("k").between(200, 280))
+      .join(ops.read(spark, b).filter(col("k").between(150, 300)), Seq("p", "k"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "range-restricted aligned join == filter-then-join")
+    assert(got.count() === 51, "k in [200,280] ∩ b's k<251 coverage")
+    // the executed scan really opens only the kept files
+    assert(got.inputFiles.length <= nl + nr,
+      s"opened ${got.inputFiles.length} files, zone maps kept $nl+$nr")
+    // outer family: the range restricts the side BEFORE the join, so
+    // left rows beyond b's coverage survive null-extended
+    val lo = ops.joinPartitioned(spark, a, b, Seq("p", "k"), "left",
+      rangesLeft = rl)
+    val wantLo = ops.read(spark, a).filter(col("k").between(200, 280))
+      .join(ops.read(spark, b), Seq("p", "k"), "left")
+    assert(lo.except(wantLo).isEmpty && wantLo.except(lo).isEmpty)
+    assert(lo.count() === 81 && lo.filter(col("w").isNull).count() === 30,
+      "filter-then-join: unmatched left rows null-extend")
+    // a range beyond every file's stats folds to the empty frame
+    assert(ops.joinPartitioned(spark, a, b, Seq("p", "k"),
+      rangesLeft = Seq(("k", 5000.0, 6000.0))).count() === 0)
+    // hybrid path keeps the pruning (every tuple in the residual)
+    val hybrid = ops.joinPartitioned(spark, a, b, Seq("p", "k"),
+      maxBranches = 1, rangesLeft = rl, rangesRight = rr)
+    assert(hybrid.except(want).isEmpty && want.except(hybrid).isEmpty,
+      "hybrid branch planning preserves range semantics")
+    assert(hybrid.inputFiles.length <= nl + nr,
+      "the hybrid residual branch prunes on zone maps too")
+  }
+
   test(s"[$backend] id column mapping: stable physical ids make rename/drop/re-add free") {
     val t = freshTable("idmap")
     def rows(lo: Long, hi: Long) = spark.range(lo, hi).select(
