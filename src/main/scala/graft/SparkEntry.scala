@@ -131,6 +131,7 @@ object SparkEntry {
     "q_table_changes" -> (operators.VersionedQueries.qTableChanges _),
     "q_zone_map_auto" -> (operators.VersionedQueries.qZoneMapAuto _),
     "q_sql_catalog" -> (operators.VersionedQueries.qSqlCatalog _),
+    "q_sql_dml" -> (operators.VersionedQueries.qSqlDml _),
     "q_optimize_cluster" -> (operators.VersionedQueries.qOptimizeCluster _),
     "q_optimize_zorder" -> (operators.VersionedQueries.qOptimizeZorder _),
     "q_zone_map_prefix" -> (operators.VersionedQueries.qZoneMapPrefix _),
@@ -1102,6 +1103,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT c_custkey, c_acctbal, 'v1' AS src FROM customer, b
         |WHERE c_custkey <= third""".stripMargin,
+    // q_sql_dml ran the whole lifecycle in SQL text — CTAS (even keys)
+    // + INSERT INTO (odd keys) + DELETE FROM (negative balances, COW)
+    // + ALTER TABLE RENAME COLUMN + a VERSION AS OF pre-delete leg.
+    // The oracle replays the NET effect: survivors are the rows the
+    // delete kept (condition false OR NULL — SQL DELETE semantics),
+    // the pre-delete leg is the plain total.
+    "q_sql_dml" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+        |FROM customer
+        |WHERE c_acctbal >= 0 OR c_acctbal IS NULL
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT 'PRE_DELETE' AS c_mktsegment, COUNT(*) AS n,
+        |       CAST(0 AS DOUBLE) AS bal
+        |FROM customer""".stripMargin,
     // q_zone_map_date/decimal went through the round-7 DATE / DECIMAL
     // footer-stats zone maps (each query asserts files were skipped);
     // the oracles are the plain range filters skipping must be

@@ -1337,4 +1337,55 @@ object VersionedQueries {
          |FROM graft.sales.cust VERSION AS OF $v1""".stripMargin)
     head.unionAll(pinned)
   }
+
+  /** q_sql_dml: the SQL WRITE path (round 10, second half) under the
+    * oracle gate — a full DML lifecycle in pure `spark.sql` text:
+    * CTAS seeds the table (catalog createTable + the CTAS insert),
+    * INSERT INTO appends the other half, DELETE FROM removes the
+    * negative balances copy-on-write, ALTER TABLE RENAME COLUMN
+    * re-labels the balance column metadata-only, and the final SELECT
+    * reads back through the same zone-map-indexed catalog path, with
+    * a VERSION AS OF leg pinning the PRE-delete snapshot (time travel
+    * must see the deleted rows). Every statement is ONE commit
+    * through the CAS'd log — asserted by counting versions — so SQL
+    * writers interleave with Scala writers safely.
+    *
+    * The DuckDB oracle replays the lifecycle's NET effect over the
+    * source table: surviving rows are those the delete kept (NULL
+    * conditions keep their rows — SQL DELETE semantics), and the
+    * pre-delete leg is the plain total.
+    */
+  def qSqlDml(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-vq-sqldml").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    t(spark, dir, "customer").createOrReplaceTempView("vq_sqldml_customer")
+    // CTAS: even keys (create commit + the CTAS insert commit)
+    spark.sql(
+      """CREATE TABLE graft.dml.cust AS
+        |SELECT c_custkey, c_acctbal, c_mktsegment FROM vq_sqldml_customer
+        |WHERE c_custkey % 2 = 0""".stripMargin)
+    // INSERT INTO: odd keys — the append commit
+    spark.sql(
+      """INSERT INTO graft.dml.cust
+        |SELECT c_custkey, c_acctbal, c_mktsegment FROM vq_sqldml_customer
+        |WHERE c_custkey % 2 = 1""".stripMargin)
+    val table = root + "/dml/cust"
+    val preDeleteV = VersionedTable.versions(table).last
+    // DELETE FROM: negative balances, copy-on-write through the log
+    spark.sql("DELETE FROM graft.dml.cust WHERE c_acctbal < 0")
+    // ALTER TABLE: metadata-only rename; the final read uses the new name
+    spark.sql("ALTER TABLE graft.dml.cust RENAME COLUMN c_acctbal TO balance")
+    val vs = VersionedTable.versions(table)
+    require(vs.size == 5,
+      s"create+ctas+insert+delete+rename must be five commits, got ${vs.size}")
+    spark.sql(
+      s"""SELECT c_mktsegment, COUNT(*) AS n,
+         |       CAST(SUM(CAST(balance AS DECIMAL(18,4))) AS DOUBLE) AS bal
+         |FROM graft.dml.cust GROUP BY c_mktsegment
+         |UNION ALL
+         |SELECT 'PRE_DELETE' AS c_mktsegment, COUNT(*) AS n,
+         |       CAST(0 AS DOUBLE) AS bal
+         |FROM graft.dml.cust VERSION AS OF $preDeleteV""".stripMargin)
+  }
 }

@@ -2,11 +2,15 @@ package graft.sql
 
 import java.util
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -48,10 +52,34 @@ import graft.sources.{VersionedTable, VersionedTableOps}
   * metadata — no data job. The data work happens in the swapped-in
   * scan, which is the already-audited zone-map read path.
   *
-  * The catalog is read-only by design for now (writes go through the
-  * transactional Scala API — VersionedTable.append/upsert/merge —
-  * whose commit-closure semantics SQL INSERT cannot express); DDL
-  * writes throw with a pointer at the API.
+  * Write path (round 10, second half): the SQL statements whose
+  * semantics map EXACTLY onto one transactional-API commit are
+  * supported — each SQL statement is one commit through the same
+  * CAS'd log, so SQL writers and Scala writers interleave safely:
+  *
+  *  - `INSERT INTO graft.db.t SELECT …` → [[VersionedTableOps.append]]
+  *    (V1Write fallback: the fully-planned insert frame is handed to
+  *    the append path, which stages data once and CAS-commits —
+  *    schema-on-write checks, constraints, id mapping all apply);
+  *  - `INSERT OVERWRITE graft.db.t SELECT …` →
+  *    [[VersionedTableOps.overwrite]] (the truncate-capable builder);
+  *  - `DELETE FROM graft.db.t WHERE …` → [[VersionedTableOps.delete]]
+  *    (copy-on-write) for conditions expressible as DSv2 filters —
+  *    anything else refuses loudly rather than approximating;
+  *  - `CREATE TABLE graft.db.t (…)` / `CREATE TABLE … AS SELECT` →
+  *    an empty [[VersionedTableOps.overwrite]] commit (+ the CTAS
+  *    insert). Partition transforms refuse with a pointer at
+  *    overwritePartitioned (SQL cannot name graft's value-directory
+  *    layout yet);
+  *  - `ALTER TABLE … RENAME COLUMN` / `DROP COLUMN` → the
+  *    metadata-only [[VersionedTableOps.renameColumn]] /
+  *    [[VersionedTableOps.dropColumn]] commits.
+  *
+  * Statements whose semantics do NOT collapse to one commit closure
+  * (UPDATE/MERGE row-level rewrites, DROP TABLE's physical removal)
+  * still throw with a pointer at the transactional Scala API — a SQL
+  * surface that silently half-implements a mutation is worse than
+  * one that refuses.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -140,18 +168,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def invalidateTable(ident: Identifier): Unit = ()
 
+  /** `CREATE TABLE` (and the create half of CTAS): version 0 is an
+    * empty overwrite commit carrying the declared schema in its
+    * manifest — the same bootstrap the Scala API produces, so every
+    * later reader/writer (either surface) sees an ordinary versioned
+    * table. Partition transforms refuse: SQL `PARTITIONED BY` cannot
+    * yet name graft's value-directory spec (overwritePartitioned is
+    * the API for that layout).
+    */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft is read-only over SQL — create tables with VersionedTable.overwrite")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft SQL CREATE TABLE does not take PARTITIONED BY — use " +
+        "VersionedTable.overwritePartitioned for value-directory layouts")
+    val path = tablePath(ident)
+    if (isTable(path)) throw new TableAlreadyExistsException(ident)
+    val spark = SparkSession.active
+    // one empty partition → one zero-row parquet file, so version 0 is
+    // an ordinary manifest (no zero-file snapshot edge case anywhere)
+    ops.overwrite(spark, path, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema).repartition(1))
+    loadTable(ident)
+  }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft is read-only over SQL — use VersionedTable.renameColumn/dropColumn")
+  /** `ALTER TABLE` for the two metadata-only column commits the layer
+    * already owns; every other change refuses (ADD COLUMN is schema
+    * evolution ON APPEND by design — declaring a column that no file
+    * carries is indistinguishable from it).
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    val spark = SparkSession.active
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft renames top-level columns only")
+        ops.renameColumn(spark, path, r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "graft drops top-level columns only")
+        ops.dropColumn(spark, path, d.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
+        s"graft SQL ALTER TABLE supports RENAME/DROP COLUMN only, not $other " +
+          "— use the VersionedTable API")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
-      "graft is read-only over SQL — use VersionedTable.vacuum")
+      "graft SQL does not DROP tables (physical removal is not one " +
+        "commit) — use VersionedTable.vacuum and remove the directory")
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft is read-only over SQL")
@@ -220,7 +288,8 @@ object GraftCatalog {
   * format-version check).
   */
 class GraftSqlTable(val ops: VersionedTableOps, val path: String,
-    val pinnedVersion: Long, ident: Identifier) extends Table with SupportsRead {
+    val pinnedVersion: Long, ident: Identifier)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"graft:${ident}@v$pinnedVersion"
 
@@ -228,7 +297,8 @@ class GraftSqlTable(val ops: VersionedTableOps, val path: String,
     ops.read(SparkSession.active, path, Some(pinnedVersion)).schema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
@@ -240,17 +310,110 @@ class GraftSqlTable(val ops: VersionedTableOps, val path: String,
     m
   }
 
+  /** A shape-only ScanBuilder: row-level commands (DELETE FROM) run
+    * the optimizer's scan planning over the target relation purely to
+    * fix its output attributes — that path must succeed. EXECUTING
+    * the scan is what would bypass deletion vectors and column
+    * renames, so the refusal lives in `toBatch` (reached only by a
+    * session missing the extensions rule; with the rule installed,
+    * read relations are swapped at analysis and never get here).
+    */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    throw new IllegalStateException(
-      "graft SQL reads require the extensions rule (set spark.sql.extensions=" +
-        "graft.sql.GraftSqlExtensions, or graft.plans.GraftExtensions): a raw " +
-        "DSv2 scan would bypass deletion vectors and column renames")
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = schema
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            throw new IllegalStateException(
+              "graft SQL reads require the extensions rule (set spark.sql.extensions=" +
+                "graft.sql.GraftSqlExtensions, or graft.plans.GraftExtensions): a raw " +
+                "DSv2 scan would bypass deletion vectors and column renames")
+        }
+    }
 
   /** The plan the relation becomes: the zone-map-indexed read of this
     * pinned version (predicates prune manifest files at planning).
     */
   def resolve(spark: SparkSession): org.apache.spark.sql.DataFrame =
     ops.readIndexed(spark, path, Some(pinnedVersion))
+
+  /** INSERT INTO → append; INSERT OVERWRITE (truncating) → overwrite.
+    * The V1Write fallback hands the fully-analyzed insert frame to
+    * the SAME transactional entry points the Scala API uses — one SQL
+    * statement = one CAS'd commit, with schema-on-write checks, CHECK
+    * constraints and id mapping enforced by the entry point, not
+    * re-implemented here. Writes land on the LIVE head (the commit
+    * loop re-reads it), not this reader's pinned version — a write
+    * has no snapshot to pin.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val spark = data.sparkSession
+              if (replace || overwrite) ops.overwrite(spark, path, data)
+              else { ops.append(spark, path, data); () }
+            }
+          }
+      }
+    }
+
+  /** DELETE FROM … WHERE … → the copy-on-write [[VersionedTableOps
+    * .delete]], for conditions that arrive whole as DSv2 filters.
+    * `canDeleteWhere` is honest: a condition with any untranslatable
+    * conjunct refuses the WHOLE statement (Spark then errors instead
+    * of silently deleting a superset/subset — the only safe answer).
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    GraftSqlTable.filtersToColumn(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = GraftSqlTable.filtersToColumn(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft DELETE cannot express ${filters.mkString(", ")} — use " +
+          "VersionedTable.delete with a Column condition"))
+    ops.delete(SparkSession.active, path, cond)
+    ()
+  }
+}
+
+object GraftSqlTable {
+  /** DSv2 [[Filter]]s → one [[Column]] conjunction; None when any
+    * node falls outside the translatable subset. Attribute names
+    * arrive dot-joined for nested fields — `col` resolves those
+    * natively, so no quoting is applied.
+    */
+  private[sql] def filtersToColumn(filters: Array[Filter]): Option[Column] =
+    filters.foldLeft(Option(lit(true))) { (acc, f) =>
+      for (a <- acc; c <- filterToColumn(f)) yield a && c
+    }
+
+  private def filterToColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case sources.And(l, r) =>
+      for (cl <- filterToColumn(l); cr <- filterToColumn(r)) yield cl && cr
+    case sources.Or(l, r) =>
+      for (cl <- filterToColumn(l); cr <- filterToColumn(r)) yield cl || cr
+    case sources.Not(c) => filterToColumn(c).map(not)
+    case _ => None
+  }
 }
 
 /** Resolution rule: DSv2 relation over a [[GraftSqlTable]] → the
@@ -263,10 +426,21 @@ class GraftSqlRule(spark: SparkSession)
     extends org.apache.spark.sql.catalyst.rules.Rule[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.Alias
-  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, MergeIntoTable, Project, UpdateTable}
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // row-level commands hold the DSv2 relation as their CHILD: the
+    // swap would strip the SupportsDelete table the planner needs
+    // (write commands are immune — V2WriteCommand.table is a field,
+    // not a child, and the INSERT's source query SHOULD be swapped).
+    // DELETE's condition resolves against the relation's own output,
+    // so leaving the subtree alone is complete, not just safe.
+    case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable => plan
+    case _ => apply0(plan)
+  }
+
+  private def apply0(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] =>
       val table = r.table.asInstanceOf[GraftSqlTable]
       val replacement = table.resolve(spark).queryExecution.analyzed

@@ -116,11 +116,11 @@ class SqlCatalogSpec extends SparkSpec {
       .map(_.getString(0)).toSet
     assert(Set("db", "other").subsetOf(nss))
 
-    // read-only: DDL writes refuse with a pointer at the Scala API
+    // non-single-commit DDL refuses with a pointer at the Scala API
     val ddlErr = intercept[UnsupportedOperationException] {
       spark.sql(s"DROP TABLE $catalog.db.t")
     }
-    assert(ddlErr.getMessage.contains("read-only"))
+    assert(ddlErr.getMessage.contains("DROP"))
 
     // missing tables fail as table-not-found, not an internal error
     val missing = intercept[org.apache.spark.sql.AnalysisException] {
@@ -158,5 +158,111 @@ class SqlCatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft.db.w VERSION AS OF 99").collect()
     }
     assert(e.getMessage.contains("99"))
+  }
+
+  /** The SQL WRITE battery (round 10, second half): every statement
+    * that maps onto ONE transactional commit works in pure SQL text —
+    * CREATE/CTAS, INSERT INTO/OVERWRITE, DELETE FROM, ALTER RENAME/
+    * DROP COLUMN — lands through the SAME entry points the Scala API
+    * uses (one statement = one CAS'd commit, interleaving safely with
+    * Scala writers), and everything that does NOT collapse to one
+    * commit refuses loudly instead of approximating.
+    */
+  private def dmlBattery(catalog: String, ops: VersionedTableOps): Unit = {
+    val root = freshRoot(s"$catalog-dml")
+    spark.conf.set(s"spark.sql.catalog.$catalog", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$catalog.root", root)
+    val table = s"$root/db/t"
+
+    // CREATE TABLE: version 0 is an empty commit carrying the schema
+    spark.sql(s"CREATE TABLE $catalog.db.t (k BIGINT, v BIGINT)")
+    assert(ops.versions(table).size === 1)
+    assert(spark.sql(s"SELECT * FROM $catalog.db.t").count() === 0)
+
+    // INSERT INTO (VALUES and SELECT): each one append commit
+    spark.sql(s"INSERT INTO $catalog.db.t VALUES (1, 10), (2, 20)")
+    spark.sql(s"INSERT INTO $catalog.db.t SELECT id AS k, id * 10 AS v " +
+      "FROM range(3, 100)")
+    assert(ops.versions(table).size === 3)
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $catalog.db.t").head.getLong(0)
+      === (1L until 100).map(_ * 10).sum)
+
+    // SQL writes interleave with Scala writes on one log
+    ops.append(spark, table, rows(100, 110))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.t")
+      .head.getLong(0) === 109)
+
+    // DELETE FROM with a translatable condition: copy-on-write, and
+    // time travel still sees the deleted rows
+    val preDelete = ops.versions(table).last
+    spark.sql(s"DELETE FROM $catalog.db.t WHERE k < 10 OR k >= 100")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.t")
+      .head.getLong(0) === 90)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $catalog.db.t VERSION AS OF $preDelete")
+      .head.getLong(0) === 109)
+
+    // DELETE with an untranslatable condition refuses the WHOLE
+    // statement (no silent superset/subset delete)
+    val badDelete = intercept[Exception] {
+      spark.sql(s"DELETE FROM $catalog.db.t WHERE k % 2 = 0")
+    }
+    assert(badDelete.getMessage.toLowerCase.matches("(?s).*(delete|filter|rewrite).*"),
+      s"unexpected refusal shape: ${badDelete.getMessage}")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.t")
+      .head.getLong(0) === 90, "a refused DELETE must change nothing")
+
+    // INSERT OVERWRITE: one overwrite commit replacing the snapshot
+    spark.sql(s"INSERT OVERWRITE $catalog.db.t SELECT id AS k, id AS v " +
+      "FROM range(0, 7)")
+    assert(spark.sql(s"SELECT count(*) AS n, sum(v) AS s FROM $catalog.db.t")
+      .head.getLong(0) === 7)
+
+    // ALTER TABLE: the two metadata-only column commits
+    spark.sql(s"ALTER TABLE $catalog.db.t RENAME COLUMN v TO val")
+    assert(spark.sql(s"SELECT sum(val) AS s FROM $catalog.db.t")
+      .head.getLong(0) === 21)
+    spark.sql(s"ALTER TABLE $catalog.db.t DROP COLUMN val")
+    assert(spark.sql(s"SELECT * FROM $catalog.db.t").columns.toSeq === Seq("k"))
+
+    // CTAS: create + insert, reads back through the indexed path
+    spark.sql(s"CREATE TABLE $catalog.db.c AS SELECT id AS k, id * 2 AS dbl " +
+      "FROM range(0, 50)")
+    assert(spark.sql(s"SELECT sum(dbl) AS s FROM $catalog.db.c")
+      .head.getLong(0) === (0L until 50).map(_ * 2).sum)
+    assert(ops.versions(s"$root/db/c").size === 2)
+
+    // refusals: PARTITIONED BY, UPDATE, and ADD COLUMN don't collapse
+    // to one commit (or can't be expressed) — loud errors, no effect
+    val part = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $catalog.db.p (k BIGINT) PARTITIONED BY (k)")
+    }
+    assert(part.getMessage.contains("PARTITIONED") ||
+      part.getMessage.contains("partition"))
+    val upd = intercept[Exception] {
+      spark.sql(s"UPDATE $catalog.db.t SET k = 0 WHERE k = 1")
+    }
+    assert(upd != null)
+    val add = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $catalog.db.t ADD COLUMN extra BIGINT")
+    }
+    assert(add.getMessage.contains("RENAME/DROP") ||
+      add.getMessage.toLowerCase.contains("support"))
+
+    // a schema-conflicting insert is refused at analysis (arity)
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"INSERT INTO $catalog.db.t VALUES (1, 2)")
+    }
+    assert(bad != null)
+  }
+
+  test("SQL DML battery — POSIX-link backend (default ops)") {
+    dmlBattery("graft", VersionedTable)
+  }
+
+  test("SQL DML battery — object-store backend (registered ops)") {
+    val ops = new VersionedTableOps(new InMemoryCommitStore)
+    GraftCatalog.setOps("graftmemdml", ops)
+    dmlBattery("graftmemdml", ops)
   }
 }
