@@ -132,6 +132,7 @@ object SparkEntry {
     "q_zone_map_auto" -> (operators.VersionedQueries.qZoneMapAuto _),
     "q_sql_catalog" -> (operators.VersionedQueries.qSqlCatalog _),
     "q_sql_dml" -> (operators.VersionedQueries.qSqlDml _),
+    "q_sql_merge" -> (operators.VersionedQueries.qSqlMerge _),
     "q_optimize_cluster" -> (operators.VersionedQueries.qOptimizeCluster _),
     "q_optimize_zorder" -> (operators.VersionedQueries.qOptimizeZorder _),
     "q_zone_map_prefix" -> (operators.VersionedQueries.qZoneMapPrefix _),
@@ -1105,13 +1106,16 @@ object SparkEntry {
         |WHERE c_custkey <= third""".stripMargin,
     // q_sql_dml ran the whole lifecycle in SQL text — CTAS (even keys)
     // + INSERT INTO (odd keys) + DELETE FROM (negative balances, COW)
-    // + ALTER TABLE RENAME COLUMN + a VERSION AS OF pre-delete leg.
-    // The oracle replays the NET effect: survivors are the rows the
-    // delete kept (condition false OR NULL — SQL DELETE semantics),
-    // the pre-delete leg is the plain total.
+    // + UPDATE (BUILDING balances +100) + ALTER TABLE RENAME COLUMN +
+    // a VERSION AS OF pre-delete leg. The oracle replays the NET
+    // effect: survivors are the rows the delete kept (condition false
+    // OR NULL — SQL DELETE semantics) with the update's arithmetic
+    // applied, the pre-delete leg is the plain total.
     "q_sql_dml" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
-        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+        |       CAST(SUM(CAST(CASE WHEN c_mktsegment = 'BUILDING'
+        |                          THEN c_acctbal + 100 ELSE c_acctbal END
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS bal
         |FROM customer
         |WHERE c_acctbal >= 0 OR c_acctbal IS NULL
         |GROUP BY c_mktsegment
@@ -1119,6 +1123,26 @@ object SparkEntry {
         |SELECT 'PRE_DELETE' AS c_mktsegment, COUNT(*) AS n,
         |       CAST(0 AS DOUBLE) AS bal
         |FROM customer""".stripMargin,
+    // q_sql_merge ran the canonical-upsert MERGE in SQL text over a
+    // CTAS'd supplier table: matched keys (s_suppkey % 3 = 0) take
+    // doubled balances, unmatched synthetic keys (+10^6) insert. The
+    // oracle composes the same source union with the untouched rows.
+    "q_sql_merge" ->
+      """WITH src AS (
+        |  SELECT s_suppkey, s_acctbal * 2 AS s_acctbal FROM supplier
+        |  WHERE s_suppkey % 3 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 1000000 AS s_suppkey,
+        |         CAST(42.0 AS DOUBLE) AS s_acctbal FROM supplier
+        |  WHERE s_suppkey % 7 = 0),
+        |merged AS (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT s_suppkey, s_acctbal FROM supplier
+        |  WHERE s_suppkey NOT IN (SELECT s_suppkey FROM src))
+        |SELECT COUNT(*) AS n,
+        |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM merged""".stripMargin,
     // q_zone_map_date/decimal went through the round-7 DATE / DECIMAL
     // footer-stats zone maps (each query asserts files were skipped);
     // the oracles are the plain range filters skipping must be

@@ -1374,11 +1374,15 @@ object VersionedQueries {
     val preDeleteV = VersionedTable.versions(table).last
     // DELETE FROM: negative balances, copy-on-write through the log
     spark.sql("DELETE FROM graft.dml.cust WHERE c_acctbal < 0")
+    // UPDATE: a predicate mutation through the same zone-map COW split
+    spark.sql(
+      """UPDATE graft.dml.cust SET c_acctbal = c_acctbal + 100
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
     // ALTER TABLE: metadata-only rename; the final read uses the new name
     spark.sql("ALTER TABLE graft.dml.cust RENAME COLUMN c_acctbal TO balance")
     val vs = VersionedTable.versions(table)
-    require(vs.size == 5,
-      s"create+ctas+insert+delete+rename must be five commits, got ${vs.size}")
+    require(vs.size == 6,
+      s"create+ctas+insert+delete+update+rename must be six commits, got ${vs.size}")
     spark.sql(
       s"""SELECT c_mktsegment, COUNT(*) AS n,
          |       CAST(SUM(CAST(balance AS DECIMAL(18,4))) AS DOUBLE) AS bal
@@ -1387,5 +1391,43 @@ object VersionedQueries {
          |SELECT 'PRE_DELETE' AS c_mktsegment, COUNT(*) AS n,
          |       CAST(0 AS DOUBLE) AS bal
          |FROM graft.dml.cust VERSION AS OF $preDeleteV""".stripMargin)
+  }
+
+  /** q_sql_merge: the canonical-upsert MERGE in pure SQL text — the
+    * one row-level statement whose DSv2 story Spark reserves for
+    * SupportsRowLevelOperations connectors, here converted at
+    * resolution into ONE merge commit with EXACT SQL semantics
+    * (matched rows take the source values including nulls; see
+    * [[graft.sql.GraftDml.convertMerge]]). Matched keys (every third
+    * supplier) take doubled balances; unmatched synthetic keys
+    * (+10⁶, every seventh) insert. The oracle composes the same
+    * source union with the untouched target rows.
+    */
+  def qSqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-vq-sqlmerge").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    t(spark, dir, "supplier").createOrReplaceTempView("vq_sqlmerge_supplier")
+    spark.sql(
+      """CREATE TABLE graft.mrg.sup AS
+        |SELECT s_suppkey, s_acctbal FROM vq_sqlmerge_supplier""".stripMargin)
+    spark.sql(
+      """MERGE INTO graft.mrg.sup t
+        |USING (SELECT s_suppkey, s_acctbal * 2 AS s_acctbal
+        |       FROM vq_sqlmerge_supplier WHERE s_suppkey % 3 = 0
+        |       UNION ALL
+        |       SELECT s_suppkey + 1000000 AS s_suppkey,
+        |              CAST(42.0 AS DOUBLE) AS s_acctbal
+        |       FROM vq_sqlmerge_supplier WHERE s_suppkey % 7 = 0) s
+        |ON t.s_suppkey = s.s_suppkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val vs = VersionedTable.versions(root + "/mrg/sup")
+    require(vs.size == 3,
+      s"create+ctas+merge must be three commits, got ${vs.size}")
+    spark.sql(
+      """SELECT COUNT(*) AS n,
+        |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft.mrg.sup""".stripMargin)
   }
 }

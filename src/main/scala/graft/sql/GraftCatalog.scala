@@ -425,22 +425,42 @@ object GraftSqlTable {
 class GraftSqlRule(spark: SparkSession)
     extends org.apache.spark.sql.catalyst.rules.Rule[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.Alias
-  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, MergeIntoTable, Project, UpdateTable}
-  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, MergeIntoTable, UpdateTable}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     // row-level commands hold the DSv2 relation as their CHILD: the
-    // swap would strip the SupportsDelete table the planner needs
-    // (write commands are immune — V2WriteCommand.table is a field,
-    // not a child, and the INSERT's source query SHOULD be swapped).
-    // DELETE's condition resolves against the relation's own output,
-    // so leaving the subtree alone is complete, not just safe.
+    // swap would strip the table the planner needs. Once resolved,
+    // each converts to a RunnableCommand over the transactional API
+    // (GraftDml); until then — and for non-graft targets, which are
+    // other connectors' business — the subtree stays untouched.
+    // (Write commands are immune either way — V2WriteCommand.table is
+    // a field, not a child, and the INSERT's source query SHOULD be
+    // swapped.) MERGE's source subtree is swapped EAGERLY inside the
+    // conversion: the command materializes it at run time, when the
+    // analyzed-flag would stop this rule from reaching it.
+    case d: DeleteFromTable if d.resolved =>
+      GraftDml.convertDelete(d).getOrElse(d)
+    case u: UpdateTable if u.resolved =>
+      GraftDml.convertUpdate(u).getOrElse(u)
+    case m: MergeIntoTable if m.resolved =>
+      GraftDml.convertMerge(m, p => GraftSqlRule.swap(spark, p)).getOrElse(m)
     case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable => plan
-    case _ => apply0(plan)
+    case _ => plan.resolveOperatorsUp(GraftSqlRule.swapPF(spark))
   }
+}
 
-  private def apply0(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+object GraftSqlRule {
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  /** The relation swap both entry points share: DSv2 relation over a
+    * [[GraftSqlTable]] → the pinned version's readIndexed plan, with
+    * a Project re-binding the relation's attribute ids onto the
+    * replacement's output so already-resolved upstream references
+    * keep resolving.
+    */
+  private[sql] def swapPF(spark: SparkSession): PartialFunction[LogicalPlan, LogicalPlan] = {
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] =>
       val table = r.table.asInstanceOf[GraftSqlTable]
       val replacement = table.resolve(spark).queryExecution.analyzed
@@ -453,6 +473,13 @@ class GraftSqlRule(spark: SparkSession)
         Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
       }, replacement)
   }
+
+  /** [[swapPF]] via transformUp — bypasses the analyzed-subtree skip,
+    * for plans this rule could not reach during analysis (a MERGE
+    * source materialized at command run time).
+    */
+  private[sql] def swap(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+    plan.transformUp(swapPF(spark))
 }
 
 /** Minimal extensions: ONLY the catalog resolution rule — safe to set

@@ -202,15 +202,24 @@ class SqlCatalogSpec extends SparkSpec {
       s"SELECT count(*) AS n FROM $catalog.db.t VERSION AS OF $preDelete")
       .head.getLong(0) === 109)
 
-    // DELETE with an untranslatable condition refuses the WHOLE
-    // statement (no silent superset/subset delete)
+    // DELETE with a condition NO DSv2 filter can express (modulo):
+    // the resolution rule converts it to a delete commit with the
+    // arbitrary Column condition — zone maps prune conservatively,
+    // semantics exact
+    spark.sql(s"DELETE FROM $catalog.db.t WHERE k % 2 = 0")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.t")
+      .head.getLong(0) === 45, "evens of 10..99 deleted")
+
+    // subqueries in DELETE conditions refuse loudly (self-contained
+    // predicate contract), and a refused DELETE changes nothing
     val badDelete = intercept[Exception] {
-      spark.sql(s"DELETE FROM $catalog.db.t WHERE k % 2 = 0")
+      spark.sql(s"DELETE FROM $catalog.db.t WHERE k IN " +
+        s"(SELECT k FROM $catalog.db.t WHERE k > 50)")
     }
-    assert(badDelete.getMessage.toLowerCase.matches("(?s).*(delete|filter|rewrite).*"),
+    assert(badDelete.getMessage.contains("subqueries"),
       s"unexpected refusal shape: ${badDelete.getMessage}")
     assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.t")
-      .head.getLong(0) === 90, "a refused DELETE must change nothing")
+      .head.getLong(0) === 45, "a refused DELETE must change nothing")
 
     // INSERT OVERWRITE: one overwrite commit replacing the snapshot
     spark.sql(s"INSERT OVERWRITE $catalog.db.t SELECT id AS k, id AS v " +
@@ -232,17 +241,62 @@ class SqlCatalogSpec extends SparkSpec {
       .head.getLong(0) === (0L until 50).map(_ * 2).sum)
     assert(ops.versions(s"$root/db/c").size === 2)
 
-    // refusals: PARTITIONED BY, UPDATE, and ADD COLUMN don't collapse
-    // to one commit (or can't be expressed) — loud errors, no effect
+    // UPDATE through the rule: one commit, every SET value evaluates
+    // against the OLD row (simultaneous assignment), zone-map COW
+    spark.sql(s"UPDATE $catalog.db.c SET dbl = dbl + k WHERE k < 10")
+    assert(spark.sql(s"SELECT sum(dbl) AS s FROM $catalog.db.c").head.getLong(0)
+      === (0L until 50).map(_ * 2).sum + (0L until 10).sum)
+    val preUpdateVersions = ops.versions(s"$root/db/c").size
+    spark.sql(s"UPDATE $catalog.db.c SET dbl = CAST(0 AS BIGINT) WHERE k = 999999")
+    assert(spark.sql(s"SELECT sum(dbl) AS s FROM $catalog.db.c").head.getLong(0)
+      === (0L until 50).map(_ * 2).sum + (0L until 10).sum,
+      "a no-match UPDATE changes nothing")
+    assert(ops.versions(s"$root/db/c").size === preUpdateVersions,
+      "a no-op UPDATE publishes no commit")
+
+    // MERGE: the canonical upsert, with EXACT SQL semantics — matched
+    // rows take the source values INCLUDING nulls (not coalesce)
+    spark.sql(s"CREATE TABLE $catalog.db.m (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $catalog.db.m SELECT id AS k, id AS v FROM range(0, 10)")
+    spark.sql(
+      s"""MERGE INTO $catalog.db.m t
+         |USING (SELECT id AS k, CAST(NULL AS BIGINT) AS v FROM range(5, 15)) s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val mRows = spark.sql(s"SELECT k, v FROM $catalog.db.m").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(mRows.size === 15)
+    assert((0L until 5).forall(k => mRows(k) === Some(k)), "unmatched target rows keep values")
+    assert((5L until 15).forall(k => mRows(k).isEmpty), "matched rows take source NULLs")
+
+    // MERGE with a graft-table SOURCE (the eager source swap) and
+    // explicit column assignments
+    spark.sql(
+      s"""MERGE INTO $catalog.db.m t
+         |USING $catalog.db.c s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET k = s.k, v = s.dbl
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.dbl)""".stripMargin)
+    val m2 = spark.sql(s"SELECT count(*) AS n FROM $catalog.db.m").head.getLong(0)
+    assert(m2 === 50, s"50 source keys upserted over 15 target rows, got $m2")
+
+    // non-canonical MERGE shapes refuse loudly
+    val badMerge = intercept[UnsupportedOperationException] {
+      spark.sql(
+        s"""MERGE INTO $catalog.db.m t USING $catalog.db.c s ON t.k = s.k
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(badMerge.getMessage.contains("canonical") ||
+      badMerge.getMessage.contains("MATCHED"))
+
+    // refusals: PARTITIONED BY and ADD COLUMN don't collapse to one
+    // commit (or can't be expressed) — loud errors, no effect
     val part = intercept[Exception] {
       spark.sql(s"CREATE TABLE $catalog.db.p (k BIGINT) PARTITIONED BY (k)")
     }
     assert(part.getMessage.contains("PARTITIONED") ||
       part.getMessage.contains("partition"))
-    val upd = intercept[Exception] {
-      spark.sql(s"UPDATE $catalog.db.t SET k = 0 WHERE k = 1")
-    }
-    assert(upd != null)
     val add = intercept[Exception] {
       spark.sql(s"ALTER TABLE $catalog.db.t ADD COLUMN extra BIGINT")
     }
