@@ -133,6 +133,7 @@ object SparkEntry {
     "q_sql_catalog" -> (operators.VersionedQueries.qSqlCatalog _),
     "q_sql_dml" -> (operators.VersionedQueries.qSqlDml _),
     "q_sql_merge" -> (operators.VersionedQueries.qSqlMerge _),
+    "q_sql_call" -> (operators.VersionedQueries.qSqlCall _),
     "q_optimize_cluster" -> (operators.VersionedQueries.qOptimizeCluster _),
     "q_optimize_zorder" -> (operators.VersionedQueries.qOptimizeZorder _),
     "q_zone_map_prefix" -> (operators.VersionedQueries.qZoneMapPrefix _),
@@ -1143,6 +1144,14 @@ object SparkEntry {
         |SELECT COUNT(*) AS n,
         |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM merged""".stripMargin,
+    // q_sql_call ran CALL graft.system.compact/history/vacuum between
+    // the build and the read (asserted in-query: one file after
+    // compact, five history rows, four versions dropped); the oracle
+    // sees none of it — maintenance must be invisible to the data.
+    "q_sql_call" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     // q_zone_map_date/decimal went through the round-7 DATE / DECIMAL
     // footer-stats zone maps (each query asserts files were skipped);
     // the oracles are the plain range filters skipping must be

@@ -1430,4 +1430,43 @@ object VersionedQueries {
         |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM graft.mrg.sup""".stripMargin)
   }
+
+  /** q_sql_call: SQL maintenance via the DSv2 ProcedureCatalog under
+    * the oracle gate — a three-commit CTAS+INSERT build, then
+    * `CALL graft.system.compact` (asserted: one file), `CALL
+    * graft.system.history` (asserted: the five commits), and `CALL
+    * graft.system.vacuum(retain=1)` (asserted: four versions
+    * dropped), with the final read REQUIRED to serve the same rows —
+    * maintenance must be invisible to the data, and the oracle (which
+    * never sees any of it) is exactly that invisibility check.
+    */
+  def qSqlCall(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-vq-sqlcall").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    t(spark, dir, "orders").createOrReplaceTempView("vq_sqlcall_orders")
+    spark.sql(
+      """CREATE TABLE graft.mnt.ord AS
+        |SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM vq_sqlcall_orders WHERE o_orderkey % 3 = 0""".stripMargin)
+    for (rem <- Seq(1, 2)) spark.sql(
+      s"""INSERT INTO graft.mnt.ord
+         |SELECT o_orderkey, o_totalprice, o_orderpriority
+         |FROM vq_sqlcall_orders WHERE o_orderkey % 3 = $rem""".stripMargin)
+    val table = root + "/mnt/ord"
+    val filesBefore = VersionedTable.snapshotFiles(table).size
+    val v = spark.sql("CALL graft.system.compact('mnt.ord', 1)").head.getLong(0)
+    require(filesBefore > 1 && VersionedTable.snapshotFiles(table).size == 1,
+      s"compact must fold $filesBefore files into one")
+    val hist = spark.sql("CALL graft.system.history('mnt.ord')").collect()
+    require(hist.length == 5 && hist.last.getLong(0) == v,
+      s"history must list the five commits, got ${hist.length}")
+    val dropped = spark.sql("CALL graft.system.vacuum('mnt.ord', 1, 0)")
+      .head.getInt(1)
+    require(dropped == 4, s"vacuum(retain=1) must drop 4 versions, got $dropped")
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft.mnt.ord GROUP BY o_orderpriority""".stripMargin)
+  }
 }

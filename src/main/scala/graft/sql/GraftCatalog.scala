@@ -81,7 +81,7 @@ import graft.sources.{VersionedTable, VersionedTableOps}
   * surface that silently half-implements a mutation is worse than
   * one that refuses.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var initRoot: Option[String] = None
@@ -98,6 +98,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * second catalog name via [[GraftCatalog.setOps]].
     */
   private def ops: VersionedTableOps = GraftCatalog.opsFor(catalogName)
+
+  /** The backend, for the maintenance procedures ([[GraftProcedures]]). */
+  private[sql] def opsRef: VersionedTableOps = ops
+
+  /** 'db.t' → warehouse directory — the procedures' table-argument
+    * resolution, same mapping as SQL identifiers.
+    */
+  private[sql] def resolveDotted(dotted: String): String =
+    dotted.split('.').foldLeft(java.nio.file.Paths.get(root)) {
+      (p, seg) => p.resolve(seg)
+    }.toString
 
   /** Warehouse root, re-read from the session conf on EVERY lookup so
     * `spark.conf.set("spark.sql.catalog.<name>.root", …)` takes
@@ -223,6 +234,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft is read-only over SQL")
+
+  // ---- ProcedureCatalog: SQL maintenance via CALL ----
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(GraftProcedures.Namespace))
+      GraftProcedures.names.map(Identifier.of(namespace, _))
+    else Array.empty
 
   // ---- SupportsNamespaces: namespaces are directories under root ----
 

@@ -319,4 +319,62 @@ class SqlCatalogSpec extends SparkSpec {
     GraftCatalog.setOps("graftmemdml", ops)
     dmlBattery("graftmemdml", ops)
   }
+
+  /** SQL maintenance via CALL (the DSv2 ProcedureCatalog): vacuum,
+    * compact, optimize, history — each resolves the dotted table
+    * argument against the catalog root and runs the SAME maintenance
+    * entry point the Scala API exposes, returning its report rows.
+    */
+  private def proceduresBattery(catalog: String, ops: VersionedTableOps): Unit = {
+    val root = freshRoot(s"$catalog-proc")
+    spark.conf.set(s"spark.sql.catalog.$catalog", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$catalog.root", root)
+    val table = s"$root/db/t"
+    ops.overwrite(spark, table, rows(0, 100).repartition(4))
+    ops.append(spark, table, rows(100, 200).repartition(4))
+
+    // history: the commit log as rows, O(versions) metadata
+    val hist = spark.sql(s"CALL $catalog.system.history('db.t')").collect()
+    assert(hist.map(_.getLong(0)).toSeq === ops.versions(table))
+    assert(hist.map(_.getString(1)).toSeq === Seq("overwrite", "append"))
+    assert(hist.forall(_.getTimestamp(2).getTime > 0))
+
+    // compact: one commit, one file, same rows
+    assert(ops.snapshotFiles(table).size >= 8)
+    val v = spark.sql(s"CALL $catalog.system.compact('db.t', 1)").head.getLong(0)
+    assert(ops.versions(table).last === v)
+    assert(ops.snapshotFiles(table).size === 1)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.t").head.getLong(0) === 200)
+
+    // optimize: clustered rewrite into 4 files
+    spark.sql(s"CALL $catalog.system.optimize('db.t', 'k', 4, false)")
+    assert(ops.snapshotFiles(table).size === 4)
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $catalog.db.t").head.getLong(0)
+      === (0L until 200).map(_ * 10).sum)
+
+    // vacuum with retain=1 and no grace: old versions dropped, old
+    // stage dirs reclaimed, the head still reads
+    val before = ops.versions(table).size
+    val rep = spark.sql(s"CALL $catalog.system.vacuum('db.t', 1, 0)").head
+    assert(rep.getInt(0) === 1, "kept_versions")
+    assert(rep.getInt(1) === before - 1, "dropped_versions")
+    assert(rep.getInt(2) > 0, "deleted_dirs")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.t").head.getLong(0) === 200)
+
+    // unknown procedures refuse loudly
+    val nope = intercept[Exception] {
+      spark.sql(s"CALL $catalog.system.nope('db.t')")
+    }
+    assert(nope.getMessage.contains("nope"))
+  }
+
+  test("SQL procedures battery — POSIX-link backend (default ops)") {
+    proceduresBattery("graft", VersionedTable)
+  }
+
+  test("SQL procedures battery — object-store backend (registered ops)") {
+    val ops = new VersionedTableOps(new InMemoryCommitStore)
+    GraftCatalog.setOps("graftmemproc", ops)
+    proceduresBattery("graftmemproc", ops)
+  }
 }
