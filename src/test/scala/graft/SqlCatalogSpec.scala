@@ -308,6 +308,22 @@ class SqlCatalogSpec extends SparkSpec {
       spark.sql(s"INSERT INTO $catalog.db.t VALUES (1, 2)")
     }
     assert(bad != null)
+
+    // SQL INSERT INTO a PARTITIONED table: stageData follows the
+    // table's partition spec, so the appended rows land value-routed
+    // and partition-scoped file listings see them
+    val ptable = s"$root/db/pt"
+    ops.overwritePartitioned(spark,
+      ptable, rows(0, 20).withColumn("grp", col("k") % 2), Seq("grp"))
+    spark.sql(s"INSERT INTO $catalog.db.pt " +
+      "SELECT id AS k, id AS v, id % 2 AS grp FROM range(20, 40)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.pt")
+      .head.getLong(0) === 40)
+    val (p0, _) = ops.filesForPartition(ptable, "grp", "0")
+    assert(p0.nonEmpty && p0.forall(_.contains("grp__pv=0")),
+      s"appended files must be value-routed: $p0")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.pt WHERE grp = 0")
+      .head.getLong(0) === 20)
   }
 
   test("SQL DML battery — POSIX-link backend (default ops)") {
