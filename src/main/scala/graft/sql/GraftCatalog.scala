@@ -93,6 +93,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def name(): String = catalogName
 
+  /** CHECK-constraint DDL is allowed through (write-time enforcement
+    * is a first-class versioned-table feature).
+    */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   /** Store backend for this catalog name — POSIX by default; tests
     * (and embedders) may register an object-store-backed ops under a
     * second catalog name via [[GraftCatalog.setOps]].
@@ -202,10 +208,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     loadTable(ident)
   }
 
-  /** `ALTER TABLE` for the two metadata-only column commits the layer
-    * already owns; every other change refuses (ADD COLUMN is schema
-    * evolution ON APPEND by design — declaring a column that no file
-    * carries is indistinguishable from it).
+  /** `ALTER TABLE` for the single-commit changes the layer already
+    * owns: the two metadata-only column commits, and CHECK-constraint
+    * ADD/DROP (write-time enforcement — ADD validates the existing
+    * data inside its commit closure, the Delta-shaped scan). Every
+    * other change refuses (ADD COLUMN is schema evolution ON APPEND
+    * by design — declaring a column that no file carries is
+    * indistinguishable from it).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = tablePath(ident)
@@ -220,9 +229,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         require(d.fieldNames.length == 1,
           "graft drops top-level columns only")
         ops.dropColumn(spark, path, d.fieldNames.head)
+      case a: TableChange.AddConstraint => a.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          ops.addCheckConstraint(spark, path, c.name(), c.predicateSql())
+        case other => throw new UnsupportedOperationException(
+          s"graft enforces CHECK constraints only, not ${other.toDDL}")
+      }
+      case d: TableChange.DropConstraint =>
+        if (!d.ifExists ||
+            ops.checkConstraints(path).exists(_._1 == d.name()))
+          ops.dropCheckConstraint(spark, path, d.name())
       case other => throw new UnsupportedOperationException(
-        s"graft SQL ALTER TABLE supports RENAME/DROP COLUMN only, not $other " +
-          "— use the VersionedTable API")
+        s"graft SQL ALTER TABLE supports RENAME/DROP COLUMN and ADD/DROP " +
+          s"CONSTRAINT … CHECK only, not $other — use the VersionedTable API")
     }
     loadTable(ident)
   }
@@ -459,6 +478,8 @@ class GraftSqlRule(spark: SparkSession)
     // swapped.) MERGE's source subtree is swapped EAGERLY inside the
     // conversion: the command materializes it at run time, when the
     // analyzed-flag would stop this rule from reaching it.
+    case a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
+      GraftDml.convertAddCheck(a).getOrElse(a)
     case d: DeleteFromTable if d.resolved =>
       GraftDml.convertDelete(d).getOrElse(d)
     case u: UpdateTable if u.resolved =>

@@ -89,6 +89,25 @@ private[sql] object GraftDml {
       GraftDeleteCommand(t, unresolve(d.condition))
     }
 
+  /** ALTER TABLE … ADD CONSTRAINT c CHECK (p) → [[graft.sources
+    * .VersionedTableOps.addCheckConstraint]]. Spark's own path wraps
+    * the statement in a VALIDATION SCAN of the table (the
+    * AddCheckConstraint command's child) that neither survives the
+    * relation swap (ResolveSessionCatalog wants the relation) nor
+    * executes without it (shape-only scan) — and is redundant anyway:
+    * the transactional entry point validates the existing data INSIDE
+    * its commit closure, where it is race-free against concurrent
+    * writes rather than best-effort. So the statement converts whole.
+    */
+  def convertAddCheck(
+      a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint): Option[LogicalPlan] =
+    a.child.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] =>
+        r.table.asInstanceOf[GraftSqlTable]
+    }.map { t =>
+      GraftAddCheckCommand(t, a.checkConstraint.name, a.checkConstraint.condition)
+    }
+
   /** MERGE INTO t USING s ON t.k = s.k [AND …]
     * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * —
     * the canonical upsert — → [[graft.sources.VersionedTableOps
@@ -185,6 +204,20 @@ case class GraftDeleteCommand(table: GraftSqlTable, cond: Column)
   }
   override def simpleString(maxFields: Int): String =
     s"GraftDelete ${table.path}"
+}
+
+/** One ADD CONSTRAINT … CHECK = one set_constraint commit; existing
+  * data validates inside the commit closure (a violating table cannot
+  * gain the rule).
+  */
+case class GraftAddCheckCommand(table: GraftSqlTable, name: String, sqlExpr: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    table.ops.addCheckConstraint(spark, table.path, name, sqlExpr)
+    Nil
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftAddCheck ${table.path} $name CHECK ($sqlExpr)"
 }
 
 /** One canonical-upsert MERGE = one merge commit. The source plan is

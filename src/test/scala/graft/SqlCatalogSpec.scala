@@ -309,6 +309,26 @@ class SqlCatalogSpec extends SparkSpec {
     }
     assert(bad != null)
 
+    // CHECK constraints via SQL DDL: ADD validates the existing data
+    // (a violating table cannot gain the rule), then every write
+    // enforces atomically; DROP lifts it
+    spark.sql(s"ALTER TABLE $catalog.db.c ADD CONSTRAINT pos CHECK (dbl >= 0)")
+    val viol = intercept[Exception] {
+      spark.sql(s"INSERT INTO $catalog.db.c VALUES (CAST(999 AS BIGINT), CAST(-1 AS BIGINT))")
+    }
+    assert(viol.getMessage.contains("pos"), s"violation names the rule: ${viol.getMessage}")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.c WHERE k = 999")
+      .head.getLong(0) === 0, "a refused INSERT publishes nothing")
+    val badAdd = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $catalog.db.c ADD CONSTRAINT huge CHECK (dbl > 1000000)")
+    }
+    assert(badAdd.getMessage.contains("huge") ||
+      badAdd.getMessage.toLowerCase.contains("violat"))
+    spark.sql(s"ALTER TABLE $catalog.db.c DROP CONSTRAINT pos")
+    spark.sql(s"INSERT INTO $catalog.db.c VALUES (CAST(999 AS BIGINT), CAST(-1 AS BIGINT))")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.c WHERE k = 999")
+      .head.getLong(0) === 1, "the dropped rule no longer gates writes")
+
     // SQL INSERT INTO a PARTITIONED table: stageData follows the
     // table's partition spec, so the appended rows land value-routed
     // and partition-scoped file listings see them
