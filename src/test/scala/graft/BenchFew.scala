@@ -25,12 +25,27 @@ object BenchFew {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
+    // same session-state hygiene as graft.Bench (round-3 lesson: cache
+    // and localCheckpoint debris inflates LATER queries), periodic GC
+    var sinceGc = 0
+    def cleanup(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+      sinceGc += 1
+      if (sinceGc >= 8) { System.gc(); sinceGc = 0 }
+    }
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to n).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          println(s"[benchfew] $name FAILED: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        cleanup()
+        dt
       }.sorted
       println(f"[benchfew] $name min=${times.head}%.2f median=${times(n / 2)}%.2f " +
         s"all=${times.map(t => f"$t%.2f").mkString(",")}")
