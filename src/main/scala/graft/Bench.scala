@@ -36,18 +36,22 @@ object Bench {
     // scale run can set partitions independently of the thread count
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
-      .config("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
+        .config("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+        .config("spark.sql.shuffle.partitions", shufflePartitions)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
     // the deliberate single-partition windows (daily-grain series in
     // q_moving_avg/q_resample, the nPart-row offsets table in
     // TotalOrderRank) each emit a WARN; across 113 queries x N passes
@@ -85,6 +89,18 @@ object Bench {
     var cleanupS = 0.0
     val gcEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC_EVERY", "16").toInt.max(1)
     val gcHeavy = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC_HEAVY", "0") == "1"
+    // Large-SF harness guard (round-10 sf10 root cause): one
+    // long-lived SparkContext accumulates session debris beyond what
+    // cleanup() reaches (driver-side listener/UI state, shuffle-file
+    // trackers, codegen references), and after ~100 sf10 queries the
+    // starvation surfaced as a sort spill-thrashing on a 46 MB input —
+    // every query in the wedged range completes in 0.7-63 s in a
+    // fresh session. RECYCLE_EVERY=N (0 = off, the driver's sf0.1
+    // default) stops and rebuilds the session every N queries; recycle
+    // time is charged to cleanup_s, never to a query.
+    var sinceRecycle = 0
+    val recycleEvery =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RECYCLE_EVERY", "0").toInt
     def cleanup(afterName: String): Unit = {
       val t0 = System.nanoTime()
       spark.sharedState.cacheManager.clearCache()
@@ -94,6 +110,15 @@ object Bench {
       if ((gcHeavy && heavyPrefixes.exists(afterName.startsWith)) || sinceGc >= gcEvery) {
         System.gc()
         sinceGc = 0
+      }
+      sinceRecycle += 1
+      if (recycleEvery > 0 && sinceRecycle >= recycleEvery) {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        System.gc()
+        spark = newSession()
+        sinceRecycle = 0
       }
       cleanupS += (System.nanoTime() - t0) / 1e9
     }
