@@ -1375,7 +1375,8 @@ class VersionedTableOps(val store: CommitStore) {
     */
   def replacePartitions(spark: SparkSession, table: String, df: DataFrame,
       colName: String, values: Seq[String],
-      txns: Seq[(String, Long)] = Nil): Long = {
+      txns: Seq[(String, Long)] = Nil,
+      expectedBase: Option[Long] = None): Long = {
     values.foreach(requireLiteralPartitionValue)
     require(values.distinct.size == values.size, s"duplicate values: $values")
     def applied = txns.nonEmpty && txns.forall { case (app, ver) =>
@@ -1399,6 +1400,12 @@ class VersionedTableOps(val store: CommitStore) {
         " — replacePartitions would silently mix replacement and append")
     try commitDv(table, "replace_partitions", { base =>
       if (applied) throw TxnAlreadyApplied
+      // optimistic-concurrency hook ([[mergeKeyed]]): the caller
+      // derived `df` from a pinned head OUTSIDE this closure, so a
+      // moved base must refuse — publishing would silently drop the
+      // racing commit's rows in the replaced partitions
+      expectedBase.filter(_ != base)
+        .foreach(_ => throw ExpectedBaseMoved)
       requireInit(table, base, "replacePartitions")
       requireRenamesUnchanged(table, base, ren0)
       enforceLate(spark, table, base, cons0, staged)
@@ -1782,6 +1789,11 @@ class VersionedTableOps(val store: CommitStore) {
   }
 
   private object TxnAlreadyApplied extends Exception {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  private object ExpectedBaseMoved extends Exception(
+    "expectedBase moved: a concurrent commit advanced the table head") {
     override def fillInStackTrace(): Throwable = this
   }
 
@@ -2645,6 +2657,88 @@ class VersionedTableOps(val store: CommitStore) {
       val merged = mergeFn(snapshot, updates)
       (asStored(merged.schema), stageData(table, merged, if (base == 0) "w" else "m"))
     })
+
+  /** [[merge]] that COMPOSES with a value-partitioned layout: when one
+    * of `keys` is a partition column of the table, a keyed merge can
+    * only change partitions whose key values appear in `updates` —
+    * matched target rows share the source row's key (so its partition
+    * value), inserts route to their key's partition, and every other
+    * partition is untouchable by construction. The state read, the
+    * merge join, and the rewrite therefore all restrict to the
+    * touched value-partitions, and untouched partitions carry into
+    * the new commit BY FILE REFERENCE ([[replacePartitions]]' COW
+    * identity). This is the O(touched)-write MERGE a 100 TB table
+    * needs: a thousand-row upsert against a date-partitioned fact
+    * rewrites the dates it names, not the table — the same shape the
+    * bucketed materialized-view state landed this round.
+    *
+    * Concurrency: the scoped merge derives from a pinned head, so it
+    * publishes through [[replacePartitions]]' expected-base
+    * conditional commit; a racing writer moves the head, the
+    * conditional refuses (nothing published), and the loop re-derives
+    * against the new head — after `maxAttempts` losses the in-closure
+    * [[merge]] finishes race-safely at whole-snapshot cost.
+    *
+    * Falls back to [[merge]] — identical semantics, whole-snapshot
+    * cost — whenever the layout cannot PROVE the restriction: no
+    * partition column among `keys`, files predating the routing, a
+    * key type whose string rendering is not byte-pinned to the writer
+    * path segment (float/decimal/timestamp), nulls or non-addressable
+    * characters in the key values, or more than `maxTouched` touched
+    * values (at which point the full rewrite is the honest cost).
+    * Correctness never depends on taking the fast path.
+    */
+  def mergeKeyed(spark: SparkSession, table: String, updates: DataFrame,
+      keys: Seq[String], mergeFn: (DataFrame, DataFrame) => DataFrame,
+      maxTouched: Int = 4096, maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.types._
+    def whole() = merge(spark, table, updates, mergeFn)
+    if (versions(table).isEmpty || keys.isEmpty) return whole()
+    // a partition column counted among the merge keys, with EVERY
+    // file routed on it (an unrouted file may hold rows of any value
+    // — a scoped read would miss them)
+    def eligibleKey(v: Long): Option[String] = {
+      val ren = manifestRenames(table, v)
+      manifestPartitionBy(table, v)
+        .map(ph => ren.getOrElse(ph, ph))
+        .find(keys.contains)
+        .filter { lo =>
+          val pre = partSeg(physicalName(ren, lo)) + "="
+          manifestFiles(table, v).forall(_.split('/').exists(_.startsWith(pre)))
+        }
+    }
+    val keyCol = eligibleKey(versions(table).last) match {
+      case Some(k) => k
+      case None => return whole()
+    }
+    // the key's string cast must render the EXACT segment the
+    // partition writer produced — byte-pinned for these types only
+    val renderSafe = updates.schema.find(_.name == keyCol).map(_.dataType) match {
+      case Some(ByteType | ShortType | IntegerType | LongType |
+                StringType | DateType | BooleanType) => true
+      case _ => false
+    }
+    if (!renderSafe) return whole()
+    // bounded collect: <= maxTouched + 1 short strings
+    val raw = updates.select(col(keyCol).cast("string")).distinct()
+      .limit(maxTouched + 1).collect().map(r => Option(r.getString(0)))
+    val addressable = raw.nonEmpty && raw.length <= maxTouched &&
+      raw.forall(_.exists(s => s.nonEmpty && s.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.')))
+    if (!addressable) return whole()
+    val values = raw.flatten.toSeq.sorted
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      val head = versions(table).last
+      if (eligibleKey(head).isEmpty) return whole() // layout changed under us
+      val cur = readPartitions(spark, table, keyCol, values, Some(head))
+      val merged = mergeFn(cur, updates)
+      try return replacePartitions(spark, table, merged, keyCol, values,
+        expectedBase = Some(head))
+      catch { case ExpectedBaseMoved => attempts += 1 }
+    }
+    whole() // persistent contention: the race-safe closure path
+  }
 
   /** The copy-on-write file split every row-level mutation shares:
     * `cond` resolved and constant-folded against the base snapshot,

@@ -226,6 +226,13 @@ case class GraftAddCheckCommand(table: GraftSqlTable, name: String, sqlExpr: Str
   * a full outer on the ON keys with a presence marker, so matched
   * rows take the source values INCLUDING nulls (exact SQL MERGE
   * semantics, deliberately not the API's coalesce rule).
+  *
+  * Cost shape: routed through [[graft.sources.VersionedTableOps
+  * .mergeKeyed]], so when an ON key is a partition column of the
+  * target, only the partitions whose key values appear in the source
+  * are read, joined, and rewritten — untouched partitions carry by
+  * file reference. Unpartitionable layouts pay the documented
+  * whole-snapshot rewrite, same semantics.
   */
 case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
     updatesCols: Seq[Column], keys: Seq[String])
@@ -233,7 +240,7 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     val updates = Bridge.ofRows(spark, source).select(updatesCols: _*)
     val marker = "__graft_merge_present"
-    table.ops.merge(spark, table.path, updates, (cur, upd) => {
+    table.ops.mergeKeyed(spark, table.path, updates, keys, (cur, upd) => {
       val u = upd.withColumn(marker, lit(true))
       cur.as("t").join(u.as("u"), keys.toSeq, "full_outer")
         .select(cur.columns.toSeq.map(c =>
