@@ -134,6 +134,7 @@ object SparkEntry {
     "q_sql_dml" -> (operators.VersionedQueries.qSqlDml _),
     "q_sql_merge" -> (operators.VersionedQueries.qSqlMerge _),
     "q_sql_call" -> (operators.VersionedQueries.qSqlCall _),
+    "q_sql_partitioned" -> (operators.VersionedQueries.qSqlPartitioned _),
     "q_optimize_cluster" -> (operators.VersionedQueries.qOptimizeCluster _),
     "q_optimize_zorder" -> (operators.VersionedQueries.qOptimizeZorder _),
     "q_zone_map_prefix" -> (operators.VersionedQueries.qZoneMapPrefix _),
@@ -1124,6 +1125,28 @@ object SparkEntry {
         |SELECT 'PRE_DELETE' AS c_mktsegment, COUNT(*) AS n,
         |       CAST(0 AS DOUBLE) AS bal
         |FROM customer""".stripMargin,
+    // q_sql_partitioned ran CREATE…PARTITIONED BY + routed INSERT +
+    // a partition-scoped keyed MERGE in pure SQL (COW identity of
+    // untouched partitions asserted in-query): non-urgent rows are
+    // unchanged, '1-URGENT' rows take doubled prices, synthetic
+    // urgent keys (+10^7, o_orderkey % 7 = 0) insert.
+    "q_sql_partitioned" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS p,
+        |         o_orderpriority
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) * 2 AS p,
+        |         o_orderpriority
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey,
+        |         CAST(42.0 AS DOUBLE) AS p, '1-URGENT' AS o_orderpriority
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM merged GROUP BY o_orderpriority""".stripMargin,
     // q_sql_merge ran the canonical-upsert MERGE in SQL text over a
     // CTAS'd supplier table: matched keys (s_suppkey % 3 = 0) take
     // doubled balances, unmatched synthetic keys (+10^6) insert. The

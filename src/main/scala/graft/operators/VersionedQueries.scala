@@ -1431,6 +1431,66 @@ object VersionedQueries {
         |FROM graft.mrg.sup""".stripMargin)
   }
 
+  /** q_sql_partitioned: the whole PARTITIONED lifecycle in pure SQL
+    * text (round 10 second half) — `CREATE TABLE … PARTITIONED BY
+    * (o_orderpriority)` creates the value-directory layout (zero-file
+    * version 0), INSERT routes rows into value directories, and a
+    * MERGE whose ON keys include the partition column takes the
+    * SCOPED path ([[graft.sources.VersionedTableOps.mergeKeyed]]):
+    * only the '1-URGENT' partition is read, joined and rewritten —
+    * asserted in-query by the last commit being replace_partitions
+    * AND by path-identity of an untouched partition's files (the COW
+    * assert). The oracle replays the final state: non-urgent rows
+    * unchanged, urgent rows doubled, synthetic urgent keys inserted.
+    */
+  def qSqlPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-vq-sqlpart").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    t(spark, dir, "orders").createOrReplaceTempView("vq_sqlpart_orders")
+    spark.sql(
+      """CREATE TABLE graft.pt.ord (
+        |  o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+        |PARTITIONED BY (o_orderpriority)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.pt.ord
+        |SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |       o_orderpriority
+        |FROM vq_sqlpart_orders""".stripMargin)
+    val table = root + "/pt/ord"
+    val (lowBefore, total) =
+      VersionedTable.filesForPartition(table, "o_orderpriority", "5-LOW")
+    require(lowBefore.nonEmpty && lowBefore.size < total,
+      "INSERT must route rows into value directories")
+    spark.sql(
+      """MERGE INTO graft.pt.ord t
+        |USING (SELECT o_orderkey,
+        |              CAST(o_totalprice AS DOUBLE) * 2 AS o_totalprice,
+        |              o_orderpriority
+        |       FROM vq_sqlpart_orders WHERE o_orderpriority = '1-URGENT'
+        |       UNION ALL
+        |       SELECT o_orderkey + 10000000 AS o_orderkey,
+        |              CAST(42.0 AS DOUBLE) AS o_totalprice,
+        |              '1-URGENT' AS o_orderpriority
+        |       FROM vq_sqlpart_orders
+        |       WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0) s
+        |ON t.o_orderkey = s.o_orderkey
+        |   AND t.o_orderpriority = s.o_orderpriority
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val hist = VersionedTable.history(spark, table).collect()
+    require(hist.last.getString(1) == "replace_partitions",
+      s"a partition-keyed MERGE must take the scoped path, " +
+        s"got ${hist.last.getString(1)}")
+    require(VersionedTable.filesForPartition(
+        table, "o_orderpriority", "5-LOW")._1 == lowBefore,
+      "untouched partitions must carry by file reference across the MERGE")
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft.pt.ord GROUP BY o_orderpriority""".stripMargin)
+  }
+
   /** q_sql_call: SQL maintenance via the DSv2 ProcedureCatalog under
     * the oracle gate — a three-commit CTAS+INSERT build, then
     * `CALL graft.system.compact` (asserted: one file), `CALL

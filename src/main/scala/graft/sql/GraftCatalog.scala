@@ -189,22 +189,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * empty overwrite commit carrying the declared schema in its
     * manifest — the same bootstrap the Scala API produces, so every
     * later reader/writer (either surface) sees an ordinary versioned
-    * table. Partition transforms refuse: SQL `PARTITIONED BY` cannot
-    * yet name graft's value-directory spec (overwritePartitioned is
-    * the API for that layout).
+    * table.
+    *
+    * `PARTITIONED BY (col, …)` — identity transforms on top-level
+    * columns — creates the value-directory layout
+    * ([[VersionedTableOps.overwritePartitioned]]): every later
+    * INSERT routes rows into value directories, keyed MERGE takes
+    * the partition-scoped path, and dropPartition /
+    * filesForPartition address values by segment. Version 0 of a
+    * partitioned table carries ZERO files (a zero-row file cannot be
+    * value-routed, and an unrouted file would force every routing
+    * check to refuse forever); the recorded schema makes the empty
+    * read well-typed. Non-identity transforms (bucket, days, …)
+    * refuse — the layout has no spec for them.
     */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "graft SQL CREATE TABLE does not take PARTITIONED BY — use " +
-        "VersionedTable.overwritePartitioned for value-directory layouts")
+    val partCols = partitions.toSeq.map { t =>
+      val refs = t.references
+      if (t.name != "identity" || refs.length != 1 || refs.head.fieldNames.length != 1)
+        throw new UnsupportedOperationException(
+          s"graft SQL PARTITIONED BY supports identity transforms on " +
+            s"top-level columns only, not ${t.describe}")
+      val c = refs.head.fieldNames.head
+      require(schema.fieldNames.contains(c),
+        s"PARTITIONED BY column $c is not in the table schema")
+      c
+    }
     val path = tablePath(ident)
     if (isTable(path)) throw new TableAlreadyExistsException(ident)
     val spark = SparkSession.active
-    // one empty partition → one zero-row parquet file, so version 0 is
-    // an ordinary manifest (no zero-file snapshot edge case anywhere)
-    ops.overwrite(spark, path, spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema).repartition(1))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (partCols.isEmpty)
+      // one empty partition → one zero-row parquet file, so version 0
+      // is an ordinary manifest (no zero-file snapshot edge anywhere)
+      ops.overwrite(spark, path, empty.repartition(1))
+    else
+      ops.overwritePartitioned(spark, path, empty, partCols)
     loadTable(ident)
   }
 

@@ -290,13 +290,42 @@ class SqlCatalogSpec extends SparkSpec {
     assert(badMerge.getMessage.contains("canonical") ||
       badMerge.getMessage.contains("MATCHED"))
 
-    // refusals: PARTITIONED BY and ADD COLUMN don't collapse to one
-    // commit (or can't be expressed) — loud errors, no effect
-    val part = intercept[Exception] {
-      spark.sql(s"CREATE TABLE $catalog.db.p (k BIGINT) PARTITIONED BY (k)")
+    // CREATE TABLE … PARTITIONED BY: the value-directory layout is
+    // SQL-creatable — version 0 is a ZERO-file manifest (a zero-row
+    // file can't be value-routed), the empty read is well-typed,
+    // INSERTs route, and a keyed MERGE takes the scoped path on a
+    // table that never saw the Scala API
+    spark.sql(s"CREATE TABLE $catalog.db.p (k BIGINT, v BIGINT, grp BIGINT) " +
+      "PARTITIONED BY (grp)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.p").head.getLong(0) === 0,
+      "the zero-file created snapshot reads empty, typed")
+    spark.sql(s"INSERT INTO $catalog.db.p " +
+      "SELECT id AS k, id * 10 AS v, id % 2 AS grp FROM range(0, 20)")
+    val (sq0, _) = ops.filesForPartition(s"$root/db/p", "grp", "0")
+    assert(sq0.nonEmpty && sq0.forall(_.contains("grp__pv=0")),
+      s"INSERT into a SQL-created partitioned table must route: $sq0")
+    spark.sql(
+      s"""MERGE INTO $catalog.db.p t
+         |USING (SELECT id AS k, id * 100 AS v, CAST(1 AS BIGINT) AS grp
+         |       FROM range(1, 20, 2)) s
+         |ON t.k = s.k AND t.grp = s.grp
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"CALL $catalog.system.history('db.p')")
+      .collect().last.getString(1) === "replace_partitions",
+      "keyed MERGE on a SQL-created partitioned table takes the scoped path")
+    assert(ops.filesForPartition(s"$root/db/p", "grp", "0")._1 === sq0,
+      "the untouched partition carried by reference")
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $catalog.db.p WHERE grp = 1")
+      .head.getLong(0) === (1L until 20 by 2).map(_ * 100).sum)
+
+    // non-identity partition transforms refuse loudly
+    val badPart = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $catalog.db.pb (k BIGINT) PARTITIONED BY (bucket(8, k))")
     }
-    assert(part.getMessage.contains("PARTITIONED") ||
-      part.getMessage.contains("partition"))
+    assert(badPart.getMessage.contains("identity"))
+
+    // refusal: ADD COLUMN can't be expressed — loud error, no effect
     val add = intercept[Exception] {
       spark.sql(s"ALTER TABLE $catalog.db.t ADD COLUMN extra BIGINT")
     }
@@ -344,6 +373,38 @@ class SqlCatalogSpec extends SparkSpec {
       s"appended files must be value-routed: $p0")
     assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.pt WHERE grp = 0")
       .head.getLong(0) === 20)
+
+    // MERGE composes with the partition layout (mergeKeyed): an ON
+    // key that is a partition column restricts the state read, the
+    // join, and the rewrite to the partitions the source touches —
+    // the UNTOUCHED partition's files must carry into the new commit
+    // BY REFERENCE (path identity, the COW assert), and the commit
+    // must be a replace_partitions, not a whole-snapshot merge
+    val (g0Before, _) = ops.filesForPartition(ptable, "grp", "0")
+    val sumG0Before = spark.sql(
+      s"SELECT sum(v) AS s FROM $catalog.db.pt WHERE grp = 0").head.getLong(0)
+    spark.sql(
+      s"""MERGE INTO $catalog.db.pt t
+         |USING (SELECT id AS k, id * 100 AS v, CAST(1 AS BIGINT) AS grp
+         |       FROM range(1, 61, 2)) s
+         |ON t.k = s.k AND t.grp = s.grp
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.pt")
+      .head.getLong(0) === 50, "20 odd-k updates + 10 inserts over 40 rows")
+    assert(spark.sql(
+      s"SELECT sum(v) AS s FROM $catalog.db.pt WHERE grp = 1").head.getLong(0)
+      === (1L until 61 by 2).map(_ * 100).sum, "touched partition took source values")
+    assert(spark.sql(
+      s"SELECT sum(v) AS s FROM $catalog.db.pt WHERE grp = 0").head.getLong(0)
+      === sumG0Before, "untouched partition rows unchanged")
+    val (g0After, _) = ops.filesForPartition(ptable, "grp", "0")
+    assert(g0After === g0Before,
+      "untouched partition files must carry by reference across a keyed MERGE")
+    val lastOp = spark.sql(s"CALL $catalog.system.history('db.pt')")
+      .collect().last.getString(1)
+    assert(lastOp === "replace_partitions",
+      s"a partition-keyed MERGE must take the scoped path, got $lastOp")
   }
 
   test("SQL DML battery — POSIX-link backend (default ops)") {
@@ -402,6 +463,67 @@ class SqlCatalogSpec extends SparkSpec {
       spark.sql(s"CALL $catalog.system.nope('db.t')")
     }
     assert(nope.getMessage.contains("nope"))
+  }
+
+  test("replacePartitions expectedBase refuses a moved head (nothing published)") {
+    val root = freshRoot("expbase")
+    val table = s"$root/db/t"
+    val df = rows(0, 20).withColumn("grp", col("k") % 2)
+    val v1 = VersionedTable.overwritePartitioned(spark, table, df, Seq("grp"))
+    VersionedTable.append(spark, table, rows(20, 30).withColumn("grp", col("k") % 2))
+    val headBefore = VersionedTable.versions(table).last
+    val ex = intercept[Exception] {
+      VersionedTable.replacePartitions(spark, table,
+        rows(0, 5).withColumn("grp", lit(0L)), "grp", Seq("0"),
+        expectedBase = Some(v1)) // stale: the append moved the head
+    }
+    assert(ex.getMessage.contains("expectedBase moved"))
+    assert(VersionedTable.versions(table).last === headBefore,
+      "a refused conditional commit publishes nothing")
+    assert(VersionedTable.read(spark, table).count() === 30)
+  }
+
+  test("mergeKeyed falls back to the whole-snapshot merge when the layout can't prove the restriction") {
+    def lastOp(t: String): String =
+      VersionedTable.history(spark, t).collect().last.getString(1)
+    // unpartitioned target: same answer, 'merge' commit
+    val flat = s"${freshRoot("mk-flat")}/db/t"
+    VersionedTable.overwrite(spark, flat, rows(0, 10))
+    VersionedTable.mergeKeyed(spark, flat, rows(5, 15), Seq("k"),
+      (cur, upd) => cur.join(upd, Seq("k"), "left_anti").unionByName(upd))
+    assert(VersionedTable.read(spark, flat).count() === 15)
+    assert(lastOp(flat) === "merge")
+
+    // partitioned on a column that is NOT a merge key: fallback too
+    // (an update could move a row across partitions — unprovable)
+    val off = s"${freshRoot("mk-off")}/db/t"
+    VersionedTable.overwritePartitioned(spark, off,
+      rows(0, 10).withColumn("grp", col("k") % 2), Seq("grp"))
+    VersionedTable.mergeKeyed(spark, off,
+      rows(5, 15).withColumn("grp", lit(0L)), Seq("k"),
+      (cur, upd) => cur.join(upd, Seq("k"), "left_anti").unionByName(upd))
+    assert(VersionedTable.read(spark, off).count() === 15)
+    assert(lastOp(off) === "merge")
+
+    // partition key among the merge keys: the scoped path engages
+    val on = s"${freshRoot("mk-on")}/db/t"
+    VersionedTable.overwritePartitioned(spark, on,
+      rows(0, 10).withColumn("grp", col("k") % 2), Seq("grp"))
+    val (g1Before, _) = VersionedTable.filesForPartition(on, "grp", "1")
+    val upd = rows(0, 4).filter(col("k") % 2 === 0) // keys 0, 2 — grp-0 rows
+      .withColumn("grp", lit(0L)).withColumn("v", col("k") * 1000)
+    VersionedTable.mergeKeyed(spark, on, upd, Seq("k", "grp"),
+      (cur, u) => cur.join(u, Seq("k", "grp"), "left_anti")
+        .unionByName(u.select("k", "v", "grp")))
+    assert(lastOp(on) === "replace_partitions")
+    assert(VersionedTable.filesForPartition(on, "grp", "1")._1 === g1Before,
+      "untouched value-partition carries by file reference")
+    val got = VersionedTable.read(spark, on).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"))).toMap
+    assert(got.size === 10)
+    assert(Seq(0L, 2L).forall(k => got(k) === k * 1000), "touched keys rewrote")
+    assert(Seq(1L, 3L, 4L, 5L, 6L, 7L, 8L, 9L).forall(k => got(k) === k * 10),
+      "every other key untouched")
   }
 
   test("SQL procedures battery — POSIX-link backend (default ops)") {
