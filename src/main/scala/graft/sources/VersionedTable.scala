@@ -1432,6 +1432,36 @@ class VersionedTableOps(val store: CommitStore) {
     catch { case TxnAlreadyApplied => versions(table).last }
   }
 
+  /** Partition columns by LOGICAL name — [[partitionSpec]] returns
+    * the PHYSICAL names data files carry (id mapping / renames), this
+    * is the user-facing view (SQL SHOW PARTITIONS, DataFrame callers).
+    */
+  def partitionColumns(table: String, version: Option[Long] = None): Seq[String] =
+    versions(table).lastOption match {
+      case None => Nil
+      case Some(last) =>
+        val v = version.getOrElse(last)
+        val ren = manifestRenames(table, v)
+        manifestPartitionBy(table, v).map(ph => ren.getOrElse(ph, ph))
+    }
+
+  /** The distinct raw partition-segment values of one column in a
+    * snapshot, sorted — metadata-only (manifest paths, no IO); the
+    * SQL SHOW PARTITIONS listing.
+    */
+  def partitionValues(table: String, colName: String,
+      version: Option[Long] = None): Seq[String] = {
+    val v = version.getOrElse {
+      val vs = versions(table)
+      require(vs.nonEmpty, s"no commits at $table")
+      vs.last
+    }
+    val ph = physicalName(manifestRenames(table, v), colName)
+    require(manifestPartitionBy(table, v).contains(ph),
+      s"$colName is not a partition column of $table")
+    partitionSegValues(table, ph, v).toSeq.sorted
+  }
+
   /** The distinct partition-value segments present in a snapshot
     * (raw path-encoded form, the exact strings the writer produced —
     * byte-comparable across tables because the encoding is

@@ -351,7 +351,8 @@ object GraftCatalog {
   */
 class GraftSqlTable(val ops: VersionedTableOps, val path: String,
     val pinnedVersion: Long, ident: Identifier)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsPartitionManagement {
 
   override def name(): String = s"graft:${ident}@v$pinnedVersion"
 
@@ -371,6 +372,108 @@ class GraftSqlTable(val ops: VersionedTableOps, val path: String,
     if (parts.nonEmpty) m.put("partitionBy", parts.mkString(","))
     m
   }
+
+  private lazy val partCols: Seq[String] =
+    ops.partitionColumns(path, Some(pinnedVersion))
+
+  override def partitioning(): Array[Transform] =
+    partCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+
+  /** SHOW PARTITIONS / ALTER TABLE … DROP PARTITION, through the
+    * DSv2 partition-management interface. Listings are metadata-only
+    * (distinct manifest path segments); DROP PARTITION is the
+    * metadata-only retention commit ([[VersionedTableOps
+    * .dropPartition]] — files leave the manifest, zero data bytes
+    * move). Value↔segment translation is byte-pinned for the same
+    * type set the keyed MERGE trusts (integral, string, date,
+    * boolean); single-column layouts only (the value-directory spec
+    * the layer writes today). ADD PARTITION refuses: value
+    * directories come into existence on write.
+    */
+  override def partitionSchema(): StructType =
+    StructType(partCols.map(c => schema(schema.fieldIndex(c))))
+
+  private def onePartCol(): (String, org.apache.spark.sql.types.DataType) = {
+    require(partCols.size == 1,
+      s"graft SQL partition management supports single-column layouts, " +
+        s"this table partitions on ${partCols.mkString(", ")}")
+    (partCols.head, schema(schema.fieldIndex(partCols.head)).dataType)
+  }
+
+  private def segOf(dt: org.apache.spark.sql.types.DataType,
+      identRow: org.apache.spark.sql.catalyst.InternalRow): String = {
+    import org.apache.spark.sql.types._
+    require(!identRow.isNullAt(0), "null partition values are not addressable")
+    dt match {
+      case LongType => identRow.getLong(0).toString
+      case IntegerType => identRow.getInt(0).toString
+      case ShortType => identRow.getShort(0).toString
+      case ByteType => identRow.getByte(0).toString
+      case StringType => identRow.getUTF8String(0).toString
+      case BooleanType => identRow.getBoolean(0).toString
+      case DateType => java.time.LocalDate.ofEpochDay(identRow.getInt(0)).toString
+      case other => throw new UnsupportedOperationException(
+        s"partition values of type ${other.simpleString} are not segment-addressable")
+    }
+  }
+
+  private def rowOf(dt: org.apache.spark.sql.types.DataType,
+      seg: String): org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.sql.types._
+    val v: Any = dt match {
+      case LongType => seg.toLong
+      case IntegerType => seg.toInt
+      case ShortType => seg.toShort
+      case ByteType => seg.toByte
+      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(seg)
+      case BooleanType => seg.toBoolean
+      case DateType => java.time.LocalDate.parse(seg).toEpochDay.toInt
+      case other => throw new UnsupportedOperationException(
+        s"partition values of type ${other.simpleString} are not segment-addressable")
+    }
+    org.apache.spark.sql.catalyst.InternalRow(v)
+  }
+
+  override def listPartitionIdentifiers(names: Array[String],
+      identRow: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val (col, dt) = onePartCol()
+    val all = ops.partitionValues(path, col, Some(pinnedVersion))
+    val wanted =
+      if (names.isEmpty) all
+      else {
+        require(names.sameElements(Array(col)), s"unknown partition column ${names.mkString(",")}")
+        all.filter(_ == segOf(dt, identRow))
+      }
+    wanted.map(rowOf(dt, _)).toArray
+  }
+
+  override def dropPartition(
+      identRow: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    val (col, dt) = onePartCol()
+    val seg = segOf(dt, identRow)
+    if (!ops.partitionValues(path, col).contains(seg)) return false
+    ops.dropPartition(SparkSession.active, path, col, seg)
+    true
+  }
+
+  override def createPartition(
+      identRow: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft value directories come into existence on write — " +
+        "ADD PARTITION has nothing to create")
+
+  override def replacePartitionMetadata(
+      identRow: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft partitions carry no mutable metadata")
+
+  override def loadPartitionMetadata(
+      identRow: org.apache.spark.sql.catalyst.InternalRow)
+      : util.Map[String, String] = new util.HashMap[String, String]()
 
   /** A shape-only ScanBuilder: row-level commands (DELETE FROM) run
     * the optimizer's scan planning over the target relation purely to

@@ -319,6 +319,24 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT sum(v) AS s FROM $catalog.db.p WHERE grp = 1")
       .head.getLong(0) === (1L until 20 by 2).map(_ * 100).sum)
 
+    // SHOW PARTITIONS lists the value directories (metadata-only:
+    // distinct manifest path segments), and ALTER TABLE … DROP
+    // PARTITION runs the metadata-only retention drop — files leave
+    // the manifest, zero data bytes move
+    assert(spark.sql(s"SHOW PARTITIONS $catalog.db.p").collect()
+      .map(_.getString(0)).sorted === Array("grp=0", "grp=1"))
+    val preDropVersions = ops.versions(s"$root/db/p").size
+    spark.sql(s"ALTER TABLE $catalog.db.p DROP PARTITION (grp = 0)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.p WHERE grp = 0")
+      .head.getLong(0) === 0)
+    assert(spark.sql(s"SHOW PARTITIONS $catalog.db.p").collect()
+      .map(_.getString(0)) === Array("grp=1"))
+    assert(ops.versions(s"$root/db/p").size === preDropVersions + 1,
+      "DROP PARTITION is one commit")
+    assert(spark.sql(s"CALL $catalog.system.history('db.p')")
+      .collect().last.getString(1) === "drop_partition",
+      "the SQL drop takes the metadata-only commit path")
+
     // non-identity partition transforms refuse loudly
     val badPart = intercept[Exception] {
       spark.sql(s"CREATE TABLE $catalog.db.pb (k BIGINT) PARTITIONED BY (bucket(8, k))")
