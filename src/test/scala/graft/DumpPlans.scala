@@ -13,6 +13,10 @@ object DumpPlans {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // the SQL read paths (q_sql_catalog / q_sql_partitioned) need
+      // the same activation pair Verify/Bench set
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
+      .config("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
@@ -94,7 +98,14 @@ object DumpPlans {
       // q_id_mapping: the scan's ReadSchema carries the PHYSICAL
       // __gcid_<n> names with the logical aliases projected above —
       // the whole id-mapping read path in one plan
-      "q_id_mapping")
+      "q_id_mapping",
+      // round-10 second half: the pure-SQL read paths. q_sql_catalog's
+      // final SELECT plans through the extensions rule onto the same
+      // zone-map-indexed parquet scan the Scala read produces;
+      // q_sql_partitioned's final aggregate reads the value-routed
+      // layout a SQL CREATE…PARTITIONED BY + INSERT + scoped MERGE
+      // produced (the partition-composed write story's read half)
+      "q_sql_catalog", "q_sql_partitioned")
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by graft.DumpPlans)\n\n"
     sb ++= "Evidence for SURVEY.md §5: pushed filters, pruned read schemas,\n"
