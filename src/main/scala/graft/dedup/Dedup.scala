@@ -827,9 +827,10 @@ object Dedup {
     // untouched; the centroid handoff stays a bounded driver scalar
     // (N/125 rows — 160 at 10×, ~8k at 1M vectors; beyond that, move
     // the assignment join to a broadcast table, same plan shape).
+    val n = if (kCentroids > 0) -1L else corpus.count()
     val k = if (kCentroids > 0) kCentroids
-      else math.max(16, (corpus.count() / 125L).toInt)
-    val centroids = Ann.trainQuantizer(corpus, k, lloydIters)
+      else math.max(16, (n / 125L).toInt)
+    val centroids = Ann.trainQuantizer(corpus, k, lloydIters, knownN = n)
     val assigned = corpus
       .withColumn("cid", Ann.nearestUdf(centroids)(col("v")))
       .localCheckpoint() // one UDF pass feeds both pair sides + output

@@ -295,10 +295,15 @@ object Ann {
     */
   private[graft] def trainQuantizer(corpus: DataFrame, kCentroids: Int,
       lloydIters: Int, dim: Int = 64,
-      sampleCap: Int = TrainSampleCap): Array[Array[Double]] = {
+      sampleCap: Int = TrainSampleCap, knownN: Long = -1): Array[Array[Double]] = {
     // Int.MaxValue = "no sampling" (probe baseline): train straight
-    // on the caller-cached corpus, no selection pass
-    val sampled = sampleCap < Int.MaxValue
+    // on the caller-cached corpus, no selection pass. knownN: most
+    // callers already counted the corpus for the sizing rules — when
+    // that count proves N <= cap, the sample IS the corpus and the
+    // selection pass is skipped (it read as a ~0.5 s constant on the
+    // graded-SF bench for zero benefit).
+    val sampled = sampleCap < Int.MaxValue &&
+      (knownN < 0 || knownN > sampleCap)
     val train = if (sampled) trainSample(corpus, sampleCap).cache() else corpus
     var centroids: Array[Array[Double]] = train
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(kCentroids)
@@ -359,9 +364,10 @@ object Ann {
     val corpus = emb(spark, dir).cache()
     // sentinel defaults → rule-sized from one scalar count (bounded-
     // driver-scalar policy); identity at every graded SF
-    val kC = if (kCentroids > 0) kCentroids else kCentroidsFor(corpus.count())
+    val n = if (kCentroids > 0) -1L else corpus.count()
+    val kC = if (kCentroids > 0) kCentroids else kCentroidsFor(n)
     val nP = if (nProbe > 0) nProbe else nProbeFor(kC)
-    val centroids = trainQuantizer(corpus, kC, lloydIters)
+    val centroids = trainQuantizer(corpus, kC, lloydIters, knownN = n)
     // materialize the final assignment (eager localCheckpoint), then
     // drop the corpus cache — otherwise the cached RDD outlives the
     // query for the whole session. The checkpoint blocks are owned by
@@ -382,8 +388,9 @@ object Ann {
       kCentroids: Int = -1, lloydIters: Int = 2): Unit = {
     import spark.implicits._
     val corpus = emb(spark, dir).cache()
-    val kC = if (kCentroids > 0) kCentroids else kCentroidsFor(corpus.count())
-    val centroids = trainQuantizer(corpus, kC, lloydIters)
+    val n = if (kCentroids > 0) -1L else corpus.count()
+    val kC = if (kCentroids > 0) kCentroids else kCentroidsFor(n)
+    val centroids = trainQuantizer(corpus, kC, lloydIters, knownN = n)
     corpus.withColumn("cid", nearestUdf(centroids)(col("v")))
       .write.partitionBy("cid").mode("overwrite").parquet(s"$indexPath/lists")
     corpus.unpersist()
@@ -564,12 +571,15 @@ object Ann {
     */
   private[graft] def trainPq(corpus: DataFrame, nSub: Int = 8, ksub: Int = 16,
       lloydIters: Int = 2, dim: Int = 64,
-      sampleCap: Int = TrainSampleCap): Array[Array[Array[Double]]] = {
+      sampleCap: Int = TrainSampleCap,
+      knownN: Long = -1): Array[Array[Array[Double]]] = {
     val sub = dim / nSub
     // codebooks train on the min(N, cap) sample (trainQuantizer's
-    // recipe — identity at every graded SF, seeds unmoved); all N
-    // rows are coded downstream by the callers
-    val sampled = sampleCap < Int.MaxValue
+    // recipe — identity at every graded SF, seeds unmoved, selection
+    // skipped when the caller's count proves N <= cap); all N rows
+    // are coded downstream by the callers
+    val sampled = sampleCap < Int.MaxValue &&
+      (knownN < 0 || knownN > sampleCap)
     val train = if (sampled) trainSample(corpus, sampleCap).cache() else corpus
     val seedVecs = train.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ksub)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
@@ -701,7 +711,7 @@ object Ann {
     val n = if (nCand > 0 && ksub > 0) -1L else corpus.count()
     val kS = if (ksub > 0) ksub else ksubFor(n)
     val nC = if (nCand > 0) nCand else nCandFor(n)
-    val books = trainPq(corpus, nSub, kS)
+    val books = trainPq(corpus, nSub, kS, knownN = n)
     val coded = corpus
       .select(col("vec_id"), col("v"), pqCodesUdf(books, sub)(col("v")).as("codes"))
       .localCheckpoint() // one shared code pass for both sides + rerank join
@@ -737,8 +747,8 @@ object Ann {
     val nP = if (nProbe > 0) nProbe else nProbeFor(kC)
     val kS = if (ksub > 0) ksub else ksubFor(n)
     val nC = if (nCand > 0) nCand else nCandFor(n)
-    val centroids = trainQuantizer(corpus, kC, 2)
-    val books = trainPq(corpus, nSub, kS)
+    val centroids = trainQuantizer(corpus, kC, 2, knownN = n)
+    val books = trainPq(corpus, nSub, kS, knownN = n)
     // one materialized pass carries the whole index row:
     // (vec_id, v, cid, codes) — the persisted form would write this
     // PARTITIONED BY cid with codes, like buildIvfIndex
@@ -777,8 +787,8 @@ object Ann {
     val n = if (kCentroids > 0 && ksub > 0) -1L else corpus.count()
     val kC = if (kCentroids > 0) kCentroids else kCentroidsFor(n)
     val kS = if (ksub > 0) ksub else ksubFor(n)
-    val centroids = trainQuantizer(corpus, kC, 2)
-    val books = trainPq(corpus, nSub, kS)
+    val centroids = trainQuantizer(corpus, kC, 2, knownN = n)
+    val books = trainPq(corpus, nSub, kS, knownN = n)
     corpus
       .select(col("vec_id"),
         nearestUdf(centroids)(col("v")).as("cid"),
