@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.sources.{InMemoryCommitStore, VersionedTable, VersionedTableOps}
 
@@ -1505,6 +1506,120 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     assert(headFiles.nonEmpty && headFiles.forall(f =>
       Files.exists(Paths.get(new java.net.URI(f)))),
       "every head-referenced file survives vacuum")
+  }
+
+  test(s"[$backend] zone-map-scoped keyed merge: untouched files carry by reference on a clustered layout") {
+    val t = freshTable("mergezone")
+    // three disjoint key clusters, one commit each — each commit's
+    // files span only its cluster, so the layout is key-clustered and
+    // the committed zone maps are tight (the OPTIMIZE-maintained shape
+    // a 100 TB upsert target would hold)
+    for (lo <- Seq(0L, 1000L, 2000L)) {
+      val df = spark.range(lo, lo + 500)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+      if (lo == 0L) ops.overwrite(spark, t, df) else ops.append(spark, t, df)
+    }
+    val v0 = ops.versions(t).last
+    val files0 = ops.snapshotFiles(t, Some(v0)).toSet
+    // upsert strictly inside the middle cluster, plus one genuinely
+    // new key far outside every file's interval (a pure insert)
+    val upd = spark.range(1100, 1105)
+      .select(col("id").as("k"), lit(-1L).as("v"))
+      .union(spark.range(5000, 5001).select(col("id").as("k"), lit(-7L).as("v")))
+    val v1 = ops.upsert(spark, t, upd, "k")
+    assert(ops.history(spark, t).collect().last.getString(1) === "upsert",
+      "the scoped commit still records the operation the user ran")
+    // EXACTLY the stat-intersecting files rewrote; every other file
+    // carried into the new manifest by reference (zero bytes moved)
+    val files1 = ops.snapshotFiles(t, Some(v1)).toSet
+    val touched = ops.filesForRange(t, "k", 1100, 1104, Some(v0))._1.toSet
+    assert(touched.nonEmpty && touched.size < files0.size,
+      "the probe must actually prune on this layout")
+    assert((files0 -- files1) === touched,
+      "exactly the zone-map-touched files were replaced")
+    assert((files0 -- touched).subsetOf(files1),
+      "untouched files carry by file identity — O(touched) write cost")
+    val r1 = ops.read(spark, t, Some(v1))
+    assert(r1.count() === 1501)
+    assert(r1.filter(col("v") === -1L).count() === 5, "matched keys updated")
+    assert(r1.filter(col("k") === 5000).head.getLong(1) === -7L, "new key inserted")
+    assert(r1.filter(col("k") === 1099).head.getLong(1) === 2198,
+      "unmatched row in a TOUCHED file passes through")
+    assert(r1.filter(col("k") === 42).head.getLong(1) === 84,
+      "unmatched row in a CARRIED file passes through")
+    assert(ops.read(spark, t, Some(v0)).count() === 1500, "time travel pre-merge")
+    // MoR interplay: a tombstoned row in a touched file cannot
+    // resurrect through the scoped rewrite (rows are read with the
+    // deletion vectors subtracted), and carried files keep their DVs
+    ops.deleteMoR(spark, t, col("k") === 1200)
+    val vUp2 = ops.upsert(spark, t,
+      spark.range(1300, 1301).select(col("id").as("k"), lit(-9L).as("v")), "k")
+    val r2 = ops.read(spark, t, Some(vUp2))
+    assert(r2.count() === 1500)
+    assert(r2.filter(col("k") === 1200).count() === 0,
+      "MoR-deleted row stays dead through the scoped merge")
+    assert(r2.filter(col("k") === 1300).head.getLong(1) === -9L)
+    // null-keyed source rows probe nothing and land as inserts (SQL
+    // join semantics: null never EqualTo-matches)
+    val updN = spark.range(0, 1)
+      .select(lit(null).cast("long").as("k"), lit(-6L).as("v"))
+      .union(spark.range(1150, 1151).select(col("id").as("k"), lit(-5L).as("v")))
+    val vN = ops.upsert(spark, t, updN, "k")
+    val rN = ops.read(spark, t, Some(vN))
+    assert(rN.filter(col("k").isNull).count() === 1, "null key inserts")
+    assert(rN.filter(col("k") === 1150).head.getLong(1) === -5L)
+    // a batch spanning the whole key domain prunes nothing — the
+    // race-safe whole-snapshot path takes over, same semantics
+    val vW = ops.upsert(spark, t,
+      spark.range(0, 2500).select(col("id").as("k"), lit(-3L).as("v")), "k")
+    val rW = ops.read(spark, t, Some(vW))
+    assert(rW.filter(col("v") === -3L).count() === 2500)
+    assert(rW.count() === 2502, "2500 domain keys + the far insert + the null row")
+  }
+
+  test(s"[$backend] zoned merge: string keys, min/max range fallback, schema-evolving fallback") {
+    val t = freshTable("mergezone-str")
+    // two commits with disjoint key prefixes — string zone maps
+    // (printable ASCII) make the a-prefix files provably untouchable
+    // by an m-prefix merge
+    val a = spark.range(0, 200).select(
+      concat(lit("a"), format_string("%03d", col("id"))).as("k"), col("id").as("v"))
+    val b = spark.range(0, 200).select(
+      concat(lit("m"), format_string("%03d", col("id"))).as("k"), col("id").as("v"))
+    ops.overwrite(spark, t, a)
+    ops.append(spark, t, b)
+    val v0 = ops.versions(t).last
+    val aFiles = ops.filesForRangeString(t, "k", "a000", "a999", Some(v0))._1.toSet
+    assert(aFiles.nonEmpty)
+    val upd = spark.range(10, 15).select(
+      concat(lit("m"), format_string("%03d", col("id"))).as("k"), lit(-1L).as("v"))
+    val v1 = ops.upsert(spark, t, upd, "k")
+    assert(aFiles.subsetOf(ops.snapshotFiles(t, Some(v1)).toSet),
+      "a-prefix files carry by reference under an m-prefix point probe")
+    assert(ops.read(spark, t, Some(v1)).filter(col("v") === -1L).count() === 5)
+    assert(ops.read(spark, t, Some(v1)).count() === 400)
+    // past the collect bound the probe degrades to the batch's
+    // [min, max] — still prunes the disjoint prefix
+    def coalesceMerge(cur: DataFrame, u: DataFrame): DataFrame =
+      cur.as("t").join(u.as("u"), Seq("k"), "full_outer")
+        .select(col("k"), coalesce(col("u.v"), col("t.v")).as("v"))
+    val upd2 = spark.range(50, 60).select(
+      concat(lit("m"), format_string("%03d", col("id"))).as("k"), lit(-2L).as("v"))
+    val v2 = ops.mergeKeyed(spark, t, upd2, Seq("k"), coalesceMerge, maxTouched = 2)
+    assert(aFiles.subsetOf(ops.snapshotFiles(t, Some(v2)).toSet),
+      "the range probe prunes the disjoint prefix too")
+    assert(ops.read(spark, t, Some(v2)).filter(col("v") === -2L).count() === 10)
+    // a schema-evolving mergeFn cannot keep carried files consistent —
+    // it falls back to the whole-snapshot path, same answer, new column
+    val upd3 = spark.range(100, 101).select(
+      concat(lit("m"), format_string("%03d", col("id"))).as("k"), lit(-3L).as("v"))
+    val v3 = ops.mergeKeyed(spark, t, upd3, Seq("k"),
+      (cur, u) => coalesceMerge(cur, u).withColumn("w", lit(1L)))
+    assert(ops.history(spark, t).collect().last.getString(1) === "merge")
+    val r3 = ops.read(spark, t, Some(v3))
+    assert(r3.columns.contains("w"), "schema-evolving merge lands through the whole path")
+    assert(r3.filter(col("v") === -3L).count() === 1)
+    assert(r3.count() === 400)
   }
 }
 
