@@ -832,7 +832,7 @@ object Dedup {
       else math.max(16, (n / 125L).toInt)
     val centroids = Ann.trainQuantizer(corpus, k, lloydIters, knownN = n)
     val assigned = corpus
-      .withColumn("cid", Ann.nearestUdf(centroids)(col("v")))
+      .withColumn("cid", graft.plans.VectorExpressions.nearestNative(col("v"), centroids))
       .localCheckpoint() // one UDF pass feeds both pair sides + output
     corpus.unpersist()
     val a = assigned.select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))

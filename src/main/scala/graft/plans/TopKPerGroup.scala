@@ -32,16 +32,26 @@ case class TopKPerGroupLogical(
 
 case class TopKPerGroupExec(
     group: Seq[Expression], order: Seq[SortOrder], k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan, partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  /** Co-locate each group; the planner inserts the single exchange.
-    * An empty group is a global top-k — all rows to one partition
-    * (ClusteredDistribution rejects an empty clustering).
+  /** Final phase co-locates each group (the planner inserts the one
+    * exchange; empty group = global top-k, all rows to one partition).
+    * The PARTIAL phase runs map-side with no distribution requirement
+    * — each task heap-cuts its own slice to ≤ groups·k rows BEFORE
+    * the exchange, so the shuffle moves per-task survivors, not the
+    * whole input (TakeOrderedAndProject's two-phase shape, per
+    * group). Top-k of a union equals top-k of the per-slice top-ks,
+    * so the final phase over partials is exact; under a non-total
+    * order row_number is tie-nondeterministic either way, and every
+    * call site orders totally.
     */
   override def requiredChildDistribution: Seq[Distribution] =
-    (if (group.isEmpty) AllTuples else ClusteredDistribution(group)) :: Nil
+    (if (partial)
+      org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
+    else if (group.isEmpty) AllTuples
+    else ClusteredDistribution(group)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val groupExprs = group
@@ -80,7 +90,10 @@ case class TopKPerGroupExec(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupLogical(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+      // two-phase: map-side partial cut, exchange survivors only,
+      // final cut per co-located group
+      TopKPerGroupExec(g, o, k,
+        TopKPerGroupExec(g, o, k, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }

@@ -143,6 +143,215 @@ case class L2Normalize(child: Expression) extends ArrayDoubleUnaryExpression {
     copy(child = newChild)
 }
 
+/** Native nearest-centroid assignment — the N×K ANN/dedup build pass
+  * (SURVEY's named residual ANN cost), previously a per-row ScalaUDF
+  * with Seq boxing and catalyst↔scala conversion per vector. The
+  * codebook travels as a FLAT primitive double[] (K·dim,
+  * row-major) reference object into generated code; the row vector is
+  * copied once to a local double[] and scanned K times — a tight
+  * two-level primitive loop inside whole-stage codegen, no allocation
+  * beyond the one local copy.
+  *
+  * BIT-EXACT contract with the ScalaUDF it replaces (oracle replays
+  * are pinned on it, spec-asserted at every graded SF): dots
+  * accumulate in element order, `s > bestDot` with first-index
+  * tie-break (IEEE >, so a NaN dot never wins and ±0.0 ties keep the
+  * earlier index). Vectors shorter than `dim` dot over their own
+  * length (the UDF's loop bound); a NULL element nulls the result
+  * (the corpus never carries one — same all-or-nothing rule as
+  * [[DotProduct]]).
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Double],
+    dim: Int) extends ArrayDoubleUnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_nearest"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val m = if (n < dim) n else dim
+    val v = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      if (a.isNullAt(i)) return null
+      v(i) = a.getDouble(i)
+      i += 1
+    }
+    val k = centroids.length / dim
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      val off = c * dim
+      i = 0
+      while (i < m) { s += v(i) * centroids(off + i); i += 1 }
+      if (s > bestDot) { bestDot = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("graftCentroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val v = ctx.freshName("v")
+      val s = ctx.freshName("s")
+      val off = ctx.freshName("off")
+      val best = ctx.freshName("best")
+      val bestDot = ctx.freshName("bestDot")
+      val k = centroids.length / dim
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $n < $dim ? $n : $dim;
+         |double[] $v = new double[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $v[$i] = $a.getDouble($i);
+         |}
+         |int $best = 0;
+         |if (!${ev.isNull}) {
+         |  double $bestDot = Double.NEGATIVE_INFINITY;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $s = 0.0;
+         |    int $off = $c * $dim;
+         |    for (int $i = 0; $i < $m; $i++) { $s += $v[$i] * $cs[$off + $i]; }
+         |    if ($s > $bestDot) { $bestDot = $s; $best = $c; }
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native nProbe-nearest-centroid list — [[NearestCentroid]]'s probe
+  * sibling, replacing the query-side ScalaUDF that sorted a boxed
+  * (−dot, index) tuple Seq per row. Selection replays the UDF's
+  * `sorted.take(nProbe)` ordering EXACTLY via repeated minimum of the
+  * negated dots under java.lang.Double.compare (so −0.0/0.0 and NaN
+  * order as the tuple sort did, index ascending on ties) — an
+  * O(K·nProbe) scan over a primitive array, allocation-free beyond
+  * the per-row locals. nProbe is query-side-small by contract, so the
+  * quadratic term is bounded (nProbe ≤ K, both driver-chosen).
+  */
+case class ProbeCentroids(child: Expression, centroids: Array[Double],
+    dim: Int, nProbe: Int) extends ArrayDoubleUnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_probes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val m = if (n < dim) n else dim
+    val v = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      if (a.isNullAt(i)) return null
+      v(i) = a.getDouble(i)
+      i += 1
+    }
+    val k = centroids.length / dim
+    val neg = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      val off = c * dim
+      i = 0
+      while (i < m) { s += v(i) * centroids(off + i); i += 1 }
+      neg(c) = -s
+      c += 1
+    }
+    val take = if (nProbe < k) nProbe else k
+    val out = new Array[Int](take)
+    val used = new Array[Boolean](k)
+    var slot = 0
+    while (slot < take) {
+      var bc = -1
+      c = 0
+      while (c < k) {
+        if (!used(c) && (bc < 0 || java.lang.Double.compare(neg(c), neg(bc)) < 0))
+          bc = c
+        c += 1
+      }
+      used(bc) = true
+      out(slot) = bc
+      slot += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("graftCentroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val v = ctx.freshName("v")
+      val s = ctx.freshName("s")
+      val off = ctx.freshName("off")
+      val neg = ctx.freshName("neg")
+      val used = ctx.freshName("used")
+      val out = ctx.freshName("out")
+      val slot = ctx.freshName("slot")
+      val bc = ctx.freshName("bc")
+      val k = centroids.length / dim
+      val take = if (nProbe < k) nProbe else k
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $n < $dim ? $n : $dim;
+         |double[] $v = new double[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $v[$i] = $a.getDouble($i);
+         |}
+         |if (!${ev.isNull}) {
+         |  double[] $neg = new double[$k];
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $s = 0.0;
+         |    int $off = $c * $dim;
+         |    for (int $i = 0; $i < $m; $i++) { $s += $v[$i] * $cs[$off + $i]; }
+         |    $neg[$c] = -$s;
+         |  }
+         |  boolean[] $used = new boolean[$k];
+         |  int[] $out = new int[$take];
+         |  for (int $slot = 0; $slot < $take; $slot++) {
+         |    int $bc = -1;
+         |    for (int $c = 0; $c < $k; $c++) {
+         |      if (!$used[$c] && ($bc < 0 ||
+         |          java.lang.Double.compare($neg[$c], $neg[$bc]) < 0)) $bc = $c;
+         |    }
+         |    $used[$bc] = true;
+         |    $out[$slot] = $bc;
+         |  }
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Column API for [[DotProduct]]; inputs are cast to array<double>. */
@@ -154,4 +363,29 @@ object VectorExpressions {
   /** Column API for [[L2Normalize]]; input is cast to array<double>. */
   def normalizeNative(a: Column): Column =
     Bridge.column(L2Normalize(Bridge.expression(a.cast("array<double>"))))
+
+  private def flat(cs: Array[Array[Double]]): (Array[Double], Int) = {
+    val dim = cs(0).length
+    val f = new Array[Double](cs.length * dim)
+    var c = 0
+    while (c < cs.length) {
+      System.arraycopy(cs(c), 0, f, c * dim, dim)
+      c += 1
+    }
+    (f, dim)
+  }
+
+  /** Column API for [[NearestCentroid]] over a per-row array<double>. */
+  def nearestNative(a: Column, cs: Array[Array[Double]]): Column = {
+    val (f, dim) = flat(cs)
+    Bridge.column(NearestCentroid(
+      Bridge.expression(a.cast("array<double>")), f, dim))
+  }
+
+  /** Column API for [[ProbeCentroids]] over a per-row array<double>. */
+  def probesNative(a: Column, cs: Array[Array[Double]], nProbe: Int): Column = {
+    val (f, dim) = flat(cs)
+    Bridge.column(ProbeCentroids(
+      Bridge.expression(a.cast("array<double>")), f, dim, nProbe))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators._
-import graft.plans.VectorExpressions.{dotNative, normalizeNative}
+import graft.plans.VectorExpressions.{dotNative, normalizeNative, nearestNative, probesNative}
 
 /** Similarity search over the embeddings table (SURVEY.md §2.4).
   *
@@ -19,6 +19,29 @@ object Ann {
     fanOut(spark, t(spark, dir, "embeddings")) // single-file table → fan out (no-op on a multi-split scan)
       .select(col("vec_id"), col("label"), normalizeNative(col("embedding")).as("v"))
 
+  /** The shared rank-the-k-nearest tail of every vector top-k: a
+    * bounded-heap cut through the custom TopK operator (round-11 —
+    * its map-side partial phase shuffles per-task survivors only, so
+    * the Q×N candidate set is cut to ≤ Q·k·tasks rows BEFORE the
+    * exchange, where the `row_number` window this replaces shuffled
+    * and sorted every scored row; at sf10 that sort was knn_join's
+    * dominant non-flop cost), then row_number over the ≤ Q·k
+    * survivors for the rank column the output contract keeps.
+    * IDENTICAL output to the window-only form: the order is total
+    * (cosine desc, vec_id asc), so the survivor set and the ranks
+    * replay exactly — every ANN oracle is pinned on this. Input must
+    * be (q_id, vec_id, cosine); cosine is rounded to 6 in the OUTPUT
+    * only, as before.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val cut = graft.plans.TopK.topKPerGroup(scored, Seq("q_id"),
+      Seq("cosine" -> false, "vec_id" -> true), k)
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    cut.withColumn("rk", row_number().over(w))
+      .select(col("q_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Exact brute-force cosine top-k: broadcast the query rows against
     * the corpus scan, window-rank per query. Baseline + recall oracle
     * for the ANN paths. Cosine is rounded to 6 decimals in the OUTPUT
@@ -30,13 +53,9 @@ object Ann {
     val corpus = emb(spark, dir)
     val queries = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
     corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .transform(rankTopK(_, k))
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
@@ -234,14 +253,10 @@ object Ann {
       .select("q_id", "vec_id").distinct()
     val queries = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
     cand.join(corpus.select(col("vec_id"), col("v")), "vec_id")
       .join(broadcast(queries), "q_id")
       .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .transform(rankTopK(_, k))
   }
 
   /** IVF (inverted-file) ANN — the other classic scale path next to
@@ -271,7 +286,7 @@ object Ann {
     best
   }
 
-  private[similarity] def probesUdf(cs: Array[Array[Double]], nProbe: Int) =
+  private[graft] def probesUdf(cs: Array[Array[Double]], nProbe: Int) =
     udf { (v: Seq[Double]) =>
       cs.indices.map { c =>
         var s = 0.0; var i = 0
@@ -305,6 +320,9 @@ object Ann {
     val sampled = sampleCap < Int.MaxValue &&
       (knownN < 0 || knownN > sampleCap)
     val train = if (sampled) trainSample(corpus, sampleCap).cache() else corpus
+    // try/finally so an exception mid-Lloyd can't leak the cached
+    // sample for the rest of the session (round-10 advice)
+    try {
     var centroids: Array[Array[Double]] = train
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(kCentroids)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
@@ -319,7 +337,7 @@ object Ann {
       val sums = (0 until dim).map(i =>
         sum(round(col("v").getItem(i) * 1e9).cast("long"))
           .cast("double").as(s"s$i"))
-      val means = train.withColumn("cid", nearestUdf(centroids)(col("v")))
+      val means = train.withColumn("cid", nearestNative(col("v"), centroids))
         .groupBy("cid").agg(sums.head, sums.tail: _*)
         .collect()
         .map { r =>
@@ -331,8 +349,8 @@ object Ann {
       // clusters that lost every vector keep their previous centroid
       centroids = centroids.indices.map(c => means.getOrElse(c, centroids(c))).toArray
     }
-    if (sampled) train.unpersist()
     centroids
+    } finally { if (sampled) train.unpersist() }
   }
 
   /** Probe + rank: join queries (exploded over their nProbe list ids)
@@ -344,15 +362,11 @@ object Ann {
       nQueries: Int, k: Int, nProbe: Int): DataFrame = {
     val queries = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        explode(probesUdf(centroids, nProbe)(col("v"))).as("q_cid"))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+        explode(probesNative(col("v"), centroids, nProbe)).as("q_cid"))
     assigned.join(broadcast(queries),
         col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .transform(rankTopK(_, k))
   }
 
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
@@ -372,7 +386,7 @@ object Ann {
     // drop the corpus cache — otherwise the cached RDD outlives the
     // query for the whole session. The checkpoint blocks are owned by
     // the returned DataFrame's RDD lineage and are GC-cleaned with it.
-    val assigned = corpus.withColumn("cid", nearestUdf(centroids)(col("v")))
+    val assigned = corpus.withColumn("cid", nearestNative(col("v"), centroids))
       .localCheckpoint()
     corpus.unpersist()
     topKOverLists(assigned, centroids, nQueries, k, nP)
@@ -391,7 +405,7 @@ object Ann {
     val n = if (kCentroids > 0) -1L else corpus.count()
     val kC = if (kCentroids > 0) kCentroids else kCentroidsFor(n)
     val centroids = trainQuantizer(corpus, kC, lloydIters, knownN = n)
-    corpus.withColumn("cid", nearestUdf(centroids)(col("v")))
+    corpus.withColumn("cid", nearestNative(col("v"), centroids))
       .write.partitionBy("cid").mode("overwrite").parquet(s"$indexPath/lists")
     corpus.unpersist()
     centroids.zipWithIndex.map { case (v, cid) => (cid, v.toSeq) }.toSeq
@@ -413,7 +427,7 @@ object Ann {
       .map(r => r.getSeq[Double](r.fieldIndex("v")).toArray)
     newVecs
       .select(col("vec_id"), col("label"), normalizeNative(col("embedding")).as("v"))
-      .withColumn("cid", nearestUdf(centroids)(col("v")))
+      .withColumn("cid", nearestNative(col("v"), centroids))
       .write.partitionBy("cid").mode("append").parquet(s"$indexPath/lists")
   }
 
@@ -439,19 +453,15 @@ object Ann {
     // is left behind — the blocks die with the returned plan's RDD)
     val queries = lists.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        explode(probesUdf(centroids, nP)(col("v"))).as("q_cid"))
+        explode(probesNative(col("v"), centroids, nP)).as("q_cid"))
       .localCheckpoint()
     // the probed lists, as a driver-side set (≤ nQueries×nProbe ids) —
     // applied as a scan filter so partition pruning fires
     val probedCids = queries.select("q_cid").distinct().collect().map(_.getInt(0)).toSeq
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
     lists.filter(col("cid").isin(probedCids: _*))
       .join(broadcast(queries), col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .transform(rankTopK(_, k))
   }
 
   /** Persisted sign-word index: (vec_id, w) rows — 16 B per vector,
@@ -496,14 +506,10 @@ object Ann {
     val corpus = emb(spark, dir)
     val qv = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val wr = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
     cands.join(corpus.select("vec_id", "v"), "vec_id")
       .join(broadcast(qv), "q_id")
       .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
-      .withColumn("rk", row_number().over(wr))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .transform(rankTopK(_, k))
   }
 
   /** Batch k-NN join: one query set × corpus, k nearest per query —
@@ -515,13 +521,9 @@ object Ann {
     val corpus = emb(spark, dir).filter(col("label") =!= 0)
     val queries = emb(spark, dir).filter(col("label") === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
     corpus.crossJoin(broadcast(queries))
       .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .transform(rankTopK(_, k))
   }
 
   /** Per-vector symmetric int8 quantization: scale = 127/max|v_i|,
@@ -581,6 +583,9 @@ object Ann {
     val sampled = sampleCap < Int.MaxValue &&
       (knownN < 0 || knownN > sampleCap)
     val train = if (sampled) trainSample(corpus, sampleCap).cache() else corpus
+    // try/finally so an exception mid-Lloyd can't leak the cached
+    // sample for the rest of the session (round-10 advice)
+    try {
     val seedVecs = train.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ksub)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     var books: Array[Array[Array[Double]]] =
@@ -606,8 +611,8 @@ object Ann {
         }.toMap
       books = Array.tabulate(nSub, ksub)((m, c) => updates.getOrElse((m, c), books(m)(c)))
     }
-    if (sampled) train.unpersist()
     books
+    } finally { if (sampled) train.unpersist() }
   }
 
   /** Per-subspace nearest-codeword ids (argmin cc − 2·x·c, lowest
@@ -673,14 +678,10 @@ object Ann {
     */
   private def rerankCandidates(cands: DataFrame, vecs: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
-    val wr = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
     cands.join(vecs, "vec_id")
       .join(broadcast(queries), "q_id")
       .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
-      .withColumn("rk", row_number().over(wr))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .transform(rankTopK(_, k))
   }
 
   /** PQ-ADC top-k: candidates are generated from 8 codeword ids per
@@ -754,14 +755,14 @@ object Ann {
     // PARTITIONED BY cid with codes, like buildIvfIndex
     val indexed = corpus
       .select(col("vec_id"), col("v"),
-        nearestUdf(centroids)(col("v")).as("cid"),
+        nearestNative(col("v"), centroids).as("cid"),
         pqCodesUdf(books, sub)(col("v")).as("codes"))
       .localCheckpoint()
     corpus.unpersist()
     val qbase = indexed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val queries = qbase
-      .select(col("q_id"), col("qv"), explode(probesUdf(centroids, nP)(col("qv"))).as("q_cid"))
+      .select(col("q_id"), col("qv"), explode(probesNative(col("qv"), centroids, nP)).as("q_cid"))
     // each vector lives in exactly one list, so the probe join yields
     // at most one (q, vec) row — no dedup needed before ranking
     val cands = adcCut(indexed.select("vec_id", "cid", "codes")
@@ -791,7 +792,7 @@ object Ann {
     val books = trainPq(corpus, nSub, kS, knownN = n)
     corpus
       .select(col("vec_id"),
-        nearestUdf(centroids)(col("v")).as("cid"),
+        nearestNative(col("v"), centroids).as("cid"),
         pqCodesUdf(books, sub)(col("v")).as("codes"))
       .write.partitionBy("cid").mode("overwrite").parquet(s"$indexPath/lists")
     corpus.unpersist()
@@ -839,7 +840,7 @@ object Ann {
     // ivfTopKIndexed — default-args probe matches default-args build
     val nP = if (nProbe > 0) nProbe else nProbeFor(centroids.length)
     val queries = qbase
-      .select(col("q_id"), col("qv"), explode(probesUdf(centroids, nP)(col("qv"))).as("q_cid"))
+      .select(col("q_id"), col("qv"), explode(probesNative(col("qv"), centroids, nP)).as("q_cid"))
     val probedCids = queries.select("q_cid").distinct().collect().map(_.getInt(0)).toSeq
     val lists = spark.read.parquet(s"$indexPath/lists")
     // rule-sized nCand from the persisted index's row count (a codes-
@@ -904,14 +905,10 @@ object Ann {
       .select("q_id", "vec_id")
     val qv = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val wr = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
     cands.join(corpus.select("vec_id", "v"), "vec_id")
       .join(broadcast(qv), "q_id")
       .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
-      .withColumn("rk", row_number().over(wr))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .transform(rankTopK(_, k))
   }
 
   def quantizedTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
@@ -935,13 +932,9 @@ object Ann {
     // exact re-rank of the tiny candidate set at full precision
     val qv = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val wr = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
     cands.join(corpus.select("vec_id", "v"), "vec_id")
       .join(broadcast(qv), "q_id")
       .select(col("q_id"), col("vec_id"), dotNative(col("v"), col("qv")).as("cosine"))
-      .withColumn("rk", row_number().over(wr))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .transform(rankTopK(_, k))
   }
 }

@@ -7,6 +7,12 @@ import graft.sources.VersionedTable
 /** Measured constants for the round-11 capabilities (SURVEY §5's
   * artifact-per-claim rule):
   *
+  *  2. NATIVE NEAREST-CENTROID ASSIGNMENT: the N×K ANN build pass
+  *     (SURVEY's named residual ANN cost) as a codegen Expression vs
+  *     the ScalaUDF it replaces — same flop count, no Seq boxing or
+  *     catalyst↔scala conversion per row. Measured on a synthetic
+  *     256k × dim-64 corpus against a 1024-centroid codebook.
+  *
   *  1. ZONE-MAP-SCOPED KEYED MERGE (the round-10 verdict's top item):
   *     on a key-clustered UNPARTITIONED table, the cost of a narrow
   *     upsert must track the TOUCHED FILES, not the table size — the
@@ -79,6 +85,34 @@ object ProbeRound11 {
       println(f"PROBE merge_zoned rows=$rows%-9d zoned=$tZoned%6.2fs " +
         f"whole=$tWhole%6.2fs rewrittenFiles=$rewritten%d carriedFiles=$carried%d " +
         f"of=${before.size}%d")
+    }
+
+    // ---- 2. native vs ScalaUDF nearest-centroid assignment ----
+    {
+      val dim = 64
+      val k = 1024
+      val n = 256000L
+      val cs = Array.tabulate(k, dim)((c, d) =>
+        graft.similarity.Ann.planeComponent(c, d))
+      val corpus = spark.range(0, n).select(col("id").as("vec_id"),
+        array((0 until dim).map(i =>
+          (pmod(hash(col("id") * dim + i), lit(1000)).cast("double") / 500.0 - 1.0)
+        ): _*).as("v")).cache()
+      corpus.count() // materialize the cache outside both timings
+      def forceNative(): Long = corpus
+        .select(graft.plans.VectorExpressions.nearestNative(col("v"), cs).as("cid"))
+        .agg(sum("cid")).head.getLong(0)
+      def forceUdf(): Long = corpus
+        .select(graft.similarity.Ann.nearestUdf(cs)(col("v")).as("cid"))
+        .agg(sum("cid")).head.getLong(0)
+      forceNative(); forceUdf() // codegen/JIT warm
+      var sNative = 0L; var sUdf = 0L
+      val tNative = (1 to 3).map(_ => timed { sNative = forceNative() }).min
+      val tUdf = (1 to 3).map(_ => timed { sUdf = forceUdf() }).min
+      require(sNative == sUdf, s"assignment checksum mismatch: $sNative vs $sUdf")
+      corpus.unpersist()
+      println(f"PROBE ann_assign n=$n%d k=$k%d dim=$dim%d " +
+        f"native=$tNative%6.2fs udf=$tUdf%6.2fs speedup=${tUdf / tNative}%4.2fx")
     }
 
     spark.stop()

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.VectorExpressions.{nearestNative, probesNative}
+import graft.similarity.Ann
+
+/** Bit-exactness of the native nearest-centroid / probe-list codegen
+  * expressions against the ScalaUDFs they replace (round-11: the N×K
+  * ANN build pass moves from per-row Seq-boxed UDFs into whole-stage
+  * codegen). The UDFs stay in the tree as the reference
+  * implementation; every oracle replay is pinned on the two producing
+  * IDENTICAL assignments, so the spec compares them row-for-row on
+  * the real corpus and on adversarial synthetic vectors (zero
+  * vectors, exact ties, short vectors).
+  */
+class VectorAssignSpec extends SparkSpec {
+
+  test("nearestNative matches nearestUdf row-for-row on the real corpus") {
+    val corpus = Ann.emb(spark, sf).cache()
+    try {
+      val cs = Ann.trainQuantizer(corpus, 16, 2)
+      val both = corpus
+        .withColumn("native", nearestNative(col("v"), cs))
+        .withColumn("udf", Ann.nearestUdf(cs)(col("v")))
+        .select("vec_id", "native", "udf").collect()
+      assert(both.nonEmpty)
+      val diff = both.filter(r => r.getInt(1) != r.getInt(2))
+      assert(diff.isEmpty,
+        s"${diff.length} rows assign differently, e.g. ${diff.take(3).mkString(", ")}")
+    } finally corpus.unpersist()
+  }
+
+  test("probesNative matches probesUdf ordering exactly at every probe depth") {
+    val corpus = Ann.emb(spark, sf).cache()
+    try {
+      val cs = Ann.trainQuantizer(corpus, 16, 2)
+      for (nProbe <- Seq(1, 4, 16)) {
+        val both = corpus
+          .withColumn("native", probesNative(col("v"), cs, nProbe))
+          .withColumn("udf", Ann.probesUdf(cs, nProbe)(col("v")))
+          .select("vec_id", "native", "udf").collect()
+        val diff = both.filter(r => r.getSeq[Int](1) != r.getSeq[Int](2))
+        assert(diff.isEmpty,
+          s"nProbe=$nProbe: ${diff.length} rows probe differently, " +
+            s"e.g. ${diff.take(3).mkString(", ")}")
+      }
+    } finally corpus.unpersist()
+  }
+
+  test("adversarial vectors: zero vector, exact ties, short vectors agree with the UDFs") {
+    import TestSpark.spark.implicits._
+    // handcrafted codebook with an exact duplicate centroid (tie must
+    // keep the LOWER index) and a zero centroid (dot 0.0 everywhere)
+    val cs = Array(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0), // duplicate of 1: ties -> index 1
+      Array(0.0, 0.0, 0.0, 0.0)) // zero centroid: dot 0.0
+    val vecs = Seq(
+      Seq(0.0, 1.0, 0.0, 0.0),   // exact tie between centroids 1 and 2
+      Seq(0.0, 0.0, 0.0, 0.0),   // zero vector: all dots 0.0, first wins
+      Seq(-1.0, -1.0, -1.0, -1.0), // all negative dots: zero centroid wins
+      Seq(0.5, 0.5),             // SHORT vector: dot over its own length
+      Seq(1.0, 0.0, 0.0, 0.0))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "v")
+    val got = df
+      .withColumn("native", nearestNative(col("v"), cs))
+      .withColumn("udf", Ann.nearestUdf(cs)(col("v")))
+      .withColumn("pNative", probesNative(col("v"), cs, 3))
+      .withColumn("pUdf", Ann.probesUdf(cs, 3)(col("v")))
+      .orderBy("vec_id").collect()
+    got.foreach { r =>
+      assert(r.getInt(2) === r.getInt(3), s"nearest differs on vec ${r.getLong(0)}")
+      assert(r.getSeq[Int](4) === r.getSeq[Int](5),
+        s"probes differ on vec ${r.getLong(0)}")
+    }
+    // pin the semantics, not just the agreement
+    assert(got.map(_.getInt(2)).toSeq === Seq(1, 0, 3, 0, 0))
+    // a NULL element nulls the result (the documented all-or-nothing
+    // contract, matching DotProduct)
+    val withNull = spark.sql(
+      "SELECT array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE)) AS v")
+      .select(nearestNative(col("v"), cs).as("c"), probesNative(col("v"), cs, 2).as("p"))
+      .head()
+    assert(withNull.isNullAt(0) && withNull.isNullAt(1))
+  }
+
+  test("the assignment stage plans as a codegen expression, not a ScalaUDF") {
+    val corpus = Ann.emb(spark, sf)
+    val cs = Array.tabulate(8, 64)((c, d) => if (d % 8 == c) 1.0 else 0.0)
+    val assigned = corpus.withColumn("cid", nearestNative(col("v"), cs))
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"),
+      s"assignment must not plan a ScalaUDF:\n$plan")
+    // constant-folding path (interpreted eval) agrees with codegen:
+    // a foldable input evaluates at optimization time through
+    // nullSafeEval, the column path through doGenCode
+    val litVec = array((0 until 64).map(i => lit(i / 64.0)): _*)
+    val folded = spark.range(1)
+      .select(nearestNative(litVec, cs).as("c"), probesNative(litVec, cs, 3).as("p"))
+      .head()
+    val viaCol = spark.range(1).select(litVec.as("v"))
+      .select(nearestNative(col("v"), cs).as("c"), probesNative(col("v"), cs, 3).as("p"))
+      .head()
+    assert(folded.getInt(0) === viaCol.getInt(0))
+    assert(folded.getSeq[Int](1) === viaCol.getSeq[Int](1))
+  }
+}
