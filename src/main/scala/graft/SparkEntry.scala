@@ -135,6 +135,7 @@ object SparkEntry {
     "q_sql_merge" -> (operators.VersionedQueries.qSqlMerge _),
     "q_sql_call" -> (operators.VersionedQueries.qSqlCall _),
     "q_sql_partitioned" -> (operators.VersionedQueries.qSqlPartitioned _),
+    "q_sql_mat_view" -> (operators.VersionedQueries.qSqlMatView _),
     "q_optimize_cluster" -> (operators.VersionedQueries.qOptimizeCluster _),
     "q_optimize_zorder" -> (operators.VersionedQueries.qOptimizeZorder _),
     "q_zone_map_prefix" -> (operators.VersionedQueries.qZoneMapPrefix _),
@@ -1167,6 +1168,23 @@ object SparkEntry {
         |SELECT COUNT(*) AS n,
         |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM merged""".stripMargin,
+    // q_sql_mat_view ran CREATE MATERIALIZED VIEW (first fold) +
+    // REFRESH MATERIALIZED VIEW over a one-nation INSERT delta
+    // (bucketed state, untouched-bucket file identity required
+    // in-query); the oracle recomputes the aggregate from scratch
+    // over base ∪ delta — incremental maintenance must be
+    // indistinguishable from full recompute.
+    "q_sql_mat_view" ->
+      """WITH combined AS (
+        |  SELECT s_nationkey, CAST(s_acctbal AS DECIMAL(12,2)) AS bal
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT s_nationkey, CAST(s_acctbal * 2 AS DECIMAL(12,2)) AS bal
+        |  FROM supplier
+        |  WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier))
+        |SELECT s_nationkey, COUNT(*) AS mv_count,
+        |       CAST(SUM(CAST(bal AS DECIMAL(28,4))) AS DOUBLE) AS total
+        |FROM combined GROUP BY s_nationkey""".stripMargin,
     // q_sql_call ran CALL graft.system.compact/history/vacuum between
     // the build and the read (asserted in-query: one file after
     // compact, five history rows, four versions dropped); the oracle

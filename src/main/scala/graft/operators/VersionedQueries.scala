@@ -1485,10 +1485,73 @@ object VersionedQueries {
     require(VersionedTable.filesForPartition(
         table, "o_orderpriority", "5-LOW")._1 == lowBefore,
       "untouched partitions must carry by file reference across the MERGE")
-    spark.sql(
+    val out = spark.sql(
       """SELECT o_orderpriority, COUNT(*) AS n,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM graft.pt.ord GROUP BY o_orderpriority""".stripMargin)
+    // this query's temp table is a full ORDERS copy (GBs at sf10, not
+    // the KB-sized supplier tables the sibling q_sql_* queries stage)
+    // — materialize the 5-row aggregate, then delete the copy so a
+    // multi-pass bench can't accumulate tens of GB in /tmp (round-10
+    // advice). The returned frame is driver-local, so the deletion
+    // cannot race the caller's collect.
+    val localized = spark.createDataFrame(
+      java.util.Arrays.asList(out.collect(): _*), out.schema)
+    val rootPath = java.nio.file.Paths.get(root)
+    scala.util.Using.resource(java.nio.file.Files.walk(rootPath)) { w =>
+      import scala.jdk.CollectionConverters._
+      w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    }
+    localized
+  }
+
+  /** q_sql_mat_view: the materialized-view lifecycle in pure SQL text
+    * (round 11) — CREATE MATERIALIZED VIEW persists the definition
+    * beside the view's commit log and folds the first snapshot; the
+    * refresh_view procedure replays as a no-op on the fresh view; an
+    * INSERT delta scoped to ONE nation refreshes incrementally
+    * through REFRESH MATERIALIZED VIEW with the bucketed state
+    * default (untouched buckets carry by file identity — required
+    * in-query, the O(touched)-write property). The oracle recomputes
+    * the aggregate from scratch over base ∪ delta: SQL-driven
+    * incremental maintenance must be indistinguishable from a full
+    * recompute.
+    */
+  def qSqlMatView(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-vq-sqlmv").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    t(spark, dir, "supplier").createOrReplaceTempView("vq_sqlmv_supplier")
+    spark.sql(
+      """CREATE TABLE graft.mv.sup AS
+        |SELECT s_suppkey, s_nationkey,
+        |       CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+        |FROM vq_sqlmv_supplier""".stripMargin)
+    spark.sql(
+      """CREATE MATERIALIZED VIEW graft.mv.v BUCKETS 16 AS
+        |SELECT s_nationkey, COUNT(*) AS mv_count,
+        |       SUM(s_acctbal) AS mv_sum_s_acctbal
+        |FROM graft.mv.sup GROUP BY s_nationkey""".stripMargin)
+    val view = root + "/mv/v"
+    val vAfterCreate = VersionedTable.versions(view).last
+    spark.sql("CALL graft.system.refresh_view('mv.v')")
+    require(VersionedTable.versions(view).last == vAfterCreate,
+      "refresh of a fresh view must be a no-op")
+    spark.sql(
+      """INSERT INTO graft.mv.sup
+        |SELECT s_suppkey + 1000000 AS s_suppkey, s_nationkey,
+        |       CAST(s_acctbal * 2 AS DECIMAL(12,2)) AS s_acctbal
+        |FROM vq_sqlmv_supplier
+        |WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM vq_sqlmv_supplier)""".stripMargin)
+    val before = VersionedTable.snapshotFiles(view).toSet
+    spark.sql("REFRESH MATERIALIZED VIEW graft.mv.v")
+    val after = VersionedTable.snapshotFiles(view).toSet
+    require((before & after).nonEmpty,
+      "untouched buckets must carry by file reference across a narrow refresh")
+    spark.sql(
+      """SELECT s_nationkey, mv_count,
+        |       CAST(mv_sum_s_acctbal AS DOUBLE) AS total
+        |FROM graft.mv.v""".stripMargin)
   }
 
   /** q_sql_call: SQL maintenance via the DSv2 ProcedureCatalog under

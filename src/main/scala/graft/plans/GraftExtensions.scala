@@ -48,6 +48,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL catalog reads: graft.<ns>.<table> relations become the
     // zone-map-indexed snapshot scan (see graft.sql.GraftCatalog)
     ext.injectResolutionRule(session => new graft.sql.GraftSqlRule(session))
+    // CREATE/REFRESH MATERIALIZED VIEW; everything else delegates
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
   }
 }
 

@@ -352,6 +352,98 @@ case class ProbeCentroids(child: Expression, centroids: Array[Double],
     copy(child = newChild)
 }
 
+/** In-cell nearest sub-centroid — the second level of the two-level
+  * coarse quantizer (round-11): `books` holds k1·k2 sub-centroids
+  * row-major by (cell, sub); a row assigned to coarse cell c scans
+  * ONLY its cell's k2 sub-books, so the full assignment costs
+  * N·(k1 + k2) dots instead of N·(k1·k2) — the factorization that
+  * lifts the list count past the flat cap without the flat cost.
+  * Same dot/tie contract as [[NearestCentroid]] (element order,
+  * strict >, first index wins). A cell id outside [0, k1) nulls the
+  * result (it cannot occur from a composed assignment; conservative
+  * over garbage).
+  */
+case class NearestInCell(left: Expression, right: Expression,
+    books: Array[Double], dim: Int, k2: Int)
+    extends org.apache.spark.sql.graftbridge.ArrayDoubleIntBinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_nearest_in_cell"
+
+  override protected def nullSafeEval(input: Any, cellAny: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val cell = cellAny.asInstanceOf[Int]
+    if (cell < 0 || (cell + 1) * k2 * dim > books.length) return null
+    val n = a.numElements()
+    val m = if (n < dim) n else dim
+    val v = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      if (a.isNullAt(i)) return null
+      v(i) = a.getDouble(i)
+      i += 1
+    }
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < k2) {
+      var s = 0.0
+      val off = (cell * k2 + c) * dim
+      i = 0
+      while (i < m) { s += v(i) * books(off + i); i += 1 }
+      if (s > bestDot) { bestDot = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bk = ctx.addReferenceObj("graftSubBooks", books, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, cell) => {
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val v = ctx.freshName("v")
+      val s = ctx.freshName("s")
+      val off = ctx.freshName("off")
+      val best = ctx.freshName("best")
+      val bestDot = ctx.freshName("bestDot")
+      s"""
+         |int $best = 0;
+         |if ($cell < 0 || ($cell + 1) * $k2 * $dim > ${books.length}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  int $m = $n < $dim ? $n : $dim;
+         |  double[] $v = new double[$m];
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $v[$i] = $a.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $bestDot = Double.NEGATIVE_INFINITY;
+         |    for (int $c = 0; $c < $k2; $c++) {
+         |      double $s = 0.0;
+         |      int $off = ($cell * $k2 + $c) * $dim;
+         |      for (int $i = 0; $i < $m; $i++) { $s += $v[$i] * $bk[$off + $i]; }
+         |      if ($s > $bestDot) { $bestDot = $s; $best = $c; }
+         |    }
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   /** Column API for [[DotProduct]]; inputs are cast to array<double>. */
@@ -388,4 +480,13 @@ object VectorExpressions {
     Bridge.column(ProbeCentroids(
       Bridge.expression(a.cast("array<double>")), f, dim, nProbe))
   }
+
+  /** Column API for [[NearestInCell]]: the sub-index of the nearest
+    * sub-centroid within `cell`'s slice of the flat `books`.
+    */
+  def nearestInCellNative(a: Column, cell: Column, books: Array[Double],
+      dim: Int, k2: Int): Column =
+    Bridge.column(NearestInCell(
+      Bridge.expression(a.cast("array<double>")),
+      Bridge.expression(cell.cast("int")), books, dim, k2))
 }

@@ -205,6 +205,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val spark = SparkSession.active
+    // resolve through the session's resolver (case-insensitive by
+    // default, matching how every other identifier binds) and use the
+    // SCHEMA's canonical spelling — `PARTITIONED BY (GRP)` on column
+    // `grp` must route, not refuse (round-10 advice)
+    val resolver = spark.sessionState.conf.resolver
     val partCols = partitions.toSeq.map { t =>
       val refs = t.references
       if (t.name != "identity" || refs.length != 1 || refs.head.fieldNames.length != 1)
@@ -212,13 +218,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           s"graft SQL PARTITIONED BY supports identity transforms on " +
             s"top-level columns only, not ${t.describe}")
       val c = refs.head.fieldNames.head
-      require(schema.fieldNames.contains(c),
-        s"PARTITIONED BY column $c is not in the table schema")
-      c
+      val canonical = schema.fieldNames.filter(resolver(_, c))
+      require(canonical.length == 1,
+        if (canonical.isEmpty) s"PARTITIONED BY column $c is not in the table schema"
+        else s"PARTITIONED BY column $c is ambiguous in the table schema " +
+          s"(${canonical.mkString(", ")})")
+      canonical.head
     }
     val path = tablePath(ident)
     if (isTable(path)) throw new TableAlreadyExistsException(ident)
-    val spark = SparkSession.active
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     if (partCols.isEmpty)
@@ -473,7 +481,18 @@ class GraftSqlTable(val ops: VersionedTableOps, val path: String,
 
   override def loadPartitionMetadata(
       identRow: org.apache.spark.sql.catalyst.InternalRow)
-      : util.Map[String, String] = new util.HashMap[String, String]()
+      : util.Map[String, String] = {
+    // the SupportsPartitionManagement contract: existence checks go
+    // through this, so a missing partition must throw, not read as an
+    // empty (present) map — mirror dropPartition's existence probe
+    // (round-10 advice)
+    val (col, dt) = onePartCol()
+    val seg = segOf(dt, identRow)
+    if (!ops.partitionValues(path, col, Some(pinnedVersion)).contains(seg))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
+        path, identRow, partitionSchema())
+    new util.HashMap[String, String]()
+  }
 
   /** A shape-only ScanBuilder: row-level commands (DELETE FROM) run
     * the optimizer's scan planning over the target relation purely to
@@ -655,6 +674,9 @@ object GraftSqlRule {
   * alongside the native functions and planner strategies.
   */
 class GraftSqlExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(session => new GraftSqlRule(session))
+    // the two MATERIALIZED VIEW statements; everything else delegates
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+  }
 }

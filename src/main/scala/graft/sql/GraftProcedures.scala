@@ -25,7 +25,8 @@ private[sql] object GraftProcedures {
 
   val Namespace: Array[String] = Array("system")
 
-  def names: Array[String] = Array("vacuum", "compact", "optimize", "history")
+  def names: Array[String] =
+    Array("vacuum", "compact", "optimize", "history", "refresh_view")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Namespace),
@@ -36,6 +37,7 @@ private[sql] object GraftProcedures {
       case "compact" => new CompactProcedure(cat)
       case "optimize" => new OptimizeProcedure(cat)
       case "history" => new HistoryProcedure(cat)
+      case "refresh_view" => new RefreshViewProcedure(cat)
       case other => throw new RuntimeException(
         s"no graft procedure named '$other' — one of ${names.mkString(", ")}")
     }
@@ -150,5 +152,23 @@ private[sql] class HistoryProcedure(cat: GraftCatalog) extends GraftProcedure(ca
       .map(r => InternalRow(r.getLong(0), UTF8String.fromString(r.getString(1)),
         r.getTimestamp(2).getTime * 1000L, r.getInt(3), r.getInt(4)))
     result(schema, rows.toSeq)
+  }
+}
+
+/** CALL graft.system.refresh_view(view): bring a SQL-defined
+  * materialized view (CREATE MATERIALIZED VIEW) up to date — one
+  * incremental fold of the source delta since the view's committed
+  * cursor; a no-op when already fresh. Returns the view's version.
+  */
+private[sql] class RefreshViewProcedure(cat: GraftCatalog) extends GraftProcedure(cat) {
+  override def name(): String = "refresh_view"
+  override def description(): String =
+    "incrementally refresh a SQL-created materialized view"
+  override def parameters(): Array[ProcedureParameter] = Array(tableParam)
+  private val schema = StructType(Seq(StructField("version", LongType)))
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val v = GraftMatView.refresh(spark, cat.opsRef,
+      path(input.getUTF8String(0).toString))
+    result(schema, Seq(InternalRow(v)))
   }
 }

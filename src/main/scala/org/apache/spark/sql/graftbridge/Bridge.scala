@@ -51,6 +51,17 @@ abstract class ArrayDoubleUnaryExpression
     Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
 }
 
+/** (array<double>, int) sibling: a vector and a cell id, coerced at
+  * analysis time — the two-level quantizer's in-cell assignment shape.
+  */
+abstract class ArrayDoubleIntBinaryExpression
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.IntegerType)
+}
+
 /** (long, long) sibling: two integral inputs coerced to LONG at
   * analysis time (AbstractDataType is private[sql], so the input-type
   * declaration lives here with the other coercion shims).

@@ -105,7 +105,19 @@ object DumpPlans {
       // q_sql_partitioned's final aggregate reads the value-routed
       // layout a SQL CREATE…PARTITIONED BY + INSERT + scoped MERGE
       // produced (the partition-composed write story's read half)
-      "q_sql_catalog", "q_sql_partitioned")
+      "q_sql_catalog", "q_sql_partitioned",
+      // round 11: knn_join's rank tail now heap-cuts through the
+      // TWO-PHASE TopKPerGroup (partial exec above the scored join,
+      // final exec after a survivors-only exchange) before the tiny
+      // Q·k row_number window — the Q×N window shuffle-sort is gone
+      // from the plan; ann_ivf's dump (already in the list) shows the
+      // same shape plus the graft_nearest codegen assignment with no
+      // ScalaUDF in the corpus pass
+      "knn_join",
+      // round 11: the pure-SQL materialized-view read — the final
+      // SELECT over the bucketed state the CREATE/REFRESH statements
+      // maintained (plans through the same zone-map-indexed scan)
+      "q_sql_mat_view")
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by graft.DumpPlans)\n\n"
     sb ++= "Evidence for SURVEY.md §5: pushed filters, pruned read schemas,\n"

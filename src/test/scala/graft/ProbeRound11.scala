@@ -27,6 +27,10 @@ import graft.sources.VersionedTable
   * synthetic tables).
   */
 object ProbeRound11 {
+  // handoff slot so the trainer's wall time is measurable around a
+  // multi-value return (probe-local plumbing, not library surface)
+  var twoLevelState: (Array[Array[Double]], Array[Double], Int) = _
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -85,6 +89,91 @@ object ProbeRound11 {
       println(f"PROBE merge_zoned rows=$rows%-9d zoned=$tZoned%6.2fs " +
         f"whole=$tWhole%6.2fs rewrittenFiles=$rewritten%d carriedFiles=$carried%d " +
         f"of=${before.size}%d")
+    }
+
+    // ---- 3. two-level coarse quantizer: recall + bounded assignment ----
+    // Synthetic clustered corpus: 5000 latent centers, per-vector noise,
+    // normalized — the regime where IVF recall is meaningful. The probe
+    // measures (a) recall@5 of the two-level pipeline vs brute force at
+    // N = 1M (past the 512k engagement point), and (b) the per-row
+    // assignment cost staying bounded as N crosses the flat cap.
+    {
+      import graft.plans.VectorExpressions.{dotNative, normalizeNative}
+      import graft.similarity.Ann
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      val dim = 64
+      val latent = 5000
+      def synth(n: Long): DataFrame = spark.range(0, n).select(
+        col("id").as("vec_id"),
+        normalizeNative(array((0 until dim).map(d =>
+          (pmod(hash(col("id") % latent * dim + d), lit(1000)).cast("double")
+            / 500.0 - 1.0) +
+          (pmod(hash(col("id") * dim + d + 7), lit(1000)).cast("double")
+            / 2500.0 - 0.2)): _*)).as("v"))
+
+      val nQ = 20
+      val kTop = 5
+      def topIds(scored: DataFrame): Map[Long, Seq[Long]] = {
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= kTop)
+          .select("q_id", "vec_id").collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
+      }
+
+      val n1 = 1000000L
+      val corpus = synth(n1).cache()
+      corpus.count()
+      val queries = corpus.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")).cache()
+      val brute = topIds(corpus.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          dotNative(col("v"), col("qv")).as("cosine")))
+
+      val tTrain = timed {
+        val (coarse, books, k2) = Ann.trainTwoLevel(corpus, 2, knownN = n1)
+        ProbeRound11.twoLevelState = (coarse, books, k2)
+      }
+      val (coarse, books, k2) = ProbeRound11.twoLevelState
+      val lists = Ann.unflatten(books, dim)
+      var assigned: DataFrame = null
+      val tAssign1M = timed {
+        assigned = Ann.assignTwoLevel(corpus, coarse, books, k2).localCheckpoint()
+      }
+      val nP = Ann.nProbeTwoLevel(lists.length)
+      val probed = queries.select(col("q_id"), col("qv"),
+          explode(graft.plans.VectorExpressions.probesNative(col("qv"), lists, nP))
+            .as("q_cid"))
+      val ann = topIds(assigned.join(broadcast(probed),
+          col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          dotNative(col("v"), col("qv")).as("cosine")))
+      val recall = brute.keys.toSeq.map { q =>
+        val b = brute(q).toSet
+        ann.getOrElse(q, Nil).count(b.contains).toDouble / b.size
+      }.sum / brute.size
+      queries.unpersist()
+
+      // flat-cap comparison point: full assignment at N = 512k against
+      // the 4096-list flat books (what the one-level path would pay)
+      val n0 = 512000L
+      val corpus0 = synth(n0).cache()
+      corpus0.count()
+      val flatBooks = Ann.trainQuantizer(corpus0, 4096, 1,
+        sampleCap = Ann.TrainSampleCap, knownN = n0)
+      val tAssignFlat = timed {
+        corpus0.select(graft.plans.VectorExpressions
+            .nearestNative(col("v"), flatBooks).as("cid"))
+          .agg(sum("cid")).head
+      }
+      corpus0.unpersist()
+      corpus.unpersist()
+      println(f"PROBE two_level n=$n1%d lists=${lists.length}%d k2=$k2%d " +
+        f"nProbe=$nP%d recall@5=$recall%5.3f train=$tTrain%6.2fs " +
+        f"assign1M=$tAssign1M%6.2fs perRowUs=${tAssign1M * 1e6 / n1}%6.3f " +
+        f"flatAssign512k=$tAssignFlat%6.2fs perRowUsFlat=${tAssignFlat * 1e6 / n0}%6.3f")
     }
 
     // ---- 2. native vs ScalaUDF nearest-centroid assignment ----

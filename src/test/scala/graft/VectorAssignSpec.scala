@@ -85,6 +85,35 @@ class VectorAssignSpec extends SparkSpec {
     assert(withNull.isNullAt(0) && withNull.isNullAt(1))
   }
 
+  test("NearestInCell matches a driver-side reference and composes into the two-level id") {
+    val corpus = Ann.emb(spark, sf).cache()
+    try {
+      // small handcrafted two-level shape: 4 coarse cells x 8 subs
+      val coarse = Ann.trainQuantizer(corpus, 4, 2)
+      val (c2, dim) = (8, 64)
+      // deterministic sub-books: perturbed copies of the coarse cells
+      val books = new Array[Double](4 * c2 * dim)
+      for (c <- 0 until 4; j <- 0 until c2; d <- 0 until dim)
+        books((c * c2 + j) * dim + d) =
+          coarse(c)(d) + Ann.planeComponent(c * c2 + j, d) * 0.05
+      val got = Ann.assignTwoLevel(corpus, coarse, books, c2)
+        .select("vec_id", "v", "cid").collect()
+      assert(got.nonEmpty)
+      got.foreach { r =>
+        val v = r.getSeq[Double](1).toArray
+        def dot(off: Int): Double =
+          (0 until dim).map(i => v(i) * books(off + i)).sum
+        // reference: nearest coarse (strict >, first wins), then
+        // nearest sub within that cell's slice
+        val c1 = coarse.indices.maxBy(c =>
+          (coarse(c).zip(v).map { case (a, b) => a * b }.sum, -c))
+        val sub = (0 until c2).maxBy(j => (dot((c1 * c2 + j) * dim), -j))
+        assert(r.getInt(2) === c1 * c2 + sub,
+          s"vec ${r.getLong(0)}: expected ${c1 * c2 + sub}, got ${r.getInt(2)}")
+      }
+    } finally corpus.unpersist()
+  }
+
   test("the assignment stage plans as a codegen expression, not a ScalaUDF") {
     val corpus = Ann.emb(spark, sf)
     val cs = Array.tabulate(8, 64)((c, d) => if (d % 8 == c) 1.0 else 0.0)
