@@ -964,6 +964,83 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     }
   }
 
+  test(s"[$backend] convert a name-mapped table to id mapping: re-added names allowed, old bytes stay dead") {
+    val t = freshTable("idconv")
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") * 2).as("v"), lit("A").as("tag"))
+    ops.overwrite(spark, t, rows(0, 10))
+    // name-mode history that BURNS names: rename v -> val (the files
+    // keep physical "v"), then drop "tag" with no rename record
+    ops.renameColumn(spark, t, "v", "val")
+    ops.dropColumn(spark, t, "tag")
+    assert(ops.columnMapping(t) === "name")
+    intercept[IllegalArgumentException] {
+      // the name-mode refusal this conversion replaces
+      ops.append(spark, t, spark.range(10, 11).select(
+        col("id").as("k"), (col("id") * 2).as("val"), lit("B").as("tag")))
+    }
+    val preConvFiles = ops.snapshotFiles(t).toSet
+    val vConv = ops.convertToIdMapping(spark, t)
+    assert(ops.columnMapping(t) === "id")
+    assert(ops.snapshotFiles(t).toSet === preConvFiles,
+      "conversion is metadata-only: the file list carries by reference")
+    // CDC across the conversion commit is an EMPTY delta
+    assert(ops.changesBetween(spark, t, vConv - 1, vConv).isEmpty,
+      "a metadata-only conversion emits no row changes")
+    // existing columns read unchanged through their identity entries
+    assert(ops.read(spark, t).columns.toSeq === Seq("k", "val"))
+    assert(ops.read(spark, t).agg(sum(col("val"))).head.getLong(0) === 90L)
+
+    // RE-ADD the never-renamed dropped name "tag" (name mode refused):
+    // a fresh id, so pre-drop rows read NULL — old bytes stay dead
+    ops.append(spark, t, spark.range(10, 15).select(
+      col("id").as("k"), (col("id") * 2).as("val"), (col("id") * 7).as("tag")))
+    val got = ops.read(spark, t)
+    assert(got.columns.toSeq === Seq("k", "val", "tag"))
+    assert(got.filter(col("k") < 10 && col("tag").isNotNull).count() === 0,
+      "the dropped tag's 'A' bytes must NOT resurrect into the re-added column")
+    assert(got.filter(col("k") >= 10).agg(sum(col("tag"))).head.getLong(0) ===
+      (10L until 15L).map(_ * 7).sum)
+
+    // RESURRECTION-HAZARD spec for the renamed-then-dropped shape:
+    // drop "val" (its bytes live under PHYSICAL "v" in carried files —
+    // the retired map entry is the only durable record), then re-add
+    // BOTH names; each must read fresh-id nulls for old rows
+    ops.dropColumn(spark, t, "val")
+    ops.append(spark, t, spark.range(15, 18).select(
+      col("id").as("k"), lit(-1L).as("val"), lit(0L).as("tag"),
+      lit(-2L).as("v")))
+    val r2 = ops.read(spark, t)
+    assert(r2.filter(col("k") < 15 && col("val").isNotNull).count() === 0,
+      "re-added 'val' must not resurrect the dropped column's bytes")
+    assert(r2.filter(col("k") < 15 && col("v").isNotNull).count() === 0,
+      "re-added 'v' must not alias the renamed column's PHYSICAL bytes")
+    assert(r2.filter(col("k") >= 15).select(sum(col("val")), sum(col("v")))
+      .head match { case r => r.getLong(0) === -3L && r.getLong(1) === -6L })
+
+    // renames are free after conversion (name-mode would refuse the
+    // recorded name "k" -> "key" -> "k" round trip)
+    ops.renameColumn(spark, t, "k", "key")
+    ops.renameColumn(spark, t, "key", "k")
+    assert(ops.read(spark, t).agg(sum(col("k"))).head.getLong(0) ===
+      (0L until 18L).sum)
+
+    // time travel: pre-conversion versions read with THEIR maps
+    assert(ops.read(spark, t, Some(vConv - 1)).columns.toSeq === Seq("k", "val"))
+    assert(ops.read(spark, t, Some(1L)).columns.toSeq === Seq("k", "v", "tag"))
+    assert(ops.read(spark, t, Some(1L)).filter(col("tag") === "A").count() === 10)
+
+    // guards: double conversion, uninitialized table, namespace squat
+    intercept[IllegalArgumentException] { ops.convertToIdMapping(spark, t) }
+    intercept[IllegalArgumentException] {
+      ops.convertToIdMapping(spark, freshTable("idconv-empty"))
+    }
+    val tBad = freshTable("idconv-bad")
+    ops.overwrite(spark, tBad,
+      spark.range(1).select(col("id").as("__gcid_7")))
+    intercept[IllegalArgumentException] { ops.convertToIdMapping(spark, tBad) }
+  }
+
   test(s"[$backend] id mapping composes with partition columns and zone-map pruning") {
     // partition routing: value dirs route under the PHYSICAL id name;
     // every logical-name surface (probe, rename, drop) reaches them
