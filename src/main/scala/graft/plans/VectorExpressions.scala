@@ -444,6 +444,299 @@ case class NearestInCell(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Native PQ coding — the per-row nearest-codeword ids over every
+  * subspace (the N-row pass of every PQ build/query/index). Books
+  * travel flat row-major by (subspace m, codeword c): slice
+  * [(m·ksub + c)·sub, +sub). BIT-EXACT with the ScalaUDF it replaces
+  * (the oracle replays the codes): per codeword, cc and x·c
+  * accumulate in element order, distance is cc − 2·x·c, strict <
+  * with first-index tie-break. A NULL element or a vector shorter
+  * than nSub·sub nulls the result (the UDF threw there; no corpus
+  * row can hit it — all vectors are fixed-dim).
+  */
+case class PqCodes(child: Expression, books: Array[Double],
+    nSub: Int, ksub: Int, sub: Int) extends ArrayDoubleUnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_pq_codes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n < nSub * sub) return null
+    val v = new Array[Double](nSub * sub)
+    var i = 0
+    while (i < nSub * sub) {
+      if (a.isNullAt(i)) return null
+      v(i) = a.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Int](nSub)
+    var m = 0
+    while (m < nSub) {
+      var best = 0
+      var bestd = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val off = (m * ksub + c) * sub
+        var cc = 0.0
+        var xc = 0.0
+        i = 0
+        while (i < sub) {
+          val b = books(off + i)
+          cc += b * b
+          xc += v(m * sub + i) * b
+          i += 1
+        }
+        val d = cc - 2.0 * xc
+        if (d < bestd) { bestd = d; best = c }
+        c += 1
+      }
+      out(m) = best
+      m += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bk = ctx.addReferenceObj("graftPqBooks", books, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      val best = ctx.freshName("best")
+      val bestd = ctx.freshName("bestd")
+      val cc = ctx.freshName("cc")
+      val xc = ctx.freshName("xc")
+      val b = ctx.freshName("b")
+      val d = ctx.freshName("d")
+      val off = ctx.freshName("off")
+      val total = nSub * sub
+      s"""
+         |int $n = $a.numElements();
+         |if ($n < $total) { ${ev.isNull} = true; }
+         |double[] $v = new double[$total];
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $total; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $v[$i] = $a.getDouble($i);
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  int[] $out = new int[$nSub];
+         |  for (int $m = 0; $m < $nSub; $m++) {
+         |    int $best = 0;
+         |    double $bestd = Double.MAX_VALUE;
+         |    for (int $c = 0; $c < $ksub; $c++) {
+         |      int $off = ($m * $ksub + $c) * $sub;
+         |      double $cc = 0.0;
+         |      double $xc = 0.0;
+         |      for (int $i = 0; $i < $sub; $i++) {
+         |        double $b = $bk[$off + $i];
+         |        $cc += $b * $b;
+         |        $xc += $v[$m * $sub + $i] * $b;
+         |      }
+         |      double $d = $cc - 2.0 * $xc;
+         |      if ($d < $bestd) { $bestd = $d; $best = $c; }
+         |    }
+         |    $out[$m] = $best;
+         |  }
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native ADC score — Σ_m (q_subᵐ · codebook[m][codeᵐ]), each
+  * subspace's partial summed FIRST and then added to the total: the
+  * exact floating-point summation tree the ScalaUDF and the DuckDB
+  * oracle use (one running sum would differ by ulps and could flip
+  * candidates at the nCand boundary). Runs on every probed-list
+  * candidate row — the PQ family's scan-side hot loop. A code
+  * outside [0, ksub) or a NULL element nulls the result.
+  */
+case class PqScore(left: Expression, right: Expression,
+    books: Array[Double], nSub: Int, ksub: Int, sub: Int)
+    extends org.apache.spark.sql.graftbridge.ArrayIntArrayDoubleBinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_pq_score"
+
+  override protected def nullSafeEval(codesAny: Any, qvAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val qv = qvAny.asInstanceOf[ArrayData]
+    val mCount = codes.numElements()
+    if (mCount > nSub || qv.numElements() < mCount * sub) return null
+    var s = 0.0
+    var m = 0
+    while (m < mCount) {
+      if (codes.isNullAt(m)) return null
+      val c = codes.getInt(m)
+      if (c < 0 || c >= ksub) return null
+      val off = (m * ksub + c) * sub
+      var pm = 0.0
+      var i = 0
+      while (i < sub) {
+        if (qv.isNullAt(m * sub + i)) return null
+        pm += qv.getDouble(m * sub + i) * books(off + i)
+        i += 1
+      }
+      s += pm
+      m += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bk = ctx.addReferenceObj("graftPqBooks", books, "double[]")
+    nullSafeCodeGen(ctx, ev, (codes, qv) => {
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val mc = ctx.freshName("mc")
+      val s = ctx.freshName("s")
+      val pm = ctx.freshName("pm")
+      val off = ctx.freshName("off")
+      s"""
+         |int $mc = $codes.numElements();
+         |double $s = 0.0;
+         |if ($mc > $nSub || $qv.numElements() < $mc * $sub) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $m = 0; $m < $mc; $m++) {
+         |    if ($codes.isNullAt($m)) { ${ev.isNull} = true; break; }
+         |    int $c = $codes.getInt($m);
+         |    if ($c < 0 || $c >= $ksub) { ${ev.isNull} = true; break; }
+         |    int $off = ($m * $ksub + $c) * $sub;
+         |    double $pm = 0.0;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      if ($qv.isNullAt($m * $sub + $i)) { ${ev.isNull} = true; break; }
+         |      $pm += $qv.getDouble($m * $sub + $i) * $bk[$off + $i];
+         |    }
+         |    if (${ev.isNull}) break;
+         |    $s += $pm;
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native multi-table SRP bucket ids — the LSH bucketing pass over
+  * every corpus row (ann_lsh, embeddingDups): nTables·bits
+  * hyperplane projections per vector, each table's sign bits packed
+  * into one long. Planes travel flat row-major by (global plane
+  * index t·bits+b, dim) — the SAME deterministic splitmix planes the
+  * ScalaUDF builds per executor, precomputed once on the driver.
+  * BIT-EXACT for fixed-dim vectors (projections accumulate in
+  * element order, `proj >= 0` sets the bit); a vector whose length
+  * differs from the plane dim nulls the result (the UDF would build
+  * DIFFERENT planes for that length — no corpus row has one).
+  */
+case class SrpBuckets(child: Expression, planes: Array[Double],
+    nTables: Int, bits: Int, dim: Int) extends ArrayDoubleUnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_srp_buckets"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != dim) return null
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (a.isNullAt(i)) return null
+      v(i) = a.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val off = (t * bits + b) * dim
+        var proj = 0.0
+        i = 0
+        while (i < dim) { proj += v(i) * planes(off + i); i += 1 }
+        if (proj >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pl = ctx.addReferenceObj("graftSrpPlanes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val n = ctx.freshName("n")
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      val bucket = ctx.freshName("bucket")
+      val proj = ctx.freshName("proj")
+      val off = ctx.freshName("off")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $dim) { ${ev.isNull} = true; }
+         |double[] $v = new double[$dim];
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $v[$i] = $a.getDouble($i);
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  long[] $out = new long[$nTables];
+         |  for (int $t = 0; $t < $nTables; $t++) {
+         |    long $bucket = 0L;
+         |    for (int $b = 0; $b < $bits; $b++) {
+         |      int $off = ($t * $bits + $b) * $dim;
+         |      double $proj = 0.0;
+         |      for (int $i = 0; $i < $dim; $i++) { $proj += $v[$i] * $pl[$off + $i]; }
+         |      if ($proj >= 0) $bucket |= (1L << $b);
+         |    }
+         |    $out[$t] = $bucket;
+         |  }
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Column API for [[DotProduct]]; inputs are cast to array<double>. */
@@ -489,4 +782,36 @@ object VectorExpressions {
     Bridge.column(NearestInCell(
       Bridge.expression(a.cast("array<double>")),
       Bridge.expression(cell.cast("int")), books, dim, k2))
+
+  private def flatPq(books: Array[Array[Array[Double]]]): (Array[Double], Int, Int, Int) = {
+    val nSub = books.length
+    val ksub = books(0).length
+    val sub = books(0)(0).length
+    val f = new Array[Double](nSub * ksub * sub)
+    for (m <- 0 until nSub; c <- 0 until ksub)
+      System.arraycopy(books(m)(c), 0, f, (m * ksub + c) * sub, sub)
+    (f, nSub, ksub, sub)
+  }
+
+  /** Column API for [[PqCodes]] over a per-row array<double>. */
+  def pqCodesNative(a: Column, books: Array[Array[Array[Double]]]): Column = {
+    val (f, nSub, ksub, sub) = flatPq(books)
+    Bridge.column(PqCodes(
+      Bridge.expression(a.cast("array<double>")), f, nSub, ksub, sub))
+  }
+
+  /** Column API for [[PqScore]] over (codes, query vector) columns. */
+  def pqScoreNative(codes: Column, qv: Column,
+      books: Array[Array[Array[Double]]]): Column = {
+    val (f, nSub, ksub, sub) = flatPq(books)
+    Bridge.column(PqScore(
+      Bridge.expression(codes.cast("array<int>")),
+      Bridge.expression(qv.cast("array<double>")), f, nSub, ksub, sub))
+  }
+
+  /** Column API for [[SrpBuckets]] with precomputed flat planes. */
+  def srpBucketsNative(a: Column, planes: Array[Double],
+      nTables: Int, bits: Int, dim: Int): Column =
+    Bridge.column(SrpBuckets(
+      Bridge.expression(a.cast("array<double>")), planes, nTables, bits, dim))
 }

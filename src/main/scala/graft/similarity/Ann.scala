@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators._
-import graft.plans.VectorExpressions.{dotNative, nearestInCellNative, nearestNative, normalizeNative, probesNative}
+import graft.plans.VectorExpressions.{dotNative, nearestInCellNative, nearestNative, normalizeNative, pqCodesNative, pqScoreNative, probesNative, srpBucketsNative}
 
 /** Similarity search over the embeddings table (SURVEY.md §2.4).
   *
@@ -107,7 +107,25 @@ object Ann {
     out
   }
 
-  def srpBuckets(v: Column, nTables: Int, bits: Int): Column = srpBucketsUdf(nTables, bits)(v)
+  def srpBuckets(v: Column, nTables: Int, bits: Int): Column = {
+    // the embeddings corpus is fixed-dim (64): precompute the
+    // deterministic planes once on the driver and run the codegen
+    // expression — bit-exact with the UDF for dim-64 rows
+    // (spec-pinned). The expression nulls on any OTHER length (its
+    // planes are dim-bound), so coalesce falls back to the UDF there
+    // — which builds per-length planes exactly as before. Coalesce
+    // short-circuits: the UDF never evaluates on the hot dim-64 path.
+    val dim = 64
+    val ps = planesFor(nTables * bits, dim)
+    val flat = new Array[Double](nTables * bits * dim)
+    var p = 0
+    while (p < nTables * bits) {
+      System.arraycopy(ps(p), 0, flat, p * dim, dim)
+      p += 1
+    }
+    coalesce(srpBucketsNative(v, flat, nTables, bits, dim),
+      srpBucketsUdf(nTables, bits)(v))
+  }
 
   /** `bucket XOR {0, each single bit}` — the hamming-radius-1 probe set
     * as an explodable array, keeping every probe an equi-join key.
@@ -724,7 +742,7 @@ object Ann {
       Array.tabulate(nSub, ksub)((m, c) => seedVecs(c).slice(m * sub, (m + 1) * sub))
     for (_ <- 1 to lloydIters) {
       val coded = train.select(col("vec_id"), col("v"),
-        posexplode(pqCodesUdf(books, sub)(col("v"))).as(Seq("m", "code")))
+        posexplode(pqCodesNative(col("v"), books)).as(Seq("m", "code")))
       // exact 1e-9-grid sums as LONG (|q| ≤ 1e9 → exact below ~9.2e9
       // rows per code cell) — same integer a DECIMAL(38) sum produced,
       // without its per-row×dim BigDecimal add (round-7 audit)
@@ -772,7 +790,7 @@ object Ann {
     * subspace order (the oracle list_sums the same per-m dots ordered
     * by m).
     */
-  private def pqScoreUdf(books: Array[Array[Array[Double]]], sub: Int) =
+  private[graft] def pqScoreUdf(books: Array[Array[Array[Double]]], sub: Int) =
     udf { (codes: Seq[Int], qv: Seq[Double]) =>
       var s = 0.0
       var m = 0
@@ -846,7 +864,7 @@ object Ann {
     val nC = if (nCand > 0) nCand else nCandFor(n)
     val books = trainPq(corpus, nSub, kS, knownN = n)
     val coded = corpus
-      .select(col("vec_id"), col("v"), pqCodesUdf(books, sub)(col("v")).as("codes"))
+      .select(col("vec_id"), col("v"), pqCodesNative(col("v"), books).as("codes"))
       .localCheckpoint() // one shared code pass for both sides + rerank join
     corpus.unpersist()
     val queries = coded.filter(col("vec_id") < nQueries)
@@ -854,7 +872,7 @@ object Ann {
     val cands = adcCut(coded.select("vec_id", "codes")
       .join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        pqScoreUdf(books, sub)(col("codes"), col("qv")).as("qscore")), nC)
+        pqScoreNative(col("codes"), col("qv"), books).as("qscore")), nC)
     rerankCandidates(cands, coded.select("vec_id", "v"), queries, k)
   }
 
@@ -901,7 +919,7 @@ object Ann {
     // PARTITIONED BY cid with codes, like buildIvfIndex
     val indexed = assignCid(corpus)
       .select(col("vec_id"), col("v"), col("cid"),
-        pqCodesUdf(books, sub)(col("v")).as("codes"))
+        pqCodesNative(col("v"), books).as("codes"))
       .localCheckpoint()
     corpus.unpersist()
     val qbase = indexed.filter(col("vec_id") < nQueries)
@@ -913,7 +931,7 @@ object Ann {
     val cands = adcCut(indexed.select("vec_id", "cid", "codes")
       .join(broadcast(queries), col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        pqScoreUdf(books, sub)(col("codes"), col("qv")).as("qscore")), nC)
+        pqScoreNative(col("codes"), col("qv"), books).as("qscore")), nC)
     rerankCandidates(cands, indexed.select("vec_id", "v"), qbase, k)
   }
 
@@ -938,7 +956,7 @@ object Ann {
     corpus
       .select(col("vec_id"),
         nearestNative(col("v"), centroids).as("cid"),
-        pqCodesUdf(books, sub)(col("v")).as("codes"))
+        pqCodesNative(col("v"), books).as("codes"))
       .write.partitionBy("cid").mode("overwrite").parquet(s"$indexPath/lists")
     corpus.unpersist()
     centroids.zipWithIndex.map { case (v, cid) => (cid, v.toSeq) }.toSeq
@@ -994,7 +1012,7 @@ object Ann {
     val cands = adcCut(lists.filter(col("cid").isin(probedCids: _*))
       .join(broadcast(queries), col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        pqScoreUdf(books, sub)(col("codes"), col("qv")).as("qscore")), nC)
+        pqScoreNative(col("codes"), col("qv"), books).as("qscore")), nC)
     rerankCandidates(cands, corpus.select("vec_id", "v"), qbase, k)
   }
 

@@ -62,6 +62,17 @@ abstract class ArrayDoubleIntBinaryExpression
       org.apache.spark.sql.types.IntegerType)
 }
 
+/** (array<int>, array<double>) sibling: PQ codes and a query vector —
+  * the ADC scoring shape.
+  */
+abstract class ArrayIntArrayDoubleBinaryExpression
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+}
+
 /** (long, long) sibling: two integral inputs coerced to LONG at
   * analysis time (AbstractDataType is private[sql], so the input-type
   * declaration lives here with the other coercion shims).

@@ -199,9 +199,40 @@ object ProbeRound11 {
       val tNative = (1 to 3).map(_ => timed { sNative = forceNative() }).min
       val tUdf = (1 to 3).map(_ => timed { sUdf = forceUdf() }).min
       require(sNative == sUdf, s"assignment checksum mismatch: $sNative vs $sUdf")
+      // the other two N-row ScalaUDF passes, same corpus: PQ coding
+      // (every PQ build/index) and SRP bucketing (ann_lsh +
+      // embedding dedup)
+      val books = Array.tabulate(8, 64, 8)((m, c, i) =>
+        graft.similarity.Ann.planeComponent(m * 64 + c, i))
+      def forcePq(native: Boolean): Long = corpus
+        .select((if (native)
+          graft.plans.VectorExpressions.pqCodesNative(col("v"), books)
+        else graft.similarity.Ann.pqCodesUdf(books, 8)(col("v"))).as("codes"))
+        .select(element_at(col("codes"), 1).as("c0"))
+        .agg(sum("c0")).head.getLong(0)
+      forcePq(true); forcePq(false)
+      var pqN = 0L; var pqU = 0L
+      val tPqN = (1 to 3).map(_ => timed { pqN = forcePq(true) }).min
+      val tPqU = (1 to 3).map(_ => timed { pqU = forcePq(false) }).min
+      require(pqN == pqU, s"pq codes checksum mismatch: $pqN vs $pqU")
+      def forceSrp(native: Boolean): Long = corpus
+        .select((if (native)
+          graft.similarity.Ann.srpBuckets(col("v"), 8, 5)
+        else graft.similarity.Ann.srpBucketsUdf(8, 5)(col("v"))).as("b"))
+        .select(element_at(col("b"), 1).as("b0"))
+        .agg(sum("b0")).head.getLong(0)
+      forceSrp(true); forceSrp(false)
+      var srpN = 0L; var srpU = 0L
+      val tSrpN = (1 to 3).map(_ => timed { srpN = forceSrp(true) }).min
+      val tSrpU = (1 to 3).map(_ => timed { srpU = forceSrp(false) }).min
+      require(srpN == srpU, s"srp checksum mismatch: $srpN vs $srpU")
       corpus.unpersist()
       println(f"PROBE ann_assign n=$n%d k=$k%d dim=$dim%d " +
         f"native=$tNative%6.2fs udf=$tUdf%6.2fs speedup=${tUdf / tNative}%4.2fx")
+      println(f"PROBE pq_codes n=$n%d nSub=8 ksub=64 native=$tPqN%6.2fs " +
+        f"udf=$tPqU%6.2fs speedup=${tPqU / tPqN}%4.2fx")
+      println(f"PROBE srp_buckets n=$n%d tables=8 bits=5 native=$tSrpN%6.2fs " +
+        f"udf=$tSrpU%6.2fs speedup=${tSrpU / tSrpN}%4.2fx")
     }
 
     spark.stop()

@@ -114,6 +114,58 @@ class VectorAssignSpec extends SparkSpec {
     } finally corpus.unpersist()
   }
 
+  test("pqCodesNative / pqScoreNative match the PQ UDFs bit-for-bit on the real corpus") {
+    import graft.plans.VectorExpressions.{pqCodesNative, pqScoreNative}
+    val corpus = Ann.emb(spark, sf).cache()
+    try {
+      val (nSub, sub) = (8, 8)
+      val books = Ann.trainPq(corpus, nSub, 16, 2)
+      val coded = corpus
+        .withColumn("native", pqCodesNative(col("v"), books))
+        .withColumn("udf", Ann.pqCodesUdf(books, sub)(col("v")))
+      val codeDiff = coded.select("vec_id", "native", "udf").collect()
+        .filter(r => r.getSeq[Int](1) != r.getSeq[Int](2))
+      assert(codeDiff.isEmpty,
+        s"${codeDiff.length} rows code differently, e.g. ${codeDiff.take(3).mkString(", ")}")
+      // ADC scores: every (vector, query) pair of a small cross —
+      // bit-equality, not approximate (the summation tree is pinned)
+      val q = corpus.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val scored = coded.select("vec_id", "native").crossJoin(broadcast(q))
+        .withColumn("sNative", pqScoreNative(col("native"), col("qv"), books))
+        .withColumn("sUdf", Ann.pqScoreUdf(books, sub)(col("native"), col("qv")))
+        .collect()
+      val scoreDiff = scored.filter(r =>
+        java.lang.Double.doubleToRawLongBits(r.getAs[Double]("sNative")) !=
+          java.lang.Double.doubleToRawLongBits(r.getAs[Double]("sUdf")))
+      assert(scoreDiff.isEmpty, s"${scoreDiff.length} ADC scores differ")
+    } finally corpus.unpersist()
+  }
+
+  test("srpBuckets (native) matches the SRP UDF bit-for-bit on the real corpus") {
+    val corpus = Ann.emb(spark, sf).cache()
+    try {
+      val (tables, bits) = (Ann.LshTables, Ann.LshBits)
+      val both = corpus
+        .withColumn("native", Ann.srpBuckets(col("v"), tables, bits))
+        .withColumn("udf", Ann.srpBucketsUdf(tables, bits)(col("v")))
+        .select("vec_id", "native", "udf").collect()
+      assert(both.nonEmpty)
+      val diff = both.filter(r => r.getSeq[Long](1) != r.getSeq[Long](2))
+      assert(diff.isEmpty,
+        s"${diff.length} rows bucket differently, e.g. ${diff.take(3).mkString(", ")}")
+      // a vector whose length differs from the plane dim falls back
+      // to the UDF (per-length planes) through the coalesce — the
+      // dim-8 dedup cap spec relies on this staying exact
+      val dim8 = spark.sql(
+        "SELECT array(0.5D, -0.2D, 0.1D, 0.9D, -0.4D, 0.3D, 0.0D, -0.8D) AS v")
+        .select(Ann.srpBuckets(col("v"), tables, bits).as("b"),
+          Ann.srpBucketsUdf(tables, bits)(col("v")).as("u")).head()
+      assert(dim8.getSeq[Long](0) === dim8.getSeq[Long](1),
+        "non-64-dim vectors must take the exact UDF fallback")
+    } finally corpus.unpersist()
+  }
+
   test("the assignment stage plans as a codegen expression, not a ScalaUDF") {
     val corpus = Ann.emb(spark, sf)
     val cs = Array.tabulate(8, 64)((c, d) => if (d % 8 == c) 1.0 else 0.0)
