@@ -88,12 +88,26 @@ case class TopKPerGroupExec(
 }
 
 object TopKStrategy extends SparkStrategy {
+  /** The partial phase can only REDUCE when a task holds more than k
+    * rows of a group; a candidate cut whose k scales with the corpus
+    * (nCand ~ N/40 — thousands at sf10) sits beyond every task's
+    * per-group row count, so the partial would buffer-and-copy every
+    * row for zero reduction (measured: ann_binary's hamming cut paid
+    * ~1.6× for it). Small-k rank cuts (top-3/top-5 per query — the
+    * knn_join shape) are where the survivors-only shuffle wins by
+    * orders of magnitude. 512 splits the regimes with margin.
+    */
+  val PartialCutoff = 512
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupLogical(g, o, k, child) =>
       // two-phase: map-side partial cut, exchange survivors only,
       // final cut per co-located group
-      TopKPerGroupExec(g, o, k,
-        TopKPerGroupExec(g, o, k, planLater(child), partial = true)) :: Nil
+      val inner =
+        if (k <= PartialCutoff)
+          TopKPerGroupExec(g, o, k, planLater(child), partial = true)
+        else planLater(child)
+      TopKPerGroupExec(g, o, k, inner) :: Nil
     case _ => Nil
   }
 }
