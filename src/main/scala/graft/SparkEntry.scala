@@ -163,6 +163,7 @@ object SparkEntry {
     "q_zone_map_nested" -> (operators.VersionedQueries.qZoneMapNested _),
     "q_zone_map_nulls" -> (operators.VersionedQueries.qZoneMapNulls _),
     "q_check_constraint" -> (operators.VersionedQueries.qCheckConstraint _),
+    "q_add_column" -> (operators.VersionedQueries.qAddColumn _),
     "q_drop_column" -> (operators.VersionedQueries.qDropColumn _),
     "q_rename_column" -> (operators.VersionedQueries.qRenameColumn _),
     // §2.8: the DSv2 synthetic source under the oracle gate — filter
@@ -1500,6 +1501,18 @@ object SparkEntry {
         |SELECT s_suppkey + 100000,
         |       CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS balance
         |FROM supplier WHERE s_suppkey % 4 = 0""".stripMargin,
+    // q_add_column: the head after the metadata-only ADD COLUMN (file
+    // identity asserted in-query — zero data IO) + an append that
+    // populates the new column; pre-add rows read it as NULL
+    "q_add_column" ->
+      """SELECT s_suppkey, CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS s_acctbal,
+        |       CAST(NULL AS BIGINT) AS s_tier
+        |FROM supplier
+        |UNION ALL
+        |SELECT s_suppkey + 100000,
+        |       CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS s_acctbal,
+        |       s_suppkey % 5 AS s_tier
+        |FROM supplier WHERE s_suppkey % 3 = 0""".stripMargin,
     // q_drop_column: the head after the metadata-only drop + the
     // narrowed-schema append (file identity asserted in-query)
     "q_drop_column" ->

@@ -381,6 +381,33 @@ object VersionedQueries {
     outBoundary(VersionedTable.read(spark, table))
   }
 
+  /** q_add_column: ADD COLUMN as a metadata-only commit (round 12 —
+    * the DDL that makes schema evolution explicit instead of
+    * append-implicit) — supplier committed with two columns, a
+    * nullable BIGINT added (file list asserted IDENTICAL across the
+    * commit: zero data IO; every pre-add row reads the column as
+    * NULL), then a post-add append POPULATES it. The oracle replays
+    * the NULL-extended projection ∪ the populated batch — the DDL
+    * must be indistinguishable from having declared the column all
+    * along.
+    */
+  def qAddColumn(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable("addc")
+    val all = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_acctbal").cast("decimal(12,2)").as("s_acctbal"))
+    val v1 = VersionedTable.overwrite(spark, table, all)
+    val v2 = VersionedTable.addColumn(spark, table, "s_tier",
+      org.apache.spark.sql.types.LongType)
+    require(VersionedTable.snapshotFiles(table, Some(v2)) ==
+      VersionedTable.snapshotFiles(table, Some(v1)),
+      "add column must carry the data files by reference")
+    VersionedTable.append(spark, table,
+      all.filter(col("s_suppkey") % 3 === 0)
+        .select((col("s_suppkey") + 100000L).as("s_suppkey"), col("s_acctbal"),
+          (col("s_suppkey") % 5).as("s_tier")))
+    outBoundary(VersionedTable.read(spark, table))
+  }
+
   /** q_zone_map_nulls: NULL-COUNT zone maps under the oracle gate —
     * customers land in three NULLNESS-clustered commits (balances all
     * NULL / fully populated / mixed), and an `IS NOT NULL` read
@@ -1548,10 +1575,22 @@ object VersionedQueries {
     val after = VersionedTable.snapshotFiles(view).toSet
     require((before & after).nonEmpty,
       "untouched buckets must carry by file reference across a narrow refresh")
-    spark.sql(
+    val out = spark.sql(
       """SELECT s_nationkey, mv_count,
         |       CAST(mv_sum_s_acctbal AS DOUBLE) AS total
         |FROM graft.mv.v""".stripMargin)
+    // Localize the small aggregate, then remove the temp root — same
+    // hygiene as qSqlPartitioned above: a multi-pass bench must not
+    // accumulate table copies in /tmp. The returned frame is
+    // driver-local, so the deletion cannot race the caller's collect.
+    val localized = spark.createDataFrame(
+      java.util.Arrays.asList(out.collect(): _*), out.schema)
+    val rootPath = java.nio.file.Paths.get(root)
+    scala.util.Using.resource(java.nio.file.Files.walk(rootPath)) { w =>
+      import scala.jdk.CollectionConverters._
+      w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    }
+    localized
   }
 
   /** q_sql_call: SQL maintenance via the DSv2 ProcedureCatalog under

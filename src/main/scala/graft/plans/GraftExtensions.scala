@@ -48,8 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL catalog reads: graft.<ns>.<table> relations become the
     // zone-map-indexed snapshot scan (see graft.sql.GraftCatalog)
     ext.injectResolutionRule(session => new graft.sql.GraftSqlRule(session))
-    // CREATE/REFRESH MATERIALIZED VIEW; everything else delegates
-    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+    // CREATE/REFRESH MATERIALIZED VIEW; everything else delegates.
+    // wrap() is idempotent so combining this class with
+    // GraftSqlExtensions cannot stack two parser layers.
+    ext.injectParser((_, delegate) => graft.sql.GraftSqlParser.wrap(delegate))
   }
 }
 

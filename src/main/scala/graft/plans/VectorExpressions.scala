@@ -376,7 +376,11 @@ case class NearestInCell(left: Expression, right: Expression,
   override protected def nullSafeEval(input: Any, cellAny: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val cell = cellAny.asInstanceOf[Int]
-    if (cell < 0 || (cell + 1) * k2 * dim > books.length) return null
+    // Long arithmetic: a garbage cell id near Int.MaxValue must not
+    // overflow the bound check and slip past the guard (round-11
+    // advice); unreachable from the composed assignment (cell < k1)
+    // but the conservative-over-garbage contract holds regardless.
+    if (cell < 0 || (cell.toLong + 1L) * k2 * dim > books.length) return null
     val n = a.numElements()
     val m = if (n < dim) n else dim
     val v = new Array[Double](m)
@@ -414,7 +418,7 @@ case class NearestInCell(left: Expression, right: Expression,
       val bestDot = ctx.freshName("bestDot")
       s"""
          |int $best = 0;
-         |if ($cell < 0 || ($cell + 1) * $k2 * $dim > ${books.length}) {
+         |if ($cell < 0 || ((long) $cell + 1L) * $k2 * $dim > ${books.length}L) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $n = $a.numElements();

@@ -239,18 +239,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   /** `ALTER TABLE` for the single-commit changes the layer already
-    * owns: the two metadata-only column commits, and CHECK-constraint
-    * ADD/DROP (write-time enforcement — ADD validates the existing
-    * data inside its commit closure, the Delta-shaped scan). Every
-    * other change refuses (ADD COLUMN is schema evolution ON APPEND
-    * by design — declaring a column that no file carries is
-    * indistinguishable from it).
+    * owns: the three metadata-only column commits (ADD — round 12 —
+    * plus RENAME and DROP), and CHECK-constraint ADD/DROP (write-time
+    * enforcement — ADD validates the existing data inside its commit
+    * closure, the Delta-shaped scan). Every other change refuses.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = tablePath(ident)
     if (!isTable(path)) throw new NoSuchTableException(ident)
     val spark = SparkSession.active
     changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft adds top-level columns only")
+        require(a.isNullable,
+          "graft ADD COLUMN is metadata-only: existing rows read the new " +
+            "column as NULL, so it must be nullable")
+        ops.addColumn(spark, path, a.fieldNames.head, a.dataType)
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "graft renames top-level columns only")
@@ -270,7 +275,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             ops.checkConstraints(path).exists(_._1 == d.name()))
           ops.dropCheckConstraint(spark, path, d.name())
       case other => throw new UnsupportedOperationException(
-        s"graft SQL ALTER TABLE supports RENAME/DROP COLUMN and ADD/DROP " +
+        s"graft SQL ALTER TABLE supports ADD/RENAME/DROP COLUMN and ADD/DROP " +
           s"CONSTRAINT … CHECK only, not $other — use the VersionedTable API")
     }
     loadTable(ident)
@@ -676,7 +681,11 @@ object GraftSqlRule {
 class GraftSqlExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(session => new GraftSqlRule(session))
-    // the two MATERIALIZED VIEW statements; everything else delegates
-    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // the two MATERIALIZED VIEW statements; everything else delegates.
+    // Idempotent: a session configured with BOTH extension classes
+    // must not wrap the delegate twice (round-11 advice — the double
+    // wrap was harmless but paid the MV regex match per statement
+    // twice).
+    ext.injectParser((_, delegate) => GraftSqlParser.wrap(delegate))
   }
 }

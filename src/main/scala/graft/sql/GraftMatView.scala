@@ -250,6 +250,19 @@ case class GraftRefreshMatViewCommand(viewParts: Seq[String])
   * schemas included — this parser adds statements, it never changes
   * the language).
   */
+object GraftSqlParser {
+  /** Idempotent wrap: a session configured with BOTH extension
+    * classes (GraftExtensions and GraftSqlExtensions each inject the
+    * parser) must not stack two layers — the double wrap was harmless
+    * but paid the MATERIALIZED VIEW regex match twice per statement
+    * (round-11 advice).
+    */
+  def wrap(delegate: ParserInterface): ParserInterface = delegate match {
+    case p: GraftSqlParser => p
+    case d => new GraftSqlParser(d)
+  }
+}
+
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftMatView.parse(sqlText, delegate).getOrElse(delegate.parsePlan(sqlText))

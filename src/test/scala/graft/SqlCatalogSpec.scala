@@ -343,16 +343,35 @@ class SqlCatalogSpec extends SparkSpec {
     }
     assert(badPart.getMessage.contains("identity"))
 
-    // refusal: ADD COLUMN can't be expressed — loud error, no effect
-    val add = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $catalog.db.t ADD COLUMN extra BIGINT")
+    // ALTER TABLE … ADD COLUMN (round 12): metadata-only commit —
+    // file list identical across it, existing rows read NULL, later
+    // INSERTs populate it
+    val tPath = s"$root/db/t"
+    val addBefore = ops.snapshotFiles(tPath)
+    spark.sql(s"ALTER TABLE $catalog.db.t ADD COLUMN extra BIGINT")
+    assert(ops.snapshotFiles(tPath) === addBefore,
+      "SQL ADD COLUMN must carry the data files by reference")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.t WHERE extra IS NULL")
+      .head.getLong(0) ===
+      spark.sql(s"SELECT count(*) AS n FROM $catalog.db.t").head.getLong(0),
+      "pre-add rows read the new column as NULL")
+    assert(spark.sql(s"CALL $catalog.system.history('db.t')")
+      .collect().last.getString(1) === "add_column",
+      "SQL ADD COLUMN takes the metadata-only commit path")
+    spark.sql(s"INSERT INTO $catalog.db.t " +
+      "SELECT id AS k, id * 3 AS extra FROM range(9000, 9005)")
+    assert(spark.sql(s"SELECT sum(extra) AS s FROM $catalog.db.t").head.getLong(0)
+      === (9000L until 9005L).map(_ * 3).sum)
+    // a NOT NULL add refuses (existing rows cannot satisfy it)
+    val addNn = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $catalog.db.t ADD COLUMN extra2 BIGINT NOT NULL")
     }
-    assert(add.getMessage.contains("RENAME/DROP") ||
-      add.getMessage.toLowerCase.contains("support"))
+    assert(addNn.getMessage.toLowerCase.contains("null"))
 
-    // a schema-conflicting insert is refused at analysis (arity)
+    // a schema-conflicting insert is refused at analysis (arity —
+    // db.t holds (k, extra) after the rename/drop/add history above)
     val bad = intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql(s"INSERT INTO $catalog.db.t VALUES (1, 2)")
+      spark.sql(s"INSERT INTO $catalog.db.t VALUES (1)")
     }
     assert(bad != null)
 

@@ -1371,6 +1371,70 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     assert(!ops.read(spark, t).columns.contains("v"))
   }
 
+  test(s"[$backend] add column: metadata-only, NULL-materialized history, hazards refused") {
+    val t = freshTable("addcol")
+    val df = spark.range(0, 50).select(col("id").as("k"), lit("A").as("v"))
+    val v1 = ops.overwrite(spark, t, df)
+    val before = ops.snapshotFiles(t)
+    val v2 = ops.addColumn(spark, t, "w", org.apache.spark.sql.types.LongType)
+    // zero data IO: file list identical, pre-add rows read NULL
+    assert(ops.snapshotFiles(t, Some(v2)) === before, "add carries files by reference")
+    val head = ops.read(spark, t)
+    assert(head.columns.toSeq === Seq("k", "v", "w"))
+    assert(head.filter(col("w").isNull).count() === 50, "pre-add rows materialize NULL")
+    // time travel: the pre-add version never sees the column
+    assert(!ops.read(spark, t, Some(v1)).columns.contains("w"))
+    // CDC across the add commit is an EMPTY delta (no row-level change)
+    assert(ops.changesBetween(spark, t, v1, v2).isEmpty)
+    // later appends may populate the column or keep omitting it
+    ops.append(spark, t, spark.range(50, 60).select(col("id").as("k"),
+      lit("B").as("v"), (col("id") * 7).as("w")))
+    ops.append(spark, t, spark.range(60, 65).select(col("id").as("k"), lit("C").as("v")))
+    val r = ops.read(spark, t)
+    assert(r.count() === 65)
+    assert(r.agg(sum("w")).head.getLong(0) === (50L until 60L).map(_ * 7).sum)
+    assert(r.filter(col("w").isNull).count() === 55)
+    // duplicate add refused; resurrection hazard refused in NAME mode
+    // (the dropped name is recorded by retained manifests — the same
+    // guard the append-side evolution path enforces)
+    intercept[IllegalArgumentException] {
+      ops.addColumn(spark, t, "w", org.apache.spark.sql.types.LongType) }
+    ops.dropColumn(spark, t, "w")
+    intercept[IllegalArgumentException] {
+      ops.addColumn(spark, t, "w", org.apache.spark.sql.types.LongType) }
+    // ... and frees up once compact + vacuum retire the old bytes
+    ops.compact(spark, t)
+    ops.vacuum(t, retain = 1, graceMs = 0)
+    ops.addColumn(spark, t, "w", org.apache.spark.sql.types.LongType)
+    assert(ops.read(spark, t).filter(col("w").isNotNull).count() === 0,
+      "no resurrection: the old bytes were rewritten away before the re-add")
+    // uninitialized table refused
+    intercept[IllegalArgumentException] {
+      ops.addColumn(spark, freshTable("addcol-e"), "x",
+        org.apache.spark.sql.types.LongType) }
+  }
+
+  test(s"[$backend] add column under id mapping: drop + immediate re-add, old bytes dead") {
+    val t = freshTable("addcol-id")
+    ops.overwriteIdMapped(spark, t, spark.range(0, 20).select(
+      col("id").as("k"), (col("id") * 3).as("w")))
+    ops.dropColumn(spark, t, "w")
+    // id mode: the dropped name re-ADDs IMMEDIATELY (fresh id — no
+    // compact/vacuum needed), and the ancestor's bytes stay dead
+    val vAdd = ops.addColumn(spark, t, "w", org.apache.spark.sql.types.LongType)
+    assert(ops.columnMapping(t) === "id")
+    assert(ops.read(spark, t, Some(vAdd)).filter(col("w").isNotNull).count() === 0,
+      "the re-added column reads NULL — the dropped id's bytes must not resurrect")
+    ops.append(spark, t, spark.range(20, 25).select(
+      col("id").as("k"), (col("id") * 11).as("w")))
+    val r = ops.read(spark, t)
+    assert(r.filter(col("k") < 20 && col("w").isNotNull).count() === 0)
+    assert(r.agg(sum("w")).head.getLong(0) === (20L until 25L).map(_ * 11).sum)
+    // the id namespace stays guarded
+    intercept[IllegalArgumentException] {
+      ops.addColumn(spark, t, "__gcid_9", org.apache.spark.sql.types.LongType) }
+  }
+
   test(s"[$backend] detail: one driver-side row of snapshot facts") {
     val t = freshTable("detail")
     ops.overwrite(spark, t, base)
