@@ -136,6 +136,7 @@ object SparkEntry {
     "q_sql_call" -> (operators.VersionedQueries.qSqlCall _),
     "q_sql_partitioned" -> (operators.VersionedQueries.qSqlPartitioned _),
     "q_sql_mat_view" -> (operators.VersionedQueries.qSqlMatView _),
+    "q_sql_mat_view_shapes" -> (operators.VersionedQueries.qSqlMatViewShapes _),
     "q_optimize_cluster" -> (operators.VersionedQueries.qOptimizeCluster _),
     "q_optimize_zorder" -> (operators.VersionedQueries.qOptimizeZorder _),
     "q_zone_map_prefix" -> (operators.VersionedQueries.qZoneMapPrefix _),
@@ -1186,6 +1187,37 @@ object SparkEntry {
         |SELECT s_nationkey, COUNT(*) AS mv_count,
         |       CAST(SUM(CAST(bal AS DECIMAL(28,4))) AS DOUBLE) AS total
         |FROM combined GROUP BY s_nationkey""".stripMargin,
+    // q_sql_mat_view_shapes ran the round-12 MV shapes (AVG with
+    // derived read + hidden state, MIN/MAX semilattice, two-table
+    // join) through one incremental INSERT delta; the oracle
+    // recomputes every metric from scratch over base ∪ delta. The avg
+    // is derived EXACTLY as the engine does: exact DECIMAL sum cast
+    // to DOUBLE, divided by the non-null count in double.
+    "q_sql_mat_view_shapes" ->
+      """WITH combined AS (
+        |  SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        |         CAST(s_acctbal AS DECIMAL(12,2)) AS bal
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        |         CAST(s_acctbal * 2 AS DECIMAL(12,2)) AS bal
+        |  FROM supplier
+        |  WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier))
+        |SELECT s_nationkey AS grp, 'avg' AS metric,
+        |       CAST(SUM(CAST(bal AS DECIMAL(28,4))) AS DOUBLE)
+        |         / CAST(COUNT(bal) AS DOUBLE) AS val
+        |FROM combined GROUP BY s_nationkey
+        |UNION ALL
+        |SELECT s_nationkey, 'min', CAST(MIN(bal) AS DOUBLE)
+        |FROM combined GROUP BY s_nationkey
+        |UNION ALL
+        |SELECT s_nationkey, 'max', CAST(MAX(bal) AS DOUBLE)
+        |FROM combined GROUP BY s_nationkey
+        |UNION ALL
+        |SELECT CAST(n.n_regionkey AS BIGINT), 'region_sum',
+        |       CAST(SUM(CAST(c.bal AS DECIMAL(28,4))) AS DOUBLE)
+        |FROM combined c JOIN nation n ON c.s_nationkey = n.n_nationkey
+        |GROUP BY n.n_regionkey""".stripMargin,
     // q_sql_call ran CALL graft.system.compact/history/vacuum between
     // the build and the read (asserted in-query: one file after
     // compact, five history rows, four versions dropped); the oracle

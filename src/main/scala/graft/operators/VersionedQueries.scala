@@ -1593,6 +1593,82 @@ object VersionedQueries {
     localized
   }
 
+  /** q_sql_mat_view_shapes: the round-12 materialized-view SHAPES in
+    * pure SQL text — an AVG view (count+sum state, avg DERIVED at
+    * read, internal state columns hidden), a MIN/MAX view
+    * (semilattice state), and a two-table JOIN view (the delta-join
+    * decomposition) — all three created over one supplier table,
+    * refreshed INCREMENTALLY through one narrow INSERT delta, and
+    * read back as one (grp, metric, val) union. The oracle recomputes
+    * every metric from scratch over base ∪ delta: incremental
+    * maintenance of all three state flavors must be indistinguishable
+    * from a full recompute.
+    */
+  def qSqlMatViewShapes(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-vq-sqlmvs").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    t(spark, dir, "supplier").createOrReplaceTempView("vq_sqlmvs_supplier")
+    t(spark, dir, "nation").createOrReplaceTempView("vq_sqlmvs_nation")
+    spark.sql(
+      """CREATE TABLE graft.mvs.sup AS
+        |SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        |       CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+        |FROM vq_sqlmvs_supplier""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft.mvs.nat AS
+        |SELECT CAST(n_nationkey AS BIGINT) AS s_nationkey,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM vq_sqlmvs_nation""".stripMargin)
+    spark.sql(
+      """CREATE MATERIALIZED VIEW graft.mvs.va BUCKETS 8 AS
+        |SELECT s_nationkey, COUNT(*) AS mv_count,
+        |       AVG(s_acctbal) AS mv_avg_s_acctbal
+        |FROM graft.mvs.sup GROUP BY s_nationkey""".stripMargin)
+    spark.sql(
+      """CREATE MATERIALIZED VIEW graft.mvs.vx BUCKETS 8 AS
+        |SELECT s_nationkey, COUNT(*) AS mv_count,
+        |       MIN(s_acctbal) AS mv_min_s_acctbal,
+        |       MAX(s_acctbal) AS mv_max_s_acctbal
+        |FROM graft.mvs.sup GROUP BY s_nationkey""".stripMargin)
+    spark.sql(
+      """CREATE MATERIALIZED VIEW graft.mvs.vj BUCKETS 4 AS
+        |SELECT n_regionkey, COUNT(*) AS mv_count,
+        |       SUM(s_acctbal) AS mv_sum_s_acctbal
+        |FROM graft.mvs.sup JOIN graft.mvs.nat USING (s_nationkey)
+        |GROUP BY n_regionkey""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.mvs.sup
+        |SELECT s_suppkey + 1000000 AS s_suppkey,
+        |       CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        |       CAST(s_acctbal * 2 AS DECIMAL(12,2)) AS s_acctbal
+        |FROM vq_sqlmvs_supplier
+        |WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM vq_sqlmvs_supplier)""".stripMargin)
+    Seq("va", "vx", "vj").foreach(v =>
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.mvs.$v"))
+    val out = spark.sql(
+      """SELECT s_nationkey AS grp, 'avg' AS metric, mv_avg_s_acctbal AS val
+        |FROM graft.mvs.va
+        |UNION ALL
+        |SELECT s_nationkey, 'min', CAST(mv_min_s_acctbal AS DOUBLE)
+        |FROM graft.mvs.vx
+        |UNION ALL
+        |SELECT s_nationkey, 'max', CAST(mv_max_s_acctbal AS DOUBLE)
+        |FROM graft.mvs.vx
+        |UNION ALL
+        |SELECT n_regionkey, 'region_sum', CAST(mv_sum_s_acctbal AS DOUBLE)
+        |FROM graft.mvs.vj""".stripMargin)
+    // localize + delete the temp root (the q_sql_* hygiene rule)
+    val localized = spark.createDataFrame(
+      java.util.Arrays.asList(out.collect(): _*), out.schema)
+    val rootPath = java.nio.file.Paths.get(root)
+    scala.util.Using.resource(java.nio.file.Files.walk(rootPath)) { w =>
+      import scala.jdk.CollectionConverters._
+      w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    }
+    localized
+  }
+
   /** q_sql_call: SQL maintenance via the DSv2 ProcedureCatalog under
     * the oracle gate — a three-commit CTAS+INSERT build, then
     * `CALL graft.system.compact` (asserted: one file), `CALL

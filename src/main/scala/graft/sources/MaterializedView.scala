@@ -130,11 +130,19 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
     * under every mutation with no extra machinery. SQL three-valued
     * semantics: NULL-evaluating rows are out of scope, matching what
     * the full recompute's WHERE would keep.
+    *
+    * Optional `derive`: (name, expression) columns computed on the
+    * DELTA (after the where filter) before the fold — the hook that
+    * lets a caller maintain sums of derived quantities (e.g. a
+    * non-null indicator whose sum is the AVG denominator, the SQL
+    * materialized-view AVG state) without the fold knowing about
+    * them; `sumCols` may then name derived columns.
     */
   def refresh(spark: SparkSession, view: String, source: String,
       keyCols: Seq[String], sumCols: Seq[String],
       viewKey: String = "mv", where: Option[String] = None,
-      buckets: Int = 0): Long = {
+      buckets: Int = 0,
+      derive: Seq[(String, org.apache.spark.sql.Column)] = Nil): Long = {
     val head = vt.versions(source).last
     // cursor AND state are pinned to ONE view snapshot (vView): a
     // racing refresher that commits between our cursor read and our
@@ -154,7 +162,8 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
         vt.read(spark, source, Some(head))
           .withColumn("_change", lit("insert"))
     }
-    val delta = where.fold(delta0)(w => delta0.filter(expr(w)))
+    val delta1 = where.fold(delta0)(w => delta0.filter(expr(w)))
+    val delta = derive.foldLeft(delta1) { case (d, (n, c)) => d.withColumn(n, c) }
     foldDelta(spark, view, vView, cursor.isDefined, delta, keyCols, sumCols,
       Seq(appIdFor(viewKey) -> head),
       resolveBuckets(view, viewKey, vView, buckets), bucketsApp(viewKey))

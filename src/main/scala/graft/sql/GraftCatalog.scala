@@ -369,8 +369,12 @@ class GraftSqlTable(val ops: VersionedTableOps, val path: String,
 
   override def name(): String = s"graft:${ident}@v$pinnedVersion"
 
-  override lazy val schema: StructType =
-    ops.read(SparkSession.active, path, Some(pinnedVersion)).schema
+  // SQL MATERIALIZED VIEWs surface their DECLARED schema: AVG columns
+  // derive from the count+sum state, internal state sums are hidden
+  // (GraftMatView.derivedRead — a pass-through for every ordinary
+  // table and every AVG-less view)
+  override lazy val schema: StructType = GraftMatView.derivedRead(path,
+    ops.read(SparkSession.active, path, Some(pinnedVersion))).schema
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -521,10 +525,13 @@ class GraftSqlTable(val ops: VersionedTableOps, val path: String,
     }
 
   /** The plan the relation becomes: the zone-map-indexed read of this
-    * pinned version (predicates prune manifest files at planning).
+    * pinned version (predicates prune manifest files at planning),
+    * with a SQL materialized view's derived columns projected on top
+    * (see [[GraftMatView.derivedRead]] — identity for plain tables).
     */
   def resolve(spark: SparkSession): org.apache.spark.sql.DataFrame =
-    ops.readIndexed(spark, path, Some(pinnedVersion))
+    GraftMatView.derivedRead(path,
+      ops.readIndexed(spark, path, Some(pinnedVersion)))
 
   /** INSERT INTO → append; INSERT OVERWRITE (truncating) → overwrite.
     * The V1Write fallback hands the fully-analyzed insert frame to

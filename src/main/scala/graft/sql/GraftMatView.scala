@@ -2,7 +2,8 @@ package graft.sql
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
@@ -52,10 +53,21 @@ object GraftMatView {
 
   val DefaultBuckets = 512
 
-  /** The SQL-created views' refresh-cursor key (one view table holds
-    * one definition, so a constant key suffices).
+  /** The SQL-created views' refresh-cursor keys, one per maintenance
+    * flavor (the cursors are (appId, version) watermarks — a view is
+    * maintained by exactly one flavor for its whole life).
     */
   private val ViewKey = "sqlmv"
+  private val ViewKeyMinMax = "sqlmvx"
+  private val ViewKeyJoin = "sqlmvj"
+
+  /** The delta column whose signed sum is AVG's denominator: a
+    * non-null indicator over the averaged column, maintained as an
+    * ordinary abelian sum next to the numerator (state column
+    * `mv_sum_<c>__nn`). NULLs contribute to neither — SQL AVG
+    * semantics, same rule as refreshStats' nn counts.
+    */
+  private[sql] def nnCol(c: String) = s"${c}__nn"
 
   private val CreateRe =
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+(?:BUCKETS\s+(\d+)\s+)?AS\s+(.+?)\s*;?\s*$""".r
@@ -65,38 +77,75 @@ object GraftMatView {
   def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
       case CreateRe(ident, buckets, select) =>
-        val (keys, sums, src, whereSql) = analyzeSelect(delegate.parsePlan(select))
+        val shape = analyzeSelect(delegate.parsePlan(select))
         Some(GraftCreateMatViewCommand(delegate.parseMultipartIdentifier(ident),
-          Option(buckets).map(_.toInt), keys, sums, src, whereSql))
+          Option(buckets).map(_.toInt), shape))
       case RefreshRe(ident) =>
         Some(GraftRefreshMatViewCommand(delegate.parseMultipartIdentifier(ident)))
       case _ => None
     }
 
-  /** The maintainable-aggregate shape, extracted from the UNRESOLVED
-    * plan the delegate parser produced. Anything else refuses with a
-    * message naming the rule it broke — a definition this layer cannot
-    * maintain incrementally must not be accepted and silently staled.
+  /** The statement shape [[analyzeSelect]] extracts — source parts
+    * still unresolved (the CREATE command resolves them against the
+    * catalog at run time).
     */
-  private def analyzeSelect(plan: LogicalPlan)
-      : (Seq[String], Seq[String], Seq[String], Option[String]) = {
+  private[sql] case class MatViewShape(kind: String, keys: Seq[String],
+      sums: Seq[String], avgs: Seq[String], minmax: Seq[String],
+      sourceParts: Seq[String], source2Parts: Option[Seq[String]],
+      joinKeys: Seq[String], whereSql: Option[String])
+
+  /** The maintainable-aggregate shapes, extracted from the UNRESOLVED
+    * plan the delegate parser produced. Round 12 widens the round-11
+    * COUNT/SUM single-table shape to everything the Scala engine
+    * maintains ([[MaterializedViewOps]]): AVG (count+sum state,
+    * derived at read), MIN/MAX (semilattice state with delta-scoped
+    * recompute on extremum-touching deletes), and a two-table
+    * equi-join FROM (the delta-join decomposition). Anything else
+    * refuses with a message naming the rule it broke — a definition
+    * this layer cannot maintain incrementally must not be accepted
+    * and silently staled.
+    */
+  private def analyzeSelect(plan: LogicalPlan): MatViewShape = {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.{Inner, UsingJoin}
     def refuse(why: String): Nothing = throw new UnsupportedOperationException(
-      s"CREATE MATERIALIZED VIEW: $why — the maintainable shape is " +
-        "SELECT <keys>, COUNT(*) AS mv_count[, SUM(c) AS mv_sum_c ...] " +
-        "FROM <graft table> [WHERE p] GROUP BY <keys>")
+      s"CREATE MATERIALIZED VIEW: $why — the maintainable shapes are " +
+        "SELECT <keys>, COUNT(*) AS mv_count[, SUM(c) AS mv_sum_c | " +
+        "AVG(c) AS mv_avg_c ...] FROM <graft table> " +
+        "[JOIN <graft table> USING (k...)] [WHERE p] GROUP BY <keys>, or " +
+        "the MIN/MAX flavor: SELECT <keys>, COUNT(*) AS mv_count, " +
+        "MIN(c) AS mv_min_c, MAX(c) AS mv_max_c ... FROM <graft table> " +
+        "[WHERE p] GROUP BY <keys>")
     plan match {
       case Aggregate(grouping, aggExprs, child, _) =>
-        val (rel, whereSql) = child match {
-          case r: UnresolvedRelation => (r, None)
-          case Filter(cond, r: UnresolvedRelation) => (r, Some(cond.sql))
-          case other => refuse(s"FROM must be one table, not ${other.nodeName}")
+        val (from, whereSql) = child match {
+          case Filter(cond, inner) => (inner, Some(cond.sql))
+          case inner => (inner, None)
+        }
+        val (srcParts, src2Parts, joinKeys) = from match {
+          case r: UnresolvedRelation => (r.multipartIdentifier, None, Nil)
+          case Join(l: UnresolvedRelation, r: UnresolvedRelation,
+              UsingJoin(Inner, uk), None, _) =>
+            (l.multipartIdentifier, Some(r.multipartIdentifier), uk)
+          case j: Join => refuse("JOIN must be an INNER two-table " +
+            "`JOIN ... USING (keys)` (the delta-join decomposition needs " +
+            s"shared-name equi-keys), not ${j.joinType} with ${j.condition}")
+          case other => refuse(s"FROM must be one table or a two-table " +
+            s"USING join, not ${other.nodeName}")
         }
         val keys = grouping.map {
           case a: UnresolvedAttribute if a.nameParts.length == 1 => a.nameParts.head
           case other => refuse(s"GROUP BY must name plain source columns, not ${other.sql}")
         }
         var sums = Vector.empty[String]
+        var avgs = Vector.empty[String]
+        var mins = Vector.empty[String]
+        var maxs = Vector.empty[String]
         var sawCount = false
+        def oneCol(f: UnresolvedFunction, what: String): String = f.arguments match {
+          case Seq(c: UnresolvedAttribute) if c.nameParts.length == 1 => c.nameParts.head
+          case _ => refuse(s"$what must be over one plain source column")
+        }
         aggExprs.foreach {
           case a: UnresolvedAttribute
               if a.nameParts.length == 1 && keys.contains(a.nameParts.head) => ()
@@ -112,21 +161,62 @@ object GraftMatView {
             sawCount = true
           case Alias(f: UnresolvedFunction, name)
               if f.nameParts.map(_.toLowerCase) == Seq("sum") && !f.isDistinct =>
-            f.arguments match {
-              case Seq(c: UnresolvedAttribute) if c.nameParts.length == 1 =>
-                val cn = c.nameParts.head
-                if (name != s"mv_sum_$cn")
-                  refuse(s"SUM($cn) must be aliased AS mv_sum_$cn, not $name")
-                sums :+= cn
-              case _ => refuse("SUM must be over one plain source column")
-            }
+            val cn = oneCol(f, "SUM")
+            if (name != s"mv_sum_$cn")
+              refuse(s"SUM($cn) must be aliased AS mv_sum_$cn, not $name")
+            sums :+= cn
+          case Alias(f: UnresolvedFunction, name)
+              if f.nameParts.map(_.toLowerCase) == Seq("avg") && !f.isDistinct =>
+            val cn = oneCol(f, "AVG")
+            if (name != s"mv_avg_$cn")
+              refuse(s"AVG($cn) must be aliased AS mv_avg_$cn, not $name")
+            avgs :+= cn
+          case Alias(f: UnresolvedFunction, name)
+              if f.nameParts.map(_.toLowerCase) == Seq("min") && !f.isDistinct =>
+            val cn = oneCol(f, "MIN")
+            if (name != s"mv_min_$cn")
+              refuse(s"MIN($cn) must be aliased AS mv_min_$cn, not $name")
+            mins :+= cn
+          case Alias(f: UnresolvedFunction, name)
+              if f.nameParts.map(_.toLowerCase) == Seq("max") && !f.isDistinct =>
+            val cn = oneCol(f, "MAX")
+            if (name != s"mv_max_$cn")
+              refuse(s"MAX($cn) must be aliased AS mv_max_$cn, not $name")
+            maxs :+= cn
           case other => refuse(s"unsupported select item ${other.sql}: keys, " +
-            "COUNT(*) AS mv_count and SUM(c) AS mv_sum_c only")
+            "COUNT(*) AS mv_count, SUM/AVG/MIN/MAX over one column only")
         }
         if (!sawCount) refuse("the select must include COUNT(*) AS mv_count " +
           "(the maintained state carries the group count)")
         if (keys.isEmpty) refuse("GROUP BY must name at least one key")
-        (keys, sums, rel.multipartIdentifier, whereSql)
+        val minmax = (mins ++ maxs).distinct
+        if (minmax.nonEmpty) {
+          // MIN/MAX state is maintained by a different refresher
+          // (semilattice merge + delta-scoped recompute on deletes) —
+          // one flavor per view, and the refresher maintains BOTH
+          // extrema per column, so they must be declared in pairs for
+          // the statement to match the state schema
+          if (sums.nonEmpty || avgs.nonEmpty)
+            refuse("MIN/MAX cannot mix with SUM/AVG in one view (different " +
+              "maintenance state) — create two views over the same source")
+          if (src2Parts.nonEmpty)
+            refuse("MIN/MAX views maintain a single table (deletes may need " +
+              "a delta-scoped source rescan, which a join view cannot do)")
+          if (mins.toSet != maxs.toSet)
+            refuse("MIN and MAX must be declared in pairs over the same " +
+              "column (the maintained state carries both extrema)")
+          MatViewShape("minmax", keys, Nil, Nil, minmax,
+            srcParts, None, Nil, whereSql)
+        } else if (src2Parts.nonEmpty) {
+          if (avgs.nonEmpty)
+            refuse("join views maintain COUNT/SUM only (AVG over a join is " +
+              "derivable from SUM + a COUNT view; declare the sums)")
+          MatViewShape("join", keys, sums, Nil, Nil,
+            srcParts, src2Parts, joinKeys, whereSql)
+        } else {
+          MatViewShape("agg", keys, sums, avgs, Nil,
+            srcParts, None, Nil, whereSql)
+        }
       case other => refuse(s"the AS query must be a grouped aggregate, " +
         s"got ${other.nodeName}")
     }
@@ -154,75 +244,141 @@ object GraftMatView {
 
   // ---- the persisted definition ----
 
-  private[sql] case class MatViewDef(source: String, keyCols: Seq[String],
-      sumCols: Seq[String], whereSql: Option[String], buckets: Int)
+  private[sql] case class MatViewDef(kind: String, source: String,
+      source2: Option[String], joinKeys: Seq[String], keyCols: Seq[String],
+      sumCols: Seq[String], avgCols: Seq[String], minmaxCols: Seq[String],
+      whereSql: Option[String], buckets: Int)
 
-  private def esc(s: String): String =
-    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
-  private def unesc(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\")
+  // Real JSON (round-11 advice): Jackson ships with Spark, and the
+  // WHERE predicate is arbitrary SQL text — newlines, brackets,
+  // quotes — that hand-rolled field regexes parsed only by accident
+  // of field ordering. Round-11 files (no "kind" field) read back
+  // with kind = "agg", their only flavor.
+  private val json = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def defPath(view: String) = Paths.get(view, "_mv.json")
 
   private[sql] def writeDef(view: String, d: MatViewDef): Unit = {
     Files.createDirectories(Paths.get(view))
-    val where = d.whereSql.map(w => s""""${esc(w)}"""").getOrElse("null")
-    Files.writeString(defPath(view),
-      s"""{"source": "${esc(d.source)}", """ +
-        s""""keys": [${d.keyCols.map(k => s""""${esc(k)}"""").mkString(", ")}], """ +
-        s""""sums": [${d.sumCols.map(k => s""""${esc(k)}"""").mkString(", ")}], """ +
-        s""""where": $where, "buckets": ${d.buckets}}""")
+    val n = json.createObjectNode()
+    n.put("kind", d.kind)
+    n.put("source", d.source)
+    d.source2.foreach(n.put("source2", _))
+    def arr(f: String, xs: Seq[String]): Unit = {
+      val a = n.putArray(f); xs.foreach(a.add)
+    }
+    arr("joinKeys", d.joinKeys)
+    arr("keys", d.keyCols)
+    arr("sums", d.sumCols)
+    arr("avgs", d.avgCols)
+    arr("minmax", d.minmaxCols)
+    d.whereSql match {
+      case Some(w) => n.put("where", w)
+      case None => n.putNull("where")
+    }
+    n.put("buckets", d.buckets)
+    Files.writeString(defPath(view), json.writeValueAsString(n))
   }
 
   private[sql] def readDef(view: String): MatViewDef = {
     require(Files.exists(defPath(view)),
       s"$view is not a SQL materialized view (no _mv.json definition)")
-    val txt = Files.readString(defPath(view))
-    def str(field: String): Option[String] =
-      (s""""$field": "((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(txt)
-        .map(m => unesc(m.group(1)))
-    def arr(field: String): Seq[String] =
-      (s""""$field": \\[([^\\]]*)\\]""").r.findFirstMatchIn(txt).toSeq.flatMap(m =>
-        "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1))
-          .map(g => unesc(g.group(1))).toSeq)
-    val buckets = """"buckets": (\d+)""".r.findFirstMatchIn(txt)
-      .map(_.group(1).toInt).getOrElse(0)
-    MatViewDef(str("source").getOrElse(sys.error(s"malformed _mv.json at $view")),
-      arr("keys"), arr("sums"), str("where"), buckets)
+    val n = json.readTree(Files.readString(defPath(view)))
+    def str(f: String): Option[String] =
+      Option(n.get(f)).filterNot(_.isNull).map(_.asText)
+    def arr(f: String): Seq[String] = Option(n.get(f)).toSeq.flatMap(a =>
+      (0 until a.size).map(a.get(_).asText))
+    MatViewDef(str("kind").getOrElse("agg"),
+      str("source").getOrElse(sys.error(s"malformed _mv.json at $view")),
+      str("source2"), arr("joinKeys"), arr("keys"), arr("sums"), arr("avgs"),
+      arr("minmax"), str("where"),
+      Option(n.get("buckets")).map(_.asInt).getOrElse(0))
   }
+
+  /** An AVG view's MAINTAINED sums: the declared sums, plus (for each
+    * averaged column) its numerator sum and its non-null-indicator
+    * sum — all abelian, all folded by the one single-table refresher.
+    */
+  private def aggSumCols(d: MatViewDef): Seq[String] =
+    (d.sumCols ++ d.avgCols.filterNot(d.sumCols.contains) ++
+      d.avgCols.map(nnCol)).distinct
 
   /** Bring a SQL-defined view up to date — shared by REFRESH, the
     * `refresh_view` procedure, and CREATE's initial population.
-    * Returns the view's committed version.
+    * Dispatches on the persisted definition's kind: plain abelian
+    * fold (COUNT/SUM/AVG state), the min/max semilattice refresher,
+    * or the two-source delta-join. Returns the view's committed
+    * version.
     */
   def refresh(spark: SparkSession, ops: VersionedTableOps, view: String): Long = {
     val d = readDef(view)
-    new MaterializedViewOps(ops).refresh(spark, view, d.source, d.keyCols,
-      d.sumCols, viewKey = ViewKey, where = d.whereSql, buckets = d.buckets)
+    val mv = new MaterializedViewOps(ops)
+    d.kind match {
+      case "minmax" =>
+        mv.refreshMinMax(spark, view, d.source, d.keyCols, d.minmaxCols,
+          viewKey = ViewKeyMinMax, where = d.whereSql, buckets = d.buckets)
+      case "join" =>
+        mv.refreshJoin(spark, view, d.source, d.source2.getOrElse(
+            sys.error(s"join view $view lost its second source")),
+          d.joinKeys, d.keyCols, d.sumCols,
+          viewKey = ViewKeyJoin, where = d.whereSql, buckets = d.buckets)
+      case _ =>
+        mv.refresh(spark, view, d.source, d.keyCols, aggSumCols(d),
+          viewKey = ViewKey, where = d.whereSql, buckets = d.buckets,
+          derive = d.avgCols.map(c => nnCol(c) ->
+            when(col(c).isNotNull, lit(1L)).otherwise(lit(null).cast("long"))))
+    }
+  }
+
+  /** The read-side projection a SQL reader of the view sees: the
+    * DECLARED schema. AVG derives from its count+sum state in double
+    * with a fixed operation order (numerator sum / non-null count —
+    * NULL for an all-NULL group, SQL semantics); the internal state
+    * columns (`mv_sum_<c>__nn`, undeclared numerator sums) are
+    * hidden. Views without AVG pass through untouched — their state
+    * IS the declared schema.
+    */
+  private[sql] def derivedRead(view: String, df: DataFrame): DataFrame = {
+    if (!Files.exists(defPath(view))) return df
+    val d = readDef(view)
+    if (d.avgCols.isEmpty) return df
+    val withAvgs = d.avgCols.foldLeft(df) { (acc, c) =>
+      val nn = col(s"mv_sum_${nnCol(c)}")
+      acc.withColumn(s"mv_avg_$c",
+        when(nn.isNull || nn === 0, lit(null).cast("double"))
+          .otherwise(col(s"mv_sum_$c").cast("double") / nn.cast("double")))
+    }
+    val hidden = d.avgCols.map(c => s"mv_sum_${nnCol(c)}") ++
+      d.avgCols.filterNot(d.sumCols.contains).map(c => s"mv_sum_$c")
+    withAvgs.drop(hidden: _*)
   }
 }
 
 /** One CREATE MATERIALIZED VIEW = persist the definition + the first
-  * refresh (full-snapshot fold, committed with the source cursor).
+  * refresh (full-snapshot fold, committed with the source cursor(s)).
   */
 case class GraftCreateMatViewCommand(viewParts: Seq[String],
-    buckets: Option[Int], keyCols: Seq[String], sumCols: Seq[String],
-    sourceParts: Seq[String], whereSql: Option[String])
+    buckets: Option[Int], shape: GraftMatView.MatViewShape)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (ops, viewPath, cat) = GraftMatView.resolve(spark, viewParts)
     require(ops.versions(viewPath).isEmpty,
       s"materialized view ${viewParts.mkString(".")} already exists")
-    // the source must live in the SAME catalog: the refresh cursor is
-    // a version of that catalog's commit log
-    require(sourceParts.length >= 3 && sourceParts.head == cat,
-      s"the view's source must be a table of catalog $cat, fully qualified " +
-        s"(got ${sourceParts.mkString(".")})")
-    val (_, srcPath, _) = GraftMatView.resolve(spark, sourceParts)
-    require(ops.versions(srcPath).nonEmpty,
-      s"source table ${sourceParts.mkString(".")} does not exist")
+    // every source must live in the SAME catalog: the refresh cursors
+    // are versions of that catalog's commit log
+    def srcPath(parts: Seq[String]): String = {
+      require(parts.length >= 3 && parts.head == cat,
+        s"the view's source must be a table of catalog $cat, fully qualified " +
+          s"(got ${parts.mkString(".")})")
+      val (_, p, _) = GraftMatView.resolve(spark, parts)
+      require(ops.versions(p).nonEmpty,
+        s"source table ${parts.mkString(".")} does not exist")
+      p
+    }
     GraftMatView.writeDef(viewPath, GraftMatView.MatViewDef(
-      srcPath, keyCols, sumCols, whereSql,
+      shape.kind, srcPath(shape.sourceParts),
+      shape.source2Parts.map(srcPath), shape.joinKeys, shape.keys,
+      shape.sums, shape.avgs, shape.minmax, shape.whereSql,
       buckets.getOrElse(GraftMatView.DefaultBuckets)))
     GraftMatView.refresh(spark, ops, viewPath)
     Nil

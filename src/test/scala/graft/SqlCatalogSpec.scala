@@ -637,6 +637,82 @@ class SqlCatalogSpec extends SparkSpec {
     assert(w0(3L) === 9L,
       s"grp 3: 9 base rows with v>=50 (k in 13..93), none of the v=7 delta; got $w0")
 
+    // AVG view (round 12): count+sum state, avg DERIVED at read in
+    // double with SQL null semantics; the internal state columns
+    // (numerator sum, non-null indicator sum) stay hidden
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $catalog.db.va BUCKETS 8 AS
+         |SELECT grp, COUNT(*) AS mv_count, AVG(v) AS mv_avg_v
+         |FROM $catalog.db.src GROUP BY grp""".stripMargin)
+    def avgState(): Map[Long, (Long, Option[Double])] =
+      spark.sql(s"SELECT grp, mv_count, mv_avg_v FROM $catalog.db.va").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(spark.sql(s"SELECT * FROM $catalog.db.va").columns.filter(
+      _.startsWith("mv_")).sorted.toSeq === Seq("mv_avg_v", "mv_count"),
+      "internal AVG state columns must stay hidden from the declared schema")
+    val a0 = avgState()
+    // grp 3 by now: 10 base rows (v = k*10) + 5 delta rows (v = 7)
+    assert(a0(3L)._1 === 15L)
+    assert(a0(3L)._2.contains(
+      ((3L until 100 by 10).map(_ * 10).sum + 5 * 7L).toDouble / 15.0))
+    // NULL-valued rows count toward mv_count but NOT the average
+    // (SQL AVG semantics — numerator and denominator both skip NULL)
+    ops.append(spark, src, spark.range(3000, 3003).select(col("id").as("k"),
+      lit(null).cast("long").as("v"), lit(3L).as("grp")))
+    spark.sql(s"REFRESH MATERIALIZED VIEW $catalog.db.va")
+    val a1 = avgState()
+    assert(a1(3L)._1 === 18L, "NULL rows still count rows")
+    assert(a1(3L)._2 === a0(3L)._2, "NULL rows must not move the average")
+
+    // MIN/MAX view (round 12): semilattice state — pure merge on
+    // inserts, delta-scoped recompute when a delete touches an
+    // extremum
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $catalog.db.vx BUCKETS 8 AS
+         |SELECT grp, COUNT(*) AS mv_count,
+         |       MIN(v) AS mv_min_v, MAX(v) AS mv_max_v
+         |FROM $catalog.db.src GROUP BY grp""".stripMargin)
+    def mmState(): Map[Long, (Long, Long, Long)] =
+      spark.sql(s"SELECT grp, mv_count, mv_min_v, mv_max_v FROM $catalog.db.vx")
+        .collect().filter(r => !r.isNullAt(2))
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val m0 = mmState()
+    assert(m0(3L)._2 === 7L && m0(3L)._3 === 930L,
+      s"grp 3 extrema over base + v=7 delta, got ${m0(3L)}")
+    // a new maximum merges in as pure state math
+    ops.append(spark, src, spark.range(4000, 4001).select(col("id").as("k"),
+      lit(5000L).as("v"), lit(3L).as("grp")))
+    spark.sql(s"REFRESH MATERIALIZED VIEW $catalog.db.vx")
+    assert(mmState()(3L)._3 === 5000L)
+    // deleting the current maximum forces the delta-scoped recompute
+    ops.delete(spark, src, col("v") === 5000L)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $catalog.db.vx")
+    assert(mmState()(3L)._3 === 930L,
+      "the recompute must find the runner-up after the extremum's delete")
+
+    // JOIN view (round 12): the delta-join decomposition in SQL text —
+    // a fact append refreshes as Δfact ⋈ dim, never snapshot ⋈ snapshot
+    val dim = s"$root/db/dim"
+    ops.overwrite(spark, dim, spark.range(0, 10).select(
+      col("id").as("grp"), concat(lit("R"), (col("id") % 3).cast("string")).as("region")))
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $catalog.db.vj BUCKETS 4 AS
+         |SELECT region, COUNT(*) AS mv_count, SUM(v) AS mv_sum_v
+         |FROM $catalog.db.src JOIN $catalog.db.dim USING (grp)
+         |GROUP BY region""".stripMargin)
+    def jState(): Map[String, Long] =
+      spark.sql(s"SELECT region, mv_count FROM $catalog.db.vj").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val j0 = jState()
+    assert(j0.keySet === Set("R0", "R1", "R2"))
+    ops.append(spark, src, spark.range(5000, 5004).select(col("id").as("k"),
+      lit(1L).as("v"), lit(4L).as("grp"))) // grp 4 -> region R1
+    spark.sql(s"REFRESH MATERIALIZED VIEW $catalog.db.vj")
+    val j1 = jState()
+    assert(j1("R1") === j0("R1") + 4 && j1("R0") === j0("R0") &&
+      j1("R2") === j0("R2"), "only the delta's region moves")
+
     // unmaintainable shapes refuse loudly at parse time
     intercept[UnsupportedOperationException] {
       spark.sql(s"CREATE MATERIALIZED VIEW $catalog.db.bad AS " +
@@ -650,6 +726,29 @@ class SqlCatalogSpec extends SparkSpec {
     intercept[UnsupportedOperationException] {
       spark.sql(s"CREATE MATERIALIZED VIEW $catalog.db.bad AS " +
         s"SELECT grp, COUNT(v) AS mv_count FROM $catalog.db.src GROUP BY grp")
+    }
+    // round-12 shape rules: MIN without its MAX pair; MIN/MAX mixed
+    // with SUM; AVG on a join view; a non-USING join
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"CREATE MATERIALIZED VIEW $catalog.db.bad AS " +
+        s"SELECT grp, COUNT(*) AS mv_count, MIN(v) AS mv_min_v " +
+        s"FROM $catalog.db.src GROUP BY grp")
+    }
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"CREATE MATERIALIZED VIEW $catalog.db.bad AS " +
+        s"SELECT grp, COUNT(*) AS mv_count, SUM(v) AS mv_sum_v, " +
+        s"MIN(v) AS mv_min_v, MAX(v) AS mv_max_v " +
+        s"FROM $catalog.db.src GROUP BY grp")
+    }
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"CREATE MATERIALIZED VIEW $catalog.db.bad AS " +
+        s"SELECT region, COUNT(*) AS mv_count, AVG(v) AS mv_avg_v " +
+        s"FROM $catalog.db.src JOIN $catalog.db.dim USING (grp) GROUP BY region")
+    }
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"CREATE MATERIALIZED VIEW $catalog.db.bad AS " +
+        s"SELECT region, COUNT(*) AS mv_count FROM $catalog.db.src s " +
+        s"JOIN $catalog.db.dim d ON s.grp = d.grp GROUP BY region")
     }
     // a duplicate CREATE refuses; a REFRESH of a non-view refuses
     intercept[IllegalArgumentException] {
