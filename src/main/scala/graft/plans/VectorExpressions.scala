@@ -741,6 +741,220 @@ case class SrpBuckets(child: Expression, planes: Array[Double],
     copy(child = newChild)
 }
 
+/** Sign bit per dimension packed into one 64-bit word — the native
+  * twin of Ann.signBitsUdf (round-12: the last two per-row UDF
+  * families in the vector hot path move into whole-stage codegen;
+  * this one sits in every binary-ANN build, append, and query pass).
+  * Contract pinned bit-for-bit by VectorAssignSpec: bit i set iff
+  * element i > 0, dimensions beyond 64 ignored, shorter vectors pack
+  * what they have. A NULL element nulls the result (conservative —
+  * the UDF would have thrown; corpus vectors carry no NULLs).
+  */
+case class SignBits(child: Expression) extends ArrayDoubleUnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_sign_bits"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val m = if (n < 64) n else 64
+    var w = 0L
+    var i = 0
+    while (i < m) {
+      if (a.isNullAt(i)) return null
+      if (a.getDouble(i) > 0) w |= (1L << i)
+      i += 1
+    }
+    w
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val w = ctx.freshName("w")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $n < 64 ? $n : 64;
+         |long $w = 0L;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  if ($a.getDouble($i) > 0) $w |= (1L << $i);
+         |}
+         |${ev.value} = $w;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The int8 symmetric-quantization SCALE: 127 / max(|v_i|, 1e-30) —
+  * one max pass, the exact op chain of Ann.quantizeUdf's scale half
+  * (Math.max/Math.abs fold in element order). Shares its input pass
+  * with [[Int8Codes]]; the two stay separate expressions (no struct
+  * construction in the hot loop) and the re-scan of a ≤64-element
+  * array is noise next to the UDF boxing they remove.
+  */
+case class Int8Scale(child: Expression) extends ArrayDoubleUnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_int8_scale"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      mx = java.lang.Math.max(mx, java.lang.Math.abs(a.getDouble(i)))
+      i += 1
+    }
+    127.0 / java.lang.Math.max(mx, 1e-30)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val mx = ctx.freshName("mx")
+      s"""
+         |int $n = $a.numElements();
+         |double $mx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $mx = Math.max($mx, Math.abs($a.getDouble($i)));
+         |}
+         |${ev.value} = 127.0 / Math.max($mx, 1e-30);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The int8 quantized CODES as packed bytes: component i is
+  * floor(v_i * scale + 0.5) narrowed to byte — floor(x + 0.5), not a
+  * library round, so the DuckDB oracle's replay stays bit-identical
+  * (library rounds differ on negative halves), and the double→byte
+  * narrowing is the same round-toward-zero saturating chain in Java
+  * and Scala. Scale recomputed internally with [[Int8Scale]]'s exact
+  * fold — the two expressions agree by construction.
+  */
+case class Int8Codes(child: Expression) extends ArrayDoubleUnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_int8_codes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      mx = java.lang.Math.max(mx, java.lang.Math.abs(a.getDouble(i)))
+      i += 1
+    }
+    val s = 127.0 / java.lang.Math.max(mx, 1e-30)
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      out(i) = java.lang.Math.floor(a.getDouble(i) * s + 0.5).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val mx = ctx.freshName("mx")
+      val s = ctx.freshName("s")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double $mx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $mx = Math.max($mx, Math.abs($a.getDouble($i)));
+         |}
+         |byte[] $out = new byte[$n];
+         |if (!${ev.isNull}) {
+         |  double $s = 127.0 / Math.max($mx, 1e-30);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = (byte) Math.floor($a.getDouble($i) * $s + 0.5);
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The RAW int8 dot: exact integer product sum of two packed byte
+  * arrays accumulated in a long (≤ 127²·dim, nowhere near overflow —
+  * candidate scores stay order-independent by construction). The
+  * caller divides by the two scales in plain column arithmetic, which
+  * reproduces Ann.quantDotUdf's `acc.toDouble / (sa * sb)` exactly.
+  * A length mismatch nulls (the UDF would have walked off the shorter
+  * side; equal dims by construction).
+  */
+case class Int8Dot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.graftbridge.BinaryBinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_int8_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length) return null
+    var acc = 0L
+    var i = 0
+    while (i < x.length) { acc += x(i).toLong * y(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |long $acc = 0L;
+         |if ($a.length != $b.length) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $a.length; $i++) {
+         |    $acc += ((long) $a[$i]) * $b[$i];
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   /** Column API for [[DotProduct]]; inputs are cast to array<double>. */
@@ -818,4 +1032,22 @@ object VectorExpressions {
       nTables: Int, bits: Int, dim: Int): Column =
     Bridge.column(SrpBuckets(
       Bridge.expression(a.cast("array<double>")), planes, nTables, bits, dim))
+
+  /** Column API for [[SignBits]]. */
+  def signBitsNative(a: Column): Column =
+    Bridge.column(SignBits(Bridge.expression(a.cast("array<double>"))))
+
+  /** Column API for [[Int8Scale]]. */
+  def int8ScaleNative(a: Column): Column =
+    Bridge.column(Int8Scale(Bridge.expression(a.cast("array<double>"))))
+
+  /** Column API for [[Int8Codes]]. */
+  def int8CodesNative(a: Column): Column =
+    Bridge.column(Int8Codes(Bridge.expression(a.cast("array<double>"))))
+
+  /** Column API for [[Int8Dot]] (the raw long sum; divide by the two
+    * scales in column arithmetic).
+    */
+  def int8DotNative(a: Column, b: Column): Column =
+    Bridge.column(Int8Dot(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators._
-import graft.plans.VectorExpressions.{dotNative, nearestInCellNative, nearestNative, normalizeNative, pqCodesNative, pqScoreNative, probesNative, srpBucketsNative}
+import graft.plans.VectorExpressions.{dotNative, int8CodesNative, int8DotNative, int8ScaleNative, nearestInCellNative, nearestNative, normalizeNative, pqCodesNative, pqScoreNative, probesNative, signBitsNative, srpBucketsNative}
 
 /** Similarity search over the embeddings table (SURVEY.md §2.4).
   *
@@ -621,7 +621,7 @@ object Ann {
     * are fetched by id for the re-rank survivors alone.
     */
   def buildBinaryIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
-    emb(spark, dir).select(col("vec_id"), signBitsUdf(col("v")).as("w"))
+    emb(spark, dir).select(col("vec_id"), signBitsNative(col("v")).as("w"))
       .write.mode("overwrite").parquet(indexPath)
 
   /** Incremental append: sign ONLY the new batch (batch-sized work —
@@ -631,7 +631,7 @@ object Ann {
     */
   def appendToBinaryIndex(spark: SparkSession, indexPath: String, newVecs: DataFrame): Unit =
     newVecs.select(col("vec_id"),
-        signBitsUdf(normalizeNative(col("embedding"))).as("w"))
+        signBitsNative(normalizeNative(col("embedding"))).as("w"))
       .write.mode("append").parquet(indexPath)
 
   /** Query the persisted sign-word index: hamming candidates from the
@@ -683,6 +683,11 @@ object Ann {
     * quantized dot accumulates EXACT integer products in a Long
     * (≤ 127²·dim, nowhere near overflow), so candidate scores are
     * order-independent by construction.
+    *
+    * Retained as the REFERENCE implementation only (round 12): the
+    * hot path runs the codegen twins Int8Codes/Int8Scale/Int8Dot
+    * (plans/VectorExpressions.scala), pinned bit-exact against these
+    * in VectorAssignSpec.
     */
   private[graft] val quantizeUdf = udf { (v: Seq[Double]) =>
     var mx = 0.0
@@ -1021,6 +1026,12 @@ object Ann {
     * normalized vector; normalization divides by a positive norm, so
     * they equal the raw components' signs — which is what the oracle
     * compares, with no float-division drift in the loop.
+    *
+    * Retained as the REFERENCE implementation only (round 12): the
+    * hot path runs the codegen twin SignBits
+    * (plans/VectorExpressions.scala), pinned bit-exact against this
+    * in VectorAssignSpec — measured 7.7× on the isolated pass
+    * (ProbeRound12).
     */
   private[graft] val signBitsUdf = udf { (v: Seq[Double]) =>
     var w = 0L
@@ -1048,7 +1059,7 @@ object Ann {
   def binaryTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nCand0: Int = -1): DataFrame = {
     val corpus = emb(spark, dir)
-      .withColumn("w", signBitsUdf(col("v")))
+      .withColumn("w", signBitsNative(col("v")))
       .localCheckpoint() // one UDF pass shared by both sides + rerank
     // sentinel default → the family's 2.5%-of-N re-rank cut
     // (nCandFor), identity at graded SFs so the oracle's fixed 50 cut
@@ -1077,9 +1088,9 @@ object Ann {
   def quantizedTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nCand: Int = 20): DataFrame = {
     val corpus = emb(spark, dir)
-      .withColumn("qz", quantizeUdf(col("v")))
-      .select(col("vec_id"), col("v"), col("qz._1").as("qv8"), col("qz._2").as("scale"))
-      .localCheckpoint() // one shared UDF pass for both sides + rerank join
+      .select(col("vec_id"), col("v"), int8CodesNative(col("v")).as("qv8"),
+        int8ScaleNative(col("v")).as("scale"))
+      .localCheckpoint() // one shared codegen pass for both sides + rerank join
     val queries = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("qv8").as("q_qv8"), col("scale").as("q_scale"))
     // candidate generation sees ONLY quantized bytes — the full-
@@ -1088,7 +1099,10 @@ object Ann {
     val cands = corpus.select("vec_id", "qv8", "scale")
       .join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        quantDotUdf(col("qv8"), col("q_qv8"), col("scale"), col("q_scale")).as("qscore"))
+        // the raw long dot in codegen; ÷(sa·sb) in column arithmetic
+        // reproduces quantDotUdf's `acc.toDouble / (sa * sb)` exactly
+        (int8DotNative(col("qv8"), col("q_qv8")).cast("double") /
+          (col("scale") * col("q_scale"))).as("qscore"))
       .withColumn("crk", row_number().over(w))
       .filter(col("crk") <= nCand)
       .select("q_id", "vec_id")

@@ -83,3 +83,13 @@ abstract class LongBinaryExpression
   override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
     Seq(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.LongType)
 }
+
+/** (binary, binary) sibling: two packed byte arrays — the int8
+  * quantized-dot shape.
+  */
+abstract class BinaryBinaryExpression
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.BinaryType, org.apache.spark.sql.types.BinaryType)
+}

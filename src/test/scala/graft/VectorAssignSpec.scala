@@ -186,4 +186,90 @@ class VectorAssignSpec extends SparkSpec {
     assert(folded.getInt(0) === viaCol.getInt(0))
     assert(folded.getSeq[Int](1) === viaCol.getSeq[Int](1))
   }
+
+  test("signBitsNative matches signBitsUdf bit-for-bit on the real corpus") {
+    import graft.plans.VectorExpressions.signBitsNative
+    val corpus = Ann.emb(spark, sf).cache()
+    try {
+      val both = corpus
+        .withColumn("native", signBitsNative(col("v")))
+        .withColumn("udf", Ann.signBitsUdf(col("v")))
+        .select("vec_id", "native", "udf").collect()
+      assert(both.nonEmpty)
+      val diff = both.filter(r => r.getLong(1) != r.getLong(2))
+      assert(diff.isEmpty,
+        s"${diff.length} rows pack differently, e.g. ${diff.take(3).mkString(", ")}")
+    } finally corpus.unpersist()
+    // adversarial: zeros pack 0 bits (strict >), short vectors pack
+    // what they have, negatives never set a bit
+    val edge = spark.sql(
+      "SELECT array(0.0D, -1.0D, 1e-300D, -0.0D, 5.0D) AS v")
+      .select(signBitsNative(col("v")).as("n"), Ann.signBitsUdf(col("v")).as("u"))
+      .head()
+    assert(edge.getLong(0) === edge.getLong(1))
+    assert(edge.getLong(0) === ((1L << 2) | (1L << 4)))
+  }
+
+  test("int8 codes/scale/dot natives match quantizeUdf/quantDotUdf exactly") {
+    import graft.plans.VectorExpressions.{int8CodesNative, int8DotNative, int8ScaleNative}
+    val corpus = Ann.emb(spark, sf).cache()
+    try {
+      val both = corpus
+        .withColumn("qz", Ann.quantizeUdf(col("v")))
+        .select(col("vec_id"),
+          int8CodesNative(col("v")).as("nc"), col("qz._1").as("uc"),
+          int8ScaleNative(col("v")).as("ns"), col("qz._2").as("us"))
+        .collect()
+      assert(both.nonEmpty)
+      val diff = both.filter(r =>
+        !java.util.Arrays.equals(r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2)) ||
+          r.getDouble(3) != r.getDouble(4))
+      assert(diff.isEmpty,
+        s"${diff.length} rows quantize differently, e.g. ${diff.take(3).mkString(", ")}")
+      // the full scoring chain (raw long dot ÷ scale product) equals
+      // the UDF's double on every corpus pair against one query
+      val q = both.head
+      val scored = corpus.limit(200)
+        .select(col("vec_id"),
+          (int8DotNative(int8CodesNative(col("v")), lit(q.getAs[Array[Byte]](1)))
+            .cast("double") / (int8ScaleNative(col("v")) * lit(q.getDouble(3))))
+            .as("native"),
+          Ann.quantDotUdf(int8CodesNative(col("v")), lit(q.getAs[Array[Byte]](1)),
+            int8ScaleNative(col("v")), lit(q.getDouble(3))).as("udf"))
+        .collect()
+      val sdiff = scored.filter(r => r.getDouble(1) != r.getDouble(2))
+      assert(sdiff.isEmpty,
+        s"${sdiff.length} scores differ, e.g. ${sdiff.take(3).mkString(", ")}")
+    } finally corpus.unpersist()
+    // adversarial: the negative-half round (floor(x+0.5), not a
+    // library round) and the zero vector's 1e-30 floor
+    val edge = spark.sql(
+      "SELECT array(-0.5D, 0.5D, -1.5D, 1.0D) AS v, array(0.0D, 0.0D) AS z")
+      .select(int8CodesNative(col("v")).as("nc"),
+        Ann.quantizeUdf(col("v")).getField("_1").as("uc"),
+        int8ScaleNative(col("z")).as("zs"),
+        Ann.quantizeUdf(col("z")).getField("_2").as("zu"))
+      .head()
+    assert(java.util.Arrays.equals(edge.getAs[Array[Byte]](0), edge.getAs[Array[Byte]](1)))
+    assert(edge.getDouble(2) === edge.getDouble(3))
+  }
+
+  test("the binary and int8 build/score stages plan as codegen, not ScalaUDF") {
+    import graft.plans.VectorExpressions.{int8CodesNative, int8DotNative, int8ScaleNative, signBitsNative}
+    val corpus = Ann.emb(spark, sf)
+    val staged = corpus.select(col("vec_id"),
+      signBitsNative(col("v")).as("w"),
+      int8CodesNative(col("v")).as("qv8"),
+      int8ScaleNative(col("v")).as("scale"))
+    val plan = staged.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"),
+      s"binary/int8 build must not plan a ScalaUDF:\n$plan")
+    val scored = staged.as("a").join(staged.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select((int8DotNative(col("a.qv8"), col("b.qv8")).cast("double") /
+        (col("a.scale") * col("b.scale"))).as("qscore"))
+    val splan = scored.queryExecution.executedPlan.toString
+    assert(!splan.contains("ScalaUDF"),
+      s"int8 scoring must not plan a ScalaUDF:\n$splan")
+  }
 }
