@@ -42,6 +42,21 @@ object Ann {
         col("vec_id").as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Candidate cut shared by the quantized families (round 12 — the
+    * round-11 verdict's finding #3): the top-nCand rows per query
+    * through the bounded-heap TopK operator instead of a row_number
+    * window. Identical survivor set at the same (score, vec_id)
+    * total order, but O(n log nCand) per task with no per-group sort
+    * buffer where the window sorted EVERY scored candidate; the
+    * strategy plans single-phase above PartialCutoff, so a large-k
+    * cut never pays the partial phase the ann_binary probe measured
+    * losing. No rank column — candidate cuts only need membership.
+    */
+  private def candCut(scored: DataFrame,
+      orderCols: Seq[(String, Boolean)], nCand: Int): DataFrame =
+    graft.plans.TopK.topKPerGroup(scored, Seq("q_id"), orderCols, nCand)
+      .select("q_id", "vec_id")
+
   /** Exact brute-force cosine top-k: broadcast the query rows against
     * the corpus scan, window-rank per query. Baseline + recall oracle
     * for the ANN paths. Cosine is rounded to 6 decimals in the OUTPUT
@@ -645,14 +660,11 @@ object Ann {
     val nCand = if (nCand0 > 0) nCand0 else nCandFor(idx.count())
     val queries = idx.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("w").as("qw"))
-    val wc = Window.partitionBy("q_id").orderBy(col("ham").asc, col("vec_id").asc)
-    val cands = idx
+    val cands = candCut(idx
       .join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        bit_count(col("w").bitwiseXOR(col("qw"))).as("ham"))
-      .withColumn("crk", row_number().over(wc))
-      .filter(col("crk") <= nCand)
-      .select("q_id", "vec_id")
+        bit_count(col("w").bitwiseXOR(col("qw"))).as("ham")),
+      Seq("ham" -> true, "vec_id" -> true), nCand)
     val corpus = emb(spark, dir)
     val qv = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -819,10 +831,7 @@ object Ann {
     * deterministic vec_id tie-break. Shared by the PQ family.
     */
   private def adcCut(scored: DataFrame, nCand: Int): DataFrame =
-    scored.withColumn("crk", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("qscore").desc, col("vec_id").asc)))
-      .filter(col("crk") <= nCand)
-      .select("q_id", "vec_id")
+    candCut(scored, Seq("qscore" -> false, "vec_id" -> true), nCand)
 
   /** Full-precision re-rank of a candidate cut: fetch vectors by id
     * (`vecs` carries (vec_id, v)), score against the broadcast query
@@ -1069,14 +1078,11 @@ object Ann {
     val nCand = if (nCand0 > 0) nCand0 else nCandFor(corpus.count())
     val queries = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("w").as("qw"))
-    val wc = Window.partitionBy("q_id").orderBy(col("ham").asc, col("vec_id").asc)
-    val cands = corpus.select("vec_id", "w")
+    val cands = candCut(corpus.select("vec_id", "w")
       .join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        bit_count(col("w").bitwiseXOR(col("qw"))).as("ham"))
-      .withColumn("crk", row_number().over(wc))
-      .filter(col("crk") <= nCand)
-      .select("q_id", "vec_id")
+        bit_count(col("w").bitwiseXOR(col("qw"))).as("ham")),
+      Seq("ham" -> true, "vec_id" -> true), nCand)
     val qv = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     cands.join(corpus.select("vec_id", "v"), "vec_id")
@@ -1095,17 +1101,14 @@ object Ann {
       .select(col("vec_id").as("q_id"), col("qv8").as("q_qv8"), col("scale").as("q_scale"))
     // candidate generation sees ONLY quantized bytes — the full-
     // precision column is dropped before the broadcast join
-    val w = Window.partitionBy("q_id").orderBy(col("qscore").desc, col("vec_id").asc)
-    val cands = corpus.select("vec_id", "qv8", "scale")
+    val cands = candCut(corpus.select("vec_id", "qv8", "scale")
       .join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         // the raw long dot in codegen; ÷(sa·sb) in column arithmetic
         // reproduces quantDotUdf's `acc.toDouble / (sa * sb)` exactly
         (int8DotNative(col("qv8"), col("q_qv8")).cast("double") /
-          (col("scale") * col("q_scale"))).as("qscore"))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") <= nCand)
-      .select("q_id", "vec_id")
+          (col("scale") * col("q_scale"))).as("qscore")),
+      Seq("qscore" -> false, "vec_id" -> true), nCand)
     // exact re-rank of the tiny candidate set at full precision
     val qv = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
