@@ -239,12 +239,16 @@ case class NearestCentroid(child: Expression, centroids: Array[Double],
 /** Native nProbe-nearest-centroid list — [[NearestCentroid]]'s probe
   * sibling, replacing the query-side ScalaUDF that sorted a boxed
   * (−dot, index) tuple Seq per row. Selection replays the UDF's
-  * `sorted.take(nProbe)` ordering EXACTLY via repeated minimum of the
-  * negated dots under java.lang.Double.compare (so −0.0/0.0 and NaN
-  * order as the tuple sort did, index ascending on ties) — an
-  * O(K·nProbe) scan over a primitive array, allocation-free beyond
-  * the per-row locals. nProbe is query-side-small by contract, so the
-  * quadratic term is bounded (nProbe ≤ K, both driver-chosen).
+  * `sorted.take(nProbe)` ordering EXACTLY — the (neg, idx)
+  * lexicographic total order under java.lang.Double.compare (so
+  * −0.0/0.0 and NaN order as the tuple sort did, index ascending on
+  * ties) — via a bounded worst-at-root heap + heap-sort extraction:
+  * O(K log nProbe) per row (round 12; the previous repeated-minimum
+  * scan was O(K·nProbe) — ~2×10⁹ ops/row at the two-level
+  * quantizer's 2^18-list ceiling with nProbe = K/32, measured 605×
+  * slower there, ProbeRound12). Allocation: two nProbe-sized
+  * primitive arrays per row, spec-pinned identical output against
+  * the UDF at K up to 512 with dense ties (VectorAssignSpec).
   */
 case class ProbeCentroids(child: Expression, centroids: Array[Double],
     dim: Int, nProbe: Int) extends ArrayDoubleUnaryExpression {
@@ -279,26 +283,88 @@ case class ProbeCentroids(child: Expression, centroids: Array[Double],
       c += 1
     }
     val take = if (nProbe < k) nProbe else k
-    val out = new Array[Int](take)
-    val used = new Array[Boolean](k)
-    var slot = 0
-    while (slot < take) {
-      var bc = -1
-      c = 0
-      while (c < k) {
-        if (!used(c) && (bc < 0 || java.lang.Double.compare(neg(c), neg(bc)) < 0))
-          bc = c
-        c += 1
+    // Bounded worst-at-root heap over the (neg, idx) total order
+    // (round-12, SURVEY gap #2): O(K log nProbe) selection instead of
+    // the O(K·nProbe) repeated scan — at the 2^18-list ceiling with
+    // nProbe ~ K/32 that scan was ~2×10⁹ ops per query row. Same
+    // selection and same OUTPUT ORDER as the scan, ties to the lower
+    // index, via exactly Double.compare (spec-pinned against the UDF).
+    val hNeg = new Array[Double](take)
+    val hIdx = new Array[Int](take)
+    // a candidate is WORSE than heap slot j iff (neg, idx) compares
+    // greater lexicographically
+    def worse(n1: Double, i1: Int, n2: Double, i2: Int): Boolean = {
+      val cmp = java.lang.Double.compare(n1, n2)
+      cmp > 0 || (cmp == 0 && i1 > i2)
+    }
+    def siftDown(root: Int, size: Int): Unit = {
+      var p = root
+      var done = false
+      while (!done) {
+        val l = 2 * p + 1
+        val r = l + 1
+        var w = p
+        if (l < size && worse(hNeg(l), hIdx(l), hNeg(w), hIdx(w))) w = l
+        if (r < size && worse(hNeg(r), hIdx(r), hNeg(w), hIdx(w))) w = r
+        if (w == p) done = true
+        else {
+          val tn = hNeg(p); val ti = hIdx(p)
+          hNeg(p) = hNeg(w); hIdx(p) = hIdx(w)
+          hNeg(w) = tn; hIdx(w) = ti
+          p = w
+        }
       }
-      used(bc) = true
-      out(slot) = bc
-      slot += 1
+    }
+    c = 0
+    while (c < take) { hNeg(c) = neg(c); hIdx(c) = c; c += 1 }
+    var h = take / 2 - 1
+    while (h >= 0) { siftDown(h, take); h -= 1 }
+    c = take
+    while (c < k) {
+      if (worse(hNeg(0), hIdx(0), neg(c), c)) { // candidate beats the worst kept
+        hNeg(0) = neg(c); hIdx(0) = c
+        siftDown(0, take)
+      }
+      c += 1
+    }
+    // heap-sort: pop the worst to the back → out ascending by (neg, idx)
+    val out = new Array[Int](take)
+    var size = take
+    while (size > 0) {
+      out(size - 1) = hIdx(0)
+      size -= 1
+      hNeg(0) = hNeg(size); hIdx(0) = hIdx(size)
+      siftDown(0, size)
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cs = ctx.addReferenceObj("graftCentroids", centroids, "double[]")
+    // the worst-at-root sift shared by build, stream, and sort phases
+    // — same (neg, idx) total order as the interpreted eval
+    val sift = ctx.freshName("graftProbeSift")
+    val siftFull = ctx.addNewFunction(sift,
+      s"""
+         |private void $sift(double[] hNeg, int[] hIdx, int root, int size) {
+         |  int p = root;
+         |  while (true) {
+         |    int l = 2 * p + 1;
+         |    int r = l + 1;
+         |    int w = p;
+         |    int cl, cr;
+         |    if (l < size && ((cl = java.lang.Double.compare(hNeg[l], hNeg[w])) > 0 ||
+         |        (cl == 0 && hIdx[l] > hIdx[w]))) w = l;
+         |    if (r < size && ((cr = java.lang.Double.compare(hNeg[r], hNeg[w])) > 0 ||
+         |        (cr == 0 && hIdx[r] > hIdx[w]))) w = r;
+         |    if (w == p) return;
+         |    double tn = hNeg[p]; int ti = hIdx[p];
+         |    hNeg[p] = hNeg[w]; hIdx[p] = hIdx[w];
+         |    hNeg[w] = tn; hIdx[w] = ti;
+         |    p = w;
+         |  }
+         |}
+       """.stripMargin)
     nullSafeCodeGen(ctx, ev, a => {
       val i = ctx.freshName("i")
       val c = ctx.freshName("c")
@@ -308,10 +374,11 @@ case class ProbeCentroids(child: Expression, centroids: Array[Double],
       val s = ctx.freshName("s")
       val off = ctx.freshName("off")
       val neg = ctx.freshName("neg")
-      val used = ctx.freshName("used")
       val out = ctx.freshName("out")
-      val slot = ctx.freshName("slot")
-      val bc = ctx.freshName("bc")
+      val hNeg = ctx.freshName("hNeg")
+      val hIdx = ctx.freshName("hIdx")
+      val sz = ctx.freshName("sz")
+      val cmp = ctx.freshName("cmp")
       val k = centroids.length / dim
       val take = if (nProbe < k) nProbe else k
       s"""
@@ -330,16 +397,25 @@ case class ProbeCentroids(child: Expression, centroids: Array[Double],
          |    for (int $i = 0; $i < $m; $i++) { $s += $v[$i] * $cs[$off + $i]; }
          |    $neg[$c] = -$s;
          |  }
-         |  boolean[] $used = new boolean[$k];
-         |  int[] $out = new int[$take];
-         |  for (int $slot = 0; $slot < $take; $slot++) {
-         |    int $bc = -1;
-         |    for (int $c = 0; $c < $k; $c++) {
-         |      if (!$used[$c] && ($bc < 0 ||
-         |          java.lang.Double.compare($neg[$c], $neg[$bc]) < 0)) $bc = $c;
+         |  // bounded worst-at-root heap: O(K log nProbe) selection,
+         |  // same output order as the interpreted eval (spec-pinned)
+         |  double[] $hNeg = new double[$take];
+         |  int[] $hIdx = new int[$take];
+         |  for (int $c = 0; $c < $take; $c++) { $hNeg[$c] = $neg[$c]; $hIdx[$c] = $c; }
+         |  for (int $c = $take / 2 - 1; $c >= 0; $c--) $siftFull($hNeg, $hIdx, $c, $take);
+         |  for (int $c = $take; $c < $k; $c++) {
+         |    int $cmp = java.lang.Double.compare($hNeg[0], $neg[$c]);
+         |    if ($cmp > 0 || ($cmp == 0 && $hIdx[0] > $c)) {
+         |      $hNeg[0] = $neg[$c]; $hIdx[0] = $c;
+         |      $siftFull($hNeg, $hIdx, 0, $take);
          |    }
-         |    $used[$bc] = true;
-         |    $out[$slot] = $bc;
+         |  }
+         |  int[] $out = new int[$take];
+         |  for (int $sz = $take; $sz > 0; ) {
+         |    $out[$sz - 1] = $hIdx[0];
+         |    $sz--;
+         |    $hNeg[0] = $hNeg[$sz]; $hIdx[0] = $hIdx[$sz];
+         |    $siftFull($hNeg, $hIdx, 0, $sz);
          |  }
          |  ${ev.value} =
          |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);

@@ -187,6 +187,32 @@ class VectorAssignSpec extends SparkSpec {
     assert(folded.getSeq[Int](1) === viaCol.getSeq[Int](1))
   }
 
+  test("heap probe selection matches the sort reference at large K, deep nProbe, dense ties") {
+    // round-12: ProbeCentroids' selection moved from an O(K·nProbe)
+    // repeated scan to an O(K log nProbe) bounded heap — this pins
+    // the heap against probesUdf's full-sort reference at depths the
+    // small-K tests never reach, on a codebook built to collide
+    // (components quantized to 1/4, so many exact dot ties exercise
+    // the (neg, idx) tie order through the heap's sift paths)
+    val k = 512
+    val dim = 8
+    val cs = Array.tabulate(k, dim)((c, d) =>
+      math.floor(math.sin(c * 0.7 + d * 1.3) * 4.0) / 4.0)
+    val vecs = spark.range(0, 200).select(col("id").as("vec_id"),
+      array((0 until dim).map(d =>
+        round(sin(col("id") * lit(0.37 + d * 0.11)) * 4.0) / 4.0): _*).as("v"))
+    for (nProbe <- Seq(1, 13, 128, 512)) {
+      val both = vecs
+        .withColumn("native", probesNative(col("v"), cs, nProbe))
+        .withColumn("udf", Ann.probesUdf(cs, nProbe)(col("v")))
+        .select("vec_id", "native", "udf").collect()
+      val diff = both.filter(r => r.getSeq[Int](1) != r.getSeq[Int](2))
+      assert(diff.isEmpty,
+        s"nProbe=$nProbe: ${diff.length} rows differ, " +
+          s"e.g. ${diff.take(2).mkString(", ")}")
+    }
+  }
+
   test("signBitsNative matches signBitsUdf bit-for-bit on the real corpus") {
     import graft.plans.VectorExpressions.signBitsNative
     val corpus = Ann.emb(spark, sf).cache()
