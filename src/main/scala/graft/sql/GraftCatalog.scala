@@ -227,14 +227,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }
     val path = tablePath(ident)
     if (isTable(path)) throw new TableAlreadyExistsException(ident)
+    // Column-mapping mode (round 12): `TBLPROPERTIES
+    // ('graft.columnMapping' = 'id')` starts the table in ID mode —
+    // RENAME with no name-burn, DROP + immediate re-ADD with old
+    // bytes dead ([[VersionedTableOps.overwriteIdMapped]]'s Iceberg
+    // property) — with a per-catalog conf default
+    // (`spark.sql.catalog.<name>.columnMapping = id`) for shops that
+    // want every SQL-born table id-mapped. 'name' (the default)
+    // keeps the transparent-physical-names mode.
+    val mapping = Option(properties.get("graft.columnMapping"))
+      .orElse(spark.conf.getOption(s"spark.sql.catalog.$catalogName.columnMapping"))
+      .getOrElse("name")
+    val idMapped = mapping match {
+      case "id" => true
+      case "name" => false
+      case other => throw new IllegalArgumentException(
+        s"graft.columnMapping must be 'id' or 'name', got '$other'")
+    }
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    if (partCols.isEmpty)
+    if (partCols.isEmpty) {
       // one empty partition → one zero-row parquet file, so version 0
       // is an ordinary manifest (no zero-file snapshot edge anywhere)
-      ops.overwrite(spark, path, empty.repartition(1))
-    else
-      ops.overwritePartitioned(spark, path, empty, partCols)
+      if (idMapped) ops.overwriteIdMapped(spark, path, empty.repartition(1))
+      else ops.overwrite(spark, path, empty.repartition(1))
+    } else
+      ops.overwritePartitioned(spark, path, empty, partCols, idMapped = idMapped)
     loadTable(ident)
   }
 

@@ -375,6 +375,40 @@ class SqlCatalogSpec extends SparkSpec {
     }
     assert(bad != null)
 
+    // CREATE TABLE in ID column-mapping mode (round 12): TBLPROPERTIES
+    // opts a SQL-born table into the no-name-burn property — CREATE →
+    // INSERT → RENAME → DROP → immediate re-ADD of the same name, old
+    // bytes dead (name mode refuses the re-add until compact+vacuum)
+    spark.sql(s"CREATE TABLE $catalog.db.idm (k BIGINT, tag BIGINT) " +
+      "TBLPROPERTIES ('graft.columnMapping' = 'id')")
+    assert(ops.columnMapping(s"$root/db/idm") === "id")
+    spark.sql(s"INSERT INTO $catalog.db.idm " +
+      "SELECT id AS k, id * 7 AS tag FROM range(0, 20)")
+    spark.sql(s"ALTER TABLE $catalog.db.idm RENAME COLUMN tag TO label")
+    assert(spark.sql(s"SELECT sum(label) AS s FROM $catalog.db.idm")
+      .head.getLong(0) === (0L until 20L).map(_ * 7).sum)
+    spark.sql(s"ALTER TABLE $catalog.db.idm DROP COLUMN label")
+    spark.sql(s"ALTER TABLE $catalog.db.idm ADD COLUMN label BIGINT")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.idm " +
+      "WHERE label IS NOT NULL").head.getLong(0) === 0,
+      "the re-added name reads NULL — the dropped column's bytes stay dead")
+    spark.sql(s"INSERT INTO $catalog.db.idm " +
+      "SELECT id AS k, id AS label FROM range(100, 105)")
+    assert(spark.sql(s"SELECT sum(label) AS s FROM $catalog.db.idm")
+      .head.getLong(0) === (100L until 105L).sum)
+    // the 'tag' name (renamed away, then its successor dropped) also
+    // re-adds immediately with dead old bytes
+    spark.sql(s"ALTER TABLE $catalog.db.idm ADD COLUMN tag BIGINT")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.idm " +
+      "WHERE tag IS NOT NULL").head.getLong(0) === 0,
+      "the original physical bytes must not alias the re-added name")
+    // a bad mode refuses loudly
+    val badMode = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $catalog.db.idbad (k BIGINT) " +
+        "TBLPROPERTIES ('graft.columnMapping' = 'uuid')")
+    }
+    assert(badMode.getMessage.contains("columnMapping"))
+
     // CHECK constraints via SQL DDL: ADD validates the existing data
     // (a violating table cannot gain the rule), then every write
     // enforces atomically; DROP lifts it
