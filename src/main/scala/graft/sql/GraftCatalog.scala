@@ -138,16 +138,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   private def nsPath(namespace: Array[String]): java.nio.file.Path =
     namespace.foldLeft(java.nio.file.Paths.get(root))((p, seg) => p.resolve(seg))
 
-  private def isTable(path: String): Boolean = ops.versions(path).nonEmpty
+  // a head-dropped table is "no table" to every SQL surface; its
+  // retained pre-drop versions stay reachable through the Scala API
+  // until vacuum (the DROP TABLE two-step, round 12)
+  private def isTable(path: String): Boolean =
+    ops.versions(path).nonEmpty && !ops.isDropped(path)
 
   override def tableExists(ident: Identifier): Boolean = isTable(tablePath(ident))
 
   override def loadTable(ident: Identifier): Table = {
     val path = tablePath(ident)
-    val vs = ops.versions(path)
-    if (vs.isEmpty) throw new NoSuchTableException(ident)
+    // a head-dropped table is gone from SQL (tombstone, round 12)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
     // pin the head NOW: every scan of this statement sees one snapshot
-    new GraftSqlTable(ops, path, vs.last, ident)
+    new GraftSqlTable(ops, path, ops.versions(path).last, ident)
   }
 
   /** `VERSION AS OF <v>` — the SQL twin of `read(…, Some(v))`. */
@@ -299,10 +303,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
+  /** DROP TABLE = the metadata-only tombstone commit
+    * ([[VersionedTableOps.dropTable]]): the name disappears from
+    * every SQL surface immediately; bytes are reclaimed by step two
+    * (`CALL <cat>.system.vacuum(..., retain => 1)` after the grace
+    * window — physical removal of a 100 TB table is not one commit,
+    * and pinned readers keep their snapshots until then). PURGE
+    * (`DROP TABLE … PURGE`) still refuses for exactly that reason.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = tablePath(ident)
+    if (!isTable(path)) return false
+    ops.dropTable(SparkSession.active, path)
+    true
+  }
+
+  override def purgeTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
-      "graft SQL does not DROP tables (physical removal is not one " +
-        "commit) — use VersionedTable.vacuum and remove the directory")
+      "graft DROP TABLE PURGE is not one commit at 100 TB — DROP TABLE " +
+        "(tombstone) then CALL <catalog>.system.vacuum(retain => 1) after " +
+        "the retention grace")
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft is read-only over SQL")

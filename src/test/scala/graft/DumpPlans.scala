@@ -117,7 +117,14 @@ object DumpPlans {
       // round 11: the pure-SQL materialized-view read — the final
       // SELECT over the bucketed state the CREATE/REFRESH statements
       // maintained (plans through the same zone-map-indexed scan)
-      "q_sql_mat_view")
+      "q_sql_mat_view",
+      // round 12: the binary-ANN candidate cut routed through the
+      // single-phase/partial TopKPerGroup instead of a row_number
+      // window (no per-group sort of the Q×N hamming candidates), the
+      // graft_sign_bits codegen packing in the corpus projection with
+      // no ScalaUDF anywhere, and the derived-read projection of the
+      // round-12 SQL MV shapes (mv_avg over hidden count+sum state)
+      "ann_binary", "q_sql_mat_view_shapes")
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by graft.DumpPlans)\n\n"
     sb ++= "Evidence for SURVEY.md §5: pushed filters, pruned read schemas,\n"

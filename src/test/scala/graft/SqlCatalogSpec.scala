@@ -116,17 +116,50 @@ class SqlCatalogSpec extends SparkSpec {
       .map(_.getString(0)).toSet
     assert(Set("db", "other").subsetOf(nss))
 
-    // non-single-commit DDL refuses with a pointer at the Scala API
-    val ddlErr = intercept[UnsupportedOperationException] {
-      spark.sql(s"DROP TABLE $catalog.db.t")
+    // DROP TABLE (round 12): the metadata-only tombstone commit —
+    // the name disappears from every SQL surface immediately, bytes
+    // remain until the vacuum step (pinned pre-drop readers keep
+    // their snapshots), re-CREATE of the name continues the history
+    val preDropVersions = ops.versions(table).size
+    spark.sql(s"DROP TABLE $catalog.db.t")
+    assert(ops.versions(table).size === preDropVersions + 1,
+      "DROP TABLE is one commit")
+    assert(!spark.sql(s"SHOW TABLES IN $catalog.db").collect()
+      .map(_.getString(1)).contains("t"), "a dropped table must not list")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM $catalog.db.t").collect()
     }
-    assert(ddlErr.getMessage.contains("DROP"))
+    // Scala-side forensics: pre-drop versions stay time-travelable
+    // until vacuum; the head is zero rows
+    assert(ops.read(spark, table, Some(preDropVersions.toLong)).count() === 300)
+    assert(ops.read(spark, table).count() === 0)
+    // step two: vacuum(retain=1) reclaims every data byte (the
+    // zero-file tombstone head references nothing)
+    val rep = ops.vacuum(table, retain = 1, graceMs = 0)
+    assert(rep.deletedDirs > 0 && rep.deletedBytes > 0,
+      s"vacuum after DROP must reclaim the data, got $rep")
+    // re-CREATE continues the commit history under the same name
+    spark.sql(s"CREATE TABLE $catalog.db.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $catalog.db.t VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT))")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.t").head.getLong(0) === 1)
+    // PURGE still refuses — physical removal is not one commit
+    val purgeErr = intercept[Exception] {
+      spark.sql(s"DROP TABLE $catalog.db.t PURGE")
+    }
+    assert(purgeErr.getMessage.contains("PURGE") ||
+      purgeErr.getMessage.toLowerCase.contains("purge"))
 
     // missing tables fail as table-not-found, not an internal error
     val missing = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql(s"SELECT * FROM $catalog.db.nope").collect()
     }
     assert(missing.getMessage.toLowerCase.contains("table"))
+    // DROP of a missing table with IF EXISTS is a quiet no-op; without
+    // it, table-not-found
+    spark.sql(s"DROP TABLE IF EXISTS $catalog.db.nope")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"DROP TABLE $catalog.db.nope")
+    }
   }
 
   test("SQL catalog battery — POSIX-link backend (default ops)") {

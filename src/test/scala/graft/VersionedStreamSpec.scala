@@ -300,6 +300,32 @@ class VersionedStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("an ADD COLUMN commit mid-stream emits nothing and the stream survives") {
+    // round 12: add_column is a metadata-only commit (files carried by
+    // reference) — like rename/drop/constraint commits it must emit
+    // zero rows, not kill a live consumer with a rewrite error
+    val t = fresh("addc")
+    VersionedTable.overwrite(spark, t, dfRange(0, 50)) // (k, v)
+    val q = spark.readStream.format("graft.sources.VersionedStreamProvider")
+      .option("path", t).load()
+      .writeStream.format("memory").queryName("addc").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select count(*) from addc").head.getLong(0) === 50)
+      VersionedTable.addColumn(spark, t, "w", org.apache.spark.sql.types.LongType)
+      q.processAllAvailable() // must not throw, must not re-emit
+      assert(spark.sql("select count(*) from addc").head.getLong(0) === 50,
+        "a metadata-only ADD COLUMN must emit zero rows")
+      // appends after the add still deliver (the stream's pinned
+      // start-time schema simply never sees the new column)
+      VersionedTable.append(spark, t,
+        spark.range(50, 60).select(col("id").as("k"), (col("id") * 10).as("v"),
+          lit(1L).as("w")))
+      q.processAllAvailable()
+      assert(spark.sql("select count(*) from addc").head.getLong(0) === 60)
+    } finally q.stop()
+  }
+
   test("atomic fan-out: one micro-batch into TWO tables via a catalog txn, exactly-once across restart") {
     val bronze = fresh("fan-bronze")
     val evens = fresh("fan-evens")
