@@ -1217,6 +1217,12 @@ object SparkEntry {
         |SELECT CAST(n.n_regionkey AS BIGINT), 'region_sum',
         |       CAST(SUM(CAST(c.bal AS DECIMAL(28,4))) AS DOUBLE)
         |FROM combined c JOIN nation n ON c.s_nationkey = n.n_nationkey
+        |GROUP BY n.n_regionkey
+        |UNION ALL
+        |SELECT CAST(n.n_regionkey AS BIGINT), 'region_avg',
+        |       CAST(SUM(CAST(c.bal AS DECIMAL(28,4))) AS DOUBLE)
+        |         / CAST(COUNT(c.bal) AS DOUBLE)
+        |FROM combined c JOIN nation n ON c.s_nationkey = n.n_nationkey
         |GROUP BY n.n_regionkey""".stripMargin,
     // q_sql_call ran CALL graft.system.compact/history/vacuum between
     // the build and the read (asserted in-query: one file after

@@ -1634,7 +1634,8 @@ object VersionedQueries {
     spark.sql(
       """CREATE MATERIALIZED VIEW graft.mvs.vj BUCKETS 4 AS
         |SELECT n_regionkey, COUNT(*) AS mv_count,
-        |       SUM(s_acctbal) AS mv_sum_s_acctbal
+        |       SUM(s_acctbal) AS mv_sum_s_acctbal,
+        |       AVG(s_acctbal) AS mv_avg_s_acctbal
         |FROM graft.mvs.sup JOIN graft.mvs.nat USING (s_nationkey)
         |GROUP BY n_regionkey""".stripMargin)
     spark.sql(
@@ -1657,6 +1658,9 @@ object VersionedQueries {
         |FROM graft.mvs.vx
         |UNION ALL
         |SELECT n_regionkey, 'region_sum', CAST(mv_sum_s_acctbal AS DOUBLE)
+        |FROM graft.mvs.vj
+        |UNION ALL
+        |SELECT n_regionkey, 'region_avg', mv_avg_s_acctbal
         |FROM graft.mvs.vj""".stripMargin)
     // localize + delete the temp root (the q_sql_* hygiene rule)
     val localized = spark.createDataFrame(

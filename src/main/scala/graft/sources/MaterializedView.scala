@@ -199,7 +199,8 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
       left: String, right: String, joinKeys: Seq[String],
       keyCols: Seq[String], sumCols: Seq[String],
       viewKey: String = "mvj", where: Option[String] = None,
-      buckets: Int = 0): Long = {
+      buckets: Int = 0,
+      derive: Seq[(String, org.apache.spark.sql.Column)] = Nil): Long = {
     val appL = s"${appIdFor(viewKey)}:left"
     val appR = s"${appIdFor(viewKey)}:right"
     val headL = vt.versions(left).last
@@ -239,7 +240,12 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
             .join(vt.changesBetween(spark, right, curR.get, headR), joinKeys))
         (part1.toSeq ++ part2.toSeq).reduce(_ unionByName _)
       }
-    val delta = where.fold(delta0)(w => delta0.filter(expr(w)))
+    val delta1 = where.fold(delta0)(w => delta0.filter(expr(w)))
+    // same derived-column hook as the single-table [[refresh]]: (name,
+    // expression) columns computed on the JOINED delta before the fold
+    // (e.g. the non-null indicator whose signed sum is a join view's
+    // AVG denominator)
+    val delta = derive.foldLeft(delta1) { case (d, (n, c)) => d.withColumn(n, c) }
     foldDelta(spark, view, vView, curL.isDefined, delta, keyCols, sumCols,
       Seq(appL -> headL, appR -> headR),
       resolveBuckets(view, viewKey, vView, buckets), bucketsApp(viewKey))

@@ -189,6 +189,13 @@ object GraftMatView {
         if (!sawCount) refuse("the select must include COUNT(*) AS mv_count " +
           "(the maintained state carries the group count)")
         if (keys.isEmpty) refuse("GROUP BY must name at least one key")
+        // AVG's denominator rides as a derived `<c>__nn` sum — a
+        // source column that IS that name would collide in the state
+        val nnClash = avgs.map(nnCol).toSet
+          .intersect((keys ++ sums ++ avgs).toSet)
+        if (nnClash.nonEmpty)
+          refuse(s"column(s) ${nnClash.mkString(", ")} collide with AVG's " +
+            "derived non-null-indicator state names (<col>__nn)")
         val minmax = (mins ++ maxs).distinct
         if (minmax.nonEmpty) {
           // MIN/MAX state is maintained by a different refresher
@@ -208,10 +215,7 @@ object GraftMatView {
           MatViewShape("minmax", keys, Nil, Nil, minmax,
             srcParts, None, Nil, whereSql)
         } else if (src2Parts.nonEmpty) {
-          if (avgs.nonEmpty)
-            refuse("join views maintain COUNT/SUM only (AVG over a join is " +
-              "derivable from SUM + a COUNT view; declare the sums)")
-          MatViewShape("join", keys, sums, Nil, Nil,
+          MatViewShape("join", keys, sums, avgs, Nil,
             srcParts, src2Parts, joinKeys, whereSql)
         } else {
           MatViewShape("agg", keys, sums, avgs, Nil,
@@ -320,8 +324,10 @@ object GraftMatView {
       case "join" =>
         mv.refreshJoin(spark, view, d.source, d.source2.getOrElse(
             sys.error(s"join view $view lost its second source")),
-          d.joinKeys, d.keyCols, d.sumCols,
-          viewKey = ViewKeyJoin, where = d.whereSql, buckets = d.buckets)
+          d.joinKeys, d.keyCols, aggSumCols(d),
+          viewKey = ViewKeyJoin, where = d.whereSql, buckets = d.buckets,
+          derive = d.avgCols.map(c => nnCol(c) ->
+            when(col(c).isNotNull, lit(1L)).otherwise(lit(null).cast("long"))))
       case _ =>
         mv.refresh(spark, view, d.source, d.keyCols, aggSumCols(d),
           viewKey = ViewKey, where = d.whereSql, buckets = d.buckets,

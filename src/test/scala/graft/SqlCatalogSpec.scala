@@ -809,14 +809,43 @@ class SqlCatalogSpec extends SparkSpec {
     }
     intercept[UnsupportedOperationException] {
       spark.sql(s"CREATE MATERIALIZED VIEW $catalog.db.bad AS " +
-        s"SELECT region, COUNT(*) AS mv_count, AVG(v) AS mv_avg_v " +
-        s"FROM $catalog.db.src JOIN $catalog.db.dim USING (grp) GROUP BY region")
-    }
-    intercept[UnsupportedOperationException] {
-      spark.sql(s"CREATE MATERIALIZED VIEW $catalog.db.bad AS " +
         s"SELECT region, COUNT(*) AS mv_count FROM $catalog.db.src s " +
         s"JOIN $catalog.db.dim d ON s.grp = d.grp GROUP BY region")
     }
+
+    // AVG on a JOIN view (round 12, second pass): the same derived
+    // count+sum state rides the delta-join fold — the indicator is
+    // computed on the JOINED delta, and the read derives mv_avg
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $catalog.db.vja BUCKETS 4 AS
+         |SELECT region, COUNT(*) AS mv_count, AVG(v) AS mv_avg_v
+         |FROM $catalog.db.src JOIN $catalog.db.dim USING (grp)
+         |GROUP BY region""".stripMargin)
+    def jaState(): Map[String, (Long, Double)] =
+      spark.sql(s"SELECT region, mv_count, mv_avg_v FROM $catalog.db.vja")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ja0 = jaState()
+    // oracle-style recompute from the sources
+    val want0 = spark.sql(
+      s"""SELECT region, COUNT(*) AS n,
+         |       CAST(SUM(v) AS DOUBLE) / COUNT(v) AS a
+         |FROM $catalog.db.src JOIN $catalog.db.dim USING (grp)
+         |GROUP BY region""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(ja0 === want0, s"join-view AVG must equal the recompute: $ja0 vs $want0")
+    ops.append(spark, src, spark.range(6000, 6005).select(col("id").as("k"),
+      lit(999L).as("v"), lit(7L).as("grp"))) // grp 7 -> region R1
+    spark.sql(s"REFRESH MATERIALIZED VIEW $catalog.db.vja")
+    val ja1 = jaState()
+    val want1 = spark.sql(
+      s"""SELECT region, COUNT(*) AS n,
+         |       CAST(SUM(v) AS DOUBLE) / COUNT(v) AS a
+         |FROM $catalog.db.src JOIN $catalog.db.dim USING (grp)
+         |GROUP BY region""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(ja1 === want1, "incremental join-view AVG must equal the recompute")
+    assert(ja1("R1") != ja0("R1") && ja1("R0") == ja0("R0"),
+      "only the delta's region moves")
     // a duplicate CREATE refuses; a REFRESH of a non-view refuses
     intercept[IllegalArgumentException] {
       spark.sql(s"CREATE MATERIALIZED VIEW $catalog.db.v AS " +
