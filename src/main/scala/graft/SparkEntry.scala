@@ -1223,7 +1223,23 @@ object SparkEntry {
         |       CAST(SUM(CAST(c.bal AS DECIMAL(28,4))) AS DOUBLE)
         |         / CAST(COUNT(c.bal) AS DOUBLE)
         |FROM combined c JOIN nation n ON c.s_nationkey = n.n_nationkey
-        |GROUP BY n.n_regionkey""".stripMargin,
+        |GROUP BY n.n_regionkey
+        |UNION ALL
+        |SELECT s_nationkey, 'var',
+        |       CAST(SUM(bal * bal) AS DOUBLE) / CAST(COUNT(bal) AS DOUBLE)
+        |         - (CAST(SUM(CAST(bal AS DECIMAL(28,4))) AS DOUBLE)
+        |              / CAST(COUNT(bal) AS DOUBLE))
+        |           * (CAST(SUM(CAST(bal AS DECIMAL(28,4))) AS DOUBLE)
+        |              / CAST(COUNT(bal) AS DOUBLE))
+        |FROM combined GROUP BY s_nationkey
+        |UNION ALL
+        |SELECT s_nationkey, 'std',
+        |       sqrt(CAST(SUM(bal * bal) AS DOUBLE) / CAST(COUNT(bal) AS DOUBLE)
+        |         - (CAST(SUM(CAST(bal AS DECIMAL(28,4))) AS DOUBLE)
+        |              / CAST(COUNT(bal) AS DOUBLE))
+        |           * (CAST(SUM(CAST(bal AS DECIMAL(28,4))) AS DOUBLE)
+        |              / CAST(COUNT(bal) AS DOUBLE)))
+        |FROM combined GROUP BY s_nationkey""".stripMargin,
     // q_sql_call ran CALL graft.system.compact/history/vacuum between
     // the build and the read (asserted in-query: one file after
     // compact, five history rows, four versions dropped); the oracle

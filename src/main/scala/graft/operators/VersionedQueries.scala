@@ -1632,6 +1632,12 @@ object VersionedQueries {
         |       MAX(s_acctbal) AS mv_max_s_acctbal
         |FROM graft.mvs.sup GROUP BY s_nationkey""".stripMargin)
     spark.sql(
+      """CREATE MATERIALIZED VIEW graft.mvs.vv BUCKETS 8 AS
+        |SELECT s_nationkey, COUNT(*) AS mv_count,
+        |       VAR_POP(s_acctbal) AS mv_var_s_acctbal,
+        |       STDDEV_POP(s_acctbal) AS mv_std_s_acctbal
+        |FROM graft.mvs.sup GROUP BY s_nationkey""".stripMargin)
+    spark.sql(
       """CREATE MATERIALIZED VIEW graft.mvs.vj BUCKETS 4 AS
         |SELECT n_regionkey, COUNT(*) AS mv_count,
         |       SUM(s_acctbal) AS mv_sum_s_acctbal,
@@ -1645,7 +1651,7 @@ object VersionedQueries {
         |       CAST(s_acctbal * 2 AS DECIMAL(12,2)) AS s_acctbal
         |FROM vq_sqlmvs_supplier
         |WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM vq_sqlmvs_supplier)""".stripMargin)
-    Seq("va", "vx", "vj").foreach(v =>
+    Seq("va", "vx", "vv", "vj").foreach(v =>
       spark.sql(s"REFRESH MATERIALIZED VIEW graft.mvs.$v"))
     val out = spark.sql(
       """SELECT s_nationkey AS grp, 'avg' AS metric, mv_avg_s_acctbal AS val
@@ -1661,7 +1667,13 @@ object VersionedQueries {
         |FROM graft.mvs.vj
         |UNION ALL
         |SELECT n_regionkey, 'region_avg', mv_avg_s_acctbal
-        |FROM graft.mvs.vj""".stripMargin)
+        |FROM graft.mvs.vj
+        |UNION ALL
+        |SELECT s_nationkey, 'var', mv_var_s_acctbal
+        |FROM graft.mvs.vv
+        |UNION ALL
+        |SELECT s_nationkey, 'std', mv_std_s_acctbal
+        |FROM graft.mvs.vv""".stripMargin)
     // localize + delete the temp root (the q_sql_* hygiene rule)
     val localized = spark.createDataFrame(
       java.util.Arrays.asList(out.collect(): _*), out.schema)

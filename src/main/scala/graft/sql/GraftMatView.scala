@@ -3,7 +3,7 @@ package graft.sql
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{col, lit, sqrt, when}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
@@ -60,6 +60,7 @@ object GraftMatView {
   private val ViewKey = "sqlmv"
   private val ViewKeyMinMax = "sqlmvx"
   private val ViewKeyJoin = "sqlmvj"
+  private val ViewKeyStats = "sqlmvv"
 
   /** The delta column whose signed sum is AVG's denominator: a
     * non-null indicator over the averaged column, maintained as an
@@ -91,6 +92,7 @@ object GraftMatView {
     */
   private[sql] case class MatViewShape(kind: String, keys: Seq[String],
       sums: Seq[String], avgs: Seq[String], minmax: Seq[String],
+      vars: Seq[String], stds: Seq[String],
       sourceParts: Seq[String], source2Parts: Option[Seq[String]],
       joinKeys: Seq[String], whereSql: Option[String])
 
@@ -141,6 +143,8 @@ object GraftMatView {
         var avgs = Vector.empty[String]
         var mins = Vector.empty[String]
         var maxs = Vector.empty[String]
+        var vars = Vector.empty[String]
+        var stds = Vector.empty[String]
         var sawCount = false
         def oneCol(f: UnresolvedFunction, what: String): String = f.arguments match {
           case Seq(c: UnresolvedAttribute) if c.nameParts.length == 1 => c.nameParts.head
@@ -172,6 +176,26 @@ object GraftMatView {
               refuse(s"AVG($cn) must be aliased AS mv_avg_$cn, not $name")
             avgs :+= cn
           case Alias(f: UnresolvedFunction, name)
+              if f.nameParts.map(_.toLowerCase) == Seq("var_pop") && !f.isDistinct =>
+            val cn = oneCol(f, "VAR_POP")
+            if (name != s"mv_var_$cn")
+              refuse(s"VAR_POP($cn) must be aliased AS mv_var_$cn, not $name")
+            vars :+= cn
+          case Alias(f: UnresolvedFunction, name)
+              if f.nameParts.map(_.toLowerCase) == Seq("stddev_pop") && !f.isDistinct =>
+            val cn = oneCol(f, "STDDEV_POP")
+            if (name != s"mv_std_$cn")
+              refuse(s"STDDEV_POP($cn) must be aliased AS mv_std_$cn, not $name")
+            stds :+= cn
+          case Alias(f: UnresolvedFunction, _)
+              if Seq(Seq("stddev"), Seq("std"), Seq("stddev_samp"),
+                Seq("variance"), Seq("var_samp"))
+                .contains(f.nameParts.map(_.toLowerCase)) =>
+            refuse("only POPULATION variance/stddev are maintainable " +
+              "(VAR_POP / STDDEV_POP — the exact count+sum+sum-of-squares " +
+              "state derives them; sample variants differ only by the n/(n-1) " +
+              "factor, compute it in the reading query)")
+          case Alias(f: UnresolvedFunction, name)
               if f.nameParts.map(_.toLowerCase) == Seq("min") && !f.isDistinct =>
             val cn = oneCol(f, "MIN")
             if (name != s"mv_min_$cn")
@@ -197,28 +221,40 @@ object GraftMatView {
           refuse(s"column(s) ${nnClash.mkString(", ")} collide with AVG's " +
             "derived non-null-indicator state names (<col>__nn)")
         val minmax = (mins ++ maxs).distinct
+        val stats = (vars ++ stds).distinct
         if (minmax.nonEmpty) {
           // MIN/MAX state is maintained by a different refresher
           // (semilattice merge + delta-scoped recompute on deletes) —
           // one flavor per view, and the refresher maintains BOTH
           // extrema per column, so they must be declared in pairs for
           // the statement to match the state schema
-          if (sums.nonEmpty || avgs.nonEmpty)
-            refuse("MIN/MAX cannot mix with SUM/AVG in one view (different " +
-              "maintenance state) — create two views over the same source")
+          if (sums.nonEmpty || avgs.nonEmpty || stats.nonEmpty)
+            refuse("MIN/MAX cannot mix with SUM/AVG/VAR/STDDEV in one view " +
+              "(different maintenance state) — create two views over the " +
+              "same source")
           if (src2Parts.nonEmpty)
             refuse("MIN/MAX views maintain a single table (deletes may need " +
               "a delta-scoped source rescan, which a join view cannot do)")
           if (mins.toSet != maxs.toSet)
             refuse("MIN and MAX must be declared in pairs over the same " +
               "column (the maintained state carries both extrema)")
-          MatViewShape("minmax", keys, Nil, Nil, minmax,
+          MatViewShape("minmax", keys, Nil, Nil, minmax, Nil, Nil,
+            srcParts, None, Nil, whereSql)
+        } else if (stats.nonEmpty) {
+          // VAR_POP/STDDEV_POP ride refreshStats' exact count + sum +
+          // sum-of-squares + non-null-count state (single-table: the
+          // exactness type probe runs over the delta) — SUM and AVG
+          // of the same or other columns share the fold for free
+          if (src2Parts.nonEmpty)
+            refuse("VAR_POP/STDDEV_POP views maintain a single table " +
+              "(the exact sum-of-squares state rides refreshStats)")
+          MatViewShape("stats", keys, sums, avgs, Nil, vars, stds,
             srcParts, None, Nil, whereSql)
         } else if (src2Parts.nonEmpty) {
-          MatViewShape("join", keys, sums, avgs, Nil,
+          MatViewShape("join", keys, sums, avgs, Nil, Nil, Nil,
             srcParts, src2Parts, joinKeys, whereSql)
         } else {
-          MatViewShape("agg", keys, sums, avgs, Nil,
+          MatViewShape("agg", keys, sums, avgs, Nil, Nil, Nil,
             srcParts, None, Nil, whereSql)
         }
       case other => refuse(s"the AS query must be a grouped aggregate, " +
@@ -251,6 +287,7 @@ object GraftMatView {
   private[sql] case class MatViewDef(kind: String, source: String,
       source2: Option[String], joinKeys: Seq[String], keyCols: Seq[String],
       sumCols: Seq[String], avgCols: Seq[String], minmaxCols: Seq[String],
+      varCols: Seq[String], stdCols: Seq[String],
       whereSql: Option[String], buckets: Int)
 
   // Real JSON (round-11 advice): Jackson ships with Spark, and the
@@ -276,6 +313,8 @@ object GraftMatView {
     arr("sums", d.sumCols)
     arr("avgs", d.avgCols)
     arr("minmax", d.minmaxCols)
+    arr("vars", d.varCols)
+    arr("stds", d.stdCols)
     d.whereSql match {
       case Some(w) => n.put("where", w)
       case None => n.putNull("where")
@@ -295,7 +334,7 @@ object GraftMatView {
     MatViewDef(str("kind").getOrElse("agg"),
       str("source").getOrElse(sys.error(s"malformed _mv.json at $view")),
       str("source2"), arr("joinKeys"), arr("keys"), arr("sums"), arr("avgs"),
-      arr("minmax"), str("where"),
+      arr("minmax"), arr("vars"), arr("stds"), str("where"),
       Option(n.get("buckets")).map(_.asInt).getOrElse(0))
   }
 
@@ -321,6 +360,13 @@ object GraftMatView {
       case "minmax" =>
         mv.refreshMinMax(spark, view, d.source, d.keyCols, d.minmaxCols,
           viewKey = ViewKeyMinMax, where = d.whereSql, buckets = d.buckets)
+      case "stats" =>
+        // one refreshStats fold maintains every referenced column's
+        // exact sum + sum-of-squares + non-null count; AVG/VAR/STD
+        // derive at read, declared SUMs read their state directly
+        mv.refreshStats(spark, view, d.source, d.keyCols,
+          (d.sumCols ++ d.avgCols ++ d.varCols ++ d.stdCols).distinct,
+          viewKey = ViewKeyStats, where = d.whereSql, buckets = d.buckets)
       case "join" =>
         mv.refreshJoin(spark, view, d.source, d.source2.getOrElse(
             sys.error(s"join view $view lost its second source")),
@@ -347,6 +393,7 @@ object GraftMatView {
   private[sql] def derivedRead(view: String, df: DataFrame): DataFrame = {
     if (!Files.exists(defPath(view))) return df
     val d = readDef(view)
+    if (d.kind == "stats") return derivedStatsRead(d, df)
     if (d.avgCols.isEmpty) return df
     val withAvgs = d.avgCols.foldLeft(df) { (acc, c) =>
       val nn = col(s"mv_sum_${nnCol(c)}")
@@ -357,6 +404,29 @@ object GraftMatView {
     val hidden = d.avgCols.map(c => s"mv_sum_${nnCol(c)}") ++
       d.avgCols.filterNot(d.sumCols.contains).map(c => s"mv_sum_$c")
     withAvgs.drop(hidden: _*)
+  }
+
+  /** The stats-flavor declared read: refreshStats' state columns are
+    * `mv_sum_<c>`, `mv_sum_<c>_sq`, `mv_sum_<c>_nn`; avg/var/std
+    * derive in double with EXACTLY readStats' fixed operation order
+    * (sum/n, sq/n − avg², sqrt — the hash-pinned q_mat_view_stats
+    * chain), NULL for an all-NULL group, internal state hidden.
+    */
+  private def derivedStatsRead(d: MatViewDef, df: DataFrame): DataFrame = {
+    val cols = (d.sumCols ++ d.avgCols ++ d.varCols ++ d.stdCols).distinct
+    val withDerived = cols.foldLeft(df) { (acc, c) =>
+      val nnRaw = col(s"mv_sum_${c}_nn")
+      val n = when(nnRaw.isNull || nnRaw === 0, lit(null).cast("double"))
+        .otherwise(nnRaw.cast("double"))
+      val avg = col(s"mv_sum_$c").cast("double") / n
+      val varp = col(s"mv_sum_${c}_sq").cast("double") / n - avg * avg
+      val a1 = if (d.avgCols.contains(c)) acc.withColumn(s"mv_avg_$c", avg) else acc
+      val a2 = if (d.varCols.contains(c)) a1.withColumn(s"mv_var_$c", varp) else a1
+      if (d.stdCols.contains(c)) a2.withColumn(s"mv_std_$c", sqrt(varp)) else a2
+    }
+    val hidden = cols.flatMap(c => Seq(s"mv_sum_${c}_sq", s"mv_sum_${c}_nn")) ++
+      cols.filterNot(d.sumCols.contains).map(c => s"mv_sum_$c")
+    withDerived.drop(hidden: _*)
   }
 }
 
@@ -384,8 +454,8 @@ case class GraftCreateMatViewCommand(viewParts: Seq[String],
     GraftMatView.writeDef(viewPath, GraftMatView.MatViewDef(
       shape.kind, srcPath(shape.sourceParts),
       shape.source2Parts.map(srcPath), shape.joinKeys, shape.keys,
-      shape.sums, shape.avgs, shape.minmax, shape.whereSql,
-      buckets.getOrElse(GraftMatView.DefaultBuckets)))
+      shape.sums, shape.avgs, shape.minmax, shape.vars, shape.stds,
+      shape.whereSql, buckets.getOrElse(GraftMatView.DefaultBuckets)))
     GraftMatView.refresh(spark, ops, viewPath)
     Nil
   }

@@ -780,6 +780,32 @@ class SqlCatalogSpec extends SparkSpec {
     assert(j1("R1") === j0("R1") + 4 && j1("R0") === j0("R0") &&
       j1("R2") === j0("R2"), "only the delta's region moves")
 
+    // VAR_POP/STDDEV_POP view (round 12, second pass): refreshStats'
+    // exact count+sum+sum-of-squares state reached from pure SQL,
+    // derived at read; SUM/AVG of the same column share the fold
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $catalog.db.vv BUCKETS 8 AS
+         |SELECT grp, COUNT(*) AS mv_count, SUM(v) AS mv_sum_v,
+         |       AVG(v) AS mv_avg_v,
+         |       VAR_POP(v) AS mv_var_v, STDDEV_POP(v) AS mv_std_v
+         |FROM $catalog.db.src GROUP BY grp""".stripMargin)
+    assert(spark.sql(s"SELECT * FROM $catalog.db.vv").columns
+      .filter(_.startsWith("mv_")).sorted.toSeq ===
+      Seq("mv_avg_v", "mv_count", "mv_std_v", "mv_sum_v", "mv_var_v"),
+      "sq/nn state columns must stay hidden; declared sums stay visible")
+    def vvErr(): Double = spark.sql(
+      s"""SELECT max(abs(s.mv_var_v - r.rv)) + max(abs(s.mv_std_v - r.rs)) +
+         |       max(abs(s.mv_avg_v - r.ra)) AS e
+         |FROM $catalog.db.vv s JOIN (
+         |  SELECT grp, var_pop(v) AS rv, stddev_pop(v) AS rs, avg(v) AS ra
+         |  FROM $catalog.db.src GROUP BY grp) r USING (grp)""".stripMargin)
+      .head.getDouble(0)
+    assert(vvErr() < 1e-6, s"stats view must match the recompute, err ${vvErr()}")
+    ops.append(spark, src, spark.range(7000, 7010).select(col("id").as("k"),
+      (col("id") % 13).as("v"), lit(6L).as("grp")))
+    spark.sql(s"REFRESH MATERIALIZED VIEW $catalog.db.vv")
+    assert(vvErr() < 1e-6, "incremental stats refresh must match the recompute")
+
     // unmaintainable shapes refuse loudly at parse time
     intercept[UnsupportedOperationException] {
       spark.sql(s"CREATE MATERIALIZED VIEW $catalog.db.bad AS " +
@@ -794,6 +820,20 @@ class SqlCatalogSpec extends SparkSpec {
       spark.sql(s"CREATE MATERIALIZED VIEW $catalog.db.bad AS " +
         s"SELECT grp, COUNT(v) AS mv_count FROM $catalog.db.src GROUP BY grp")
     }
+    // stats shape rules: sample variants refuse with the POP pointer;
+    // VAR_POP on a join refuses
+    val sampleErr = intercept[UnsupportedOperationException] {
+      spark.sql(s"CREATE MATERIALIZED VIEW $catalog.db.bad AS " +
+        s"SELECT grp, COUNT(*) AS mv_count, STDDEV(v) AS mv_std_v " +
+        s"FROM $catalog.db.src GROUP BY grp")
+    }
+    assert(sampleErr.getMessage.contains("POP"))
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"CREATE MATERIALIZED VIEW $catalog.db.bad AS " +
+        s"SELECT region, COUNT(*) AS mv_count, VAR_POP(v) AS mv_var_v " +
+        s"FROM $catalog.db.src JOIN $catalog.db.dim USING (grp) GROUP BY region")
+    }
+
     // round-12 shape rules: MIN without its MAX pair; MIN/MAX mixed
     // with SUM; AVG on a join view; a non-USING join
     intercept[UnsupportedOperationException] {
