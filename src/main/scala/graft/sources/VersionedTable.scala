@@ -2886,10 +2886,14 @@ class VersionedTableOps(val store: CommitStore) {
     * CONTRACT: `updates` must be DETERMINISTIC across re-evaluation —
     * the scoped paths evaluate it twice (once to aggregate the key
     * probe, once inside `mergeFn`), so a frame whose rows change
-    * between evaluations (rand(), unseeded sample, a concurrently
-    * mutated source) can probe one key set and merge another, landing
-    * rows as inserts beside carried same-key rows. Cache or
-    * localCheckpoint a non-deterministic batch before merging.
+    * between evaluations can probe one key set and merge another,
+    * landing rows as inserts beside carried same-key rows. Batches
+    * whose PLAN shows the hazard (rand()-family expressions, Sample
+    * nodes) are pinned AUTOMATICALLY by an eager localCheckpoint
+    * ([[planDeterministic]], spec-pinned with rand()-derived keys);
+    * the contract remains for sources the plan walk cannot see
+    * through — e.g. an external table another writer mutates between
+    * the two evaluations. Cache or localCheckpoint those first.
     */
   def mergeKeyed(spark: SparkSession, table: String, updates: DataFrame,
       keys: Seq[String], mergeFn: (DataFrame, DataFrame) => DataFrame,
@@ -2898,10 +2902,21 @@ class VersionedTableOps(val store: CommitStore) {
       maxTouched, maxAttempts)
 
   private[sources] def mergeKeyedAs(spark: SparkSession, table: String,
-      op: String, updates: DataFrame, keys: Seq[String],
+      op: String, updates0: DataFrame, keys: Seq[String],
       mergeFn: (DataFrame, DataFrame) => DataFrame,
       maxTouched: Int = 4096, maxAttempts: Int = 5): Long = {
     import org.apache.spark.sql.types._
+    // the scoped paths evaluate the source batch more than once (key
+    // probe, then mergeFn) — a batch whose PLAN is visibly
+    // non-deterministic (rand()-derived keys, an unseeded sample)
+    // could probe one key set and merge another, landing duplicate
+    // keys beside carried rows. Pin such a batch to ONE evaluation
+    // up front (round-11 advice, hardened past the doc): eager
+    // localCheckpoint materializes it once. Plans the detector
+    // cannot see through (an externally mutated source re-read by
+    // path) remain the documented caller contract.
+    val updates =
+      if (planDeterministic(updates0)) updates0 else updates0.localCheckpoint()
     def whole() = mergeAs(spark, table, op, updates, mergeFn)
     if (versions(table).isEmpty || keys.isEmpty) return whole()
     // a partition column counted among the merge keys, with EVERY
@@ -2952,6 +2967,23 @@ class VersionedTableOps(val store: CommitStore) {
       catch { case ExpectedBaseMoved => attempts += 1 }
     }
     whole() // persistent contention: the race-safe closure path
+  }
+
+  /** True when every expression in the analyzed plan is deterministic
+    * AND no node re-randomizes per evaluation (Sample's row pick
+    * depends on the physical partitioning even with a fixed seed) —
+    * the frames [[mergeKeyedAs]] may safely evaluate more than once.
+    * Conservative: anything the walk flags gets pinned by an eager
+    * localCheckpoint, costing one materialization of the (small)
+    * source batch.
+    */
+  private def planDeterministic(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.Sample
+    val plan = df.queryExecution.analyzed
+    plan.collectFirst {
+      case _: Sample => ()
+      case p if p.expressions.exists(e => e.exists(!_.deterministic)) => ()
+    }.isEmpty
   }
 
   /** How a keyed merge decides which files it may touch when no

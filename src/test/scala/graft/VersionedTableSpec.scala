@@ -1718,6 +1718,32 @@ abstract class VersionedTableBattery(backend: String, ops: VersionedTableOps)
     assert(rW.count() === 2502, "2500 domain keys + the far insert + the null row")
   }
 
+  test(s"[$backend] keyed merge pins a non-deterministic source batch to one evaluation") {
+    // round 12 (hardening the round-11 advice past the doc): the
+    // scoped paths evaluate the source batch more than once — with
+    // rand()-DERIVED KEYS the key probe could see one key set and the
+    // merge another, landing duplicate keys beside carried rows. The
+    // plan walk must detect the hazard and localCheckpoint the batch.
+    val t = freshTable("mergezone-nondet")
+    for (lo <- Seq(0L, 1000L, 2000L)) { // clustered layout, zoned path
+      val df = spark.range(lo, lo + 500)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+      if (lo == 0L) ops.overwrite(spark, t, df) else ops.append(spark, t, df)
+    }
+    // in-batch key dedup keeps the upsert contract (one row per key);
+    // the PLAN stays rand()-derived — exactly the hazard under test
+    val upd = spark.range(0, 40).select(
+        (floor(rand() * 1500).cast("long") + lit(1000L)).as("k"), lit(-1L).as("v"))
+      .dropDuplicates("k")
+    ops.upsert(spark, t, upd, "k")
+    val r = ops.read(spark, t)
+    val dups = r.groupBy("k").count().filter(col("count") > 1).count()
+    assert(dups === 0,
+      "a rand()-keyed upsert must not land duplicate keys (probe and merge " +
+        "must see the SAME materialized batch)")
+    assert(r.filter(col("v") === -1L).count() > 0, "the batch did land")
+  }
+
   test(s"[$backend] zoned merge: string keys, min/max range fallback, schema-evolving fallback") {
     val t = freshTable("mergezone-str")
     // two commits with disjoint key prefixes — string zone maps
