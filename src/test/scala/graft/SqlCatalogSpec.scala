@@ -133,6 +133,13 @@ class SqlCatalogSpec extends SparkSpec {
     // until vacuum; the head is zero rows
     assert(ops.read(spark, table, Some(preDropVersions.toLong)).count() === 300)
     assert(ops.read(spark, table).count() === 0)
+    // SQL VERSION AS OF keeps reaching pre-drop snapshots too —
+    // DELIBERATE: the tombstone hides the NAME (head reads), not the
+    // retained history; forensics before vacuum is the point of the
+    // grace window
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $catalog.db.t VERSION AS OF $preDropVersions")
+      .head.getLong(0) === 300)
     // step two: vacuum(retain=1) reclaims every data byte (the
     // zero-file tombstone head references nothing)
     val rep = ops.vacuum(table, retain = 1, graceMs = 0)
