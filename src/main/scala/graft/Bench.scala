@@ -83,6 +83,17 @@ object Bench {
       s
     }
     var spark = newSession()
+    // temp-root hygiene evidence (round-12 verdict #2): every query
+    // that builds a throwaway versioned table must localize its result
+    // and delete its root before returning, so a full bench pass adds
+    // ZERO graft-* dirs to /tmp. Snapshot before, report the residue
+    // after — the JSON field makes a regression visible per-round.
+    def graftTmpDirs(): Set[String] = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(tmp.list()).map(_.toSet).getOrElse(Set.empty)
+        .filter(_.startsWith("graft-"))
+    }
+    val tmpBefore = graftTmpDirs()
     // the deliberate single-partition windows (daily-grain series in
     // q_moving_avg/q_resample, the nPart-row offsets table in
     // TotalOrderRank) each emit a WARN; across 113 queries x N passes
@@ -247,7 +258,8 @@ object Bench {
     // sorts to the truncated HEAD (-1.0) and is excluded from the
     // total, so without this field a breakage would read as a speedup
     val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"queries":$qs,"metric":"total","unit":"sec","sf":"$sfDir","passes":$pass,"cpus":$cpus,"shuffle_partitions":$shufflePartitions,"wall":$elapsedS,"cleanup_s":$cleanupS,"host_cpu":"$hostCpu","host_micro_s":$hostMicroS,"top5":$top5,"failed":$failed,"value":$total}""")
+    val tmpLeaked = (graftTmpDirs() -- tmpBefore).size
+    println(s"""{"queries":$qs,"metric":"total","unit":"sec","sf":"$sfDir","passes":$pass,"cpus":$cpus,"shuffle_partitions":$shufflePartitions,"wall":$elapsedS,"cleanup_s":$cleanupS,"host_cpu":"$hostCpu","host_micro_s":$hostMicroS,"tmp_leaked":$tmpLeaked,"top5":$top5,"failed":$failed,"value":$total}""")
     spark.stop()
   }
 }

@@ -349,9 +349,20 @@ object Dedup {
     */
   def incrementalDedupDemo(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val idx = java.nio.file.Files.createTempDirectory("graft-lshidx").toString + "/idx"
-    buildLshIndex(d.filter(col("doc_id") % 10 =!= 0), idx)
-    incrementalMinhashPairs(spark, idx, d.filter(col("doc_id") % 10 === 0))
+    val root = java.nio.file.Files.createTempDirectory("graft-lshidx")
+    try {
+      buildLshIndex(d.filter(col("doc_id") % 10 =!= 0), root.toString + "/idx")
+      val out = incrementalMinhashPairs(spark, root.toString + "/idx",
+        d.filter(col("doc_id") % 10 === 0))
+      // localize-and-delete hygiene (round-12 verdict #2): the result
+      // is a handful of pairs; the throwaway index must not outlive it
+      spark.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      scala.util.Using.resource(java.nio.file.Files.walk(root)) { w =>
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      }
+    }
   }
 
   def simhashSignatures(d: DataFrame): DataFrame =

@@ -4,6 +4,29 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 object TestSpark {
+  // Test-JVM temp hygiene (round-12 verdict #2, one level up from the
+  // query-side withRoot rule): the suites build thousands of throwaway
+  // versioned tables under /tmp/graft-* across a full `sbt test` run.
+  // Snapshot what existed at JVM start and sweep everything NEW at JVM
+  // exit — running suites share this JVM, so by shutdown-hook time no
+  // test can still be reading a swept dir.
+  private val tmpDir = new java.io.File(System.getProperty("java.io.tmpdir"))
+  private val preExisting: Set[String] =
+    Option(tmpDir.list()).map(_.toSet).getOrElse(Set.empty)
+      .filter(_.startsWith("graft-"))
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    val now = Option(tmpDir.list()).map(_.toSet).getOrElse(Set.empty)
+      .filter(_.startsWith("graft-")) -- preExisting
+    now.foreach { name =>
+      val p = new java.io.File(tmpDir, name).toPath
+      try scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case _: Throwable => () } // best-effort at exit
+    }
+  }))
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
