@@ -133,6 +133,7 @@ object SparkEntry {
     "q_sql_catalog" -> (operators.VersionedQueries.qSqlCatalog _),
     "q_sql_dml" -> (operators.VersionedQueries.qSqlDml _),
     "q_sql_merge" -> (operators.VersionedQueries.qSqlMerge _),
+    "q_sql_merge_by_source" -> (operators.VersionedQueries.qSqlMergeBySource _),
     "q_sql_call" -> (operators.VersionedQueries.qSqlCall _),
     "q_sql_partitioned" -> (operators.VersionedQueries.qSqlPartitioned _),
     "q_sql_mat_view" -> (operators.VersionedQueries.qSqlMatView _),
@@ -1170,6 +1171,26 @@ object SparkEntry {
         |SELECT COUNT(*) AS n,
         |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM merged""".stripMargin,
+    // q_sql_merge_by_source ran the three-clause-family MERGE in SQL
+    // text (matched update, unmatched insert, BY SOURCE first-match-
+    // wins delete/re-flag; scoped-path bypass asserted in-query). The
+    // oracle composes the three row fates: matched keys doubled,
+    // synthetic keys inserted, source-missing keys deleted when
+    // negative and re-flagged +1000 otherwise.
+    "q_sql_merge_by_source" ->
+      """WITH merged AS (
+        |  SELECT s_suppkey, s_acctbal * 2 AS s_acctbal FROM supplier
+        |  WHERE s_suppkey % 3 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 1000000 AS s_suppkey,
+        |         CAST(42.0 AS DOUBLE) AS s_acctbal FROM supplier
+        |  WHERE s_suppkey % 7 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey, s_acctbal + 1000 AS s_acctbal FROM supplier
+        |  WHERE s_suppkey % 3 <> 0 AND NOT (s_acctbal < 0))
+        |SELECT s_suppkey % 5 AS grp, COUNT(*) AS n,
+        |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM merged GROUP BY s_suppkey % 5""".stripMargin,
     // q_sql_mat_view ran CREATE MATERIALIZED VIEW (first fold) +
     // REFRESH MATERIALIZED VIEW over a one-nation INSERT delta
     // (bucketed state, untouched-bucket file identity required

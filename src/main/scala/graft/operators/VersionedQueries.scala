@@ -1525,6 +1525,54 @@ object VersionedQueries {
         |FROM graft.mrg.sup""".stripMargin)
   }
 
+  /** q_sql_merge_by_source: the "sync a dimension" MERGE (round 13) —
+    * all THREE clause families in one statement: matched keys
+    * (s_suppkey % 3 = 0) take doubled balances, unmatched synthetic
+    * keys (+10⁶, s_suppkey % 7 = 0) insert, and the target rows the
+    * source no longer carries walk the BY SOURCE chain FIRST-MATCH-
+    * WINS: negative balances DELETE, the rest re-flag s_acctbal + 1000.
+    * A by-source mutation touches rows the source-key probe never
+    * selects, so the scoped merge paths are BYPASSED (asserted
+    * in-query: the commit's history op is the whole-snapshot "merge")
+    * — the statement honestly costs O(table), the same cost any
+    * snapshot store pays for it. The oracle composes the three row
+    * fates in plain SQL.
+    */
+  def qSqlMergeBySource(spark: SparkSession, dir: String): DataFrame =
+      withRoot(spark, "sqlmergebs", "vq_sqlmbs_supplier") { root =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    t(spark, dir, "supplier").createOrReplaceTempView("vq_sqlmbs_supplier")
+    spark.sql(
+      """CREATE TABLE graft.mbs.sup AS
+        |SELECT s_suppkey, s_acctbal FROM vq_sqlmbs_supplier""".stripMargin)
+    spark.sql(
+      """MERGE INTO graft.mbs.sup t
+        |USING (SELECT s_suppkey, s_acctbal * 2 AS s_acctbal
+        |       FROM vq_sqlmbs_supplier WHERE s_suppkey % 3 = 0
+        |       UNION ALL
+        |       SELECT s_suppkey + 1000000 AS s_suppkey,
+        |              CAST(42.0 AS DOUBLE) AS s_acctbal
+        |       FROM vq_sqlmbs_supplier WHERE s_suppkey % 7 = 0) s
+        |ON t.s_suppkey = s.s_suppkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.s_acctbal < 0 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+        |  s_acctbal = t.s_acctbal + 1000""".stripMargin)
+    val table = root + "/mbs/sup"
+    require(VersionedTable.versions(table).size == 3,
+      "create+ctas+merge must be three commits")
+    val lastOp = VersionedTable.history(spark, table).collect().last.getString(1)
+    require(lastOp == "merge",
+      s"a BY SOURCE MERGE must bypass the scoped paths (got $lastOp): the " +
+        "key probe never selects the files its by-source clauses mutate")
+    spark.sql(
+      """SELECT s_suppkey % 5 AS grp, COUNT(*) AS n,
+        |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft.mbs.sup GROUP BY s_suppkey % 5""".stripMargin)
+  }
+
   /** q_sql_partitioned: the whole PARTITIONED lifecycle in pure SQL
     * text (round 10 second half) — `CREATE TABLE … PARTITIONED BY
     * (o_orderpriority)` creates the value-directory layout (zero-file

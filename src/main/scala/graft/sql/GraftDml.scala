@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -109,21 +109,36 @@ private[sql] object GraftDml {
     }
 
   /** MERGE INTO t USING s ON t.k = s.k [AND …]
-    * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * —
-    * the canonical upsert — → [[graft.sources.VersionedTableOps
-    * .merge]] with EXACT SQL semantics (matched rows take the source
-    * values INCLUDING nulls — not the API's coalesce upsert rule).
-    * Conditional clauses, DELETE actions, partial-column actions and
-    * NOT MATCHED BY SOURCE refuse: each would silently change which
-    * rows survive, and the transactional API expresses them directly.
+    * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+    * [WHEN NOT MATCHED BY SOURCE THEN DELETE / UPDATE SET …] —
+    * the canonical upsert, optionally extended with BY SOURCE clauses
+    * (round 13) — → [[graft.sources.VersionedTableOps.merge]] /
+    * [[graft.sources.VersionedTableOps.mergeKeyed]] with EXACT SQL
+    * semantics (matched rows take the source values INCLUDING nulls —
+    * not the API's coalesce upsert rule).
+    *
+    * BY SOURCE clauses (the "sync a dimension" MERGE: delete or
+    * re-flag target rows the source no longer carries) take optional
+    * conditions and evaluate FIRST-MATCH-WINS over target-only rows,
+    * per the SQL standard; conditions and UPDATE values reference
+    * TARGET columns only, and a BY SOURCE UPDATE may not assign a
+    * merge key (the row's identity). Their presence FORCES the
+    * whole-snapshot merge path: a by-source mutation touches rows
+    * whose files the source-key probe never selects, so the scoped
+    * rewrite (zone-map / partition-routed) would silently skip them —
+    * the statement honestly costs O(table), exactly like the same
+    * MERGE on any snapshot store.
+    *
+    * Conditional MATCHED/NOT MATCHED clauses, MATCHED DELETE and
+    * partial-column upsert actions still refuse: each would silently
+    * change which rows survive, and the transactional API expresses
+    * them directly.
     */
   def convertMerge(m: MergeIntoTable,
       sourceRewrite: LogicalPlan => LogicalPlan): Option[LogicalPlan] =
     graftTable(m.targetTable).map { t =>
       require(!m.schemaEvolutionEnabled,
         "graft SQL MERGE does not evolve schemas — append evolves on write")
-      require(m.notMatchedBySourceActions.isEmpty,
-        "graft SQL MERGE supports the canonical upsert only (no NOT MATCHED BY SOURCE)")
       val target = m.targetTable
       val upd = m.matchedActions match {
         case Seq(ua: UpdateAction) if ua.condition.isEmpty => ua.assignments
@@ -177,11 +192,59 @@ private[sql] object GraftDml {
         name
       }
       val mergeKeys = keys(m.mergeCondition).distinct
+      // BY SOURCE clauses: conditions and values see the TARGET row
+      // only. After the command's full-outer using-join the merge-key
+      // columns exist once (coalesced — equal to the target key on
+      // every target-only row) while non-key target columns resolve
+      // under the `t` alias, so the de-resolution splits on that.
+      def unresolveTarget(e: Expression): Column = Bridge.column(e.transform {
+        case a: AttributeReference if mergeKeys.contains(a.name) =>
+          UnresolvedAttribute.quoted(a.name)
+        case a: AttributeReference => UnresolvedAttribute(Seq("t", a.name))
+      })
+      def targetOnly(e: Expression, what: String): Unit = {
+        noSubquery(e, "MERGE")
+        require(e.references.subsetOf(target.outputSet),
+          s"graft SQL MERGE BY SOURCE $what may reference target columns only" +
+            s" — there is no source row, got ${e.sql}")
+      }
+      val bySource: Seq[BySourceClause] = m.notMatchedBySourceActions.map {
+        case da: DeleteAction =>
+          da.condition.foreach(targetOnly(_, "conditions"))
+          BySourceDelete(da.condition.map(unresolveTarget))
+        case ua: UpdateAction =>
+          ua.condition.foreach(targetOnly(_, "conditions"))
+          val set = ua.assignments.map {
+            case Assignment(k: AttributeReference, v) =>
+              targetOnly(v, "assignments")
+              require(!mergeKeys.contains(k.name),
+                s"graft SQL MERGE BY SOURCE UPDATE may not assign merge key ${k.name}")
+              k.name -> unresolveTarget(v)
+            case Assignment(other, _) => throw new UnsupportedOperationException(
+              s"graft SQL MERGE assigns top-level columns only, not ${other.sql}")
+          }.toMap
+          BySourceUpdate(ua.condition.map(unresolveTarget), set)
+        case other => throw new UnsupportedOperationException(
+          s"graft SQL MERGE BY SOURCE supports DELETE and UPDATE SET, not $other")
+      }
       // the updates frame: one row per source row, target column names
       val updatesCols = targetCols.map(c => unresolve(updMap(c)).as(c))
-      GraftMergeCommand(t, sourceRewrite(m.sourceTable), updatesCols, mergeKeys)
+      GraftMergeCommand(t, sourceRewrite(m.sourceTable), updatesCols, mergeKeys,
+        bySource)
     }
 }
+
+/** A `WHEN NOT MATCHED BY SOURCE` clause, de-resolved for the merge
+  * command: conditions/values are name-based Columns over the target
+  * row (non-key columns under the `t` join alias). First-match-wins
+  * across the sequence, per the SQL standard.
+  */
+private[sql] sealed trait BySourceClause {
+  def cond: Option[Column]
+}
+private[sql] case class BySourceDelete(cond: Option[Column]) extends BySourceClause
+private[sql] case class BySourceUpdate(cond: Option[Column],
+    set: Map[String, Column]) extends BySourceClause
 
 /** One UPDATE statement = one update commit (zone-map COW split). */
 case class GraftUpdateCommand(table: GraftSqlTable,
@@ -233,23 +296,66 @@ case class GraftAddCheckCommand(table: GraftSqlTable, name: String, sqlExpr: Str
   * are read, joined, and rewritten — untouched partitions carry by
   * file reference. Unpartitionable layouts pay the documented
   * whole-snapshot rewrite, same semantics.
+  *
+  * BY SOURCE clauses BYPASS every scoped path ([[graft.sources
+  * .VersionedTableOps.merge]] directly): the key probe selects files
+  * by the SOURCE batch's key values, and a by-source DELETE/UPDATE
+  * mutates precisely the rows those values never name — a scoped
+  * rewrite would carry them untouched by file reference, silently
+  * dropping the clause. Whole-snapshot is the honest O(table) cost of
+  * this statement on any snapshot store. Target-only rows evaluate
+  * the clause chain first-match-wins; rows no clause hits carry
+  * unchanged.
   */
 case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
-    updatesCols: Seq[Column], keys: Seq[String])
+    updatesCols: Seq[Column], keys: Seq[String],
+    bySource: Seq[BySourceClause] = Nil)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val updates = Bridge.ofRows(spark, source).select(updatesCols: _*)
     val marker = "__graft_merge_present"
-    table.ops.mergeKeyed(spark, table.path, updates, keys, (cur, upd) => {
+    def mergeFn(cur: org.apache.spark.sql.DataFrame,
+        upd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val u = upd.withColumn(marker, lit(true))
-      cur.as("t").join(u.as("u"), keys.toSeq, "full_outer")
+      val joined = cur.as("t").join(u.as("u"), keys.toSeq, "full_outer")
+      val uPresent = coalesce(col(marker), lit(false))
+      // a target-only row's value for column c: walk the BY SOURCE
+      // chain; the first clause whose condition holds wins (an UPDATE
+      // takes its assignment or carries, a DELETE's value is dead —
+      // the keep filter below drops the row); no clause → carry.
+      def bySourceValue(c: String): Column =
+        bySource.foldRight(col(s"t.$c")) { (cl, els) =>
+          cl match {
+            case BySourceUpdate(cond, set) =>
+              when(cond.getOrElse(lit(true)), set.getOrElse(c, col(s"t.$c")))
+                .otherwise(els)
+            case BySourceDelete(cond) =>
+              when(cond.getOrElse(lit(true)), col(s"t.$c")).otherwise(els)
+          }
+        }
+      // does a target-only row survive? first matching clause decides
+      val bySourceKeep: Column =
+        bySource.foldRight(lit(true)) { (cl, els) =>
+          val keep = cl match {
+            case _: BySourceDelete => lit(false)
+            case _: BySourceUpdate => lit(true)
+          }
+          when(cl.cond.getOrElse(lit(true)), keep).otherwise(els)
+        }
+      joined
+        .where(uPresent || bySourceKeep)
         .select(cur.columns.toSeq.map(c =>
           if (keys.contains(c)) col(c)
-          else when(coalesce(col(marker), lit(false)), col(s"u.$c"))
-            .otherwise(col(s"t.$c")).as(c)): _*)
-    })
+          else when(uPresent, col(s"u.$c"))
+            .otherwise(bySourceValue(c)).as(c)): _*)
+    }
+    if (bySource.isEmpty)
+      table.ops.mergeKeyed(spark, table.path, updates, keys, mergeFn)
+    else
+      table.ops.merge(spark, table.path, updates, mergeFn)
     Nil
   }
   override def simpleString(maxFields: Int): String =
-    s"GraftMerge ${table.path} on ${keys.mkString(",")}"
+    s"GraftMerge ${table.path} on ${keys.mkString(",")}" +
+      (if (bySource.isEmpty) "" else s" bySource=${bySource.size}")
 }

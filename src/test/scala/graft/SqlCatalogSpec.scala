@@ -516,6 +516,77 @@ class SqlCatalogSpec extends SparkSpec {
       .collect().last.getString(1)
     assert(lastOp === "replace_partitions",
       s"a partition-keyed MERGE must take the scoped path, got $lastOp")
+
+    // MERGE WHEN NOT MATCHED BY SOURCE (round 13): the "sync a
+    // dimension" statement — delete/re-flag the target rows the
+    // source no longer carries — with all THREE clause families in
+    // one statement. State walking in: grp=1 holds odd k 1..59 with
+    // v=k*100; grp=0 holds even k 0..38 with v=k*10 for k<20 (the
+    // rows() seed) and v=k for k>=20 (the SQL INSERT). The source
+    // names ONLY grp=1 odd k 1..19, so:
+    //  - matched rows take v=k*1000;
+    //  - no not-matched inserts (all source keys exist);
+    //  - target-only rows walk the BY SOURCE chain FIRST-MATCH-WINS:
+    //    v >= 100 deletes (all grp=1 odd k 21..59, v >= 2100, AND the
+    //    five grp=0 seeds with k*10 >= 100 — the chain cuts across
+    //    partitions), the rest re-flag v = v + 1.
+    // The decisive property: grp=0 rows MUTATE even though the
+    // source never names grp=0 — so the scoped replace_partitions
+    // path (whose key probe selects grp=1 only) must be BYPASSED;
+    // the commit is a whole-snapshot "merge".
+    spark.sql(
+      s"""MERGE INTO $catalog.db.pt t
+         |USING (SELECT id AS k, id * 1000 AS v, CAST(1 AS BIGINT) AS grp
+         |       FROM range(1, 21, 2)) s
+         |ON t.k = s.k AND t.grp = s.grp
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.v >= 100 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 1""".stripMargin)
+    val bsOp = spark.sql(s"CALL $catalog.system.history('db.pt')")
+      .collect().last.getString(1)
+    assert(bsOp === "merge",
+      s"a BY SOURCE MERGE must bypass the scoped path (got $bsOp): the key " +
+        "probe never selects the files its by-source clauses mutate")
+    // the pre-merge state, replayed driver-side: (k, v, grp)
+    val preState =
+      (1L until 61 by 2).map(k => (k, k * 100, 1L)) ++          // grp=1
+      (0L until 20 by 2).map(k => (k, k * 10, 0L)) ++           // grp=0 seed
+      (20L until 40 by 2).map(k => (k, k, 0L))                  // grp=0 insert
+    val matchedKeys = (1L until 21 by 2).toSet
+    val expect = preState.flatMap { case (k, v, g) =>
+      if (g == 1 && matchedKeys(k)) Some((k, k * 1000, g))      // matched
+      else if (v >= 100) None                                   // BY SOURCE DELETE
+      else Some((k, v + 1, g))                                  // BY SOURCE UPDATE
+    }
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.pt")
+      .head.getLong(0) === expect.size,
+      "survivors = matched + re-flagged; first matching clause wins")
+    for (g <- Seq(0L, 1L))
+      assert(spark.sql(
+        s"SELECT sum(v) AS s FROM $catalog.db.pt WHERE grp = $g").head.getLong(0)
+        === expect.filter(_._3 == g).map(_._2).sum,
+        s"grp=$g values must replay the clause chain (grp=0 mutates even " +
+          "though the source never names it — the bypassed scoped path " +
+          "would have carried it untouched)")
+
+    // a BY SOURCE UPDATE may not assign a merge key (the row's
+    // identity), and the refused statement publishes nothing
+    val preBadBs = ops.versions(ptable).size
+    val badBs = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $catalog.db.pt t
+           |USING (SELECT id AS k, id AS v, CAST(1 AS BIGINT) AS grp
+           |       FROM range(0, 5)) s
+           |ON t.k = s.k AND t.grp = s.grp
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET k = t.k + 1""".stripMargin)
+    }
+    assert(badBs.getMessage.contains("merge key"),
+      s"unexpected refusal shape: ${badBs.getMessage}")
+    assert(ops.versions(ptable).size === preBadBs,
+      "a refused BY SOURCE MERGE must publish nothing")
   }
 
   test("SQL DML battery — POSIX-link backend (default ops)") {
