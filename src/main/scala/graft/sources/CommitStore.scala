@@ -66,6 +66,17 @@ trait CommitStore {
     * newer-than-head-manifest in-flight guard reads this.
     */
   def modifiedMs(dir: Path, name: String): Long
+
+  /** Re-key every object under `from` (recursively) to the same
+    * relative name under `to` — the TABLE RENAME namespace move.
+    * POSIX: a no-op, because the manifests are real files inside the
+    * directory the caller just moved with the data; object store: a
+    * per-object server-side re-key (COPY + DELETE on real S3/GCS) —
+    * O(number of manifests), never O(data), since data files are not
+    * store objects. Not atomic across objects: the caller's contract
+    * (no concurrent writers during a rename) carries the operation.
+    */
+  def renameDir(from: Path, to: Path): Unit
 }
 
 /** POSIX implementation: fail-if-exists via hard link. See
@@ -107,6 +118,10 @@ object LocalLinkCommitStore extends CommitStore {
 
   override def modifiedMs(dir: Path, name: String): Long =
     Files.getLastModifiedTime(dir.resolve(name)).toMillis
+
+  // the manifests live INSIDE the table directory the rename moved —
+  // they traveled with it
+  override def renameDir(from: Path, to: Path): Unit = ()
 }
 
 /** Object-store-semantics implementation: the manifest namespace is
@@ -158,5 +173,14 @@ final class InMemoryCommitStore extends CommitStore {
     val o = objects.get(key(dir, name))
     if (o == null) throw new java.nio.file.NoSuchFileException(key(dir, name))
     o.modifiedMs
+  }
+
+  override def renameDir(from: Path, to: Path): Unit = {
+    val p = prefix(from)
+    val q = prefix(to)
+    objects.keySet().asScala.filter(_.startsWith(p)).toList.foreach { k =>
+      val o = objects.remove(k)
+      if (o != null) objects.put(q + k.stripPrefix(p), o)
+    }
   }
 }

@@ -1146,6 +1146,44 @@ class VersionedTableOps(val store: CommitStore) {
   def isDropped(table: String): Boolean =
     versions(table).lastOption.exists(v => manifestOp(table, v) == "drop_table")
 
+  /** ALTER TABLE … RENAME TO as a NAMESPACE MOVE (round 13): the
+    * commit-log directory IS the table's identity, and every manifest
+    * references its data files RELATIVELY — so renaming a 100 TB
+    * table moves ONE directory entry and zero data bytes, and the
+    * full version history (time travel, CDC, constraints, column
+    * mapping, check rules) is reachable under the new name. The old
+    * name comes free for an unrelated re-CREATE with NO resurrection
+    * hazard: the whole log moved, nothing remains at the old path to
+    * alias (unlike [[dropTable]]'s tombstone, which deliberately
+    * retains pre-drop history in place for forensics).
+    *
+    * Concurrency contract (documented, not arbitrated — the same one
+    * every filesystem-located table carries, Delta/Iceberg included):
+    * rename is a catalog-level operation; run it without concurrent
+    * WRITERS on the table. A racing writer either lands before the
+    * move (carried to the new name) or fails on the vanished path —
+    * it cannot corrupt either log, because the moved manifests are
+    * immutable and a loser's re-staged bytes land in an orphan
+    * directory the move already left behind. Pinned READERS
+    * re-resolve by path on their next file open.
+    */
+  def renameTable(spark: SparkSession, from: String, to: String): Unit = {
+    require(versions(from).nonEmpty, s"no table at $from to rename")
+    require(!isDropped(from),
+      s"$from is dropped — vacuum and re-create; a tombstoned head is not renameable")
+    val fromPath = Paths.get(from)
+    val toPath = Paths.get(to)
+    require(versions(to).isEmpty && !Files.exists(toPath),
+      s"rename target $to already exists (dropped-but-retained history counts " +
+        "— vacuum it first)")
+    Option(toPath.getParent).foreach(Files.createDirectories(_))
+    Files.move(fromPath, toPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    store.renameDir(fromPath, toPath) // object stores re-key manifests; POSIX no-op
+    // free the old identity: a fresh table re-created at `from` must
+    // not inherit memoized (path, version) rename maps
+    renamesMemo.keySet.removeIf(_._1 == from)
+  }
+
   /** Column names recorded by ANY retained manifest — the set a new
     * append may not re-introduce (see [[dropColumn]]).
     */

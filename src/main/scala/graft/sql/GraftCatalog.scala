@@ -324,8 +324,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         "(tombstone) then CALL <catalog>.system.vacuum(retain => 1) after " +
         "the retention grace")
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft is read-only over SQL")
+  /** ALTER TABLE … RENAME TO: a metadata-only namespace move — the
+    * commit-log directory is the identity and manifests reference
+    * data relatively, so the move carries the FULL version history
+    * (time travel keeps working under the new name) and zero data
+    * bytes. The old name is immediately free for an unrelated
+    * re-CREATE with no resurrection hazard. See
+    * [[VersionedTableOps.renameTable]] for the no-concurrent-writers
+    * contract.
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tablePath(oldIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    val to = tablePath(newIdent)
+    if (ops.versions(to).nonEmpty) throw new TableAlreadyExistsException(newIdent)
+    ops.renameTable(SparkSession.active, from, to)
+  }
 
   // ---- ProcedureCatalog: SQL maintenance via CALL ----
 
@@ -370,9 +384,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("graft namespaces carry no metadata")
 
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
-    throw new UnsupportedOperationException(
-      "graft is read-only over SQL — remove warehouse directories directly")
+  /** DROP NAMESPACE removes an EMPTY namespace directory — one
+    * filesystem entry, mirroring createNamespace. CASCADE refuses
+    * honestly: dropping N member tables is N tombstone commits plus
+    * N vacuums (the DROP TABLE two-step), never one atomic statement
+    * at 100 TB — run the drops explicitly.
+    */
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val hasChildren = listNamespaces(namespace).nonEmpty || listTables(namespace).nonEmpty
+    if (hasChildren) {
+      if (cascade) throw new UnsupportedOperationException(
+        "graft DROP NAMESPACE … CASCADE is not one commit — DROP each member " +
+          "table (tombstone + vacuum), then drop the emptied namespace")
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+    }
+    // empty of tables and child namespaces; dropped-but-retained
+    // tables (tombstoned heads) still hold history — refuse those too
+    import scala.jdk.CollectionConverters._
+    val residue = scala.util.Using.resource(
+      java.nio.file.Files.list(nsPath(namespace)))(_.iterator().asScala.toSeq)
+    if (residue.nonEmpty) throw new IllegalStateException(
+      s"namespace ${namespace.mkString(".")} holds dropped-table history — " +
+        "vacuum (retain=1) and remove the directories before dropping it")
+    java.nio.file.Files.delete(nsPath(namespace))
+    true
+  }
 }
 
 object GraftCatalog {

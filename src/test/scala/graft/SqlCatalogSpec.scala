@@ -587,6 +587,54 @@ class SqlCatalogSpec extends SparkSpec {
       s"unexpected refusal shape: ${badBs.getMessage}")
     assert(ops.versions(ptable).size === preBadBs,
       "a refused BY SOURCE MERGE must publish nothing")
+
+    // ALTER TABLE … RENAME TO (round 13): a metadata-only namespace
+    // move — the whole commit log travels, so the FULL history is
+    // reachable under the new name (time travel included), and the
+    // old name is immediately free for an unrelated re-CREATE with
+    // no resurrection (unlike DROP's tombstone, nothing remains).
+    spark.sql(s"CREATE TABLE $catalog.db.rn (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $catalog.db.rn SELECT id AS k, id AS v FROM range(0, 10)")
+    spark.sql(s"INSERT INTO $catalog.db.rn SELECT id AS k, id AS v FROM range(10, 30)")
+    val preRenameVersions = ops.versions(s"$root/db/rn")
+    spark.sql(s"ALTER TABLE $catalog.db.rn RENAME TO db2.rn2")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db2.rn2")
+      .head.getLong(0) === 30, "the head reads whole under the new name")
+    assert(ops.versions(s"$root/db2/rn2") === preRenameVersions,
+      "the FULL commit history must travel with the rename")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db2.rn2 " +
+      s"VERSION AS OF ${preRenameVersions(1)}").head.getLong(0) === 10,
+      "time travel reaches pre-rename versions under the new name")
+    assert(!spark.catalog.tableExists(s"$catalog.db.rn") ||
+      intercept[Exception](spark.sql(s"SELECT * FROM $catalog.db.rn").collect()) != null,
+      "the old name must be gone")
+    // the old name re-CREATEs FRESH: version history starts over,
+    // nothing resurrects from the moved log
+    spark.sql(s"CREATE TABLE $catalog.db.rn (other STRING)")
+    assert(ops.versions(s"$root/db/rn").size === 1,
+      "re-CREATE at the vacated name starts a fresh history")
+    assert(spark.sql(s"SELECT * FROM $catalog.db.rn").columns.toSeq === Seq("other"),
+      "the vacated name carries nothing over")
+    // refusals: a missing source and an occupied target both refuse
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $catalog.db.nope RENAME TO db.nope2")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $catalog.db2.rn2 RENAME TO db.rn")
+    }
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db2.rn2")
+      .head.getLong(0) === 30, "a refused rename changes nothing")
+
+    // DROP NAMESPACE: removes an emptied namespace; refuses non-empty
+    spark.sql(s"CREATE NAMESPACE $catalog.emptyns")
+    assert(spark.sql(s"SHOW NAMESPACES IN $catalog").collect()
+      .exists(_.getString(0) == "emptyns"))
+    spark.sql(s"DROP NAMESPACE $catalog.emptyns")
+    assert(!spark.sql(s"SHOW NAMESPACES IN $catalog").collect()
+      .exists(_.getString(0) == "emptyns"))
+    intercept[Exception] { spark.sql(s"DROP NAMESPACE $catalog.db2") }
+    assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db2.rn2")
+      .head.getLong(0) === 30, "a refused namespace drop changes nothing")
   }
 
   test("SQL DML battery — POSIX-link backend (default ops)") {
