@@ -1260,6 +1260,16 @@ object SparkEntry {
         |              / CAST(COUNT(bal) AS DOUBLE))
         |           * (CAST(SUM(CAST(bal AS DECIMAL(28,4))) AS DOUBLE)
         |              / CAST(COUNT(bal) AS DOUBLE)))
+        |FROM combined GROUP BY s_nationkey
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), CONCAT('chain_', r.r_name),
+        |       CAST(SUM(CAST(c.bal AS DECIMAL(28,4))) AS DOUBLE)
+        |FROM combined c JOIN nation n ON c.s_nationkey = n.n_nationkey
+        |                JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name
+        |UNION ALL
+        |SELECT s_nationkey, 'dblsum',
+        |       CAST(SUM(CAST(bal * 2 + 1 AS DECIMAL(28,4))) AS DOUBLE)
         |FROM combined GROUP BY s_nationkey""".stripMargin,
     // q_sql_call ran CALL graft.system.compact/history/vacuum between
     // the build and the read (asserted in-query: one file after

@@ -1694,7 +1694,8 @@ object VersionedQueries {
     * from a full recompute.
     */
   def qSqlMatViewShapes(spark: SparkSession, dir: String): DataFrame =
-      withRoot(spark, "sqlmvs", "vq_sqlmvs_supplier", "vq_sqlmvs_nation") { root =>
+      withRoot(spark, "sqlmvs", "vq_sqlmvs_supplier", "vq_sqlmvs_nation",
+        "vq_sqlmvs_region") { root =>
     spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft.root", root)
     t(spark, dir, "supplier").createOrReplaceTempView("vq_sqlmvs_supplier")
@@ -1733,6 +1734,27 @@ object VersionedQueries {
         |       AVG(s_acctbal) AS mv_avg_s_acctbal
         |FROM graft.mvs.sup JOIN graft.mvs.nat USING (s_nationkey)
         |GROUP BY n_regionkey""".stripMargin)
+    // round 13: the 3-TABLE CHAIN view in pure SQL text (the parser
+    // accepted two tables while refreshJoinChain maintained N) and a
+    // SUM over an EXPRESSION (maintained through the derive hook
+    // under the alias's suffix — zero new state machinery)
+    t(spark, dir, "region").createOrReplaceTempView("vq_sqlmvs_region")
+    spark.sql(
+      """CREATE TABLE graft.mvs.reg AS
+        |SELECT CAST(r_regionkey AS BIGINT) AS n_regionkey, r_name
+        |FROM vq_sqlmvs_region""".stripMargin)
+    spark.sql(
+      """CREATE MATERIALIZED VIEW graft.mvs.vc BUCKETS 4 AS
+        |SELECT r_name, COUNT(*) AS mv_count,
+        |       SUM(s_acctbal) AS mv_sum_s_acctbal
+        |FROM graft.mvs.sup JOIN graft.mvs.nat USING (s_nationkey)
+        |                   JOIN graft.mvs.reg USING (n_regionkey)
+        |GROUP BY r_name""".stripMargin)
+    spark.sql(
+      """CREATE MATERIALIZED VIEW graft.mvs.ve BUCKETS 8 AS
+        |SELECT s_nationkey, COUNT(*) AS mv_count,
+        |       SUM(s_acctbal * 2 + 1) AS mv_sum_dbl
+        |FROM graft.mvs.sup GROUP BY s_nationkey""".stripMargin)
     spark.sql(
       """INSERT INTO graft.mvs.sup
         |SELECT s_suppkey + 1000000 AS s_suppkey,
@@ -1740,7 +1762,7 @@ object VersionedQueries {
         |       CAST(s_acctbal * 2 AS DECIMAL(12,2)) AS s_acctbal
         |FROM vq_sqlmvs_supplier
         |WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM vq_sqlmvs_supplier)""".stripMargin)
-    Seq("va", "vx", "vv", "vj").foreach(v =>
+    Seq("va", "vx", "vv", "vj", "vc", "ve").foreach(v =>
       spark.sql(s"REFRESH MATERIALIZED VIEW graft.mvs.$v"))
     val out = spark.sql(
       """SELECT s_nationkey AS grp, 'avg' AS metric, mv_avg_s_acctbal AS val
@@ -1762,7 +1784,14 @@ object VersionedQueries {
         |FROM graft.mvs.vv
         |UNION ALL
         |SELECT s_nationkey, 'std', mv_std_s_acctbal
-        |FROM graft.mvs.vv""".stripMargin)
+        |FROM graft.mvs.vv
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), CONCAT('chain_', r_name),
+        |       CAST(mv_sum_s_acctbal AS DOUBLE)
+        |FROM graft.mvs.vc
+        |UNION ALL
+        |SELECT s_nationkey, 'dblsum', CAST(mv_sum_dbl AS DOUBLE)
+        |FROM graft.mvs.ve""".stripMargin)
     out
   }
 

@@ -287,7 +287,8 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
       sources: Seq[String], chainKeys: Seq[Seq[String]],
       keyCols: Seq[String], sumCols: Seq[String],
       viewKey: String = "mvc", where: Option[String] = None,
-      buckets: Int = 0): Long = {
+      buckets: Int = 0,
+      derive: Seq[(String, org.apache.spark.sql.Column)] = Nil): Long = {
     require(sources.size >= 2, "chain views need at least two sources")
     require(chainKeys.size == sources.size - 1,
       s"need ${sources.size - 1} chain-key sets for ${sources.size} sources")
@@ -334,7 +335,12 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
         }
         terms.reduce(_ unionByName _)
       }
-    val delta = where.fold(delta0)(w => delta0.filter(expr(w)))
+    val delta1 = where.fold(delta0)(w => delta0.filter(expr(w)))
+    // same derived-column hook as [[refresh]]/[[refreshJoin]]: (name,
+    // expression) columns computed on the joined delta before the fold
+    // — expression sums (e.g. a*b across chain members) maintain with
+    // no new state machinery
+    val delta = derive.foldLeft(delta1) { case (d, (n, c)) => d.withColumn(n, c) }
     foldDelta(spark, view, vView, !first, delta, keyCols, sumCols,
       apps.zip(heads),
       resolveBuckets(view, viewKey, vView, buckets), bucketsApp(viewKey))

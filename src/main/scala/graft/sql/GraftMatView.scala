@@ -61,6 +61,7 @@ object GraftMatView {
   private val ViewKeyMinMax = "sqlmvx"
   private val ViewKeyJoin = "sqlmvj"
   private val ViewKeyStats = "sqlmvv"
+  private val ViewKeyChain = "sqlmvc"
 
   /** The delta column whose signed sum is AVG's denominator: a
     * non-null indicator over the averaged column, maintained as an
@@ -88,13 +89,19 @@ object GraftMatView {
 
   /** The statement shape [[analyzeSelect]] extracts — source parts
     * still unresolved (the CREATE command resolves them against the
-    * catalog at run time).
+    * catalog at run time). `sourcesParts` lists EVERY FROM table in
+    * join order (1 = single-table, 2 = join, 3+ = chain) with
+    * `chainKeys(i)` joining the accumulated prefix to table i+1;
+    * `exprSums` are `SUM(<expression>) AS mv_sum_<name>` items as
+    * (name, expression-SQL) pairs, maintained through the refreshers'
+    * derive hook; `declared` is the statement's output column order,
+    * which the read side reproduces.
     */
   private[sql] case class MatViewShape(kind: String, keys: Seq[String],
       sums: Seq[String], avgs: Seq[String], minmax: Seq[String],
-      vars: Seq[String], stds: Seq[String],
-      sourceParts: Seq[String], source2Parts: Option[Seq[String]],
-      joinKeys: Seq[String], whereSql: Option[String])
+      vars: Seq[String], stds: Seq[String], exprSums: Seq[(String, String)],
+      sourcesParts: Seq[Seq[String]], chainKeys: Seq[Seq[String]],
+      whereSql: Option[String], declared: Seq[String])
 
   /** The maintainable-aggregate shapes, extracted from the UNRESOLVED
     * plan the delegate parser produced. Round 12 widens the round-11
@@ -113,28 +120,35 @@ object GraftMatView {
     def refuse(why: String): Nothing = throw new UnsupportedOperationException(
       s"CREATE MATERIALIZED VIEW: $why — the maintainable shapes are " +
         "SELECT <keys>, COUNT(*) AS mv_count[, SUM(c) AS mv_sum_c | " +
-        "AVG(c) AS mv_avg_c ...] FROM <graft table> " +
-        "[JOIN <graft table> USING (k...)] [WHERE p] GROUP BY <keys>, or " +
-        "the MIN/MAX flavor: SELECT <keys>, COUNT(*) AS mv_count, " +
-        "MIN(c) AS mv_min_c, MAX(c) AS mv_max_c ... FROM <graft table> " +
-        "[WHERE p] GROUP BY <keys>")
+        "SUM(<expr>) AS mv_sum_<name> | AVG(c) AS mv_avg_c ...] " +
+        "FROM <graft table> [JOIN <graft table> USING (k...)]* [WHERE p] " +
+        "GROUP BY <keys>, or the MIN/MAX flavor: SELECT <keys>, " +
+        "COUNT(*) AS mv_count, MIN(c) AS mv_min_c, MAX(c) AS mv_max_c ... " +
+        "FROM <graft table> [WHERE p] GROUP BY <keys>")
     plan match {
       case Aggregate(grouping, aggExprs, child, _) =>
         val (from, whereSql) = child match {
           case Filter(cond, inner) => (inner, Some(cond.sql))
           case inner => (inner, None)
         }
-        val (srcParts, src2Parts, joinKeys) = from match {
-          case r: UnresolvedRelation => (r.multipartIdentifier, None, Nil)
-          case Join(l: UnresolvedRelation, r: UnresolvedRelation,
-              UsingJoin(Inner, uk), None, _) =>
-            (l.multipartIdentifier, Some(r.multipartIdentifier), uk)
-          case j: Join => refuse("JOIN must be an INNER two-table " +
-            "`JOIN ... USING (keys)` (the delta-join decomposition needs " +
-            s"shared-name equi-keys), not ${j.joinType} with ${j.condition}")
-          case other => refuse(s"FROM must be one table or a two-table " +
-            s"USING join, not ${other.nodeName}")
-        }
+        // flatten a LEFT-DEEP chain of inner USING joins: the SQL
+        // `a JOIN b USING (k1) JOIN c USING (k2)` parses as
+        // Join(Join(a,b,k1), c, k2), and refreshJoinChain's
+        // chainKeys(i) joins the accumulated prefix with table i+1 —
+        // the exact same nesting
+        def flatten(p: LogicalPlan): (Seq[Seq[String]], Seq[Seq[String]]) =
+          p match {
+            case r: UnresolvedRelation => (Seq(r.multipartIdentifier), Nil)
+            case Join(l, r: UnresolvedRelation, UsingJoin(Inner, uk), None, _) =>
+              val (srcs, ks) = flatten(l)
+              (srcs :+ r.multipartIdentifier, ks :+ uk)
+            case j: Join => refuse("JOIN must be a left-deep chain of INNER " +
+              "`JOIN ... USING (keys)` (the signed delta decomposition needs " +
+              s"shared-name equi-keys), not ${j.joinType} with ${j.condition}")
+            case other => refuse(s"FROM must be graft tables joined with " +
+              s"USING, not ${other.nodeName}")
+          }
+        val (srcsParts, chainKeys) = flatten(from)
         val keys = grouping.map {
           case a: UnresolvedAttribute if a.nameParts.length == 1 => a.nameParts.head
           case other => refuse(s"GROUP BY must name plain source columns, not ${other.sql}")
@@ -145,6 +159,8 @@ object GraftMatView {
         var maxs = Vector.empty[String]
         var vars = Vector.empty[String]
         var stds = Vector.empty[String]
+        var exprSums = Vector.empty[(String, String)]
+        var declared = Vector.empty[String]
         var sawCount = false
         def oneCol(f: UnresolvedFunction, what: String): String = f.arguments match {
           case Seq(c: UnresolvedAttribute) if c.nameParts.length == 1 => c.nameParts.head
@@ -152,7 +168,8 @@ object GraftMatView {
         }
         aggExprs.foreach {
           case a: UnresolvedAttribute
-              if a.nameParts.length == 1 && keys.contains(a.nameParts.head) => ()
+              if a.nameParts.length == 1 && keys.contains(a.nameParts.head) =>
+            declared :+= a.nameParts.head
           case Alias(f: UnresolvedFunction, name)
               if f.nameParts.map(_.toLowerCase) == Seq("count") && !f.isDistinct =>
             f.arguments match {
@@ -163,30 +180,64 @@ object GraftMatView {
             if (name != "mv_count")
               refuse(s"COUNT(*) must be aliased AS mv_count, not $name")
             sawCount = true
+            declared :+= "mv_count"
           case Alias(f: UnresolvedFunction, name)
               if f.nameParts.map(_.toLowerCase) == Seq("sum") && !f.isDistinct =>
-            val cn = oneCol(f, "SUM")
-            if (name != s"mv_sum_$cn")
-              refuse(s"SUM($cn) must be aliased AS mv_sum_$cn, not $name")
-            sums :+= cn
+            f.arguments match {
+              case Seq(c: UnresolvedAttribute) if c.nameParts.length == 1 =>
+                val cn = c.nameParts.head
+                if (name != s"mv_sum_$cn")
+                  refuse(s"SUM($cn) must be aliased AS mv_sum_$cn, not $name")
+                sums :+= cn
+              case Seq(e) =>
+                // SUM over an arbitrary expression (round 13): the
+                // expression is computed on the delta through the
+                // refreshers' derive hook under the alias's suffix, so
+                // the maintained state IS the declared column —
+                // mv_sum_<name> — with zero new state machinery. The
+                // expression must be deterministic (a refresh
+                // re-evaluates it per delta) and self-contained.
+                if (!name.startsWith("mv_sum_") || name == "mv_sum_")
+                  refuse(s"SUM(${e.sql}) must be aliased AS mv_sum_<name> " +
+                    s"(the maintained state column's name), not $name")
+                val suffix = name.stripPrefix("mv_sum_")
+                if (e.exists(_.isInstanceOf[
+                    org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+                  refuse(s"SUM expressions cannot carry subqueries (${e.sql})")
+                val nonDet = Set("rand", "randn", "random", "uuid", "shuffle",
+                  "monotonically_increasing_id")
+                e.foreach {
+                  case f2: UnresolvedFunction
+                      if nonDet(f2.nameParts.last.toLowerCase) =>
+                    refuse(s"SUM expressions must be deterministic — a refresh " +
+                      s"re-evaluates them per delta (${e.sql})")
+                  case _ => ()
+                }
+                exprSums :+= (suffix -> e.sql)
+              case _ => refuse("SUM takes one column or one expression")
+            }
+            declared :+= name
           case Alias(f: UnresolvedFunction, name)
               if f.nameParts.map(_.toLowerCase) == Seq("avg") && !f.isDistinct =>
             val cn = oneCol(f, "AVG")
             if (name != s"mv_avg_$cn")
               refuse(s"AVG($cn) must be aliased AS mv_avg_$cn, not $name")
             avgs :+= cn
+            declared :+= name
           case Alias(f: UnresolvedFunction, name)
               if f.nameParts.map(_.toLowerCase) == Seq("var_pop") && !f.isDistinct =>
             val cn = oneCol(f, "VAR_POP")
             if (name != s"mv_var_$cn")
               refuse(s"VAR_POP($cn) must be aliased AS mv_var_$cn, not $name")
             vars :+= cn
+            declared :+= name
           case Alias(f: UnresolvedFunction, name)
               if f.nameParts.map(_.toLowerCase) == Seq("stddev_pop") && !f.isDistinct =>
             val cn = oneCol(f, "STDDEV_POP")
             if (name != s"mv_std_$cn")
               refuse(s"STDDEV_POP($cn) must be aliased AS mv_std_$cn, not $name")
             stds :+= cn
+            declared :+= name
           case Alias(f: UnresolvedFunction, _)
               if Seq(Seq("stddev"), Seq("std"), Seq("stddev_samp"),
                 Seq("variance"), Seq("var_samp"))
@@ -201,12 +252,14 @@ object GraftMatView {
             if (name != s"mv_min_$cn")
               refuse(s"MIN($cn) must be aliased AS mv_min_$cn, not $name")
             mins :+= cn
+            declared :+= name
           case Alias(f: UnresolvedFunction, name)
               if f.nameParts.map(_.toLowerCase) == Seq("max") && !f.isDistinct =>
             val cn = oneCol(f, "MAX")
             if (name != s"mv_max_$cn")
               refuse(s"MAX($cn) must be aliased AS mv_max_$cn, not $name")
             maxs :+= cn
+            declared :+= name
           case other => refuse(s"unsupported select item ${other.sql}: keys, " +
             "COUNT(*) AS mv_count, SUM/AVG/MIN/MAX over one column only")
         }
@@ -214,48 +267,77 @@ object GraftMatView {
           "(the maintained state carries the group count)")
         if (keys.isEmpty) refuse("GROUP BY must name at least one key")
         // AVG's denominator rides as a derived `<c>__nn` sum — a
-        // source column that IS that name would collide in the state
+        // source column that IS that name would collide in the state;
+        // expression sums' suffixes live in the same namespace
         val nnClash = avgs.map(nnCol).toSet
-          .intersect((keys ++ sums ++ avgs).toSet)
+          .intersect((keys ++ sums ++ avgs ++ exprSums.map(_._1)).toSet)
         if (nnClash.nonEmpty)
           refuse(s"column(s) ${nnClash.mkString(", ")} collide with AVG's " +
             "derived non-null-indicator state names (<col>__nn)")
+        val exprClash = exprSums.map(_._1).toSet
+          .intersect((keys ++ sums ++ avgs).toSet)
+        if (exprClash.nonEmpty)
+          refuse(s"SUM-expression name(s) ${exprClash.mkString(", ")} collide " +
+            "with declared keys or aggregate columns")
+        val dupExpr = exprSums.map(_._1).diff(exprSums.map(_._1).distinct)
+        if (dupExpr.nonEmpty)
+          refuse(s"duplicate SUM-expression name(s) ${dupExpr.mkString(", ")}")
         val minmax = (mins ++ maxs).distinct
         val stats = (vars ++ stds).distinct
+        val isChain = srcsParts.size > 2
         if (minmax.nonEmpty) {
           // MIN/MAX state is maintained by a different refresher
           // (semilattice merge + delta-scoped recompute on deletes) —
           // one flavor per view, and the refresher maintains BOTH
           // extrema per column, so they must be declared in pairs for
           // the statement to match the state schema
-          if (sums.nonEmpty || avgs.nonEmpty || stats.nonEmpty)
+          if (sums.nonEmpty || avgs.nonEmpty || stats.nonEmpty || exprSums.nonEmpty)
             refuse("MIN/MAX cannot mix with SUM/AVG/VAR/STDDEV in one view " +
               "(different maintenance state) — create two views over the " +
               "same source")
-          if (src2Parts.nonEmpty)
+          if (srcsParts.size > 1)
             refuse("MIN/MAX views maintain a single table (deletes may need " +
               "a delta-scoped source rescan, which a join view cannot do)")
           if (mins.toSet != maxs.toSet)
             refuse("MIN and MAX must be declared in pairs over the same " +
               "column (the maintained state carries both extrema)")
-          MatViewShape("minmax", keys, Nil, Nil, minmax, Nil, Nil,
-            srcParts, None, Nil, whereSql)
+          MatViewShape("minmax", keys, Nil, Nil, minmax, Nil, Nil, Nil,
+            srcsParts, Nil, whereSql, declared)
         } else if (stats.nonEmpty) {
           // VAR_POP/STDDEV_POP ride refreshStats' exact count + sum +
           // sum-of-squares + non-null-count state (single-table: the
           // exactness type probe runs over the delta) — SUM and AVG
           // of the same or other columns share the fold for free
-          if (src2Parts.nonEmpty)
+          if (srcsParts.size > 1)
             refuse("VAR_POP/STDDEV_POP views maintain a single table " +
               "(the exact sum-of-squares state rides refreshStats)")
-          MatViewShape("stats", keys, sums, avgs, Nil, vars, stds,
-            srcParts, None, Nil, whereSql)
-        } else if (src2Parts.nonEmpty) {
-          MatViewShape("join", keys, sums, avgs, Nil, Nil, Nil,
-            srcParts, src2Parts, joinKeys, whereSql)
+          if (exprSums.nonEmpty)
+            refuse("SUM expressions cannot mix with VAR_POP/STDDEV_POP " +
+              "(refreshStats derives its state per plain column) — create " +
+              "two views over the same source")
+          // refreshStats' derived state names (<c>_sq / <c>_nn) are
+          // reserved — validate at PARSE time so a colliding CREATE
+          // refuses before any side effect (round-12 advice: the
+          // run-time check inside refreshStats fired after _mv.json
+          // was written, stranding an orphan definition)
+          val statsCols = (sums ++ avgs ++ vars ++ stds).distinct
+          val reserved = statsCols.flatMap(c => Seq(s"${c}_sq", s"${c}_nn")).toSet
+          val statClash = reserved.intersect(
+            (keys ++ sums ++ avgs ++ vars ++ stds).toSet)
+          if (statClash.nonEmpty)
+            refuse(s"column(s) ${statClash.mkString(", ")} collide with the " +
+              "stats flavor's derived state names (<col>_sq / <col>_nn)")
+          MatViewShape("stats", keys, sums, avgs, Nil, vars, stds, Nil,
+            srcsParts, Nil, whereSql, declared)
+        } else if (isChain) {
+          MatViewShape("chain", keys, sums, avgs, Nil, Nil, Nil, exprSums,
+            srcsParts, chainKeys, whereSql, declared)
+        } else if (srcsParts.size == 2) {
+          MatViewShape("join", keys, sums, avgs, Nil, Nil, Nil, exprSums,
+            srcsParts, chainKeys, whereSql, declared)
         } else {
-          MatViewShape("agg", keys, sums, avgs, Nil, Nil, Nil,
-            srcParts, None, Nil, whereSql)
+          MatViewShape("agg", keys, sums, avgs, Nil, Nil, Nil, exprSums,
+            srcsParts, Nil, whereSql, declared)
         }
       case other => refuse(s"the AS query must be a grouped aggregate, " +
         s"got ${other.nodeName}")
@@ -288,7 +370,9 @@ object GraftMatView {
       source2: Option[String], joinKeys: Seq[String], keyCols: Seq[String],
       sumCols: Seq[String], avgCols: Seq[String], minmaxCols: Seq[String],
       varCols: Seq[String], stdCols: Seq[String],
-      whereSql: Option[String], buckets: Int)
+      whereSql: Option[String], buckets: Int,
+      sources: Seq[String] = Nil, chainKeys: Seq[Seq[String]] = Nil,
+      exprSums: Seq[(String, String)] = Nil, declared: Seq[String] = Nil)
 
   // Real JSON (round-11 advice): Jackson ships with Spark, and the
   // WHERE predicate is arbitrary SQL text — newlines, brackets,
@@ -320,6 +404,16 @@ object GraftMatView {
       case None => n.putNull("where")
     }
     n.put("buckets", d.buckets)
+    arr("sources", d.sources)
+    val ck = n.putArray("chainKeys")
+    d.chainKeys.foreach { ks =>
+      val inner = ck.addArray(); ks.foreach(inner.add)
+    }
+    val es = n.putArray("exprSums")
+    d.exprSums.foreach { case (nm, sql) =>
+      val o = es.addObject(); o.put("name", nm); o.put("expr", sql)
+    }
+    arr("declared", d.declared)
     Files.writeString(defPath(view), json.writeValueAsString(n))
   }
 
@@ -331,30 +425,64 @@ object GraftMatView {
       Option(n.get(f)).filterNot(_.isNull).map(_.asText)
     def arr(f: String): Seq[String] = Option(n.get(f)).toSeq.flatMap(a =>
       (0 until a.size).map(a.get(_).asText))
+    val chainKeys = Option(n.get("chainKeys")).toSeq.flatMap(a =>
+      (0 until a.size).map { i =>
+        val inner = a.get(i)
+        (0 until inner.size).map(inner.get(_).asText): Seq[String]
+      })
+    val exprSums = Option(n.get("exprSums")).toSeq.flatMap(a =>
+      (0 until a.size).map { i =>
+        val o = a.get(i)
+        o.get("name").asText -> o.get("expr").asText
+      })
     MatViewDef(str("kind").getOrElse("agg"),
       str("source").getOrElse(sys.error(s"malformed _mv.json at $view")),
       str("source2"), arr("joinKeys"), arr("keys"), arr("sums"), arr("avgs"),
       arr("minmax"), arr("vars"), arr("stds"), str("where"),
-      Option(n.get("buckets")).map(_.asInt).getOrElse(0))
+      Option(n.get("buckets")).map(_.asInt).getOrElse(0),
+      arr("sources"), chainKeys, exprSums, arr("declared"))
   }
 
-  /** An AVG view's MAINTAINED sums: the declared sums, plus (for each
-    * averaged column) its numerator sum and its non-null-indicator
-    * sum — all abelian, all folded by the one single-table refresher.
+  /** An AVG/expression view's MAINTAINED sums: the declared sums,
+    * each SUM-expression's suffix (its derived delta column), plus
+    * (for each averaged column) its numerator sum and its
+    * non-null-indicator sum — all abelian, all folded by the one
+    * refresher.
     */
   private def aggSumCols(d: MatViewDef): Seq[String] =
-    (d.sumCols ++ d.avgCols.filterNot(d.sumCols.contains) ++
+    (d.sumCols ++ d.exprSums.map(_._1) ++
+      d.avgCols.filterNot(d.sumCols.contains) ++
       d.avgCols.map(nnCol)).distinct
+
+  /** The derive hook a definition needs: AVG's non-null indicators
+    * plus each SUM expression computed (re-parsed from its stored SQL
+    * text) on the delta under its state suffix.
+    */
+  private def deriveCols(spark: SparkSession,
+      d: MatViewDef): Seq[(String, org.apache.spark.sql.Column)] =
+    d.exprSums.map { case (nm, sql) =>
+      nm -> org.apache.spark.sql.functions.expr(sql)
+    } ++ d.avgCols.map(c => nnCol(c) ->
+      when(col(c).isNotNull, lit(1L)).otherwise(lit(null).cast("long")))
 
   /** Bring a SQL-defined view up to date — shared by REFRESH, the
     * `refresh_view` procedure, and CREATE's initial population.
-    * Dispatches on the persisted definition's kind: plain abelian
-    * fold (COUNT/SUM/AVG state), the min/max semilattice refresher,
-    * or the two-source delta-join. Returns the view's committed
-    * version.
+    * Dispatches on the definition's kind: plain abelian fold
+    * (COUNT/SUM/AVG/SUM-expression state), the min/max semilattice
+    * refresher, the two-source delta-join, or the N-source telescoped
+    * chain. Returns the view's committed version.
     */
-  def refresh(spark: SparkSession, ops: VersionedTableOps, view: String): Long = {
-    val d = readDef(view)
+  def refresh(spark: SparkSession, ops: VersionedTableOps, view: String): Long =
+    refreshDef(spark, ops, view, readDef(view))
+
+  /** [[refresh]] against an in-memory definition — CREATE runs the
+    * initial fold through this BEFORE persisting `_mv.json`, so a
+    * failing first refresh leaves NO orphan definition behind
+    * (round-12 advice: the stats flavor's run-time name check fired
+    * after the write, stranding the file).
+    */
+  private[sql] def refreshDef(spark: SparkSession, ops: VersionedTableOps,
+      view: String, d: MatViewDef): Long = {
     val mv = new MaterializedViewOps(ops)
     d.kind match {
       case "minmax" =>
@@ -367,18 +495,21 @@ object GraftMatView {
         mv.refreshStats(spark, view, d.source, d.keyCols,
           (d.sumCols ++ d.avgCols ++ d.varCols ++ d.stdCols).distinct,
           viewKey = ViewKeyStats, where = d.whereSql, buckets = d.buckets)
+      case "chain" =>
+        mv.refreshJoinChain(spark, view, d.sources, d.chainKeys,
+          d.keyCols, aggSumCols(d),
+          viewKey = ViewKeyChain, where = d.whereSql, buckets = d.buckets,
+          derive = deriveCols(spark, d))
       case "join" =>
         mv.refreshJoin(spark, view, d.source, d.source2.getOrElse(
             sys.error(s"join view $view lost its second source")),
           d.joinKeys, d.keyCols, aggSumCols(d),
           viewKey = ViewKeyJoin, where = d.whereSql, buckets = d.buckets,
-          derive = d.avgCols.map(c => nnCol(c) ->
-            when(col(c).isNotNull, lit(1L)).otherwise(lit(null).cast("long"))))
+          derive = deriveCols(spark, d))
       case _ =>
         mv.refresh(spark, view, d.source, d.keyCols, aggSumCols(d),
           viewKey = ViewKey, where = d.whereSql, buckets = d.buckets,
-          derive = d.avgCols.map(c => nnCol(c) ->
-            when(col(c).isNotNull, lit(1L)).otherwise(lit(null).cast("long"))))
+          derive = deriveCols(spark, d))
     }
   }
 
@@ -393,8 +524,14 @@ object GraftMatView {
   private[sql] def derivedRead(view: String, df: DataFrame): DataFrame = {
     if (!Files.exists(defPath(view))) return df
     val d = readDef(view)
-    if (d.kind == "stats") return derivedStatsRead(d, df)
-    if (d.avgCols.isEmpty) return df
+    // present columns in the statement's declared order (round-12
+    // advice: SELECT * returned derived avg/var/std APPENDED after the
+    // state columns). Old definitions carry no declared list — they
+    // keep the state order they always had.
+    def ordered(out: DataFrame): DataFrame =
+      if (d.declared.isEmpty) out else out.select(d.declared.map(col): _*)
+    if (d.kind == "stats") return ordered(derivedStatsRead(d, df))
+    if (d.avgCols.isEmpty) return ordered(df)
     val withAvgs = d.avgCols.foldLeft(df) { (acc, c) =>
       val nn = col(s"mv_sum_${nnCol(c)}")
       acc.withColumn(s"mv_avg_$c",
@@ -403,7 +540,7 @@ object GraftMatView {
     }
     val hidden = d.avgCols.map(c => s"mv_sum_${nnCol(c)}") ++
       d.avgCols.filterNot(d.sumCols.contains).map(c => s"mv_sum_$c")
-    withAvgs.drop(hidden: _*)
+    ordered(withAvgs.drop(hidden: _*))
   }
 
   /** The stats-flavor declared read: refreshStats' state columns are
@@ -451,12 +588,31 @@ case class GraftCreateMatViewCommand(viewParts: Seq[String],
         s"source table ${parts.mkString(".")} does not exist")
       p
     }
-    GraftMatView.writeDef(viewPath, GraftMatView.MatViewDef(
-      shape.kind, srcPath(shape.sourceParts),
-      shape.source2Parts.map(srcPath), shape.joinKeys, shape.keys,
-      shape.sums, shape.avgs, shape.minmax, shape.vars, shape.stds,
-      shape.whereSql, buckets.getOrElse(GraftMatView.DefaultBuckets)))
-    GraftMatView.refresh(spark, ops, viewPath)
+    val srcPaths = shape.sourcesParts.map(srcPath)
+    // a SUM-expression's suffix becomes a DELTA column (the derive
+    // hook's withColumn) — it must not shadow any real source column
+    if (shape.exprSums.nonEmpty) {
+      val srcCols = srcPaths.flatMap(p => ops.read(spark, p).columns).toSet
+      val shadowed = shape.exprSums.map(_._1).filter(srcCols.contains)
+      require(shadowed.isEmpty,
+        s"SUM-expression name(s) ${shadowed.mkString(", ")} shadow source " +
+          "columns — pick fresh mv_sum_<name> suffixes")
+    }
+    val d = GraftMatView.MatViewDef(
+      shape.kind, srcPaths.head,
+      if (shape.kind == "join") srcPaths.lift(1) else None,
+      if (shape.kind == "join") shape.chainKeys.flatten else Nil,
+      shape.keys, shape.sums, shape.avgs, shape.minmax, shape.vars,
+      shape.stds, shape.whereSql,
+      buckets.getOrElse(GraftMatView.DefaultBuckets),
+      sources = if (shape.kind == "chain") srcPaths else Nil,
+      chainKeys = if (shape.kind == "chain") shape.chainKeys else Nil,
+      exprSums = shape.exprSums, declared = shape.declared)
+    // initial fold FIRST, definition file second: a failing first
+    // refresh (type probes, name collisions, missing columns) leaves
+    // no orphan _mv.json behind (round-12 advice)
+    GraftMatView.refreshDef(spark, ops, viewPath, d)
+    GraftMatView.writeDef(viewPath, d)
     Nil
   }
   override def simpleString(maxFields: Int): String =

@@ -1020,6 +1020,131 @@ class SqlCatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       spark.sql(s"REFRESH MATERIALIZED VIEW $catalog.db.src")
     }
+
+    // SELECT * returns columns in the DECLARED order (round-12 advice:
+    // derived avg/var/std used to append after the state columns)
+    assert(spark.sql(s"SELECT * FROM $catalog.db.va").columns.toSeq ===
+      Seq("grp", "mv_count", "mv_avg_v"),
+      "AVG view: SELECT * must reproduce the statement's column order")
+    assert(spark.sql(s"SELECT * FROM $catalog.db.vv").columns.toSeq ===
+      Seq("grp", "mv_count", "mv_sum_v", "mv_avg_v", "mv_var_v", "mv_std_v"),
+      "stats view: SELECT * must reproduce the statement's column order")
+
+    // N-TABLE CHAIN view (round 13): the parser accepted only two
+    // tables while refreshJoinChain maintained N — a 3-table chain in
+    // pure SQL text, maintained across a fact append and a dim delete
+    val dim2 = s"$root/db/dim2"
+    ops.overwrite(spark, dim2, spark.range(0, 3).select(
+      concat(lit("R"), col("id").cast("string")).as("region"),
+      concat(lit("Z"), (col("id") % 2).cast("string")).as("zone")))
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $catalog.db.vc BUCKETS 4 AS
+         |SELECT zone, COUNT(*) AS mv_count, SUM(v) AS mv_sum_v
+         |FROM $catalog.db.src JOIN $catalog.db.dim USING (grp)
+         |                     JOIN $catalog.db.dim2 USING (region)
+         |GROUP BY zone""".stripMargin)
+    def cState(): Map[String, (Long, Long)] =
+      spark.sql(s"SELECT zone, mv_count, CAST(mv_sum_v AS BIGINT) AS s " +
+        s"FROM $catalog.db.vc").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def cWant(): Map[String, (Long, Long)] = spark.sql(
+      s"""SELECT zone, COUNT(*) AS n, SUM(v) AS s
+         |FROM $catalog.db.src JOIN $catalog.db.dim USING (grp)
+         |                     JOIN $catalog.db.dim2 USING (region)
+         |GROUP BY zone""".stripMargin).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cState() === cWant(), "chain view first fold == recompute")
+    ops.append(spark, src, spark.range(8000, 8006).select(col("id").as("k"),
+      lit(11L).as("v"), lit(2L).as("grp")))
+    spark.sql(s"REFRESH MATERIALIZED VIEW $catalog.db.vc")
+    assert(cState() === cWant(), "chain view tracks a fact append")
+    ops.delete(spark, dim2, col("zone") === "Z1")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $catalog.db.vc")
+    val cFinal = cState()
+    assert(cFinal === cWant() && !cFinal.contains("Z1"),
+      "a dim delete folds whole zones back out through the signed chain")
+
+    // SUM over an EXPRESSION (round 13): maintained through the
+    // derive hook under the alias's suffix — single-table and on the
+    // chain, both tracking the recompute across deltas
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $catalog.db.ve BUCKETS 8 AS
+         |SELECT grp, COUNT(*) AS mv_count, SUM(v * k) AS mv_sum_vk,
+         |       SUM(v) AS mv_sum_v
+         |FROM $catalog.db.src GROUP BY grp""".stripMargin)
+    def eErr(): Double = spark.sql(
+      s"""SELECT CAST(max(abs(s.mv_sum_vk - r.rvk)) +
+         |            max(abs(s.mv_sum_v - r.rv)) AS DOUBLE) AS e
+         |FROM $catalog.db.ve s JOIN (
+         |  SELECT grp, SUM(v * k) AS rvk, SUM(v) AS rv
+         |  FROM $catalog.db.src GROUP BY grp) r USING (grp)""".stripMargin)
+      .head.getDouble(0)
+    assert(eErr() === 0.0, "expression sums must equal the recompute")
+    ops.append(spark, src, spark.range(9000, 9005).select(col("id").as("k"),
+      (col("id") % 5).as("v"), lit(8L).as("grp")))
+    spark.sql(s"REFRESH MATERIALIZED VIEW $catalog.db.ve")
+    assert(eErr() === 0.0, "incremental expression sums must equal the recompute")
+    assert(spark.sql(s"SELECT * FROM $catalog.db.ve").columns.toSeq ===
+      Seq("grp", "mv_count", "mv_sum_vk", "mv_sum_v"),
+      "expression sums appear under their declared names, in order")
+    // on the chain: an expression across the joined row
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $catalog.db.vce BUCKETS 4 AS
+         |SELECT zone, COUNT(*) AS mv_count, SUM(v * 2 + 1) AS mv_sum_v2
+         |FROM $catalog.db.src JOIN $catalog.db.dim USING (grp)
+         |                     JOIN $catalog.db.dim2 USING (region)
+         |GROUP BY zone""".stripMargin)
+    val vceGot = spark.sql(
+      s"SELECT zone, CAST(mv_sum_v2 AS BIGINT) AS s FROM $catalog.db.vce")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vceWant = spark.sql(
+      s"""SELECT zone, SUM(v * 2 + 1) AS s
+         |FROM $catalog.db.src JOIN $catalog.db.dim USING (grp)
+         |                     JOIN $catalog.db.dim2 USING (region)
+         |GROUP BY zone""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vceGot === vceWant, "chain expression sum == recompute")
+
+    // round-13 refusals, each leaving NOTHING behind: a
+    // non-deterministic expression, a suffix shadowing a source
+    // column, a mis-aliased expression sum, and a stats reserved-name
+    // collision that now refuses at PARSE time (round-12 advice: it
+    // used to write _mv.json first and fail inside refreshStats,
+    // stranding an orphan definition)
+    def assertNothingAt(name: String): Unit = {
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/db/$name/_mv.json")),
+        s"a refused CREATE must not write $name/_mv.json")
+      assert(ops.versions(s"$root/db/$name").isEmpty,
+        s"a refused CREATE must not commit to $name")
+    }
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"CREATE MATERIALIZED VIEW $catalog.db.badnd AS " +
+        s"SELECT grp, COUNT(*) AS mv_count, SUM(v * rand()) AS mv_sum_r " +
+        s"FROM $catalog.db.src GROUP BY grp")
+    }
+    assertNothingAt("badnd")
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE MATERIALIZED VIEW $catalog.db.badsh AS " +
+        s"SELECT grp, COUNT(*) AS mv_count, SUM(k + 1) AS mv_sum_v " +
+        s"FROM $catalog.db.src GROUP BY grp")
+    }
+    assertNothingAt("badsh")
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"CREATE MATERIALIZED VIEW $catalog.db.badal AS " +
+        s"SELECT grp, COUNT(*) AS mv_count, SUM(v + k) AS total " +
+        s"FROM $catalog.db.src GROUP BY grp")
+    }
+    assertNothingAt("badal")
+    val src2 = s"$root/db/src2"
+    ops.overwrite(spark, src2, rows(0, 10)
+      .withColumn("grp", col("k") % 2).withColumn("v_nn", col("v") * 2))
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"CREATE MATERIALIZED VIEW $catalog.db.badst AS " +
+        s"SELECT grp, COUNT(*) AS mv_count, SUM(v_nn) AS mv_sum_v_nn, " +
+        s"VAR_POP(v) AS mv_var_v FROM $catalog.db.src2 GROUP BY grp")
+    }
+    assertNothingAt("badst")
   }
 
   test("SQL materialized-view battery — POSIX-link backend (default ops)") {
