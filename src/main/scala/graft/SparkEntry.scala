@@ -132,6 +132,7 @@ object SparkEntry {
     "q_zone_map_auto" -> (operators.VersionedQueries.qZoneMapAuto _),
     "q_sql_catalog" -> (operators.VersionedQueries.qSqlCatalog _),
     "q_sql_dml" -> (operators.VersionedQueries.qSqlDml _),
+    "q_sql_history" -> (operators.VersionedQueries.qSqlHistory _),
     "q_sql_merge" -> (operators.VersionedQueries.qSqlMerge _),
     "q_sql_merge_by_source" -> (operators.VersionedQueries.qSqlMergeBySource _),
     "q_sql_call" -> (operators.VersionedQueries.qSqlCall _),
@@ -1151,6 +1152,19 @@ object SparkEntry {
         |SELECT o_orderpriority, COUNT(*) AS n,
         |       CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM merged GROUP BY o_orderpriority""".stripMargin,
+    // q_sql_history ran a deterministic five-statement lifecycle and
+    // read the commit log back through DESC HISTORY (version, op) —
+    // one commit per statement, in order, is the protocol contract;
+    // the oracle pins the sequence as a literal (timestamps and file
+    // counts are host-dependent and stripped).
+    "q_sql_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'overwrite'),
+        |  (CAST(2 AS BIGINT), 'append'),
+        |  (CAST(3 AS BIGINT), 'append'),
+        |  (CAST(4 AS BIGINT), 'delete'),
+        |  (CAST(5 AS BIGINT), 'update'),
+        |  (CAST(6 AS BIGINT), 'rename_column')) AS t(version, op)""".stripMargin,
     // q_sql_merge ran the canonical-upsert MERGE in SQL text over a
     // CTAS'd supplier table: matched keys (s_suppkey % 3 = 0) take
     // doubled balances, unmatched synthetic keys (+10^6) insert. The

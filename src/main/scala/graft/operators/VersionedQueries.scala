@@ -1795,6 +1795,36 @@ object VersionedQueries {
     out
   }
 
+  /** q_sql_history: DESCRIBE HISTORY under the oracle gate (round 13)
+    * — a deterministic five-statement lifecycle (CREATE AS, INSERT,
+    * DELETE, UPDATE, RENAME COLUMN) read back as the commit log's
+    * (version, op) sequence through the new `DESC HISTORY` statement.
+    * Timestamps and file counts are stripped (host- and
+    * parallelism-dependent); what remains — one commit per statement,
+    * in order, under the op names every other surface (CALL history,
+    * the scoped-path asserts) keys on — is exactly the protocol
+    * contract, and the oracle pins it as a literal. Metadata-only:
+    * the statement reads manifests, never data files.
+    */
+  def qSqlHistory(spark: SparkSession, dir: String): DataFrame =
+      withRoot(spark, "sqlhist", "vq_sqlhist_supplier") { root =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    t(spark, dir, "supplier").createOrReplaceTempView("vq_sqlhist_supplier")
+    spark.sql(
+      """CREATE TABLE graft.h.sup AS
+        |SELECT s_suppkey, s_acctbal FROM vq_sqlhist_supplier
+        |WHERE s_suppkey % 2 = 0""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.h.sup
+        |SELECT s_suppkey, s_acctbal FROM vq_sqlhist_supplier
+        |WHERE s_suppkey % 2 = 1""".stripMargin)
+    spark.sql("DELETE FROM graft.h.sup WHERE s_acctbal < 0")
+    spark.sql("UPDATE graft.h.sup SET s_acctbal = s_acctbal + 10 WHERE s_suppkey % 5 = 0")
+    spark.sql("ALTER TABLE graft.h.sup RENAME COLUMN s_acctbal TO bal")
+    spark.sql("DESC HISTORY graft.h.sup").select(col("version"), col("op"))
+  }
+
   /** q_sql_call: SQL maintenance via the DSv2 ProcedureCatalog under
     * the oracle gate — a three-commit CTAS+INSERT build, then
     * `CALL graft.system.compact` (asserted: one file), `CALL

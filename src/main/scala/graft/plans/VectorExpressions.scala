@@ -283,6 +283,13 @@ case class ProbeCentroids(child: Expression, centroids: Array[Double],
       c += 1
     }
     val take = if (nProbe < k) nProbe else k
+    // nProbe = 0 (take = 0) selects nothing: return the empty list the
+    // pre-heap repeated scan returned, instead of reading slot 0 of
+    // zero-length heap arrays (round-12 advice — unreachable from the
+    // drivers, which size nProbe >= 1, but a silent contract tightening)
+    if (take <= 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(new Array[Int](0))
     // Bounded worst-at-root heap over the (neg, idx) total order
     // (round-12, SURVEY gap #2): O(K log nProbe) selection instead of
     // the O(K·nProbe) repeated scan — at the 2^18-list ceiling with
@@ -381,7 +388,14 @@ case class ProbeCentroids(child: Expression, centroids: Array[Double],
       val cmp = ctx.freshName("cmp")
       val k = centroids.length / dim
       val take = if (nProbe < k) nProbe else k
-      s"""
+      // take is a plan-time constant: a zero-probe expression compiles
+      // to the empty-list literal outright (same guard as the
+      // interpreted eval — no zero-length heap reads)
+      if (take <= 0) s"""
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(new int[0]);
+       """.stripMargin
+      else s"""
          |int $n = $a.numElements();
          |int $m = $n < $dim ? $n : $dim;
          |double[] $v = new double[$m];

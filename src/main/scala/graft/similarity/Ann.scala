@@ -264,9 +264,17 @@ object Ann {
   private[graft] def kListsFor(n: Long): Int =
     math.max(KCentroidsDefault, math.min(ListCapTotal, math.ceil(n / 125.0).toInt))
 
-  /** Probe width once two-level has engaged: ~3% of the lists
-    * (recall-checked by the 10⁶-corpus probe) — the flat 3/8 fraction
-    * would re-scan most of the corpus at 10⁴+ lists.
+  /** Probe width once two-level has engaged: ~3% of the lists — the
+    * flat 3/8 fraction would re-scan most of the corpus at 10⁴+ lists.
+    *
+    * Recall band (ProbeRound13, 10⁶-corpus sensitivity sweep): this
+    * rule holds recall@5 = 1.000 down to HALF the well-separated
+    * probe corpus's cluster separation and below (signal-to-noise
+    * ≥ 1.75); decay starts at the noise floor — SNR ≈ 1 reads 0.78 at
+    * the rule and 0.88 at 2× (lists/16, still ~6% of lists — the
+    * recommended setting for corpora known to cluster poorly), and
+    * SNR < 1 is effectively structureless: no coarse quantizer blocks
+    * it well, use the brute-force/re-rank path instead of more probes.
     */
   private[graft] def nProbeTwoLevel(nLists: Int): Int =
     math.max(32, nLists / 32)

@@ -231,6 +231,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }
     val path = tablePath(ident)
     if (isTable(path)) throw new TableAlreadyExistsException(ident)
+    // DROP-RECREATE GRACE-WINDOW EXPOSURE (round-12 advice, now
+    // documented and gateable): CREATE over a tombstoned head
+    // CONTINUES that table's commit history, so until vacuum truncates
+    // it, `SELECT … VERSION AS OF` on the recreated name reaches the
+    // PREVIOUS owner's pre-drop snapshots — deliberate forensics
+    // (SqlCatalogSpec pins it), but a data-exposure surprise for shops
+    // expecting Delta/Iceberg drop-recreate isolation. Opt into strict
+    // isolation with `spark.sql.catalog.<name>.strictRecreate = true`:
+    // CREATE then refuses until `vacuum(retain = 1)` has reclaimed the
+    // dropped history (rename the old table away, or vacuum, first).
+    if (ops.versions(path).size > 1 && // > 1: pre-drop snapshots retained
+        spark.conf.getOption(s"spark.sql.catalog.$catalogName.strictRecreate")
+          .contains("true"))
+      throw new IllegalStateException(
+        s"${ident.toString} was dropped but its pre-drop history is still " +
+          "retained — time travel on the recreated name would reach the " +
+          "previous owner's data (strictRecreate is on). Run " +
+          s"CALL $catalogName.system.vacuum('<table>', 1, <graceMs>) first")
     // Column-mapping mode (round 12): `TBLPROPERTIES
     // ('graft.columnMapping' = 'id')` starts the table in ID mode —
     // RENAME with no name-burn, DROP + immediate re-ADD with old
@@ -310,6 +328,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * window — physical removal of a 100 TB table is not one commit,
     * and pinned readers keep their snapshots until then). PURGE
     * (`DROP TABLE … PURGE`) still refuses for exactly that reason.
+    *
+    * Grace-window exposure: a CREATE of the same name before vacuum
+    * CONTINUES this history, so `VERSION AS OF` on the recreated name
+    * reaches the dropped table's data — deliberate forensics, but set
+    * `spark.sql.catalog.<name>.strictRecreate = true` to refuse such
+    * a CREATE until vacuum has truncated the history (see
+    * [[createTable]]).
     */
   override def dropTable(ident: Identifier): Boolean = {
     val path = tablePath(ident)

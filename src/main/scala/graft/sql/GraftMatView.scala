@@ -75,6 +75,8 @@ object GraftMatView {
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+(?:BUCKETS\s+(\d+)\s+)?AS\s+(.+?)\s*;?\s*$""".r
   private val RefreshRe =
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*$""".r
+  private val HistoryRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
 
   def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
@@ -84,6 +86,11 @@ object GraftMatView {
           Option(buckets).map(_.toInt), shape))
       case RefreshRe(ident) =>
         Some(GraftRefreshMatViewCommand(delegate.parseMultipartIdentifier(ident)))
+      case HistoryRe(ident) =>
+        // DESCRIBE HISTORY (round 13): the commit log as a SQL-queryable
+        // surface — Spark's own grammar has no such statement, so it
+        // rides the same parser extension as MATERIALIZED VIEW
+        Some(GraftDescribeHistoryCommand(delegate.parseMultipartIdentifier(ident)))
       case _ => None
     }
 
@@ -617,6 +624,37 @@ case class GraftCreateMatViewCommand(viewParts: Seq[String],
   }
   override def simpleString(maxFields: Int): String =
     s"GraftCreateMatView ${viewParts.mkString(".")}"
+}
+
+/** DESCRIBE HISTORY <catalog>.<ns...>.<table>: one row per retained
+  * version — (version, op, ts, num_files, num_dvs), straight from the
+  * commit manifests ([[graft.sources.VersionedTableOps.history]]).
+  * Driver-side manifest reads only, no data IO — the observability
+  * twin of CALL <cat>.system.history, as a first-class statement whose
+  * result composes with SQL (it is a plain local relation). A dropped
+  * table's retained history stays DESCRIBEable until vacuum — the
+  * same forensics window every other history surface keeps.
+  */
+case class GraftDescribeHistoryCommand(tableParts: Seq[String])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types._
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("op", StringType, nullable = false)(),
+      AttributeReference("ts", TimestampType, nullable = false)(),
+      AttributeReference("num_files", IntegerType, nullable = false)(),
+      AttributeReference("num_dvs", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (ops, path, _) = GraftMatView.resolve(spark, tableParts)
+    require(ops.versions(path).nonEmpty,
+      s"no table at ${tableParts.mkString(".")} to describe")
+    ops.history(spark, path).collect().toSeq
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftDescribeHistory ${tableParts.mkString(".")}"
 }
 
 /** One REFRESH MATERIALIZED VIEW = one incremental fold of the source

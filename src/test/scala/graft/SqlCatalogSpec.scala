@@ -108,6 +108,36 @@ class SqlCatalogSpec extends SparkSpec {
     val desc = spark.sql(s"DESCRIBE TABLE $catalog.db.t").collect()
     assert(desc.map(_.getString(0)).toSet.intersect(Set("k", "val")) === Set("k", "val"))
 
+    // SHOW CREATE TABLE (round 13): the stored schema + provider +
+    // properties rendered as re-runnable DDL through Spark's own v2
+    // exec over this catalog's Table surface
+    val ddl = spark.sql(s"SHOW CREATE TABLE $catalog.db.t").head.getString(0)
+    assert(ddl.toUpperCase.startsWith("CREATE TABLE"), ddl)
+    assert(ddl.contains("k") && ddl.contains("val") && ddl.contains("BIGINT"),
+      s"the DDL must carry the declared columns: $ddl")
+    assert(ddl.contains("graft"), s"the DDL must name the provider: $ddl")
+    // re-runnable: executing the rendered DDL under a fresh name
+    // creates a table with the same declared schema (location/version
+    // properties are informational — the catalog derives the new path
+    // from the new name)
+    val ddl2 = ddl.replaceFirst("TABLE\\s+\\S*\\bt\\b", s"TABLE $catalog.db.tddl")
+    spark.sql(ddl2)
+    assert(spark.sql(s"SELECT * FROM $catalog.db.tddl").columns.toSeq ===
+      spark.sql(s"SELECT * FROM $catalog.db.t").columns.toSeq,
+      "the rendered DDL must recreate the declared schema")
+
+    // DESCRIBE HISTORY (round 13): the commit log as a SQL-queryable
+    // relation — version/op/ts/file counts straight from the
+    // manifests, agreeing with the Scala history() surface
+    val hist = spark.sql(s"DESC HISTORY $catalog.db.t").collect()
+    val scalaHist = ops.history(spark, table).collect()
+    assert(hist.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      scalaHist.map(r => (r.getLong(0), r.getString(1))).toSeq,
+      "DESCRIBE HISTORY must mirror the commit log")
+    assert(hist.map(_.getLong(0)).toSeq === hist.map(_.getLong(0)).toSeq.sorted,
+      "history rows come in version order")
+    intercept[Exception] { spark.sql(s"DESCRIBE HISTORY $catalog.db.nosuch") }
+
     // a second table in a sibling namespace lists independently
     ops.overwrite(spark, s"$root/other/u", rows(0, 5))
     assert(spark.sql(s"SHOW TABLES IN $catalog.other").collect()
@@ -155,6 +185,27 @@ class SqlCatalogSpec extends SparkSpec {
     }
     assert(purgeErr.getMessage.contains("PURGE") ||
       purgeErr.getMessage.toLowerCase.contains("purge"))
+
+    // strictRecreate (round 13, the round-12 advice's opt-in): with the
+    // conf on, CREATE over a tombstoned head refuses while pre-drop
+    // snapshots are still retained (the grace window otherwise lets
+    // VERSION AS OF on the recreated name reach the previous owner's
+    // data); after vacuum truncates the history to the bare tombstone,
+    // the same CREATE proceeds
+    spark.sql(s"DROP TABLE $catalog.db.t")
+    spark.conf.set(s"spark.sql.catalog.$catalog.strictRecreate", "true")
+    try {
+      val strictErr = intercept[IllegalStateException] {
+        spark.sql(s"CREATE TABLE $catalog.db.t (k BIGINT)")
+      }
+      assert(strictErr.getMessage.contains("strictRecreate"),
+        s"unexpected refusal shape: ${strictErr.getMessage}")
+      ops.vacuum(table, retain = 1, graceMs = 0)
+      spark.sql(s"CREATE TABLE $catalog.db.t (k BIGINT)")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $catalog.db.t")
+        .head.getLong(0) === 0, "post-vacuum CREATE proceeds under strict mode")
+    } finally
+      spark.conf.unset(s"spark.sql.catalog.$catalog.strictRecreate")
 
     // missing tables fail as table-not-found, not an internal error
     val missing = intercept[org.apache.spark.sql.AnalysisException] {
