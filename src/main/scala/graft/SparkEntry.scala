@@ -135,6 +135,7 @@ object SparkEntry {
     "q_sql_history" -> (operators.VersionedQueries.qSqlHistory _),
     "q_sql_merge" -> (operators.VersionedQueries.qSqlMerge _),
     "q_sql_merge_by_source" -> (operators.VersionedQueries.qSqlMergeBySource _),
+    "q_sql_merge_clauses" -> (operators.VersionedQueries.qSqlMergeClauses _),
     "q_sql_call" -> (operators.VersionedQueries.qSqlCall _),
     "q_sql_partitioned" -> (operators.VersionedQueries.qSqlPartitioned _),
     "q_sql_mat_view" -> (operators.VersionedQueries.qSqlMatView _),
@@ -1203,6 +1204,29 @@ object SparkEntry {
         |  SELECT s_suppkey, s_acctbal + 1000 AS s_acctbal FROM supplier
         |  WHERE s_suppkey % 3 <> 0 AND NOT (s_acctbal < 0))
         |SELECT s_suppkey % 5 AS grp, COUNT(*) AS n,
+        |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM merged GROUP BY s_suppkey % 5""".stripMargin,
+    // q_sql_merge_clauses ran the FULL MERGE clause grammar in one
+    // statement (conditional matched update reading both sides,
+    // catch-all matched delete, conditional key-only insert, both
+    // by-source forms); the oracle composes the five row fates:
+    // matched keys re-price to 3x when the doubled balance clears
+    // 5000 and delete otherwise, even synthetic keys insert with NULL
+    // balance, source-missing rows delete when negative and re-flag
+    // +1000 otherwise.
+    "q_sql_merge_clauses" ->
+      """WITH merged AS (
+        |  SELECT s_suppkey, s_acctbal + s_acctbal * 2 AS s_acctbal
+        |  FROM supplier
+        |  WHERE s_suppkey % 3 = 0 AND s_acctbal * 2 > 5000
+        |  UNION ALL
+        |  SELECT s_suppkey + 1000000 AS s_suppkey,
+        |         CAST(NULL AS DOUBLE) AS s_acctbal FROM supplier
+        |  WHERE s_suppkey % 7 = 0 AND (s_suppkey + 1000000) % 2 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey, s_acctbal + 1000 AS s_acctbal FROM supplier
+        |  WHERE s_suppkey % 3 <> 0 AND NOT (s_acctbal < 0))
+        |SELECT s_suppkey % 5 AS grp, COUNT(*) AS n, COUNT(s_acctbal) AS n_bal,
         |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM merged GROUP BY s_suppkey % 5""".stripMargin,
     // q_sql_mat_view ran CREATE MATERIALIZED VIEW (first fold) +

@@ -1795,6 +1795,49 @@ object VersionedQueries {
     out
   }
 
+  /** q_sql_merge_clauses: the FULL MERGE clause grammar under the
+    * oracle gate (round 13) — conditional matched clauses evaluated
+    * first-match-wins (an UPDATE whose value reads BOTH sides, then a
+    * catch-all MATCHED DELETE), a conditional PARTIAL INSERT
+    * (unassigned column lands typed NULL), and both BY SOURCE forms,
+    * all in ONE statement. Matched keys (s_suppkey % 3 = 0): doubled
+    * balance > 5000 re-prices to t + s (3× the original), the rest
+    * DELETE; synthetic unmatched keys (+10⁶, % 7 = 0) insert key-only
+    * when even; source-missing rows delete when negative and re-flag
+    * +1000 otherwise. The oracle composes the five row fates in plain
+    * SQL; COUNT(bal) pins the NULL-filled inserts.
+    */
+  def qSqlMergeClauses(spark: SparkSession, dir: String): DataFrame =
+      withRoot(spark, "sqlmergecl", "vq_sqlmcl_supplier") { root =>
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    t(spark, dir, "supplier").createOrReplaceTempView("vq_sqlmcl_supplier")
+    spark.sql(
+      """CREATE TABLE graft.mcl.sup AS
+        |SELECT s_suppkey, s_acctbal FROM vq_sqlmcl_supplier""".stripMargin)
+    spark.sql(
+      """MERGE INTO graft.mcl.sup t
+        |USING (SELECT s_suppkey, s_acctbal * 2 AS s_acctbal
+        |       FROM vq_sqlmcl_supplier WHERE s_suppkey % 3 = 0
+        |       UNION ALL
+        |       SELECT s_suppkey + 1000000 AS s_suppkey,
+        |              CAST(42.0 AS DOUBLE) AS s_acctbal
+        |       FROM vq_sqlmcl_supplier WHERE s_suppkey % 7 = 0) s
+        |ON t.s_suppkey = s.s_suppkey
+        |WHEN MATCHED AND s.s_acctbal > 5000 THEN UPDATE SET
+        |  s_acctbal = t.s_acctbal + s.s_acctbal
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED AND s.s_suppkey % 2 = 0 THEN INSERT
+        |  (s_suppkey) VALUES (s.s_suppkey)
+        |WHEN NOT MATCHED BY SOURCE AND t.s_acctbal < 0 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+        |  s_acctbal = t.s_acctbal + 1000""".stripMargin)
+    spark.sql(
+      """SELECT s_suppkey % 5 AS grp, COUNT(*) AS n, COUNT(s_acctbal) AS n_bal,
+        |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft.mcl.sup GROUP BY s_suppkey % 5""".stripMargin)
+  }
+
   /** q_sql_history: DESCRIBE HISTORY under the oracle gate (round 13)
     * — a deterministic five-statement lifecycle (CREATE AS, INSERT,
     * DELETE, UPDATE, RENAME COLUMN) read back as the commit log's

@@ -108,31 +108,39 @@ private[sql] object GraftDml {
       GraftAddCheckCommand(t, a.checkConstraint.name, a.checkConstraint.condition)
     }
 
-  /** MERGE INTO t USING s ON t.k = s.k [AND …]
-    * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
-    * [WHEN NOT MATCHED BY SOURCE THEN DELETE / UPDATE SET …] —
-    * the canonical upsert, optionally extended with BY SOURCE clauses
-    * (round 13) — → [[graft.sources.VersionedTableOps.merge]] /
-    * [[graft.sources.VersionedTableOps.mergeKeyed]] with EXACT SQL
-    * semantics (matched rows take the source values INCLUDING nulls —
-    * not the API's coalesce upsert rule).
+  /** MERGE INTO t USING s ON t.k = s.k [AND …] — the FULL clause
+    * grammar (round 13, generalized from the round-10 canonical
+    * upsert): any number of `WHEN MATCHED [AND c] THEN UPDATE SET … |
+    * DELETE`, `WHEN NOT MATCHED [AND c] THEN INSERT …` and
+    * `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET … | DELETE`
+    * clauses, each family evaluated FIRST-MATCH-WINS per the SQL
+    * standard; matched rows a no-condition-matches walk leaves carry
+    * unchanged, unmatched source rows no INSERT clause takes are
+    * dropped, partial UPDATEs keep the unassigned columns and partial
+    * INSERTs fill them with typed NULLs. Matched values and conditions
+    * may reference BOTH sides (`t.v + s.delta`); insert and by-source
+    * clauses see their one existing side only.
     *
-    * BY SOURCE clauses (the "sync a dimension" MERGE: delete or
-    * re-flag target rows the source no longer carries) take optional
-    * conditions and evaluate FIRST-MATCH-WINS over target-only rows,
-    * per the SQL standard; conditions and UPDATE values reference
-    * TARGET columns only, and a BY SOURCE UPDATE may not assign a
-    * merge key (the row's identity). Their presence FORCES the
-    * whole-snapshot merge path: a by-source mutation touches rows
-    * whose files the source-key probe never selects, so the scoped
-    * rewrite (zone-map / partition-routed) would silently skip them —
-    * the statement honestly costs O(table), exactly like the same
-    * MERGE on any snapshot store.
+    * The invariants that keep the SCOPED paths sound are enforced
+    * rather than assumed: the ON condition must be a conjunction of
+    * target-key = source-expr equalities; every INSERT must assign
+    * each merge key exactly its ON source expression (so inserted rows
+    * land in the partitions/zones the key probe selected); and no
+    * UPDATE may move a key (a matched row's identity is its join key).
+    * Under those rules conditional matched/insert clauses stay
+    * scoped-safe — they only touch rows whose keys the probe named —
+    * so the partition-routed / zone-map COW paths still apply.
+    * BY SOURCE clauses alone force the whole-snapshot path: they
+    * mutate precisely the rows the probe never selects (see
+    * [[GraftMergeCommand]]).
     *
-    * Conditional MATCHED/NOT MATCHED clauses, MATCHED DELETE and
-    * partial-column upsert actions still refuse: each would silently
-    * change which rows survive, and the transactional API expresses
-    * them directly.
+    * Refusals left standing, each named: schema evolution, subqueries
+    * in conditions/values, non-equi ON shapes, nested-field
+    * assignment. One source row matching several target rows
+    * multiplies through the join (as it must); several SOURCE rows
+    * hitting one target key produce one output row per source row —
+    * the standard says error, this engine documents the permissive
+    * join semantics instead (the API contract since round 10).
     */
   def convertMerge(m: MergeIntoTable,
       sourceRewrite: LogicalPlan => LogicalPlan): Option[LogicalPlan] =
@@ -140,99 +148,150 @@ private[sql] object GraftDml {
       require(!m.schemaEvolutionEnabled,
         "graft SQL MERGE does not evolve schemas — append evolves on write")
       val target = m.targetTable
-      val upd = m.matchedActions match {
-        case Seq(ua: UpdateAction) if ua.condition.isEmpty => ua.assignments
-        case _ => throw new UnsupportedOperationException(
-          "graft SQL MERGE supports exactly WHEN MATCHED THEN UPDATE SET * " +
-            "(unconditional) — use VersionedTable.merge for custom shapes")
-      }
-      val ins = m.notMatchedActions match {
-        case Seq(ia: InsertAction) if ia.condition.isEmpty => ia.assignments
-        case _ => throw new UnsupportedOperationException(
-          "graft SQL MERGE supports exactly WHEN NOT MATCHED THEN INSERT * " +
-            "(unconditional) — use VersionedTable.merge for custom shapes")
-      }
       val targetCols = target.output.map(_.name)
-      def assignMap(as: Seq[Assignment], act: String): Map[String, Expression] = {
-        val m0 = as.map {
-          case Assignment(k: AttributeReference, v) =>
-            noSubquery(v, "MERGE"); k.name -> v
-          case Assignment(other, _) => throw new UnsupportedOperationException(
-            s"graft SQL MERGE assigns top-level columns only, not ${other.sql}")
-        }.toMap
-        require(m0.keySet == targetCols.toSet,
-          s"graft SQL MERGE $act must assign every target column " +
-            s"(missing ${(targetCols.toSet -- m0.keySet).mkString(", ")})")
-        m0
-      }
-      val updMap = assignMap(upd, "UPDATE")
-      val insMap = assignMap(ins, "INSERT")
-      targetCols.foreach { c =>
-        require(updMap(c).semanticEquals(insMap(c)),
-          s"graft SQL MERGE needs UPDATE and INSERT to assign column $c " +
-            "from the same source expression (the canonical upsert)")
-      }
-      // ON condition: a conjunction of target-column = source-expr
-      // equalities, each key's source side being EXACTLY what the
-      // actions assign to that column (otherwise the upsert would
-      // join on different values than it writes — wrong rows).
-      def keys(e: Expression): Seq[String] = e match {
-        case And(l, r) => keys(l) ++ keys(r)
+      // ---- ON: a conjunction of target-key = source-expr equalities
+      def onKeys(e: Expression): Seq[(String, Expression)] = e match {
+        case And(l, r) => onKeys(l) ++ onKeys(r)
         case EqualTo(l: AttributeReference, r) if target.outputSet.contains(l) &&
-            r.references.subsetOf(m.sourceTable.outputSet) => Seq(checkKey(l.name, r))
+            r.references.subsetOf(m.sourceTable.outputSet) => Seq(l.name -> r)
         case EqualTo(l, r: AttributeReference) if target.outputSet.contains(r) &&
-            l.references.subsetOf(m.sourceTable.outputSet) => Seq(checkKey(r.name, l))
+            l.references.subsetOf(m.sourceTable.outputSet) => Seq(r.name -> l)
         case other => throw new UnsupportedOperationException(
           s"graft SQL MERGE ON must be target-key = source-expr equalities, not ${other.sql}")
       }
-      def checkKey(name: String, srcSide: Expression): String = {
-        require(updMap(name).semanticEquals(srcSide),
-          s"graft SQL MERGE ON equates $name with a different source " +
-            "expression than the actions assign to it")
-        name
-      }
-      val mergeKeys = keys(m.mergeCondition).distinct
-      // BY SOURCE clauses: conditions and values see the TARGET row
-      // only. After the command's full-outer using-join the merge-key
-      // columns exist once (coalesced — equal to the target key on
-      // every target-only row) while non-key target columns resolve
-      // under the `t` alias, so the de-resolution splits on that.
-      def unresolveTarget(e: Expression): Column = Bridge.column(e.transform {
+      val keyExprs: Map[String, Expression] = onKeys(m.mergeCondition).toMap
+      val mergeKeys = onKeys(m.mergeCondition).map(_._1).distinct
+      // ---- side-aware de-resolution: after the command's full-outer
+      // using-join, merge keys exist ONCE (coalesced — the target key
+      // on matched/target-only rows, the computed source key on
+      // insert rows), other target columns resolve under `t`, other
+      // source columns under `u`.
+      def sideResolve(e: Expression): Column = Bridge.column(e.transform {
         case a: AttributeReference if mergeKeys.contains(a.name) =>
           UnresolvedAttribute.quoted(a.name)
-        case a: AttributeReference => UnresolvedAttribute(Seq("t", a.name))
+        case a: AttributeReference if target.outputSet.contains(a) =>
+          UnresolvedAttribute(Seq("t", a.name))
+        case a: AttributeReference => UnresolvedAttribute(Seq("u", a.name))
       })
-      def targetOnly(e: Expression, what: String): Unit = {
+      def checked(e: Expression, what: String, allowed: Expression => Boolean,
+          rule: String): Column = {
         noSubquery(e, "MERGE")
-        require(e.references.subsetOf(target.outputSet),
-          s"graft SQL MERGE BY SOURCE $what may reference target columns only" +
-            s" — there is no source row, got ${e.sql}")
+        require(e.references.forall(allowed),
+          s"graft SQL MERGE $what may reference $rule only, got ${e.sql}")
+        sideResolve(e)
       }
+      val isTargetRef = (a: Expression) => target.outputSet.exists(_.semanticEquals(a))
+      val isSourceRef = (a: Expression) => m.sourceTable.outputSet.exists(_.semanticEquals(a))
+      def assigns(as: Seq[Assignment]): Seq[(String, Expression)] = as.map {
+        case Assignment(k: AttributeReference, v) => noSubquery(v, "MERGE"); k.name -> v
+        case Assignment(other, _) => throw new UnsupportedOperationException(
+          s"graft SQL MERGE assigns top-level columns only, not ${other.sql}")
+      }
+      // ---- WHEN MATCHED: UPDATE (both sides visible) / DELETE,
+      // first-match-wins; a key assignment must be a no-op (the join
+      // key IS the row's identity and the probe's scope)
+      val matched: Seq[MatchedClause] = m.matchedActions.map {
+        case ua: UpdateAction =>
+          val set = assigns(ua.assignments).flatMap { case (k, v) =>
+            if (mergeKeys.contains(k)) {
+              require(v.semanticEquals(keyExprs(k)) ||
+                  target.output.exists(a => a.name == k && v.semanticEquals(a)),
+                s"graft SQL MERGE WHEN MATCHED may not move merge key $k — " +
+                  "assign it t.$k or the ON source expression (a no-op)")
+              None // matched rows already carry the key
+            } else Some(k -> checked(v, "WHEN MATCHED values",
+              a => isTargetRef(a) || isSourceRef(a), "target or source columns"))
+          }.toMap
+          MatchedUpdate(ua.condition.map(checked(_, "WHEN MATCHED conditions",
+            a => isTargetRef(a) || isSourceRef(a), "target or source columns")), set)
+        case da: DeleteAction =>
+          MatchedDelete(da.condition.map(checked(_, "WHEN MATCHED conditions",
+            a => isTargetRef(a) || isSourceRef(a), "target or source columns")))
+        case other => throw new UnsupportedOperationException(
+          s"graft SQL MERGE WHEN MATCHED supports UPDATE SET and DELETE, not $other")
+      }
+      // ---- WHEN NOT MATCHED: INSERT, source side only; every merge
+      // key must take exactly its ON expression (inserted rows must
+      // land where the key probe looked), unassigned columns are
+      // typed NULLs (SQL semantics)
+      val notMatched: Seq[InsertClause] = m.notMatchedActions.map {
+        case ia: InsertAction =>
+          val given = assigns(ia.assignments).toMap
+          mergeKeys.foreach { k =>
+            require(given.contains(k) && given(k).semanticEquals(keyExprs(k)),
+              s"graft SQL MERGE INSERT must assign merge key $k its ON source " +
+                "expression — the scoped paths route inserted rows by it")
+          }
+          require(given.keySet.subsetOf(targetCols.toSet),
+            s"graft SQL MERGE INSERT names unknown column(s) " +
+              s"${(given.keySet -- targetCols).mkString(", ")}")
+          val vals = targetCols.filterNot(mergeKeys.contains).map { c =>
+            c -> given.get(c).map(checked(_, "INSERT values",
+                isSourceRef, "source columns"))
+              .getOrElse(lit(null).cast(
+                target.output.find(_.name == c).get.dataType))
+          }.toMap
+          InsertClause(ia.condition.map(checked(_, "WHEN NOT MATCHED conditions",
+            isSourceRef, "source columns")), vals)
+        case other => throw new UnsupportedOperationException(
+          s"graft SQL MERGE WHEN NOT MATCHED supports INSERT, not $other")
+      }
+      // ---- WHEN NOT MATCHED BY SOURCE: target side only (round 13)
       val bySource: Seq[BySourceClause] = m.notMatchedBySourceActions.map {
         case da: DeleteAction =>
-          da.condition.foreach(targetOnly(_, "conditions"))
-          BySourceDelete(da.condition.map(unresolveTarget))
+          BySourceDelete(da.condition.map(checked(_, "BY SOURCE conditions",
+            isTargetRef, "target columns")))
         case ua: UpdateAction =>
-          ua.condition.foreach(targetOnly(_, "conditions"))
-          val set = ua.assignments.map {
-            case Assignment(k: AttributeReference, v) =>
-              targetOnly(v, "assignments")
-              require(!mergeKeys.contains(k.name),
-                s"graft SQL MERGE BY SOURCE UPDATE may not assign merge key ${k.name}")
-              k.name -> unresolveTarget(v)
-            case Assignment(other, _) => throw new UnsupportedOperationException(
-              s"graft SQL MERGE assigns top-level columns only, not ${other.sql}")
+          val set = assigns(ua.assignments).map { case (k, v) =>
+            require(!mergeKeys.contains(k),
+              s"graft SQL MERGE BY SOURCE UPDATE may not assign merge key $k")
+            k -> checked(v, "BY SOURCE assignments", isTargetRef, "target columns")
           }.toMap
-          BySourceUpdate(ua.condition.map(unresolveTarget), set)
+          BySourceUpdate(ua.condition.map(checked(_, "BY SOURCE conditions",
+            isTargetRef, "target columns")), set)
         case other => throw new UnsupportedOperationException(
           s"graft SQL MERGE BY SOURCE supports DELETE and UPDATE SET, not $other")
       }
-      // the updates frame: one row per source row, target column names
-      val updatesCols = targetCols.map(c => unresolve(updMap(c)).as(c))
+      // ---- the updates frame: every source column (so matched/insert
+      // clauses can reference them under `u`) plus each merge key
+      // computed from its ON expression under the key's name. A
+      // key-named source column must BE that key's expression —
+      // otherwise `s.k` and the join key would silently diverge.
+      val srcCols = m.sourceTable.output
+      mergeKeys.foreach { k =>
+        srcCols.find(_.name == k).foreach { a =>
+          require(keyExprs(k).semanticEquals(a),
+            s"graft SQL MERGE: source column $k shadows merge key $k but the " +
+              s"ON clause equates the key with ${keyExprs(k).sql} — rename one")
+        }
+      }
+      val updatesCols =
+        srcCols.filterNot(a => mergeKeys.contains(a.name))
+          .map(a => unresolve(a).as(a.name)) ++
+        mergeKeys.map(k => unresolve(keyExprs(k)).as(k))
       GraftMergeCommand(t, sourceRewrite(m.sourceTable), updatesCols, mergeKeys,
-        bySource)
+        matched, notMatched, bySource)
     }
 }
+
+/** A `WHEN MATCHED` clause, de-resolved for the merge command:
+  * conditions/values are name-based Columns over the joined row
+  * (target under `t`, source under `u`, merge keys bare).
+  * First-match-wins; a matched row no clause takes carries unchanged.
+  */
+private[sql] sealed trait MatchedClause {
+  def cond: Option[Column]
+}
+private[sql] case class MatchedUpdate(cond: Option[Column],
+    set: Map[String, Column]) extends MatchedClause
+private[sql] case class MatchedDelete(cond: Option[Column]) extends MatchedClause
+
+/** A `WHEN NOT MATCHED` INSERT clause: `vals` carries EVERY non-key
+  * target column (unassigned ones as typed NULLs). First-match-wins;
+  * a source row no clause takes is dropped.
+  */
+private[sql] case class InsertClause(cond: Option[Column],
+    vals: Map[String, Column])
 
 /** A `WHEN NOT MATCHED BY SOURCE` clause, de-resolved for the merge
   * command: conditions/values are name-based Columns over the target
@@ -283,19 +342,31 @@ case class GraftAddCheckCommand(table: GraftSqlTable, name: String, sqlExpr: Str
     s"GraftAddCheck ${table.path} $name CHECK ($sqlExpr)"
 }
 
-/** One canonical-upsert MERGE = one merge commit. The source plan is
-  * carried as a FIELD (not a child — the command is a leaf, like
-  * V2WriteCommand's table) and materialized at run time; the join is
-  * a full outer on the ON keys with a presence marker, so matched
-  * rows take the source values INCLUDING nulls (exact SQL MERGE
-  * semantics, deliberately not the API's coalesce rule).
+/** One MERGE statement = one merge commit. The source plan is carried
+  * as a FIELD (not a child — the command is a leaf, like
+  * V2WriteCommand's table) and materialized at run time into the
+  * `updates` frame: every source column (clauses reference them under
+  * `u`) plus the merge keys computed from their ON expressions. The
+  * join is one full outer on the keys with presence markers on both
+  * sides; each row class walks its clause family FIRST-MATCH-WINS:
+  *
+  *  - matched (both present): the first MATCHED clause whose
+  *    condition holds — UPDATE takes its assignments (unassigned
+  *    columns carry, values see both sides, SQL semantics INCLUDING
+  *    source nulls), DELETE drops the row; none → carry unchanged.
+  *  - source-only: the first INSERT clause whose condition holds
+  *    supplies the row; none → dropped.
+  *  - target-only: the BY SOURCE chain (round 13) — or carry.
   *
   * Cost shape: routed through [[graft.sources.VersionedTableOps
   * .mergeKeyed]], so when an ON key is a partition column of the
   * target, only the partitions whose key values appear in the source
   * are read, joined, and rewritten — untouched partitions carry by
-  * file reference. Unpartitionable layouts pay the documented
-  * whole-snapshot rewrite, same semantics.
+  * file reference; conditional matched/insert clauses keep that
+  * soundness because they only touch rows whose keys the probe named
+  * (conversion-time invariants: inserts assign keys their ON
+  * expressions, updates never move a key). Unpartitionable layouts
+  * pay the documented whole-snapshot rewrite, same semantics.
   *
   * BY SOURCE clauses BYPASS every scoped path ([[graft.sources
   * .VersionedTableOps.merge]] directly): the key probe selects files
@@ -303,50 +374,55 @@ case class GraftAddCheckCommand(table: GraftSqlTable, name: String, sqlExpr: Str
   * mutates precisely the rows those values never name — a scoped
   * rewrite would carry them untouched by file reference, silently
   * dropping the clause. Whole-snapshot is the honest O(table) cost of
-  * this statement on any snapshot store. Target-only rows evaluate
-  * the clause chain first-match-wins; rows no clause hits carry
-  * unchanged.
+  * this statement on any snapshot store.
   */
 case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
     updatesCols: Seq[Column], keys: Seq[String],
+    matched: Seq[MatchedClause], notMatched: Seq[InsertClause],
     bySource: Seq[BySourceClause] = Nil)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val updates = Bridge.ofRows(spark, source).select(updatesCols: _*)
-    val marker = "__graft_merge_present"
+    val uMark = "__graft_merge_u"
+    val tMark = "__graft_merge_t"
     def mergeFn(cur: org.apache.spark.sql.DataFrame,
         upd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val u = upd.withColumn(marker, lit(true))
-      val joined = cur.as("t").join(u.as("u"), keys.toSeq, "full_outer")
-      val uPresent = coalesce(col(marker), lit(false))
-      // a target-only row's value for column c: walk the BY SOURCE
-      // chain; the first clause whose condition holds wins (an UPDATE
-      // takes its assignment or carries, a DELETE's value is dead —
-      // the keep filter below drops the row); no clause → carry.
+      val joined = cur.withColumn(tMark, lit(true)).as("t")
+        .join(upd.withColumn(uMark, lit(true)).as("u"), keys.toSeq, "full_outer")
+      val uP = coalesce(col(s"u.$uMark"), lit(false))
+      val tP = coalesce(col(s"t.$tMark"), lit(false))
+      def chainValue[C](clauses: Seq[C], base: Column)(
+          value: C => Column, cond: C => Option[Column]): Column =
+        clauses.foldRight(base) { (cl, els) =>
+          when(cond(cl).getOrElse(lit(true)), value(cl)).otherwise(els)
+        }
+      def matchedValue(c: String): Column =
+        chainValue(matched, col(s"t.$c"))({
+          case MatchedUpdate(_, set) => set.getOrElse(c, col(s"t.$c"))
+          case MatchedDelete(_) => col(s"t.$c") // dead — the keep filter drops it
+        }, _.cond)
+      val matchedKeep: Column =
+        chainValue(matched, lit(true))(
+          cl => lit(cl.isInstanceOf[MatchedUpdate]), _.cond)
+      def insertValue(c: String): Column =
+        chainValue[InsertClause](notMatched, lit(null))(_.vals(c), _.cond)
+      val insertKeep: Column =
+        chainValue[InsertClause](notMatched, lit(false))(_ => lit(true), _.cond)
       def bySourceValue(c: String): Column =
-        bySource.foldRight(col(s"t.$c")) { (cl, els) =>
-          cl match {
-            case BySourceUpdate(cond, set) =>
-              when(cond.getOrElse(lit(true)), set.getOrElse(c, col(s"t.$c")))
-                .otherwise(els)
-            case BySourceDelete(cond) =>
-              when(cond.getOrElse(lit(true)), col(s"t.$c")).otherwise(els)
-          }
-        }
-      // does a target-only row survive? first matching clause decides
+        chainValue(bySource, col(s"t.$c"))({
+          case BySourceUpdate(_, set) => set.getOrElse(c, col(s"t.$c"))
+          case BySourceDelete(_) => col(s"t.$c") // dead — dropped below
+        }, _.cond)
       val bySourceKeep: Column =
-        bySource.foldRight(lit(true)) { (cl, els) =>
-          val keep = cl match {
-            case _: BySourceDelete => lit(false)
-            case _: BySourceUpdate => lit(true)
-          }
-          when(cl.cond.getOrElse(lit(true)), keep).otherwise(els)
-        }
+        chainValue(bySource, lit(true))(
+          cl => lit(cl.isInstanceOf[BySourceUpdate]), _.cond)
       joined
-        .where(uPresent || bySourceKeep)
-        .select(cur.columns.toSeq.map(c =>
+        .where((uP && tP && matchedKeep) || (uP && !tP && insertKeep) ||
+          (!uP && bySourceKeep))
+        .select(cur.columns.toSeq.filterNot(_ == tMark).map(c =>
           if (keys.contains(c)) col(c)
-          else when(uPresent, col(s"u.$c"))
+          else when(uP && tP, matchedValue(c))
+            .when(uP && !tP, insertValue(c))
             .otherwise(bySourceValue(c)).as(c)): _*)
     }
     if (bySource.isEmpty)
@@ -356,6 +432,6 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
     Nil
   }
   override def simpleString(maxFields: Int): String =
-    s"GraftMerge ${table.path} on ${keys.mkString(",")}" +
-      (if (bySource.isEmpty) "" else s" bySource=${bySource.size}")
+    s"GraftMerge ${table.path} on ${keys.mkString(",")} " +
+      s"matched=${matched.size} insert=${notMatched.size} bySource=${bySource.size}"
 }

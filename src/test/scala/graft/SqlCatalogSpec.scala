@@ -372,14 +372,59 @@ class SqlCatalogSpec extends SparkSpec {
     val m2 = spark.sql(s"SELECT count(*) AS n FROM $catalog.db.m").head.getLong(0)
     assert(m2 === 50, s"50 source keys upserted over 15 target rows, got $m2")
 
-    // non-canonical MERGE shapes refuse loudly
-    val badMerge = intercept[UnsupportedOperationException] {
+    // the FULL clause grammar (round 13): conditional matched clauses
+    // evaluated first-match-wins, MATCHED DELETE, values referencing
+    // BOTH sides, partial-column updates, conditional + partial
+    // INSERT (unassigned columns land typed NULL), and source rows no
+    // insert clause takes being dropped. State walking in: db.m holds
+    // k 0..49 with v = k*2 + (k<10 ? k : 0) from the explicit-columns
+    // upsert above; db.c holds k 0..49 (+999) with dbl = same values.
+    val preFull = spark.sql(s"SELECT k, v FROM $catalog.db.m").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.sql(
+      s"""MERGE INTO $catalog.db.m t
+         |USING (SELECT id AS k, id * 1000 AS big FROM range(0, 60)) s
+         |ON t.k = s.k
+         |WHEN MATCHED AND t.k < 10 THEN DELETE
+         |WHEN MATCHED AND s.big > 40000 THEN UPDATE SET v = t.v + s.big
+         |WHEN NOT MATCHED AND s.k % 2 = 0 THEN INSERT (k) VALUES (s.k)""".stripMargin)
+    val mFull = spark.sql(s"SELECT k, v FROM $catalog.db.m").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val expectFull: Map[Long, Option[Long]] =
+      preFull.flatMap { case (k, v) =>
+        if (k < 10) None // first clause wins: deleted
+        else if (k * 1000 > 40000) Some(k -> Some(v + k * 1000)) // updated
+        else Some(k -> Some(v)) // matched, no clause takes it: carries
+      } ++ // source-only keys 50..59: even ones insert with v NULL
+        (50L until 60 by 2).map(k => k -> (None: Option[Long]))
+    assert(mFull === expectFull,
+      s"full-grammar MERGE must replay the clause chain: got $mFull")
+
+    // refusals that remain, each named: moving a merge key in UPDATE,
+    // an INSERT that does not assign the key its ON expression, and a
+    // non-equi ON shape — and a refused statement publishes nothing
+    val preRefuse = ops.versions(s"$root/db/m").size
+    val badKey = intercept[Exception] {
       spark.sql(
         s"""MERGE INTO $catalog.db.m t USING $catalog.db.c s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET k = s.k + 1""".stripMargin)
+    }
+    assert(badKey.getMessage.contains("merge key"))
+    val badIns = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $catalog.db.m t USING $catalog.db.c s ON t.k = s.k
+           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k + 1, s.dbl)""".stripMargin)
+    }
+    assert(badIns.getMessage.contains("ON source expression"))
+    val badOn = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $catalog.db.m t USING $catalog.db.c s ON t.k < s.k
            |WHEN MATCHED THEN DELETE""".stripMargin)
     }
-    assert(badMerge.getMessage.contains("canonical") ||
-      badMerge.getMessage.contains("MATCHED"))
+    assert(badOn.getMessage.contains("equalities"))
+    assert(ops.versions(s"$root/db/m").size === preRefuse,
+      "refused MERGE statements must publish nothing")
 
     // CREATE TABLE … PARTITIONED BY: the value-directory layout is
     // SQL-creatable — version 0 is a ZERO-file manifest (a zero-row
