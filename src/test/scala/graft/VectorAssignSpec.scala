@@ -47,6 +47,28 @@ class VectorAssignSpec extends SparkSpec {
     } finally corpus.unpersist()
   }
 
+  test("probesNative with nProbe = 0 returns the empty list, interpreted and codegen") {
+    // round-12 advice: the bounded-heap rewrite read slot 0 of
+    // zero-length heap arrays where the old repeated scan returned an
+    // empty list — unreachable from the drivers (nProbe >= 1
+    // everywhere) but a silent contract tightening; both eval paths
+    // now early-return the empty list
+    val corpus = Ann.emb(spark, sf).limit(10).cache()
+    try {
+      val cs = Ann.trainQuantizer(corpus, 8, 1)
+      // codegen path (column input) and interpreted path (foldable
+      // literal input — constant-folded through nullSafeEval)
+      val litVec = org.apache.spark.sql.functions.array(
+        (0 until cs(0).length).map(i => lit(cs(0)(i))): _*)
+      val rows = corpus
+        .withColumn("gen", probesNative(col("v"), cs, 0))
+        .withColumn("interp", probesNative(litVec, cs, 0))
+        .select("gen", "interp").collect()
+      assert(rows.forall(r => r.getSeq[Int](0).isEmpty && r.getSeq[Int](1).isEmpty),
+        "nProbe = 0 must select nothing on both eval paths")
+    } finally corpus.unpersist()
+  }
+
   test("adversarial vectors: zero vector, exact ties, short vectors agree with the UDFs") {
     import TestSpark.spark.implicits._
     // handcrafted codebook with an exact duplicate centroid (tie must
