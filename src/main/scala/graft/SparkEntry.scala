@@ -124,6 +124,7 @@ object SparkEntry {
     "q_upsert_versioned" -> (operators.VersionedQueries.qUpsertVersioned _),
     "q_time_travel" -> (operators.VersionedQueries.qTimeTravel _),
     "q_zone_map_read" -> (operators.VersionedQueries.qZoneMapRead _),
+    "q_bloom_skip" -> (operators.VersionedQueries.qBloomSkip _),
     "q_zone_map_date" -> (operators.VersionedQueries.qZoneMapDate _),
     "q_zone_map_decimal" -> (operators.VersionedQueries.qZoneMapDecimal _),
     "q_zone_map_multi" -> (operators.VersionedQueries.qZoneMapMulti _),
@@ -1093,6 +1094,14 @@ object SparkEntry {
       """WITH b AS (SELECT max(c_custkey) // 3 AS third FROM customer)
         |SELECT c_custkey, c_acctbal FROM customer, b
         |WHERE c_custkey > third AND c_custkey <= 2 * third""".stripMargin,
+    // q_bloom_skip went through the per-file bloom sidecars on a
+    // hash-scattered layout (the query asserts files were skipped and
+    // routes the result through readIndexed + a plain IN filter, so
+    // the pruning ran inside Catalyst planning); the oracle is the
+    // plain point lookup the skipping must be invisible to
+    "q_bloom_skip" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey IN (7, 310, 1022, 1333)""".stripMargin,
     // q_zone_map_auto went through the ZoneMapFileIndex: the SAME
     // range arrives as a plain .filter() and the FileIndex prunes at
     // planning time — oracle identical to q_zone_map_read by design

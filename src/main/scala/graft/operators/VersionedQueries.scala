@@ -158,6 +158,43 @@ object VersionedQueries {
       .select(col("c_custkey"), col("c_acctbal"))
   }
 
+  /** q_bloom_skip: the point-lookup layout the ZONE MAPS structurally
+    * cannot prune — keys HASH-SCATTERED across every file (each file's
+    * [min, max] interval spans ~the whole key domain), the "find one
+    * key in 100 TB" shape — served by the per-file BLOOM sidecars
+    * ([[VersionedTable.setBloomIndex]]): the probe opens only the
+    * files whose filters might hold a probed key (asserted: fewer
+    * files than the snapshot), and the RETURNED frame goes through
+    * [[VersionedTable.readIndexed]] + a plain IN filter, so the
+    * pruning the oracle must not observe happened INSIDE Catalyst
+    * planning. False positives re-filter on the survivors — skipping
+    * is purely an IO optimization, which is exactly what the DuckDB
+    * recompute checks.
+    */
+  def qBloomSkip(spark: SparkSession, dir: String): DataFrame =
+      withRoot(spark, "bloom") { root =>
+    val table = root + "/t"
+    val all = t(spark, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    // three era commits (keys ≡ era mod 3), each hash-scattered over
+    // four files by an UNRELATED column — the adversarial layout: no
+    // interval can separate the keys, only per-file membership can
+    for (era <- 0 to 2) {
+      val slice = all.filter(col("c_custkey") % 3 === era)
+        .repartition(4, col("c_acctbal"))
+      if (era == 0) VersionedTable.overwrite(spark, table, slice)
+      else VersionedTable.append(spark, table, slice)
+    }
+    VersionedTable.setBloomIndex(spark, table, Seq(("c_custkey", 0.001)))
+    val keys = Seq(7L, 310L, 1022L, 1333L)
+    val v = Some(VersionedTable.versions(table).last)
+    val (kept, total) = VersionedTable.filesForPoints(table, "c_custkey", keys, v)
+    require(kept.size < total,
+      s"blooms must skip files on the scattered layout (kept ${kept.size}/$total)")
+    VersionedTable.readIndexed(spark, table, v)
+      .filter(col("c_custkey").isin(keys: _*))
+      .select(col("c_custkey"), col("c_acctbal"))
+  }
+
   /** q_zone_map_date: the round-6 gap — the suite's dominant scan
     * predicates are date ranges, and DATE columns were conservatively
     * unindexed. Orders are committed in three YEAR-CLUSTERED appends

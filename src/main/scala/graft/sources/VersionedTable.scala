@@ -115,6 +115,32 @@ class VersionedTableOps(val store: CommitStore) {
       .getOrElse(Nil)
   }
 
+  /** The version's BLOOM-INDEX DECLARATION: (physical column, target
+    * false-positive rate) pairs — empty for undeclared tables and
+    * legacy manifests. Carried forward by every commit like
+    * constraints/renames/partitionBy; see [[BloomSkipIndex]] for the
+    * sidecar mechanics and [[setBloomIndex]] for the declaration op.
+    */
+  private[sources] def manifestBloomBy(table: String, v: Long): Seq[(String, Double)] = {
+    val txt = store.read(commitsDir(table), manifestName(v))
+    "\\{\"bcol\": \"((?:[^\"\\\\]++|\\\\.)*+)\", \"bfpp\": ([-0-9.eE]+)\\}".r
+      .findAllMatchIn(txt)
+      .map(m => (unescStr(m.group(1)), m.group(2).toDouble)).toSeq
+  }
+
+  /** The table's bloom-index declaration under LOGICAL column names —
+    * the public twin of [[manifestBloomBy]] (which is keyed physical,
+    * like the stats).
+    */
+  def bloomIndexSpec(table: String, version: Option[Long] = None): Seq[(String, Double)] =
+    versions(table).lastOption match {
+      case None => Nil
+      case Some(last) =>
+        val v = version.getOrElse(last)
+        val ren = manifestRenames(table, v)
+        manifestBloomBy(table, v).map { case (ph, f) => (ren.getOrElse(ph, ph), f) }
+    }
+
   /** The version's COLUMN-MAPPING MODE flag: "" (name-based, every
     * table so far) or "id" (physical names are stable synthetic ids —
     * see [[overwriteIdMapped]]). Carried forward by every commit like
@@ -214,7 +240,8 @@ class VersionedTableOps(val store: CommitStore) {
       cons: Seq[(String, String)] = Nil,
       renames: Map[String, String] = Map.empty,
       partitionBy: Seq[String] = Nil,
-      colMap: String = ""): String = {
+      colMap: String = "",
+      bloomBy: Seq[(String, Double)] = Nil): String = {
     // one watermark keeps the legacy top-level form byte-compatible;
     // several (a joined materialized view committing BOTH source
     // cursors atomically) render as a "txns" array whose objects carry
@@ -251,9 +278,17 @@ class VersionedTableOps(val store: CommitStore) {
     // read carry the whole physical→logical translation; the mode flag
     // only changes WRITE-side id assignment and guard behavior
     val cmSec = if (colMap.isEmpty) "" else s"""  "colmap": "$colMap",\n"""
+    // additive like partitionBy: the bloom declaration only enables
+    // equality file-skipping on sidecars that exist — an old reader
+    // ignoring it (or a file without its sidecar) reads every file
+    val bloomSec =
+      if (bloomBy.isEmpty) ""
+      else bloomBy.map { case (c, f) =>
+        s"""    {"bcol": "${escStr(c)}", "bfpp": $f}""" }
+        .mkString("  \"bloomBy\": [\n", ",\n", "\n  ],\n")
     val filesSec = files.map(f => "    \"" + f + "\"").mkString(
       s"""{\n  "version": $v,\n  "format": 1,\n  "op": "$op",\n""" +
-        s"""  "ts": ${System.currentTimeMillis()},\n""" + txnSec + consSec + renSec + partSec + cmSec +
+        s"""  "ts": ${System.currentTimeMillis()},\n""" + txnSec + consSec + renSec + partSec + cmSec + bloomSec +
         s"""  "schema": "${escStr(schema.json)}",\n  "files": [\n""",
       ",\n",
       "\n  ]")
@@ -451,7 +486,8 @@ class VersionedTableOps(val store: CommitStore) {
 
   private def stageData(table: String, df: DataFrame, tag: String,
       partsOverride: Option[Seq[String]] = None,
-      renFor: Option[Map[String, String]] = None): Seq[String] = {
+      renFor: Option[Map[String, String]] = None,
+      bloomsOverride: Option[Seq[(String, Double)]] = None): Seq[String] = {
     val rel = s"data/$tag-${java.util.UUID.randomUUID().toString.take(8)}"
     val dir = Paths.get(table, rel)
     // writes always land under PHYSICAL names so files stay uniform
@@ -480,7 +516,7 @@ class VersionedTableOps(val store: CommitStore) {
       if (tag == "dv") Nil
       else partsOverride.getOrElse(versions(table).lastOption
         .map(manifestPartitionBy(table, _)).getOrElse(Nil))
-    if (parts.isEmpty) {
+    val staged: Seq[String] = if (parts.isEmpty) {
       out.write.parquet(dir.toString)
       val emptyParts = writeFileStats(df.sparkSession, dir)
       // zero-row part files carry no data and no stats — dropped here so
@@ -513,6 +549,25 @@ class VersionedTableOps(val store: CommitStore) {
           .map(p => dir.getParent.getParent.relativize(p).toString)
       }.sorted
     }
+    // bloom sidecars follow the table like partition routing does:
+    // every stage of a declared table (append, COW rewrite, compact,
+    // OPTIMIZE) indexes its fresh files, so equality skipping
+    // self-maintains. One distributed job per stage; filters sized to
+    // the batch's largest file (exact per-file counts come from the
+    // `_stats.json` just written). DV stages never index.
+    val blooms: Seq[(String, Double)] =
+      if (tag == "dv") Nil
+      else bloomsOverride.getOrElse(versions(table).lastOption
+        .map(manifestBloomBy(table, _)).getOrElse(Nil))
+    if (blooms.nonEmpty && staged.nonEmpty) {
+      val rows = staged.flatMap { f =>
+        val d = f.split('/').dropRight(1).mkString("/")
+        dirRows(table, d).get(f.split('/').last)
+      }
+      BloomSkipIndex.build(df.sparkSession, table, staged, blooms,
+        if (rows.isEmpty) 1L else rows.max)
+    }
+    staged
   }
 
   /** Footer statistics of one column chunk, normalized to the
@@ -820,7 +875,8 @@ class VersionedTableOps(val store: CommitStore) {
       consOverride: Option[Long => Seq[(String, String)]] = None,
       renOverride: Option[Long => Map[String, String]] = None,
       partsOverride: Option[Long => Seq[String]] = None,
-      colMapOverride: Option[Long => String] = None): Long = {
+      colMapOverride: Option[Long => String] = None,
+      bloomOverride: Option[Long => Seq[(String, Double)]] = None): Long = {
     val dir = commitsDir(table)
     var attempt = 0
     while (true) {
@@ -842,13 +898,15 @@ class VersionedTableOps(val store: CommitStore) {
         partsOverride.map(_(base)).getOrElse(
           if (base == 0) Nil else manifestPartitionBy(table, base))),
         colMapOverride.map(_(base)).getOrElse(
-          if (base == 0) "" else manifestColMap(table, base))))
+          if (base == 0) "" else manifestColMap(table, base)),
+        bloomOverride.map(_(base)).getOrElse(
+          if (base == 0) Nil else manifestBloomBy(table, base))))
       catch {
         case _: java.nio.file.NoSuchFileException => None // base vacuumed under us
       }
-      val won = plan.exists { case (((schema, fs, dvs), consList, renMap, partsList), cm) =>
+      val won = plan.exists { case (((schema, fs, dvs), consList, renMap, partsList), cm, blooms) =>
         store.putIfAbsent(dir, manifestName(v),
-          render(v, op, schema, fs, dvs, txn, consList, renMap, partsList, cm)) }
+          render(v, op, schema, fs, dvs, txn, consList, renMap, partsList, cm, blooms)) }
       if (won) return v
       attempt += 1 // lost the race (or lost the base): re-read head, retry
       require(attempt < 100, s"commit contention on $table")
@@ -2751,6 +2809,124 @@ class VersionedTableOps(val store: CommitStore) {
       .filter(col(statsCol).between(lit(lo), lit(hi)))
   }
 
+  /** Declare a per-file BLOOM INDEX on `cols` (logical name → target
+    * false-positive rate) — the equality-lookup complement of the zone
+    * maps; see [[BloomSkipIndex]] for why an interval can never serve
+    * `WHERE key = x` on a high-cardinality unclustered column. The
+    * declaration is ONE metadata commit (files by reference, carried
+    * forward by every later commit like partitionBy), and every
+    * subsequent stage indexes its fresh files inside the staging job.
+    * With `backfill` (the default) the CURRENT snapshot's files are
+    * indexed first — one distributed job — so the declaration is
+    * effective immediately; without it, pre-declaration files simply
+    * never prune (conservative). Declaring `Nil` removes the index
+    * (existing sidecars become dead bytes until their dirs vacuum).
+    */
+  def setBloomIndex(spark: SparkSession, table: String,
+      cols: Seq[(String, Double)], backfill: Boolean = true): Long = {
+    val head = versions(table).lastOption.getOrElse(0L)
+    requireInit(table, head, "setBloomIndex")
+    val ren = manifestRenames(table, head)
+    val schema = manifestSchema(table, head)
+      .getOrElse(asStored(read(spark, table, Some(head)).schema))
+    val phys = cols.map { case (c, fpp) =>
+      require(schema.fieldNames.contains(c),
+        s"bloom index column $c is not in $table's schema")
+      require(fpp > 0d && fpp < 0.5d,
+        s"bloom fpp for $c must be in (0, 0.5), got $fpp")
+      val ph = physicalName(ren, c)
+      require(BloomSkipIndex.NameRe.pattern.matcher(ph).matches(),
+        s"bloom index column $c (physical $ph) must match [A-Za-z0-9_]+ " +
+          "(the name becomes a sidecar filename segment)")
+      (ph, fpp)
+    }
+    require(phys.map(_._1).distinct.size == phys.size,
+      "duplicate bloom index columns")
+    if (backfill && phys.nonEmpty) {
+      val files = manifestFiles(table, head)
+      val rows = files.flatMap { f =>
+        val d = f.split('/').dropRight(1).mkString("/")
+        dirRows(table, d).get(f.split('/').last)
+      }
+      // sidecars land BEFORE the declaration publishes: a reader
+      // planning mid-backfill has no declaration yet and prunes
+      // nothing; one planning after it finds every sidecar in place
+      BloomSkipIndex.build(spark, table, files, phys,
+        if (rows.isEmpty) 1L else rows.max)
+    }
+    commitDv(table, "set_bloom", base =>
+      (manifestSchema(table, base)
+        .getOrElse(asStored(rawRead(spark, table, base, manifestFiles(table, base)).schema)),
+        manifestFiles(table, base), manifestDvs(table, base)),
+      bloomOverride = Some(_ => phys))
+  }
+
+  /** The bloom twin of [[filesForRange]]: manifest files of a version
+    * that might hold ANY of `values` in the bloom-indexed `column`
+    * (logical name), plus the snapshot's total file count — the
+    * evidence surface specs and operator queries assert skipping on.
+    * Files without a sidecar (staged before the declaration) are
+    * conservatively kept. Refuses columns the version does not
+    * declare — a silent keep-everything answer would read as "the
+    * index worked" in a probe that never consulted it.
+    */
+  def filesForPoints(table: String, column: String, values: Seq[Any],
+      version: Option[Long] = None): (Seq[String], Int) = {
+    require(values.nonEmpty, "at least one probe value")
+    val v = version.getOrElse {
+      val vs = versions(table)
+      require(vs.nonEmpty, s"no commits at $table")
+      vs.last
+    }
+    val all = manifestFiles(table, v)
+    val ren = manifestRenames(table, v)
+    val ph = physicalName(ren, column)
+    require(manifestBloomBy(table, v).exists(_._1 == ph),
+      s"$column is not bloom-indexed on $table at version $v " +
+        s"(declared: ${bloomIndexSpec(table, Some(v)).map(_._1).mkString(", ") })")
+    val dt = manifestSchema(table, v).flatMap(_.fields.find(_.name == column))
+      .map(_.dataType).getOrElse(throw new IllegalArgumentException(
+        s"$column is not in $table's schema at version $v"))
+    val hashes = values.map(x => BloomSkipIndex.hashLiteral(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(x, dt)))
+    (keepByBlooms(table, all, Seq((ph, hashes))), all.size)
+  }
+
+  /** Point-lookup read with bloom file skipping: only files whose
+    * sidecar might contain one of `values` are opened, with the exact
+    * IN residual on the survivors (false positives re-filter — the
+    * skipping is purely an IO optimization). The automatic path is
+    * [[readIndexed]] + a plain `.filter(col === x)` — this explicit
+    * form exists for the same reason [[readRange]] does.
+    */
+  def readPoints(spark: SparkSession, table: String, column: String,
+      values: Seq[Any], version: Option[Long] = None): DataFrame = {
+    val v = Some(version.getOrElse(versions(table).last))
+    val (kept, _) = filesForPoints(table, column, values, v)
+    if (kept.isEmpty) read(spark, table, v).limit(0)
+    else readFiles(spark, table, v.get, kept)
+      .filter(col(column).isin(values: _*))
+  }
+
+  /** The bloom pruning kernel ([[keepByZoneMaps]]' equality sibling):
+    * of `files`, those whose sidecars might satisfy EVERY probe —
+    * each probe is (physical column, disjunctive xxhash64 list), so
+    * `k IN (a, b)` keeps a file if a OR b might be present, and two
+    * probed columns must BOTH pass. A file without a sidecar for a
+    * probed column is never eliminated by that column.
+    */
+  private[sources] def keepByBlooms(table: String, files: Seq[String],
+      probes: Seq[(String, Seq[Long])]): Seq[String] =
+    if (probes.isEmpty) files
+    else files.filter { f =>
+      probes.forall { case (c, hs) =>
+        BloomSkipIndex.load(table, f, c) match {
+          case None => true
+          case Some(bf) => hs.exists(bf.mightContainLong)
+        }
+      }
+    }
+
   /** Snapshot read whose FILE LISTING is zone-map-aware INSIDE
     * Catalyst (via [[ZoneMapFileIndex]]) — the integration that makes
     * skipping automatic: a plain `.filter()` over the returned frame
@@ -3076,8 +3252,15 @@ class VersionedTableOps(val store: CommitStore) {
     * aggregate — the batch-side cost never exceeds one pass over the
     * source either way. None when no key qualifies.
     */
+  /** Returns the key column, its zone-map probe, and — when the batch
+    * is point-sized — the XxHash64 hashes of the NATIVE key values
+    * for the bloom-sidecar refinement (empty past the point bound:
+    * a min/max envelope has no value list to test). The natives ride
+    * the SAME bounded distinct collect as the domain values — no
+    * second pass over the source.
+    */
   private def keyProbeFor(updates: DataFrame, keys: Seq[String],
-      maxTouched: Int): Option[(String, KeyProbe)] = {
+      maxTouched: Int): Option[(String, KeyProbe, Seq[Long])] = {
     import org.apache.spark.sql.types._
     val usable = keys.flatMap(k => updates.schema.fields.find(_.name == k))
       .flatMap { f =>
@@ -3095,19 +3278,25 @@ class VersionedTableOps(val store: CommitStore) {
     usable.map { case (name, domain, isNum) =>
       // null keys never EqualTo-match a stored row: they probe nothing
       // (the scoped mergeFn still sees them and lands them as inserts)
-      val raw = updates.select(domain.as("__graft_mk"))
+      val raw = updates
+        .select(col(name).as("__graft_nk"), domain.as("__graft_mk"))
         .where(col("__graft_mk").isNotNull)
         .distinct().limit(maxTouched + 1).collect()
-      val probe: KeyProbe =
-        if (raw.length <= maxTouched) {
-          if (isNum) NumPoints(raw.map(_.getDouble(0)).sorted)
-          else StrPoints(raw.map(_.getString(0)).sortWith(utf8Cmp(_, _) < 0))
-        } else {
-          val mm = updates.agg(min(domain), max(domain)).head()
+      if (raw.length <= maxTouched) {
+        val probe: KeyProbe =
+          if (isNum) NumPoints(raw.map(_.getDouble(1)).sorted)
+          else StrPoints(raw.map(_.getString(1)).sortWith(utf8Cmp(_, _) < 0))
+        val dt = updates.schema(name).dataType
+        val hashes = raw.map(r => BloomSkipIndex.hashLiteral(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(r.get(0), dt)))
+        (name, probe, hashes.toSeq)
+      } else {
+        val mm = updates.agg(min(domain), max(domain)).head()
+        val probe: KeyProbe =
           if (isNum) NumRange(mm.getDouble(0), mm.getDouble(1))
           else StrRange(mm.getString(0), mm.getString(1))
-        }
-      (name, probe)
+        (name, probe, Nil)
+      }
     }
   }
 
@@ -3211,7 +3400,7 @@ class VersionedTableOps(val store: CommitStore) {
     // count is large enough for carrying to win.
     if (manifestFiles(table, versions(table).last).size < ZoneMergeFileFloor)
       return whole()
-    val (keyCol, probe) = keyProbeFor(updates, keys, maxTouched) match {
+    val (keyCol, probe, keyHashes) = keyProbeFor(updates, keys, maxTouched) match {
       case Some(kp) => kp
       case None => return whole()
     }
@@ -3220,7 +3409,18 @@ class VersionedTableOps(val store: CommitStore) {
       val head = versions(table).last
       val all = manifestFiles(table, head)
       val phys = physicalNested(manifestRenames(table, head), keyCol)
-      val touched = filesTouchedByKey(table, all, phys, probe)
+      val zoneTouched = filesTouchedByKey(table, all, phys, probe)
+      // bloom refinement (round 13): on an UNCLUSTERED layout the
+      // interval probe keeps ~every file (each spans the key domain)
+      // and the scoped path degrades to whole-snapshot — the sidecars
+      // re-scope it to the files that might actually hold a source
+      // key. Point-sized batches only (a range probe has no value
+      // list); same conservatism (no sidecar → kept), so carrying
+      // stays sound: a dropped file provably holds no matching key
+      val touched =
+        if (keyHashes.isEmpty || !manifestBloomBy(table, head).exists(_._1 == phys))
+          zoneTouched
+        else keepByBlooms(table, zoneTouched, Seq((phys, keyHashes)))
       if (touched.size >= all.size) return whole()
       val cur =
         if (touched.isEmpty) read(spark, table, Some(head)).limit(0)
@@ -3291,15 +3491,26 @@ class VersionedTableOps(val store: CommitStore) {
     val condExpr = snap.filter(cond).queryExecution.optimizedPlan.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
-    val (num0, str0, nul0) = ZoneMapFilters.constraints(condExpr.toSeq)
+    val (num0, str0, nul0, pts0) = ZoneMapFilters.constraints(condExpr.toSeq)
     // the predicate names LOGICAL columns; stats are keyed physical
     val ren = manifestRenames(table, base)
     val num = num0.map { case (c, lo, hi) => (physicalNested(ren, c), lo, hi) }
     val str = str0.map { case (c, lo, hi) => (physicalNested(ren, c), lo, hi) }
     val nul = nul0.map { case (c, w) => (physicalNested(ren, c), w) }
-    val touched =
+    val zoned =
       if (num.isEmpty && str.isEmpty && nul.isEmpty) all
       else keepByZoneMaps(table, all, num, str, nul)
+    // bloom sidecars prune the REWRITE set the same way they prune
+    // reads: `DELETE WHERE key = x` on a bloom-indexed unclustered
+    // column rewrites only the files that might hold the key — the
+    // zone maps alone would rewrite the whole table (every file's
+    // interval spans the domain)
+    val bloomDecl = manifestBloomBy(table, base).map(_._1).toSet
+    val probes = pts0.collect {
+      case (c, lits) if bloomDecl.contains(physicalNested(ren, c)) =>
+        (physicalNested(ren, c), lits.map(BloomSkipIndex.hashLiteral)) }
+    val touched =
+      if (probes.isEmpty) zoned else keepByBlooms(table, zoned, probes)
     val touchedSet = touched.toSet
     (touched, all.filterNot(touchedSet))
   }

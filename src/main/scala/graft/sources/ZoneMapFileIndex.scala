@@ -63,12 +63,25 @@ class ZoneMapFileIndex(spark: SparkSession, ops: VersionedTableOps,
 
   override def sizeInBytes: Long = statusByRel.map(_._2.getLen).sum
 
+  // the version's bloom declaration, resolved once like the statuses;
+  // probed only when an equality conjunct names a declared column
+  private lazy val bloomDecl: Set[String] =
+    ops.manifestBloomBy(table, version).map(_._1).toSet
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val (num, str, nul) = ZoneMapFilters.constraints(dataFilters)
-    val kept =
+    val (num, str, nul, pts) = ZoneMapFilters.constraints(dataFilters)
+    val zoneKept =
       if (num.isEmpty && str.isEmpty && nul.isEmpty) relFiles
       else ops.keepByZoneMaps(table, relFiles, num, str, nul)
+    // bloom skipping composes AFTER the zone maps: sidecars are read
+    // only for interval survivors, and only for declared columns
+    // (filter names here are physical — the scan's schema is)
+    val probes = pts.collect { case (c, lits) if bloomDecl.contains(c) =>
+      (c, lits.map(BloomSkipIndex.hashLiteral)) }
+    val kept =
+      if (probes.isEmpty) zoneKept
+      else ops.keepByBlooms(table, zoneKept, probes)
     val keptSet = kept.toSet
     Seq(PartitionDirectory(InternalRow.empty,
       statusByRel.collect { case (f, st) if keptSet(f) => st }.toArray))
@@ -85,22 +98,30 @@ private[sources] object ZoneMapFilters {
 
   /** One conjunctive interval per constrained column: numeric ranges
     * in the stats double domain, string ranges in the printable-
-    * ASCII domain, and NULLNESS probes (col, wantNull) from IS NULL /
+    * ASCII domain, NULLNESS probes (col, wantNull) from IS NULL /
     * IS NOT NULL conjuncts — skipped on the committed per-file null
     * counts (a comparison filter's implied isnotnull skips ALL-NULL
     * files; an explicit isNull probe skips every fully-populated
-    * file). Untranslatable predicates constrain nothing.
+    * file) — and EQUALITY POINT probes for the bloom sidecars: each
+    * `col = lit` / `col <=> lit` / all-literal `IN` conjunct yields
+    * one (col, disjunctive literal list) entry (a file must satisfy
+    * every conjunct; within one IN, any listed value suffices).
+    * Points are EXTRA precision over the interval the same conjunct
+    * already contributed — the zone map keeps boundary files whose
+    * range covers the value, the bloom drops the ones that provably
+    * never held it. Untranslatable predicates constrain nothing.
     */
   def constraints(filters: Seq[Expression]):
       (Seq[(String, Double, Double)], Seq[(String, String, String)],
-        Seq[(String, Boolean)]) = {
+        Seq[(String, Boolean)], Seq[(String, Seq[Literal])]) = {
     val num = mutable.Map.empty[String, (Double, Double)]
     val str = mutable.Map.empty[String, (String, String)]
     val nul = mutable.Map.empty[String, Boolean]
-    filters.foreach(collectConstraints(_, num, str, nul))
+    val pts = mutable.Buffer.empty[(String, Seq[Literal])]
+    filters.foreach(collectConstraints(_, num, str, nul, pts))
     (num.map { case (c, (lo, hi)) => (c, lo, hi) }.toSeq,
       str.map { case (c, (lo, hi)) => (c, lo, hi) }.toSeq,
-      nul.toSeq)
+      nul.toSeq, pts.toSeq)
   }
 
   /** Literal → stats double domain (see VersionedTableOps.statBounds
@@ -151,7 +172,8 @@ private[sources] object ZoneMapFilters {
   private def collectConstraints(e: Expression,
       num: mutable.Map[String, (Double, Double)],
       str: mutable.Map[String, (String, String)],
-      nul: mutable.Map[String, Boolean]): Unit = {
+      nul: mutable.Map[String, Boolean],
+      pts: mutable.Buffer[(String, Seq[Literal])]): Unit = {
     def lower(name: String, l: Literal): Unit = {
       litNum(l).foreach { d =>
         val lo = math.nextDown(d) // outward: boundary files always kept
@@ -174,9 +196,16 @@ private[sources] object ZoneMapFilters {
         str(name) = (cur._1, if (cur._2 <= v) cur._2 else v)
       }
     }
+    // equality points (bloom probes): non-null literals only — `c =
+    // NULL` is never true and never reaches here as a data filter
+    def point(name: String, ls: Seq[Literal]): Unit = {
+      val nonNull = ls.filter(_.value != null)
+      if (nonNull.nonEmpty && nonNull.size == ls.size) pts += ((name, nonNull))
+    }
     e match {
       case And(l, r) =>
-        collectConstraints(l, num, str, nul); collectConstraints(r, num, str, nul)
+        collectConstraints(l, num, str, nul, pts)
+        collectConstraints(r, num, str, nul, pts)
       // nullness probes: skipped on committed per-file null counts.
       // A column probed BOTH ways in one conjunction is a contradiction
       // (the predicate selects nothing); keeping either probe is sound.
@@ -190,12 +219,24 @@ private[sources] object ZoneMapFilters {
       case GreaterThanOrEqual(NamedCol(n, _), l: Literal) => lower(n, l)
       case LessThan(NamedCol(n, _), l: Literal) => upper(n, l)
       case LessThanOrEqual(NamedCol(n, _), l: Literal) => upper(n, l)
-      case EqualTo(NamedCol(n, _), l: Literal) => lower(n, l); upper(n, l)
+      case EqualTo(NamedCol(n, _), l: Literal) =>
+        lower(n, l); upper(n, l); point(n, Seq(l))
       case GreaterThan(l: Literal, NamedCol(n, _)) => upper(n, l)
       case GreaterThanOrEqual(l: Literal, NamedCol(n, _)) => upper(n, l)
       case LessThan(l: Literal, NamedCol(n, _)) => lower(n, l)
       case LessThanOrEqual(l: Literal, NamedCol(n, _)) => lower(n, l)
-      case EqualTo(l: Literal, NamedCol(n, _)) => lower(n, l); upper(n, l)
+      case EqualTo(l: Literal, NamedCol(n, _)) =>
+        lower(n, l); upper(n, l); point(n, Seq(l))
+      // null-safe equality with a NON-NULL literal matches exactly the
+      // rows plain equality does (null rows match neither), so it
+      // carries the same range and point; the null-literal form is a
+      // pure IS NULL — the nullness probe, no range, no point
+      case EqualNullSafe(NamedCol(n, _), l: Literal) =>
+        if (l.value == null) nul(n) = true
+        else { lower(n, l); upper(n, l); point(n, Seq(l)) }
+      case EqualNullSafe(l: Literal, NamedCol(n, _)) =>
+        if (l.value == null) nul(n) = true
+        else { lower(n, l); upper(n, l); point(n, Seq(l)) }
       // IN-list: widened to one [min, max] envelope per column — the
       // zone-map framework holds ONE interval per column, so the
       // envelope is the tightest sound translation (gaps between list
@@ -212,6 +253,7 @@ private[sources] object ZoneMapFilters {
         } else if (strs.size == lits.size) {
           lower(n, strs.minBy(_._1)._2); upper(n, strs.maxBy(_._1)._2)
         }
+        point(n, lits) // blooms fill the envelope's gaps exactly
       // long IN-lists arrive optimized to InSet (internal values, no
       // Literal wrappers) — same envelope translation
       case InSet(NamedCol(n, dt), hset) if hset.nonEmpty && !hset.contains(null) =>
@@ -223,6 +265,7 @@ private[sources] object ZoneMapFilters {
         } else if (strs.size == lits.size) {
           lower(n, strs.minBy(_._1)._2); upper(n, strs.maxBy(_._1)._2)
         }
+        point(n, lits)
       // prefix probe: startsWith(p) ⊆ [p, p + DEL) in the printable-
       // ASCII stats domain (DEL > every printable char, so p++DEL
       // upper-bounds every p-prefixed string the writer indexed)

@@ -275,6 +275,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       else ops.overwrite(spark, path, empty.repartition(1))
     } else
       ops.overwritePartitioned(spark, path, empty, partCols, idMapped = idMapped)
+    // Bloom index at birth (round 13): `TBLPROPERTIES
+    // ('graft.bloom.columns' = 'c1,c2' [, 'graft.bloom.fpp' =
+    // '0.001'])` declares the per-file equality-skipping index as a
+    // second commit — every INSERT from then on indexes its files
+    // inside the stage (nothing to backfill: the table is empty).
+    Option(properties.get("graft.bloom.columns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty).foreach { cols =>
+        val fpp = Option(properties.get("graft.bloom.fpp"))
+          .map(_.toDouble).getOrElse(0.01)
+        ops.setBloomIndex(spark, path, cols.map((_, fpp)), backfill = false)
+      }
     loadTable(ident)
   }
 
@@ -488,6 +500,14 @@ class GraftSqlTable(val ops: VersionedTableOps, val path: String,
     m.put("graft.version", pinnedVersion.toString)
     val parts = ops.partitionSpec(path, Some(pinnedVersion))
     if (parts.nonEmpty) m.put("partitionBy", parts.mkString(","))
+    // surfaced so SHOW CREATE TABLE's rendered DDL round-trips the
+    // bloom declaration (logical names; one fpp — the SQL surface
+    // declares a single rate for the whole list)
+    val blooms = ops.bloomIndexSpec(path, Some(pinnedVersion))
+    if (blooms.nonEmpty) {
+      m.put("graft.bloom.columns", blooms.map(_._1).mkString(","))
+      m.put("graft.bloom.fpp", blooms.head._2.toString)
+    }
     m
   }
 

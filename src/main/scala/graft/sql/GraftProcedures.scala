@@ -26,7 +26,8 @@ private[sql] object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   def names: Array[String] =
-    Array("vacuum", "compact", "optimize", "history", "refresh_view")
+    Array("vacuum", "compact", "optimize", "history", "refresh_view",
+      "bloom_index")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Namespace),
@@ -38,6 +39,7 @@ private[sql] object GraftProcedures {
       case "optimize" => new OptimizeProcedure(cat)
       case "history" => new HistoryProcedure(cat)
       case "refresh_view" => new RefreshViewProcedure(cat)
+      case "bloom_index" => new BloomIndexProcedure(cat)
       case other => throw new RuntimeException(
         s"no graft procedure named '$other' — one of ${names.mkString(", ")}")
     }
@@ -160,6 +162,38 @@ private[sql] class HistoryProcedure(cat: GraftCatalog) extends GraftProcedure(ca
   * incremental fold of the source delta since the view's committed
   * cursor; a no-op when already fresh. Returns the view's version.
   */
+/** CALL graft.system.bloom_index(table, columns, fpp, backfill):
+  * declare (or with '' remove) the per-file bloom index — equality
+  * file skipping for point lookups on high-cardinality unclustered
+  * columns, the probe shape zone maps cannot serve (see
+  * [[graft.sources.BloomSkipIndex]]). One declaration commit; with
+  * `backfill` (default) the current snapshot's files are indexed in
+  * one distributed pass so the index is effective immediately.
+  */
+private[sql] class BloomIndexProcedure(cat: GraftCatalog) extends GraftProcedure(cat) {
+  override def name(): String = "bloom_index"
+  override def description(): String =
+    "declare a per-file bloom index for equality file skipping ('' removes it)"
+  override def parameters(): Array[ProcedureParameter] = Array(tableParam,
+    ProcedureParameter.in("columns", StringType)
+      .comment("comma-separated column list; empty string removes the index")
+      .build(),
+    ProcedureParameter.in("fpp", DoubleType).defaultValue("0.01")
+      .comment("target false-positive rate per file").build(),
+    ProcedureParameter.in("backfill", BooleanType).defaultValue("true")
+      .comment("index the current snapshot's files now").build())
+  private val schema = StructType(Seq(StructField("version", LongType)))
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val cols = input.getUTF8String(1).toString.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    val fpp = input.getDouble(2)
+    val v = cat.opsRef.setBloomIndex(spark,
+      path(input.getUTF8String(0).toString), cols.map((_, fpp)),
+      backfill = input.getBoolean(3))
+    result(schema, Seq(InternalRow(v)))
+  }
+}
+
 private[sql] class RefreshViewProcedure(cat: GraftCatalog) extends GraftProcedure(cat) {
   override def name(): String = "refresh_view"
   override def description(): String =

@@ -37,7 +37,7 @@ class HygieneSpec extends SparkSpec {
     "q_optimize_zorder", "q_sql_catalog", "q_sql_dml", "q_sql_merge",
     "q_sql_partitioned", "q_sql_mat_view", "q_sql_mat_view_shapes",
     "q_sql_call", "q_sql_merge_by_source", "q_sql_merge_clauses",
-    "q_sql_history", "q_dedup_incremental")
+    "q_sql_history", "q_bloom_skip", "q_dedup_incremental")
 
   test("every temp-root query leaves /tmp exactly as it found it") {
     // each listed key must exist — a renamed query must update this list

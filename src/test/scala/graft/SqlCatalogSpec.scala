@@ -862,6 +862,69 @@ class SqlCatalogSpec extends SparkSpec {
     proceduresBattery("graftmemproc", ops)
   }
 
+  /** BLOOM INDEX over SQL (round 13): the per-file equality-skipping
+    * index reaches plain SQL text three ways — declared at birth via
+    * TBLPROPERTIES, retrofitted via CALL system.bloom_index (with
+    * backfill), and consumed by an ordinary `WHERE k = x` whose file
+    * pruning happens inside planning. The layout is hash-scattered so
+    * the zone maps provably cannot prune it — only the blooms can.
+    */
+  private def bloomSqlBattery(catalog: String, ops: VersionedTableOps): Unit = {
+    val root = freshRoot(s"bloom-$catalog")
+    spark.conf.set(s"spark.sql.catalog.$catalog", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$catalog.root", root)
+
+    // declared at birth: CREATE + three SCATTERED inserts (each file
+    // spans ~the whole key domain — the layout intervals cannot serve)
+    spark.sql(s"""CREATE TABLE $catalog.db.b (k BIGINT, v BIGINT)
+      |TBLPROPERTIES ('graft.bloom.columns' = 'k',
+      |               'graft.bloom.fpp' = '0.001')""".stripMargin)
+    for (era <- 0 to 2) {
+      rows(0, 3000).filter(col("k") % 3 === era)
+        .repartition(4, col("v")).createOrReplaceTempView("bloom_batch")
+      spark.sql(s"INSERT INTO $catalog.db.b SELECT k, v FROM bloom_batch")
+    }
+    spark.catalog.dropTempView("bloom_batch")
+    val all = scannedFiles(spark.sql(s"SELECT k, v FROM $catalog.db.b"))
+    assert(all >= 12, "3 scattered inserts × 4 files")
+    val eq = spark.sql(s"SELECT k, v FROM $catalog.db.b WHERE k = 1234")
+    assert(eq.collect().map(_.getLong(0)).toSeq === Seq(1234L))
+    assert(scannedFiles(eq) < all / 2,
+      s"SQL equality must bloom-prune at planning (scanned of $all)")
+    // the declaration round-trips through SHOW CREATE TABLE's DDL
+    val ddl = spark.sql(s"SHOW CREATE TABLE $catalog.db.b").head.getString(0)
+    assert(ddl.contains("graft.bloom.columns") && ddl.contains("'k'"),
+      s"rendered DDL must carry the bloom declaration:\n$ddl")
+
+    // retrofitted: an undeclared scattered table, indexed by CALL with
+    // backfill — the same probe prunes immediately after
+    val t2 = s"$root/db/old"
+    ops.overwrite(spark, t2, rows(0, 2000).repartition(5, col("v")))
+    val before = scannedFiles(spark.sql(s"SELECT k FROM $catalog.db.old WHERE k = 777"))
+    assert(before === ops.snapshotFiles(t2).size.toLong,
+      "without the index the scattered point probe scans everything")
+    val ret = spark.sql(
+      s"CALL $catalog.system.bloom_index('db.old', 'k', 0.001)").collect()
+    assert(ret.length === 1 && ret.head.getLong(0) === ops.versions(t2).last)
+    val afterEq = spark.sql(s"SELECT k FROM $catalog.db.old WHERE k = 777")
+    assert(afterEq.collect().map(_.getLong(0)).toSeq === Seq(777L))
+    assert(scannedFiles(afterEq) < before,
+      "CALL bloom_index(backfill) makes the same SQL probe prune")
+    // '' removes the declaration
+    spark.sql(s"CALL $catalog.system.bloom_index('db.old', '')")
+    assert(ops.bloomIndexSpec(t2).isEmpty, "empty column list removes the index")
+  }
+
+  test("SQL bloom-index battery — POSIX-link backend (default ops)") {
+    bloomSqlBattery("graft", VersionedTable)
+  }
+
+  test("SQL bloom-index battery — object-store backend (registered ops)") {
+    val ops = new VersionedTableOps(new InMemoryCommitStore)
+    GraftCatalog.setOps("graftmembloom", ops)
+    bloomSqlBattery("graftmembloom", ops)
+  }
+
   /** SQL MATERIALIZED VIEWS (round 11): CREATE persists the
     * definition and folds the first snapshot; REFRESH (and the
     * refresh_view procedure) fold only the source delta since the
