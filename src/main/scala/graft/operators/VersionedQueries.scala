@@ -44,12 +44,27 @@ object VersionedQueries {
     * one level up. Deletion runs in `finally`: a failed in-query
     * assert still cleans its root.
     */
+  /** Plan-dump hook (-Dgraft.dump.inner=true): the hygiene rule below
+    * returns driver-local COPIES, which reduces every lakehouse
+    * query's dumped plan to a LocalTableScan — so when the property is
+    * set, withRoot records the BODY frame's formatted physical plan
+    * here (after execution, before the root deletes) for DumpPlans to
+    * substitute. Never set on the bench/verify paths — the capture is
+    * an extra explainString per query, not free.
+    */
+  private[graft] val lastInnerPlan =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
   private def withRoot(spark: SparkSession, tag: String, dropViews: String*)(
       body: String => DataFrame): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory(s"graft-vq-$tag").toString
     try {
       val out = body(root)
-      spark.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+      val rows = out.collect()
+      if (sys.props.get("graft.dump.inner").contains("true"))
+        lastInnerPlan.set(out.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally {
       dropViews.foreach(spark.catalog.dropTempView(_))
       val rootPath = java.nio.file.Paths.get(root)

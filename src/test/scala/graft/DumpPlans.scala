@@ -72,6 +72,11 @@ object DumpPlans {
       // the ZoneMapFileIndex — same pushed filters as a plain parquet
       // scan, but the file listing itself is zone-map-pruned
       "q_zone_map_auto",
+      // q_bloom_skip: the same FileSourceScanExec shape, but the
+      // listing is BLOOM-pruned on a hash-scattered layout the zone
+      // maps keep whole — the IN residual stays in PushedFilters for
+      // the (few) surviving files
+      "q_bloom_skip",
       // q_zone_map_prefix: the startsWith probe through the same
       // index (prefix -> [p, p++DEL) interval); q_optimize_zorder:
       // the Z-order-clustered layout read through it
@@ -125,15 +130,25 @@ object DumpPlans {
       // no ScalaUDF anywhere, and the derived-read projection of the
       // round-12 SQL MV shapes (mv_avg over hidden count+sum state)
       "ann_binary", "q_sql_mat_view_shapes")
+    // the lakehouse queries return driver-local COPIES (the withRoot
+    // hygiene rule), whose own plan is a bare LocalTableScan — this
+    // property makes withRoot capture the INNER frame's executed plan
+    // (the zone-map/bloom-pruned scan evidence this file exists for)
+    System.setProperty("graft.dump.inner", "true")
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans (generated by graft.DumpPlans)\n\n"
     sb ++= "Evidence for SURVEY.md §5: pushed filters, pruned read schemas,\n"
     sb ++= "broadcast dim joins, TakeOrdered top-k, custom TopKPerGroup.\n"
     picks.foreach { name =>
+      graft.operators.VersionedQueries.lastInnerPlan.set("")
       val df = SparkEntry.queries(name)(spark, sf)
+      val shown = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val inner = graft.operators.VersionedQueries.lastInnerPlan.get
+      val plan = if (inner.nonEmpty && shown.contains("LocalTableScan")) inner
+        else shown
       sb ++= s"\n## $name\n\n```\n"
-      sb ++= df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode).take(6000)
+      sb ++= plan.take(6000)
       sb ++= "\n```\n"
     }
     Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
