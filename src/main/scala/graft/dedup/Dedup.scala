@@ -139,7 +139,22 @@ object Dedup {
     val ok = banded.groupBy(keys.map(col): _*).agg(cnt.as("bsz"))
       .filter(col("bsz") <= cap)
       .select(keys.map(col): _*)
-    banded.join(ok, keys)
+    // LEFT SEMI, not inner (r13, guide §3.1 "check the build side"):
+    // `ok` has unique keys (a groupBy output), so the two are
+    // row-identical — but the inner form left the planner free to
+    // BROADCAST BANDED and stream the tiny cell list, which collapsed
+    // the whole candidate fan-out into the cell list's one coalesced
+    // task (the measured dedup_embedding shape). A semi join's hash
+    // build side is always the filter side, so banded streams at its
+    // own parallelism when `ok` broadcasts, and falls back to a
+    // key-partitioned shuffle when a 100 TB cell list outgrows the
+    // threshold. The pinned repartition then hands every caller's
+    // bucket self-join the exchange-free cell layout the old shape
+    // got by accident (from the cell list's agg exchange — at ITS
+    // coalesced width), at the configured shuffle width instead.
+    banded.join(ok, keys, "left_semi")
+      .repartition(graft.operators.pinnedShufflePartitions(banded),
+        keys.map(col): _*)
   }
 
   /** MinHash signature per doc: (doc_id, sig array<long>), computed in
@@ -786,12 +801,29 @@ object Dedup {
     val ok = sizes.crossJoin(broadcast(capRow))
       .filter(col("bsz") <= col("cap"))
       .select("tbl", "bucket")
-    val bounded = banded.join(ok, Seq("tbl", "bucket"))
+    // r13 optimization (guide §2.5): the probe join's inputs are a few
+    // hundred KB of compressed (vec_id, tbl, bucket) ints, so AQE
+    // coalesced the join's exchanges to ONE partition — and the join
+    // stage is the family's fan-out step (hamming-1 probe hits ×
+    // bucket population), measured as 2.5 s of dedup_embedding's 4.2 s
+    // on a single core. Both sides are pinned to the configured
+    // shuffle width on the join keys: the join itself then plans
+    // exchange-free on top of the two explicit repartitions, and the
+    // candidate fan-out runs at full parallelism. Byte-proportional
+    // exchanges (the pair distinct, the verify joins) stay under AQE.
+    val p = graft.operators.pinnedShufflePartitions(e)
+    // left_semi for the same reason as capBuckets: `ok` is unique by
+    // key, and the inner form planned as broadcast-BANDED with the
+    // 160-row cell list as the stream side — one task computing the
+    // entire probe fan-out (the measured 2.5 s single-core stage).
+    val bounded = banded.join(ok, Seq("tbl", "bucket"), "left_semi")
+      .repartition(p, col("tbl"), col("bucket"))
     // hamming-1 probing on side a only: for a pair within radius 1,
     // a's probe set contains b's exact bucket
     val probed = bounded
       .select(col("vec_id"), col("tbl"),
         explode(Ann.hamming1Probes(col("bucket"), bits)).as("bucket"))
+      .repartition(p, col("tbl"), col("bucket"))
     val cand = probed.as("a").join(bounded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))

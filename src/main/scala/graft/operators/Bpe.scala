@@ -225,14 +225,21 @@ object Bpe {
 
   /** text_bpe_train: the learned merge table (round, left, right,
     * merged, pair_count) — the replayable training transcript.
+    *
+    * Routed through [[trainMergesLocal]] (r13 optimization, guide
+    * §1.2 "the distributed algorithm"): the per-round Spark form
+    * ([[trainMerges]]) costs 2 jobs per merge round (pairCounts
+    * aggregate + vocab localCheckpoint — 32+ jobs for k=16, measured
+    * 1.9 s at sf0.1 of almost pure job-scheduling latency), while the
+    * local form collects the language-bound (word, freq) table ONCE
+    * and trains driver-side. BIT-EXACT by construction and by spec
+    * (BpeSpec "local trainer replays the distributed transcript",
+    * k = 16 — exactly [[DefaultMerges]]); the oracle gate re-proves
+    * it every round. [[trainMerges]] stays as the spec's reference
+    * implementation.
     */
-  def train(spark: SparkSession, dir: String, k: Int = DefaultMerges): DataFrame = {
-    val s = spark
-    import s.implicits._
-    trainMerges(spark, dir, k)
-      .map { case (i, l, r, c) => (i, l, r, l + r, c) }
-      .toDF("round", "left", "right", "merged", "pair_count")
-  }
+  def train(spark: SparkSession, dir: String, k: Int = DefaultMerges): DataFrame =
+    trainFast(spark, dir, k)
 
   /** Fold the learned merges into one nested-replace expression — the
     * ORACLE-REPLAY twin: exact, engine-portable (DuckDB replays it
@@ -365,7 +372,7 @@ object Bpe {
     * itself is one narrow pass + one keyed aggregate.
     */
   def encode(spark: SparkSession, dir: String, k: Int = DefaultMerges): DataFrame =
-    encodeWith(spark, dir, trainMerges(spark, dir, k), useKernel = true)
+    encodeWith(spark, dir, trainMergesLocal(spark, dir, k), useKernel = true)
 
   /** [[encode]] with an explicit merge table and an explicit engine —
     * the spec's equality seam (kernel vs chain on identical merges)
@@ -396,7 +403,9 @@ object Bpe {
     */
   def packByBpe(spark: SparkSession, dir: String, k: Int = DefaultMerges,
       chunkSize: Int = 32, budget: Int = 96): DataFrame = {
-    val merges = trainMerges(spark, dir, k)
+    // trainMergesLocal: bit-exact with trainMerges (BpeSpec), one
+    // vocab-sized collect instead of 2k scheduled jobs — see train()
+    val merges = trainMergesLocal(spark, dir, k)
     val toks = kernelToks(merges)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("chunk_id")

@@ -25,12 +25,18 @@ object Graph {
   private def incidence(spark: SparkSession, dir: String): DataFrame =
     Incidence.capped(spark, dir)
 
-  /** Undirected co-occurrence edge set, each edge ONCE as (a < b). */
+  /** Undirected co-occurrence edge set, each edge ONCE as (a < b).
+    * Dedup rides one pinned exchange on `a` (hash(a) satisfies the
+    * (a, b) dedup clustering — the pagerank edge-build pattern) so
+    * the downstream degree join starts co-partitioned.
+    */
   private def undirectedEdges(li: DataFrame): DataFrame =
     li.select(col("l_orderkey"), col("l_partkey").as("a"))
       .join(li.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .select("a", "b")
+      .repartition(pinnedShufflePartitions(li), col("a"))
+      .dropDuplicates("a", "b")
 
   /** Per-node triangle participation counts.
     *
@@ -57,6 +63,37 @@ object Graph {
     * join's cost bound rests on (spec-pinned on an adversarial
     * low-id hub graph where id-ordering degenerates).
     */
+  /** Pack a deduped directed pair set (a, b) — already hash(a)-
+    * partitioned by the pinned dedup exchange — into CHUNKED adjacency
+    * rows (a, targets array<long>, outdeg), zero-exchange on top of
+    * the pair dedup (outdeg aggregate, its join-back, and the chunked
+    * group-by all cluster on a subset of hash(a)'s keys).
+    *
+    * Why (r13 optimization, guide §2.3 "shuffle fewer bytes" applied
+    * to the iterative reread): pagerank/bfs re-read their edge
+    * checkpoint EVERY round, and flat (a, b, outdeg) row blocks
+    * measured ~120 B/edge of block-manager volume (220 MB per round
+    * at sf0.1); packed long arrays carry the same edges at ~8 B each,
+    * a ~15× smaller per-round read, and the explode back to edge rows
+    * is codegen inside the round's stage. The salt chunks every
+    * node's targets at ≤ `chunk` entries (salt domain sized from the
+    * node's own outdeg), so one 100 TB celebrity hub becomes
+    * outdeg/chunk bounded rows, never one unbounded aggregation
+    * buffer — the flat edge list's memory profile, preserved.
+    * Contribution semantics are untouched: each (a, b) edge reappears
+    * exactly once under its (a, chunk) row with the node's full
+    * outdeg carried alongside.
+    */
+  private[graft] def adjacencyChunked(pairs: DataFrame, chunk: Int = 1024): DataFrame = {
+    val outdeg = pairs.groupBy("a").agg(cnt.as("outdeg"))
+    pairs.join(outdeg, "a")
+      .withColumn("salt", pmod(xxhash64(col("b")),
+        greatest(lit(1L), ceil(col("outdeg").cast("double") / chunk).cast("long"))))
+      .groupBy(col("a"), col("salt"))
+      .agg(collect_list(col("b")).as("targets"), max("outdeg").as("outdeg"))
+      .drop("salt")
+  }
+
   private[graft] def orientByDegree(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
@@ -77,8 +114,14 @@ object Graph {
     // materialized ONCE: the adjacency build and both edge joins read
     // it — without this the whole edge-build cascade (distinct + pair
     // self-join + degree joins) re-executes per branch (the
-    // dupClustersStars lesson)
-    val oriented = orientByDegree(und).localCheckpoint()
+    // dupClustersStars lesson). Checkpointed PINNED on src (r13,
+    // guide §2.5): the adjacency groupBy(src) and the u-side edge
+    // join then both run exchange-free off the checkpoint's layout,
+    // and the checkpoint holds the configured shuffle width instead
+    // of whatever AQE coalesced the orientation joins to.
+    val p = pinnedShufflePartitions(und)
+    val oriented = orientByDegree(und)
+      .repartition(p, col("src")).localCheckpoint()
     trianglesAdjacency(oriented)
   }
 
@@ -109,13 +152,23 @@ object Graph {
     * the avoided cost is the quadratic term's row machinery).
     */
   private[graft] def trianglesAdjacency(oriented: DataFrame): DataFrame = {
+    val p = pinnedShufflePartitions(oriented)
     val adj = oriented.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
     // u always has out-edges (v is one); a v with NO out-edges closes
     // nothing through this base edge — inner joins are exact
     val withU = oriented.select(col("src").as("u"), col("dst").as("v"))
       .join(adj.select(col("src").as("u"), col("nbrs").as("nu")), "u")
-    val withUV = withU
-      .join(adj.select(col("src").as("v"), col("nbrs").as("nv")), "v")
+    // the v-side join feeds the array_intersect stage — the query's
+    // quadratic step (Σ outdeg² element volume). Both sides are
+    // repartitioned to the PINNED width on the join key (r13, guide
+    // §2.5): AQE coalesced this small-compressed-bytes exchange to 5
+    // partitions while each row carries an O(√E)-array intersection —
+    // the measured dominant stage (2.0 of 6.0 s) ran on 5 of 32
+    // cores. Pinning both sides keeps the join itself exchange-free
+    // on top of the explicit repartitions.
+    val withUV = withU.repartition(p, col("v"))
+      .join(adj.select(col("src").as("v"), col("nbrs").as("nv"))
+        .repartition(p, col("v")), "v")
     val closed = withUV
       .select(col("u"), col("v"), array_intersect(col("nu"), col("nv")).as("ws"))
       .withColumn("n_closed", size(col("ws")).cast("long"))
@@ -170,11 +223,20 @@ object Graph {
     */
   def bfs(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
     val li = incidence(spark, dir)
-    // both directions: frontier expansion needs src->dst for every edge
-    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
-      .filter(col("a") =!= col("b"))
-      .select("a", "b").distinct().localCheckpoint()
+    // both directions: frontier expansion needs src->dst for every
+    // edge. Same one-pinned-exchange dedup as the pagerank edge build
+    // (r13, guide §2.4/§2.5): hash(a) satisfies the (a, b) dedup
+    // clustering, and the pinned width keeps every frontier-expansion
+    // round (broadcast dist ⋈ pairs) at full parallelism instead of
+    // the 2-partition checkpoint AQE left behind.
+    val pairs = adjacencyChunked(
+      li.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+        .filter(col("a") =!= col("b"))
+        .select("a", "b")
+        .repartition(pinnedShufflePartitions(li), col("a"))
+        .dropDuplicates("a", "b"))
+      .select(col("a"), col("targets")).localCheckpoint()
     // one-row aggregate scalars (graph parameters, not data): the BFS
     // source and the node count that gates the frontier broadcast
     val hdr = li.agg(min("l_partkey").cast("long"),
@@ -188,9 +250,14 @@ object Graph {
     var dist = li.sparkSession.range(1)
       .select(lit(src).as("node"), lit(0L).as("dist"))
     for (i <- 1 to rounds) {
+      // frontier expansion over the packed adjacency: one broadcast
+      // probe per chunk row, explode back to edge rows inside the
+      // same codegen stage — identical (node, dist+1) stream as the
+      // flat-edge join, read from the 15×-smaller checkpoint
       dist = dist.unionAll(
           small(dist).join(pairs, col("node") === col("a"))
-            .select(col("b").as("node"), (col("dist") + 1L).as("dist")))
+            .select(explode(col("targets")).as("node"),
+              (col("dist") + 1L).as("dist")))
         .groupBy("node").agg(min("dist").as("dist"))
       // `dist` appears TWICE per round (carry + expand), so an
       // unrolled plan doubles per round — the per-round checkpoint

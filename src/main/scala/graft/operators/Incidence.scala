@@ -52,33 +52,35 @@ object Incidence {
     * input — the spec entry point (synthetic hot-basket corpora).
     */
   private[graft] def cappedFrom(li: DataFrame, cap: Int): DataFrame = {
-    val inc = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
-    val hot = inc.groupBy("l_orderkey").agg(cnt.as("basket_sz"))
-      .filter(col("basket_sz") > cap)
-      .select("l_orderkey")
-    // normal baskets stream through an anti-join against the tiny
-    // (normally empty) hot set; only hot baskets' rows pay the
-    // per-order rank sort, and the hash order makes the kept slice
-    // deterministic and uniform (partkey tiebreak pins hash ties)
-    val normal = inc.join(hot, Seq("l_orderkey"), "left_anti")
-    val sampledHot = inc.join(hot, "l_orderkey")
+    // r13 optimization (guide §2.4 "remove shuffles outright"): the
+    // previous form paid FOUR exchanges and TWO materializations —
+    // distinct() (exchange on (o, p)) + checkpoint, a groupBy for the
+    // hot set (exchange), an anti-join + hot-side join/union, and a
+    // final repartition(o) (exchange) + checkpoint. One pinned
+    // repartition on l_orderkey up front makes everything downstream
+    // exchange-free: the dedup aggregate's required clustering on
+    // (o, p) is satisfied by hash(o) (subset rule), and the rank
+    // window's clustering on o likewise — so distinct-collapse, the
+    // hot-basket cap and the caller-wanted hash(o) layout all ride
+    // ONE exchange and ONE materialization. The cap now applies as a
+    // single rank window over every basket (the anti-join fast path
+    // saved the rank sort on normal rows but cost two extra exchanges
+    // — a bad trade, measured): rank ≤ cap keeps normal baskets whole
+    // (their size never exceeds cap) and samples hot ones by the
+    // identical (xxhash64(o, p), p) rule as before, so the OUTPUT SET
+    // is unchanged row for row. The explicit partition count pins the
+    // exchange at the configured shuffle width (AQE would coalesce
+    // this small-bytes exchange under the per-row cost of the pair
+    // self-joins every caller runs on it).
+    val p = pinnedShufflePartitions(li)
+    li.select("l_orderkey", "l_partkey")
+      .repartition(p, col("l_orderkey"))
+      .dropDuplicates("l_orderkey", "l_partkey")
       .withColumn("rk", row_number().over(
         Window.partitionBy("l_orderkey")
           .orderBy(xxhash64(col("l_orderkey"), col("l_partkey")), col("l_partkey"))))
       .filter(col("rk") <= cap)
       .drop("rk")
-    // The two branches are each hash-partitioned on l_orderkey, so the
-    // raw union ADVERTISES a co-partitioned layout while physically
-    // holding both branches' partitions — a downstream sort-merge
-    // self-join then skips its exchange and zipPartitions dies on the
-    // count mismatch (the sf1 bench failure on bfs/triangles/pagerank;
-    // broadcast joins masked it at test SF). One explicit repartition
-    // makes claimed and actual layouts agree — and since every caller
-    // immediately self-joins on l_orderkey, it is also the partitioning
-    // they want: the pair build becomes a zero-exchange co-partitioned
-    // join. Checkpointed because all callers read it 2–3 times.
-    normal.unionByName(sampledHot)
-      .repartition(col("l_orderkey"))
       .localCheckpoint()
   }
 

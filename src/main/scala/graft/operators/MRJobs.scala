@@ -87,15 +87,28 @@ object MRJobs {
     // single order's pair volume (Incidence guard; non-binding on
     // testdata, audited by q_basket_cap_audit).
     val li = Incidence.capped(spark, dir)
+    // r13 optimization (guide §2.4/§2.5): dedup the pair stream with
+    // ONE pinned exchange on `a` instead of distinct()'s exchange on
+    // (a, b) — hash(a) satisfies the dedup aggregate's clustering on
+    // (a, b) (subset rule), the outdeg aggregate's clustering on a,
+    // AND the edges join's, so the whole edge build rides a single
+    // exchange. Pinning the count also fixes the measured parallelism
+    // collapse: AQE coalesced the old edge build to 2 partitions, so
+    // the checkpointed edge set served all five rank rounds from 2
+    // tasks (5 × ~150 ms of 220 MB block reads on 2 of 32 cores).
+    val p = pinnedShufflePartitions(li)
     val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
       .join(li.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
       .filter(col("a") =!= col("b"))
-      .select("a", "b").distinct()
+      .select("a", "b")
+      .repartition(p, col("a"))
+      .dropDuplicates("a", "b")
     val nodes = li.select(col("l_partkey").as("node")).distinct().localCheckpoint()
-    // out-degree rides ON the edge rows, so each iteration is ONE join
-    // (rank ⋈ edges) + one groupBy instead of two joins
-    val outdeg = pairs.groupBy("a").agg(cnt.as("outdeg"))
-    val edges = pairs.join(outdeg, "a").localCheckpoint()
+    // out-degree rides ON the adjacency rows (packed targets arrays —
+    // Graph.adjacencyChunked: ~8 B/edge per-round checkpoint reads vs
+    // ~120 B/edge flat rows), so each iteration is ONE join (rank ⋈
+    // adjacency) + an in-stage explode + one groupBy
+    val edges = Graph.adjacencyChunked(pairs).localCheckpoint()
     val n = nodes.count() // scalar graph size, not data
     val base = (scale * 15L / 100L) / n
     // per-round join shape: the rank table is one narrow row per NODE
@@ -109,9 +122,13 @@ object MRJobs {
     def small(df: DataFrame): DataFrame = broadcastUnderGate(df, n)
     var rank = nodes.select(col("node"), lit(scale / n).as("rank"))
     for (i <- 1 to iters) {
+      // per-chunk contribution computed ONCE (rank DIV outdeg is
+      // constant across a node's targets), exploded back to edge rows
+      // in the same stage — bit-identical per-edge terms, same sum
       val contrib = small(rank).join(edges, col("node") === col("a"))
-        .groupBy(col("b").as("node"))
-        .agg(sum(expr("rank DIV outdeg")).as("in_sum"))
+        .select(expr("rank DIV outdeg").as("c"), explode(col("targets")).as("dst"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("in_sum"))
       rank = nodes
         .join(small(contrib), Seq("node"), "left")
         .select(col("node"),

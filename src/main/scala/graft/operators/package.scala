@@ -51,6 +51,25 @@ package object operators {
   def broadcastUnderGate(df: DataFrame, n: Long): DataFrame =
     if (n <= IterativeBroadcastRowGate) broadcast(df) else df
 
+  /** The session's configured shuffle-partition count, used as the
+    * EXPLICIT partition count for repartitions feeding COMPUTE-DENSE
+    * stages (r13 optimization, guide §2.5/§2.6): AQE's byte-based
+    * partition coalescing collapses a small-bytes exchange to 1-5
+    * partitions even when each row carries heavy per-row work — the
+    * profiler measured graph_triangles' array_intersect stage at 5
+    * tasks and dedup_embedding's hamming-probe fan-out join at ONE
+    * task on a 32-core host, each the query's dominant stage. An
+    * explicit `repartition(pinnedShufflePartitions(df), keys...)`
+    * pins those exchanges at the configured shuffle width (REPARTITION
+    * _BY_NUM is exempt from AQE coalescing) while leaving every
+    * byte-proportional exchange under AQE's control. Scale-adaptive by
+    * construction: the value is `spark.sql.shuffle.partitions` — the
+    * knob a cluster deployment already tunes to its size (the bench
+    * sets it to the core count) — never a constant.
+    */
+  def pinnedShufflePartitions(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** Fan out an under-parallel scan without paying for it at scale.
     * The skip signal is the FILE count, nothing else: parquet
     * byte-range splits are row-group-blind (one file can plan ≥target
