@@ -148,13 +148,15 @@ object Dedup {
     // build side is always the filter side, so banded streams at its
     // own parallelism when `ok` broadcasts, and falls back to a
     // key-partitioned shuffle when a 100 TB cell list outgrows the
-    // threshold. The pinned repartition then hands every caller's
-    // bucket self-join the exchange-free cell layout the old shape
-    // got by accident (from the cell list's agg exchange — at ITS
-    // coalesced width), at the configured shuffle width instead.
+    // threshold. NO pinned repartition here (measured, same host,
+    // min-of-4 at sf0.1): band cells are cheap per row, so a forced
+    // full-width exchange after the semi join cost every caller more
+    // than it bought — dedup_minhash_lsh 2.11→1.45 s, dedup_simhash
+    // 1.32→1.16 s, q_dedup_incremental 3.69→2.89 s without it. The
+    // compute-dense fan-out that DOES need pinned width (the SRP
+    // hamming-probe join) pins at its own call site in
+    // embeddingDupsFixed.
     banded.join(ok, keys, "left_semi")
-      .repartition(graft.operators.pinnedShufflePartitions(banded),
-        keys.map(col): _*)
   }
 
   /** MinHash signature per doc: (doc_id, sig array<long>), computed in

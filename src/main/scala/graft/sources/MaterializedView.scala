@@ -501,7 +501,11 @@ class MaterializedViewOps(val vt: VersionedTableOps) {
     if (!hasState)
       return vt.overwritePartitioned(spark, view,
         deltaAgg.filter(col("mv_count") > 0).withColumn(BucketCol, bc),
-        Seq(BucketCol), txns = bTxns)
+        Seq(BucketCol), txns = bTxns,
+        // first refresh writes up to `buckets` value dirs — spread the
+        // per-file writer setup instead of creating them all from one
+        // AQE-coalesced task (stageData partWidthHint scaladoc)
+        partWidth = Some(buckets))
     // bounded collect: <= `buckets` ints (the bucket count is the
     // user's partition-granularity knob, capped at 2^20)
     val touched = deltaAgg.select(bc.as(BucketCol)).distinct()

@@ -487,7 +487,8 @@ class VersionedTableOps(val store: CommitStore) {
   private def stageData(table: String, df: DataFrame, tag: String,
       partsOverride: Option[Seq[String]] = None,
       renFor: Option[Map[String, String]] = None,
-      bloomsOverride: Option[Seq[(String, Double)]] = None): Seq[String] = {
+      bloomsOverride: Option[Seq[(String, Double)]] = None,
+      partWidthHint: Option[Int] = None): Seq[String] = {
     val rel = s"data/$tag-${java.util.UUID.randomUUID().toString.take(8)}"
     val dir = Paths.get(table, rel)
     // writes always land under PHYSICAL names so files stay uniform
@@ -533,7 +534,30 @@ class VersionedTableOps(val store: CommitStore) {
       parts.foreach(p => require(!out.columns.contains(partSeg(p)),
         s"column ${partSeg(p)} collides with $table's partition shadow"))
       val routed = parts.foldLeft(out)((d, p) => d.withColumn(partSeg(p), col(p)))
-      routed.write.partitionBy(parts.map(partSeg): _*).parquet(dir.toString)
+      // HINT-DRIVEN HASH DISTRIBUTION before the dynamic-partition
+      // write (r13 optimization, guide §6 — the Iceberg
+      // `write.distribution-mode=hash` shape, applied only where the
+      // CALLER knows how many partition values the batch carries):
+      // a many-value batch written from one AQE-coalesced task creates
+      // every value's file sequentially (~20 ms of writer setup each;
+      // the 64-bucket view state's first refresh profiled 1.36 s in
+      // that one task), so `partWidthHint = Some(v)` spreads the
+      // values over min(v, shuffle width) pinned tasks (REPARTITION_
+      // BY_NUM is exempt from AQE coalescing) — P files total, writer
+      // setup in parallel. Some(1) and None skip the exchange: a
+      // single-value delta gains nothing from it (measured: an
+      // UNCONDITIONAL pinned repartition here cost the many-tiny-
+      // delta queries a dozen ~200 ms empty 32-task exchanges each),
+      // and hintless stagers (compact/OPTIMIZE) stage deliberately
+      // arranged layouts a forced hash exchange would destroy.
+      val distributed = partWidthHint.filter(_ > 1) match {
+        case Some(v) =>
+          val width = out.sparkSession.sessionState.conf.numShufflePartitions
+          routed.repartition(math.min(width, v),
+            parts.map(p => col(partSeg(p))): _*)
+        case None => routed
+      }
+      distributed.write.partitionBy(parts.map(partSeg): _*).parquet(dir.toString)
       // one _stats.json per LEAF value directory: the zone-map/row-count
       // consumers key stats by (parent dir, file name) and need no
       // structural knowledge of partitioning
@@ -1421,7 +1445,8 @@ class VersionedTableOps(val store: CommitStore) {
     */
   def overwritePartitioned(spark: SparkSession, table: String, df: DataFrame,
       partCols: Seq[String], idMapped: Boolean = false,
-      txns: Seq[(String, Long)] = Nil): Long = {
+      txns: Seq[(String, Long)] = Nil,
+      partWidth: Option[Int] = None): Long = {
     require(partCols.nonEmpty, "partition spec must name at least one column")
     require(versions(table).isEmpty,
       s"$table already has commits: a partition spec is set at creation " +
@@ -1437,7 +1462,8 @@ class VersionedTableOps(val store: CommitStore) {
     val ren = if (idMapped) Some(idExtend(Map.empty, df.columns, retireAbsent = false))
       else None
     val physParts = ren.fold(partCols)(m => partCols.map(c => physicalName(m, c)))
-    val staged = stageData(table, df, "w", Some(physParts), renFor = ren)
+    val staged = stageData(table, df, "w", Some(physParts), renFor = ren,
+      partWidthHint = partWidth)
     commitDv(table, "overwrite", { base =>
       require(base == 0, s"$table gained commits mid-create")
       (asStored(df.schema), staged, Nil)
@@ -1572,7 +1598,12 @@ class VersionedTableOps(val store: CommitStore) {
       Some(idExtend(ren0, df.columns, retireAbsent = false)) else None
     val ren = renExt.getOrElse(ren0)
     val ph = physicalName(ren, colName)
-    val staged = stageData(table, df, "rp", renFor = renExt)
+    // the replaced-value list bounds how many partition dirs the stage
+    // can write — exactly the hash-distribution width hint stageData
+    // wants (spread a many-bucket refresh's per-file writer setup,
+    // skip the exchange for a single-bucket delta)
+    val staged = stageData(table, df, "rp", renFor = renExt,
+      partWidthHint = Some(values.size))
     val segs = values.map(x => s"${partSeg(ph)}=$x").toSet
     val offside = staged.filterNot(_.split('/').exists(segs.contains))
     require(offside.isEmpty,
@@ -2341,26 +2372,51 @@ class VersionedTableOps(val store: CommitStore) {
   }
 
   private def rawRead(spark: SparkSession, table: String, v: Long,
-      files: Seq[String]): DataFrame = {
-    val paths = files.map(f => Paths.get(table, f).toString)
+      files: Seq[String]): DataFrame =
     manifestSchema(table, v) match {
-      case Some(schema) =>
-        val ren = manifestRenames(table, v)
-        if (ren.isEmpty) spark.read.schema(schema).parquet(paths: _*)
-        else {
-          // data files carry PHYSICAL names at all times; request the
-          // physical schema and re-alias PER SCHEMA FIELD (folding the
-          // whole map would mislabel columns when a stale entry's
-          // physical name is legitimately reused by a later overwrite)
-          val phys = org.apache.spark.sql.types.StructType(
-            schema.fields.map(f => f.copy(name = physicalName(ren, f.name))))
-          schema.fields.zip(phys.fields)
-            .foldLeft(spark.read.schema(phys).parquet(paths: _*)) {
-              case (df, (lo, ph)) =>
-                if (lo.name == ph.name) df else df.withColumnRenamed(ph.name, lo.name)
-            }
-        }
-      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      // manifest-recorded schema: scan through the MANIFEST-BACKED
+      // FileIndex (r13 optimization, guide §6 "manifest metadata avoids
+      // directory listing"): `spark.read.parquet(paths…)` resolves the
+      // path list through InMemoryFileIndex, which LAUNCHES A
+      // DISTRIBUTED LISTING JOB once the list exceeds
+      // spark.sql.sources.parallelPartitionDiscovery.threshold (32) —
+      // profiled at ~150 ms of pure scheduling per read of the 64-file
+      // bucketed view state, twice per q_mat_view_bucketed run. The
+      // manifest already knows every file, so indexedScan stats them
+      // driver-side (O(files) metadata lookups, no job) — and zone-map
+      // + bloom file skipping now compose with ANY filtered read, not
+      // just explicit readIndexed/readRange calls.
+      case Some(schema) => indexedScan(spark, table, v, files, schema)
+      // legacy manifests without a recorded schema: parquet schema
+      // merging needs the real footer-resolution path
+      case None => spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => Paths.get(table, f).toString): _*)
+    }
+
+  /** The shared manifest-backed scan: a parquet HadoopFsRelation over
+    * [[ZoneMapFileIndex]] (no directory listing, files come from the
+    * manifest; data filters prune files by committed zone maps /
+    * blooms at planning time), reading PHYSICAL column names and
+    * re-aliasing to the logical view per schema field (folding the
+    * whole rename map would mislabel columns when a stale entry's
+    * physical name is legitimately reused by a later overwrite).
+    */
+  private def indexedScan(spark: SparkSession, table: String, v: Long,
+      files: Seq[String],
+      logical: org.apache.spark.sql.types.StructType): DataFrame = {
+    val ren = manifestRenames(table, v)
+    val phys = org.apache.spark.sql.types.StructType(
+      logical.fields.map(f => f.copy(name = physicalName(ren, f.name))))
+    val idx = new ZoneMapFileIndex(spark, this, table, v, files, phys)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      idx, new org.apache.spark.sql.types.StructType(), phys, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty[String, String])(spark)
+    logical.fields.zip(phys.fields).foldLeft(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .baseRelationToDataFrame(relation)) {
+      case (df, (lo, ph)) =>
+        if (lo.name == ph.name) df else df.withColumnRenamed(ph.name, lo.name)
     }
   }
 
@@ -2954,19 +3010,7 @@ class VersionedTableOps(val store: CommitStore) {
     // rewrite through the aliases to the scan's physical attributes,
     // so ZoneMapFileIndex receives filter names that already match
     // the (physical) stats keys — no translation needed there
-    val ren = manifestRenames(table, v)
-    val schema = org.apache.spark.sql.types.StructType(
-      logical.fields.map(f => f.copy(name = physicalName(ren, f.name))))
-    val idx = new ZoneMapFileIndex(spark, this, table, v, files, schema)
-    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      idx, new org.apache.spark.sql.types.StructType(), schema, None,
-      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      Map.empty[String, String])(spark)
-    val base = logical.fields.zip(schema.fields).foldLeft(
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .baseRelationToDataFrame(relation)) {
-      case (df, (lo, ph)) =>
-        if (lo.name == ph.name) df else df.withColumnRenamed(ph.name, lo.name) }
+    val base = indexedScan(spark, table, v, files, logical)
     // merge-on-read: subtract the version's deletion vectors, same
     // broadcast anti join as readFiles — filters on user columns
     // still reach the FileIndex (they sit below the join's stream
