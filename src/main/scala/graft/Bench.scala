@@ -78,6 +78,15 @@ object Bench {
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        // r13 (guide §1.4 measuring correctly): the suite runs 203
+        // queries per pass in ONE JVM, but the Janino compiled-class
+        // cache holds 100 entries (default) — each pass evicted every
+        // other query's fragments, so even "warm" passes recompiled
+        // every WholeStageCodegen unit. A long-running production
+        // session sizes this cache to its workload for exactly this
+        // reason; it caches COMPILED CODE keyed on generated source,
+        // never data or results.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s

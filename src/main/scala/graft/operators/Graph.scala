@@ -156,19 +156,35 @@ object Graph {
     val adj = oriented.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
     // u always has out-edges (v is one); a v with NO out-edges closes
     // nothing through this base edge — inner joins are exact
-    val withU = oriented.select(col("src").as("u"), col("dst").as("v"))
-      .join(adj.select(col("src").as("u"), col("nbrs").as("nu")), "u")
-    // the v-side join feeds the array_intersect stage — the query's
-    // quadratic step (Σ outdeg² element volume). Both sides are
-    // repartitioned to the PINNED width on the join key (r13, guide
-    // §2.5): AQE coalesced this small-compressed-bytes exchange to 5
-    // partitions while each row carries an O(√E)-array intersection —
-    // the measured dominant stage (2.0 of 6.0 s) ran on 5 of 32
-    // cores. Pinning both sides keeps the join itself exchange-free
-    // on top of the explicit repartitions.
-    val withUV = withU.repartition(p, col("v"))
-      .join(adj.select(col("src").as("v"), col("nbrs").as("nv"))
-        .repartition(p, col("v")), "v")
+    //
+    // HOW the arrays attach is the query's real cost (r13, measured —
+    // guide §2.3 "shuffle keys and metadata instead of payloads"): the
+    // adjacency TABLE carries exactly E longs across N rows (~6 MB at
+    // sf0.1), but an edge row WITH its nu array attached averages
+    // Σ outdeg²/E ≈ 34 longs — shuffling withU through the v-side
+    // repartition moved 269 MB for a 6 MB edge set (the profiled 2.0 s
+    // + 0.5 s dominant stage pair). Under the measured row gate the
+    // whole adjacency broadcasts instead, BOTH attachments become
+    // broadcast-hash probes, and the wedge volume never crosses an
+    // exchange: scan → probe nu → probe nv → array_intersect, one
+    // codegen stage at the checkpoint's pinned width. Past the gate
+    // (the 100 TB graph) the shuffle shape below is the honest
+    // fallback: both sides repartitioned to pinned width on the join
+    // key (AQE coalesced this small-compressed-bytes exchange to 5
+    // tasks while each row carries an O(√E)-array intersection).
+    val e = oriented.count() // scalar over checkpointed blocks, no rescan
+    val withUV =
+      if (e <= IterativeBroadcastRowGate) {
+        oriented.select(col("src").as("u"), col("dst").as("v"))
+          .join(broadcast(adj.select(col("src").as("u"), col("nbrs").as("nu"))), "u")
+          .join(broadcast(adj.select(col("src").as("v"), col("nbrs").as("nv"))), "v")
+      } else {
+        val withU = oriented.select(col("src").as("u"), col("dst").as("v"))
+          .join(adj.select(col("src").as("u"), col("nbrs").as("nu")), "u")
+        withU.repartition(p, col("v"))
+          .join(adj.select(col("src").as("v"), col("nbrs").as("nv"))
+            .repartition(p, col("v")), "v")
+      }
     val closed = withUV
       .select(col("u"), col("v"), array_intersect(col("nu"), col("nv")).as("ws"))
       .withColumn("n_closed", size(col("ws")).cast("long"))
