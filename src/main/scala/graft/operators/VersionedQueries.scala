@@ -60,11 +60,23 @@ object VersionedQueries {
     val root = java.nio.file.Files.createTempDirectory(s"graft-vq-$tag").toString
     try {
       val out = body(root)
-      val rows = out.collect()
+      // localize via EAGER localCheckpoint, not collect (r13
+      // optimization, guide §5 "the driver"): `collect()` +
+      // `createDataFrame(asList(rows))` paid two full driver-side row
+      // conversions plus a driver materialization — ~8 s of the 21 s
+      // q_update_mor run at sf1, where the localized frame is the
+      // whole 1.5M-row table. The checkpoint materializes the result
+      // into executor blocks IN PARALLEL (no driver roundtrip) and
+      // cuts lineage, so the returned frame never references the root
+      // deleted below — the same isolation the collect provided. The
+      // blocks free when the frame's RDD is GC'd (and the bench's
+      // cleanup() unpersists between queries), so a multi-query
+      // session does not accumulate them.
+      val localized = out.localCheckpoint()
       if (sys.props.get("graft.dump.inner").contains("true"))
         lastInnerPlan.set(out.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      localized
     } finally {
       dropViews.foreach(spark.catalog.dropTempView(_))
       val rootPath = java.nio.file.Paths.get(root)
